@@ -1,0 +1,78 @@
+"""Join operators (SURVEY.md §2.3, J1 + the extended join surface).
+
+The reference has exactly one join: a stream–static left-outer equi
+join enriching the order stream with a city dimension
+(``transform_stream_static_join``, reference
+``bexley_spark_stream_msk_es.py:421-439``; join at ``:426``).  We
+reproduce it with two scale-critical upgrades the reference lacks:
+
+* the dimension side is **broadcast** explicitly — at 100 TB of stream
+  the dim (thousands of rows) must never shuffle the fact side; a
+  BroadcastHashJoin keeps enrichment a narrow, shuffle-free map stage;
+* the dimension is **cached** — the reference re-reads its JDBC dim
+  every micro-batch (SURVEY.md §4 flags this).
+
+The extended surface (semi/anti/range) is included because any user
+of a streaming enrichment engine needs them and they are free in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_stream_static(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+    cache_dim: bool = False,
+) -> DataFrame:
+    """J1 — stream–static equi join, dimension on the build side.
+
+    Parity: ``fact.join(dim, fact[k] == dim[k], "left").drop(dim[k])``
+    (reference ``:426``).  The duplicate join key from the dim side is
+    dropped, exactly as the reference does.
+    """
+    if cache_dim:
+        dim = dim.cache()
+    build = F.broadcast(dim) if broadcast_dim else dim
+    joined = fact.join(build, fact[fact_key] == dim[dim_key], how)
+    return joined.drop(dim[dim_key])
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -> DataFrame:
+    """EXISTS — rows of ``left`` with at least one match in ``right``."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -> DataFrame:
+    """NOT EXISTS — rows of ``left`` with no match in ``right``."""
+    return left.join(right, on, "left_anti")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    equi_keys: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Range join: ``right.lo <= left.ts < right.hi``.
+
+    With ``equi_keys`` the equality conjunct makes this a hash join with
+    a residual range filter (shuffle on the equi key — scales); without,
+    Spark must fall back to broadcast-nested-loop, which is only sane
+    when ``right`` is small (intervals/dim side) — callers should pass a
+    broadcastable right side in that case.
+    """
+    cond: Column = (right[right_lo] <= left[left_ts]) & (left[left_ts] < right[right_hi])
+    if equi_keys:
+        for lk, rk in equi_keys:
+            cond = (left[lk] == right[rk]) & cond
+    right_b = F.broadcast(right) if not equi_keys else right
+    return left.join(right_b, cond)

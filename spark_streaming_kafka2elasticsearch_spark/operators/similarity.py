@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the standard ANN playbook:
+
+* **brute-force top-k** — exact baseline: broadcast the (small) query
+  set, stream the candidate corpus once, rank per query.  The corpus
+  side never shuffles; cost is |corpus|×|queries| fused multiply-adds
+  inside codegen.  Right answer up to ~10⁸ corpus × small query batch.
+* **LSH-bucketed top-k** — scale path: random-hyperplane signatures
+  bucket the corpus; only same-bucket (plus probe-adjacent) candidates
+  are ranked.  Hyperplanes are derived from xxhash64, so signatures are
+  deterministic — no RNG, reproducible across runs/partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka2elasticsearch_spark.functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, sim).
+
+    The query side is broadcast — the big corpus is scanned exactly
+    once with no shuffle; the only exchange is the final per-query
+    rank, whose input is already reduced to |queries|×|corpus| sims…
+    so for large corpora prefer per-partition pre-ranking: we take the
+    top-k within each partition first (cheap, local) and only shuffle
+    |partitions|×k×|queries| rows into the global rank.
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cvec")
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
+    )
+    pairs = c.join(F.broadcast(q), how="cross")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+    )
+    # Local pre-rank: cuts the global-rank shuffle to k rows per
+    # (partition, query) — the difference between shuffling the corpus
+    # and shuffling a constant at 100 TB.
+    part_w = Window.partitionBy(F.spark_partition_id(), "query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    local = sims.withColumn("_lr", F.row_number().over(part_w)).filter(
+        F.col("_lr") <= k
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _hyperplane_sign(vec: Column, plane_id: int, dim: int) -> Column:
+    """Sign of ⟨vec, h_p⟩ for a deterministic pseudo-random hyperplane:
+    component j of plane p is ±1 from bit 0 of xxhash64(j, plane_id).
+    Rademacher hyperplanes are a standard SimHash/SRP construction and
+    integer-exact to evaluate."""
+    signs = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.xxhash64(j, F.lit(plane_id)).bitwiseAND(F.lit(1)).cast("double") * 2
+        - 1,
+    )
+    dot = F.aggregate(
+        F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (dot >= 0).cast("int")
+
+
+def srp_bucket(vec: Column | str, dim: int, num_planes: int = 8) -> Column:
+    """Signed-random-projection bucket id (0..2^num_planes-1)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        bucket = bucket * 2 + _hyperplane_sign(v, p, dim)
+    return bucket
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 6,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+) -> DataFrame:
+    """Approximate top-k: rank only corpus vectors in the query's SRP
+    bucket.  Recall < 1 by construction (single probe); at scale the
+    win is that each query touches |corpus|/2^planes candidates, and
+    the corpus bucketing is computed once (narrow map) and reusable —
+    in a real deployment it would be a partition column of the stored
+    table, turning ANN into partition-pruned scans."""
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("_cvec"),
+        srp_bucket(corpus_vec, dim, num_planes).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qvec"),
+        srp_bucket(query_vec, dim, num_planes).alias("_bucket"),
+    )
+    pairs = c.join(F.broadcast(q), "_bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

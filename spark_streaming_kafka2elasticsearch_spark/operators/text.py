@@ -1,0 +1,127 @@
+"""Text-analysis operators over a documents table.
+
+Beyond the reference's surface (north-star extensions): quality
+scoring, token statistics, document fingerprinting, and heuristic
+language ID — all pure Catalyst expressions (no UDFs), so they run
+inside WholeStageCodegen and scale linearly with corpus size: every
+operator here is a narrow map over partitions, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka2elasticsearch_spark.functions.text import (
+    alpha_ratio,
+    punct_count,
+    token_count,
+    tokens,
+)
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: char/token counts, mean token
+    length, punctuation and alpha ratios.  All exact integer/double
+    arithmetic — deterministic across engines."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    total_token_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    return df.withColumns(
+        {
+            "n_chars_calc": F.length(t),
+            "n_tokens": n_tokens,
+            "mean_token_len": F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+                total_token_chars.cast("double") / n_tokens.cast("double")
+            ),
+            "punct_ratio": F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+                punct_count(t).cast("double") / F.length(t).cast("double")
+            ),
+            "alpha_ratio": alpha_ratio(t),
+        }
+    )
+
+
+def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical-form fingerprint: lowercase, collapse whitespace runs,
+    trim, md5.  Two documents differing only in case/whitespace collide
+    — the standard first-pass near-dup key for web corpora."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def language_id(
+    df: DataFrame,
+    markers: Mapping[str, Sequence[str]],
+    text_col: str = "text",
+    priority: Sequence[str] | None = None,
+) -> DataFrame:
+    """Marker-word language ID: count distinct marker hits per language,
+    predict the highest-count language (ties broken by ``priority``
+    order), 'unknown' when nothing matches.
+
+    This n-gram/stopword-hit heuristic is the classic cheap language
+    filter for corpus curation; ``markers`` is caller-supplied so real
+    deployments can plug in proper stopword lists.
+    """
+    toks = tokens(F.col(text_col))
+    counts: dict[str, Column] = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in markers.items()
+    }
+    order = list(priority) if priority is not None else sorted(markers)
+    best = F.greatest(*counts.values()) if len(counts) > 1 else next(iter(counts.values()))
+    pred: Column = F.lit("unknown")
+    # Build the CASE chain back-to-front so earlier languages win ties.
+    for lang in reversed(order):
+        pred = F.when(counts[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("unknown")).otherwise(pred)
+    out = df.withColumn("predicted_lang", pred)
+    for lang in order:
+        out = out.withColumn(f"hits_{lang}", counts[lang])
+    return out
+
+
+def language_id_oracle_sql(
+    markers: Mapping[str, Sequence[str]],
+    out_cols: Sequence[str],
+    table: str = "documents",
+    text_col: str = "text",
+    priority: Sequence[str] | None = None,
+) -> str:
+    """The DuckDB-equivalent SQL for :func:`language_id` — generated
+    from the same marker spec so Spark and oracle can never drift.
+    ``out_cols`` are the passthrough columns to emit alongside
+    ``predicted_lang``."""
+    order = list(priority) if priority is not None else sorted(markers)
+
+    def count_expr(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in markers[lang])
+        return (
+            f"len(list_intersect(list_filter(string_split_regex({text_col}, '\\s+'),"
+            f" x -> x <> ''), [{words}]))"
+        )
+
+    count_cols = ",\n  ".join(f"{count_expr(lang)} AS hits_{lang}" for lang in order)
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in order) + ")"
+    chain = "\n    ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in order
+    )
+    passthrough = ", ".join(out_cols)
+    return f"""
+WITH hits AS (
+  SELECT {passthrough},
+  {count_cols}
+  FROM {table}
+)
+SELECT {passthrough},
+  CASE WHEN {best} = 0 THEN 'unknown'
+    {chain}
+    ELSE 'unknown' END AS predicted_lang
+FROM hits
+"""

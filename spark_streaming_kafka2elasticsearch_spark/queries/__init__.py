@@ -1,0 +1,82 @@
+"""Driver-facing query registry.
+
+Every operator family from SURVEY.md §2 (plus the large-scale
+data-pipeline extensions) is exposed as a named query: a callable
+``(spark, sf_dir) -> DataFrame`` and, where SQL-expressible, a
+DuckDB-equivalent oracle string.  The driver's correctness gate runs
+both and hash-compares values, so each pair is written to be
+**bit-deterministic across engines**:
+
+* money aggregates go through exact ``DECIMAL(18,2)`` sums, cast to
+  double at the end (double-sum order-dependence would flake);
+* timestamps are emitted as formatted strings (timezone-unambiguous);
+* scalar double arithmetic uses the identical expression shape on both
+  sides (IEEE 754 ops are deterministic given identical operand order);
+* sampling is hash-based, never seed/partition-dependent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query and (optionally) its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (TESTDATA.md)."""
+    # Event-time semantics must not depend on the caller's JVM default
+    # zone; UTC is this engine's canonical clock (session.py).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark refuses
+    # by default; read nanos as long and convert exactly (integer div —
+    # a double division would lose precision above 2^53 ns).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    if name == "events" and dtypes.get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return dict(_ORACLES)
+
+
+_loaded = False
+
+
+def _ensure_loaded() -> None:
+    global _loaded
+    if not _loaded:
+        # Import for side effect: modules register their queries.
+        from spark_streaming_kafka2elasticsearch_spark.queries import (  # noqa: F401
+            analytics,
+            datapipe,
+            parity,
+        )
+
+        _loaded = True

@@ -1,0 +1,288 @@
+"""Extended analytics surface — aggregations, joins, windows, JSON.
+
+Beyond reference parity (the reference has one join and one windowed
+count), these are the operators any user of an analytics engine needs;
+each is a Catalyst-native plan designed to survive 100×: decimal-exact
+partial aggregation (map-side combine before the shuffle), semi/anti
+joins instead of distinct-then-join, broadcast dims, rank-filter
+pushdown via window functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_streaming_kafka2elasticsearch_spark.operators.joins import anti_join, semi_join
+from spark_streaming_kafka2elasticsearch_spark.queries import load_table, register
+
+_DEC = T.DecimalType(28, 10)
+
+
+def _dsum(col: F.Column, alias: str) -> F.Column:
+    """Order-independent money sum: exact DECIMAL accumulation,
+    surfaced as double.  A raw double sum would depend on partition
+    order and flake the cross-engine hash check.  Scale 10 (not 2!):
+    at scale 2 a double sitting near a cent midpoint rounds HALF_UP in
+    Spark but half-even in DuckDB; at scale 10 the conversion is
+    unambiguous for |x| < ~10⁶ (double ulp ≪ half-step), so both
+    engines produce the identical decimal."""
+    return F.sum(col.cast(_DEC)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Q: pricing summary (TPC-H Q1 shape) — the headline bench aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS VARCHAR)
+       AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10)))
+       AS VARCHAR) AS DOUBLE) AS sum_charge,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-agg friendly: 6 aggregates over 2 grouping keys — the
+    shuffle carries |flags|×|statuses| partial rows per task, not data."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    ext, disc, tax, qty = (
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+        F.col("l_tax"),
+        F.col("l_quantity"),
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(qty, "sum_qty"),
+        _dsum(ext, "sum_base_price"),
+        _dsum(ext * (1 - disc), "sum_disc_price"),
+        _dsum(ext * (1 - disc) * (1 + tax), "sum_charge"),
+        (F.sum(qty.cast(_DEC)).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: revenue by nation (TPC-H Q5 shape) — the multi-join bench query
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)))
+            AS VARCHAR) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem⋈orders shuffles on orderkey (the only big–big join);
+    customer and nation are broadcast — no shuffle of the fact side on
+    custkey/nationkey.  AQE handles skew if a customer dominates."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_with_open_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi — EXISTS without materializing the join (no fact-side
+    row duplication, dedup for free)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return semi_join(c, o, c.c_custkey == o.o_custkey).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return anti_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Q: analytic window functions (rank within partition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number + rank filter — one shuffle on the partition key; the
+    tie-break on o_orderkey makes the result deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: distinct aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_status_distinct_customers",
+    oracle="""
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def order_status_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct (expand + two-phase agg under the hood).  At
+    100 TB prefer approx_count_distinct — exposed as the _approx twin
+    below (rows-only check: HLL results are engine-specific)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("order_status_distinct_customers_approx")  # no oracle: HLL is engine-specific
+def order_status_distinct_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("n_customers_approx"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: rollup (multi-level aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity"), "sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: JSON property extraction (events.props — exercises the MapType/JSON
+# surface the reference imported but never used, SURVEY §1.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_json_props",
+    oracle="""
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: set ops + dedup of rows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "active_parties_union",
+    oracle="""
+SELECT nation_key, party FROM (
+  SELECT DISTINCT c_nationkey AS nation_key, 'customer' AS party FROM customer
+  UNION ALL
+  SELECT DISTINCT s_nationkey AS nation_key, 'supplier' AS party FROM supplier
+)
+""",
+)
+def active_parties_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation_key"), F.lit("customer").alias("party")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nation_key"), F.lit("supplier").alias("party")
+    )
+    return c.distinct().unionAll(s.distinct())

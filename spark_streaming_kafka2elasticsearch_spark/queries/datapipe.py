@@ -1,0 +1,296 @@
+"""Training-data-pipeline queries: dedup, similarity search, text
+analysis, multimodal — the north-star extension surface, on the
+``documents`` and ``embeddings`` tables.
+
+Oracle notes: DuckDB's regexp functions need the explicit ``'g'`` flag
+to match Spark's replace-all default; list_intersect/array_intersect
+are both distinct-semantics; Jaccard is exact int arithmetic; cosine
+top-k emits only (query_id, neighbor_id) id pairs so float rounding in
+the similarity itself can never flake the hash check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+    blocked_ngram_jaccard_pairs,
+    exact_dedup_groups,
+    minhash_lsh_candidate_pairs,
+    simhash,
+)
+from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+    decode_image_features,
+    synth_media_table,
+)
+from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+    document_fingerprint,
+    language_id,
+    language_id_oracle_sql,
+    text_quality,
+)
+from spark_streaming_kafka2elasticsearch_spark.queries import load_table, register
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+SELECT md5(text) AS text_md5,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_dupes
+FROM documents GROUP BY text
+""",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy; shuffles the 16-byte md5, not the
+    document text (project-then-shuffle)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text_md5", F.md5("text")
+    )
+    return exact_dedup_groups(docs, ["text_md5"], "doc_id")
+
+
+@register(
+    "document_fingerprints",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+)
+def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return document_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> toks[i] || ' ' || coalesce(toks[i+1], '') || ' ' || coalesce(toks[i+2], '')
+         )) AS shingles
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.12
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked (by lang) exact 3-gram Jaccard similarity join.
+
+    DuckDB shingle construction pads the tail with '' to mirror Spark's
+    ``slice`` (which truncates), and both sides deduplicate shingles,
+    so the sets — and the exact integer Jaccard — agree.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return blocked_ngram_jaccard_pairs(
+        docs, id_col="doc_id", block_cols=["lang"], k_shingle=3, min_jaccard=0.12
+    )
+
+
+@register("minhash_near_dup_pairs")  # no SQL oracle: xxhash64 family is Spark-side
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 hashes) + 16-band LSH candidate pairs with exact
+    Jaccard verification ≥ 0.1 — the scale path for near-dup dedup
+    (banding keeps it out of O(n²)); ngram_jaccard_pairs above is the
+    oracle-checked exact flavor on the same corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidate_pairs(
+        docs, id_col="doc_id", text_col="text", k_shingle=3, num_hashes=64, bands=16
+    )
+    return pairs.filter(F.col("jaccard") >= 0.1).select("id_a", "id_b", "jaccard")
+
+
+@register("simhash_fingerprints")  # no SQL oracle: xxhash64 is Spark-side
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (near-dup fingerprint; Hamming-close
+    signatures ⇒ similar token multisets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash("text").alias("simhash64"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, text, lang,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id, lang,
+  length(text) AS n_chars_calc,
+  len(t) AS n_tokens,
+  CASE WHEN len(t) = 0 THEN 0.0
+       ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+  END AS mean_token_len,
+  CASE WHEN length(text) = 0 THEN 0.0
+       ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+            AS DOUBLE) / length(text)
+  END AS punct_ratio,
+  CASE WHEN length(text) = 0 THEN 0.0
+       ELSE CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+            AS DOUBLE) / length(text)
+  END AS alpha_ratio
+FROM toks
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_quality(docs).select(
+        "doc_id",
+        "lang",
+        "n_chars_calc",
+        "n_tokens",
+        "mean_token_len",
+        "punct_ratio",
+        "alpha_ratio",
+    )
+
+
+@register(
+    "token_stats_by_lang",
+    oracle="""
+WITH toks AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n
+  FROM documents
+)
+SELECT lang, sum(n) AS total_tokens, min(n) AS min_tokens, max(n) AS max_tokens,
+       count(*) AS n_docs
+FROM toks GROUP BY lang
+""",
+)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", token_count("text").alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n").alias("total_tokens"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+#: Marker lexicon for the language-ID heuristic.  Synthetic corpus ⇒
+#: synthetic markers; real deployments plug in real stopword lists.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "fast", "order"],
+    "de": ["scan", "merge"],
+    "es": ["hash", "join"],
+    "fr": ["table", "window"],
+    "zh": ["spark", "query"],
+}
+
+
+@register(
+    "language_id_heuristic",
+    oracle=language_id_oracle_sql(
+        LANG_MARKERS, out_cols=["doc_id", "lang"], table="documents"
+    ),
+)
+def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs, LANG_MARKERS).select("doc_id", "lang", "predicted_lang")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qvec, cvec) AS sim
+  FROM c, q WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id FROM s
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 10
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 8 query vectors.  Emits id
+    pairs only (similarity float rounding differs across engines; ranks
+    don't, given the deterministic tie-break)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    topk = brute_force_topk(emb, queries, k=10)
+    return topk.select("query_id", "neighbor_id")
+
+
+@register("ann_cosine_topk_lsh")  # no SQL oracle: SRP bucketing is Spark-side
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variant: signed-random-projection buckets prune the
+    candidate set to |corpus|/2^planes per query before ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    return lsh_bucketed_topk(emb, queries, dim=64, k=10, num_planes=4)
+
+
+@register(
+    "embedding_l2_norms",
+    oracle="""
+SELECT vec_id, label,
+       sqrt(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+FROM embeddings
+""",
+)
+def embedding_l2_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row vector math (no aggregation → bit-deterministic): the
+    cross-engine check that the double-precision fold in
+    functions.vectors matches an independent implementation."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label", l2_norm("embedding").alias("l2_norm"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (stubbed decode, real plumbing)
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_image_features")  # no SQL oracle: mapInPandas kernel
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media column → Arrow-batched mapInPandas decode
+    (deterministic fake decoder; real codecs aren't in the container —
+    see operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_media_table(docs, id_col="doc_id", text_col="text")
+    return decode_image_features(media, fake=True)

@@ -1,0 +1,284 @@
+"""Reference-parity queries (SURVEY.md §2.1–§2.5) on driver testdata.
+
+The reference's order-event roles map onto the TPC-H-ish tables per
+FIXTURES.md §F5: ``orders`` plays the Kafka order stream (a JSON
+``value`` column is synthesized with ``to_json`` and then parsed back
+through the real pipeline — exercising P1–P3 for real), ``nation``
+plays the cities dimension, ``lineitem`` plays the order basket, and
+``events`` drives the watermark/tumbling-window path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka2elasticsearch_spark.operators.curate import (
+    curate_orders,
+    deterministic_sample,
+    explode_basket,
+    parse_json_events,
+    products_sold,
+)
+from spark_streaming_kafka2elasticsearch_spark.operators.joins import enrich_stream_static
+from spark_streaming_kafka2elasticsearch_spark.operators.windows import tumbling_window_agg
+from spark_streaming_kafka2elasticsearch_spark.queries import load_table, register
+
+# ---------------------------------------------------------------------------
+# Shared fixture mapping: orders → synthetic order-event JSON (FIXTURES.md F1/F5)
+# ---------------------------------------------------------------------------
+
+
+def orders_as_json_events(orders: DataFrame) -> DataFrame:
+    """Synthesize the Kafka ``value`` payload from the orders table.
+
+    Deterministic expression-level mapping (FIXTURES.md §F5):
+    ``order_number`` = zero-padded orderkey (8 chars, so char 6 — the
+    fulfilment branch digit, reference ``:400`` — varies);
+    ``discount_applied`` = orderkey mod 20 (a 0–19 %);
+    ``ship_to_city_id`` = custkey mod 25 (joins ``nation`` as cities).
+    """
+    return orders.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").cast("int").alias("order_id"),
+                F.col("o_totalprice").alias("order_total"),
+                (F.col("o_custkey") % 25).cast("int").alias("ship_to_city_id"),
+                F.round(F.col("o_totalprice") * 0.05, 2).alias("freight"),
+                F.col("o_custkey").cast("int").alias("customer_id"),
+                F.col("o_orderpriority").alias("ship_method"),
+                F.lpad(F.col("o_orderkey").cast("string"), 8, "0").alias("order_number"),
+                (F.col("o_orderkey") % 20).cast("double").alias("discount_applied"),
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_date"),
+            )
+        ).alias("value")
+    )
+
+
+def cities_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nation`` in the role of the reference's cities view
+    (``SELECT city_id, city FROM vw_uk_cities``, reference ``:91``)."""
+    return load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("city_id"),
+        F.col("n_name").alias("city"),
+    )
+
+
+_CURATED_CTE = """
+WITH src AS (
+  SELECT
+    lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS order_number,
+    o_totalprice AS order_total,
+    CAST(o_orderkey % 20 AS DOUBLE) AS discount_applied,
+    CAST(o_custkey % 25 AS INTEGER) AS ship_to_city_id,
+    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+    o_orderpriority AS ship_method
+  FROM orders
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: curated_orders — the flagship end-to-end parity pipeline
+# (P1 cast → P2 from_json → P3 flatten → P7–P11 derive → J1 left join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curated_orders",
+    oracle=_CURATED_CTE
+    + """
+SELECT
+  s.order_number,
+  s.order_total - (s.discount_applied / 100.0) * s.order_total AS discounted_total,
+  s.order_number || '-' || substring(s.order_date, 1, 10) AS data_key,
+  s.ship_to_city_id,
+  s.order_date,
+  s.ship_method,
+  CASE WHEN substring(s.order_number, 6, 1) = '3' THEN 'Bexley' ELSE 'Merchant' END
+    AS fufilment_type,
+  n.n_name AS city
+FROM src s LEFT JOIN nation n ON s.ship_to_city_id = n.n_nationkey
+""",
+)
+def curated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-value JSON → parse (declared schema) → curate → enrich.
+
+    Mirrors the reference's main path (``transform_raw_json_stream`` →
+    ``transform_json_message`` → ``transform_stream_static_join``,
+    reference ``bexley_spark_stream_msk_es.py:293-439``) as batch;
+    the identical transforms run in the streaming job (streaming/jobs).
+    """
+    raw = orders_as_json_events(load_table(spark, sf_dir, "orders"))
+    parsed = parse_json_events(raw)
+    curated = curate_orders(parsed)
+    return enrich_stream_static(
+        curated, cities_dim(spark, sf_dir), "ship_to_city_id", "city_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: basket explode → products-sold view (P4–P6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "products_sold_exploded",
+    oracle="""
+SELECT
+  CAST(o.o_custkey AS INTEGER) AS customer_id,
+  lpad(CAST(o.o_orderkey AS VARCHAR), 8, '0') AS order_number,
+  CAST(l.l_partkey AS INTEGER) AS product_id,
+  CAST(l.l_quantity AS INTEGER) AS order_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+""",
+)
+def products_sold_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuild the order basket (array<struct>) from lineitem, run the
+    real ``explode`` path (reference ``:353-364``), project the
+    products-sold view.  Inner-explode semantics: basketless orders drop.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_quantity").cast("int").alias("order_qty"),
+                F.col("l_partkey").cast("int").alias("product_id"),
+                (F.col("l_discount") > 0).alias("is_discounted"),
+            )
+        ).alias("order_basket")
+    )
+    with_basket = orders.join(
+        baskets, orders.o_orderkey == baskets.l_orderkey, "inner"
+    ).select(
+        F.col("o_custkey").cast("int").alias("customer_id"),
+        F.lpad(F.col("o_orderkey").cast("string"), 8, "0").alias("order_number"),
+        F.col("order_basket"),
+    )
+    return products_sold(explode_basket(with_basket))
+
+
+# ---------------------------------------------------------------------------
+# Q: stream–static enrichment join alone (J1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_enriched",
+    oracle="""
+SELECT o.o_orderkey AS order_id,
+       o.o_totalprice AS order_total,
+       CAST(o.o_custkey % 25 AS INTEGER) AS ship_to_city_id,
+       n.n_name AS city
+FROM orders o LEFT JOIN nation n ON CAST(o.o_custkey % 25 AS INTEGER) = n.n_nationkey
+""",
+)
+def orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 in isolation: left-outer equi join against a broadcast dim
+    with the dim-side key dropped (reference ``:426``)."""
+    fact = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("order_total"),
+        (F.col("o_custkey") % 25).cast("int").alias("ship_to_city_id"),
+    )
+    return enrich_stream_static(
+        fact, cities_dim(spark, sf_dir), "ship_to_city_id", "city_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: event-time tumbling window + count (A1–A3, batch form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_2min",
+    oracle="""
+SELECT
+  strftime(make_timestamp(CAST(floor(epoch(ts) / 120) AS BIGINT) * 120 * 1000000),
+           '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  count(*) AS total_events
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_tumbling_2min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's (disabled) windowed-stats path
+    (``transform_tumbling_window``, reference ``:441-458``) in batch
+    form — ``window()`` is the same Catalyst expression on a stream;
+    the streaming variant with watermark is exercised in tests.
+    Window start is epoch-aligned, so DuckDB bucket arithmetic agrees.
+    """
+    events = load_table(spark, sf_dir, "events")
+    agg = tumbling_window_agg(
+        events,
+        ts_col="ts",
+        width="2 minutes",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("total_events")],
+    )
+    return agg.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("event_type"),
+        F.col("total_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: filter + narrow projection (first-class predicate; SURVEY §2.2 note)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_filter_project",
+    oracle="""
+SELECT l_orderkey, l_partkey,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.02
+""",
+)
+def lineitem_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + projection, both pushed to the parquet scan (the plan
+    must show PushedFilters + a 4-column ReadSchema — checked in tests).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") < "1996-01-01") & (F.col("l_discount") > 0.02)
+        ).select(
+            "l_orderkey",
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: deterministic sampling (P14, engine variant)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_deterministic_sample",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE ascii(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) % 8 = 0
+""",
+)
+def orders_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based sample — the oracle-checkable upgrade of the
+    reference's seed-dependent ``df.sample(0.08)`` preview (``:242,273``).
+    md5 is identical across engines, so the sampled set is stable.
+    (``deterministic_sample`` in operators/curate.py is the xxhash64
+    fast path; md5 is used here only because the oracle needs a hash
+    both engines implement.)
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    _ = deterministic_sample  # engine-native variant; see docstring
+    return orders.filter(
+        F.ascii(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)) % 8 == 0
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
