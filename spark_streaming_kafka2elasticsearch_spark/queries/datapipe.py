@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+    simhash_table,
     blocked_ngram_jaccard_pairs,
     exact_dedup_groups,
     minhash_lsh_candidate_pairs,
@@ -122,9 +123,10 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("simhash_fingerprints")  # no SQL oracle: xxhash64 is Spark-side
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (near-dup fingerprint; Hamming-close
-    signatures ⇒ similar token multisets)."""
+    signatures ⇒ similar token multisets).  Explode-shaped plan — see
+    operators/dedup.simhash_table."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash("text").alias("simhash64"))
+    return simhash_table(docs, id_col="doc_id", text_col="text")
 
 
 # ---------------------------------------------------------------------------
