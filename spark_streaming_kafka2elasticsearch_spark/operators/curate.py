@@ -43,13 +43,24 @@ def parse_json_events(
     """P2+P3 — ``from_json`` with a declared schema, then flatten.
 
     PERMISSIVE semantics (the reference's de-facto bad-record policy,
-    ``:325``): a malformed record parses to a null struct, which
-    flattens to an all-null row.  ``drop_malformed=True`` filters those
-    out — the lossless default mirrors the reference.
+    ``:325``): a malformed record parses to an all-null row rather than
+    failing.  ``drop_malformed=True`` additionally filters malformed
+    records out, detected via the standard ``columnNameOfCorruptRecord``
+    channel — the lossless default mirrors the reference.
     """
-    parsed = df.select(F.from_json(F.col(column), schema).alias("event"))
     if drop_malformed:
-        parsed = parsed.filter(F.col("event").isNotNull())
+        corrupt = "_corrupt_record"
+        schema_with_corrupt = schema.add(T.StructField(corrupt, T.StringType(), True))
+        parsed = df.select(
+            F.from_json(
+                F.col(column),
+                schema_with_corrupt,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+            ).alias("event")
+        )
+        parsed = parsed.filter(F.col(f"event.{corrupt}").isNull())
+        return parsed.select("event.*").drop(corrupt)
+    parsed = df.select(F.from_json(F.col(column), schema).alias("event"))
     return parsed.select("event.*")
 
 

@@ -1,0 +1,81 @@
+"""End-to-end streaming jobs — the reference's ``main()`` re-expressed.
+
+``orders_enrichment_stream`` is the full pipeline DAG
+(source → parse → curate → join dim → [sink]) over *any* source that
+yields a ``value`` string column — Kafka in prod, a JSON directory in
+tests — because every transform is a pure DataFrame function
+(operators/curate.py).  This is the same linear DAG the reference
+wires at ``bexley_spark_stream_msk_es.py:132-181``.
+
+``windowed_orders_stats_stream`` is the (reference-disabled) tumbling
+window path (``:441-458``): watermark → window+key groupBy → count.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka2elasticsearch_spark.operators.curate import (
+    cast_to_timestamp,
+    curate_orders,
+    parse_json_events,
+)
+from spark_streaming_kafka2elasticsearch_spark.operators.joins import enrich_stream_static
+from spark_streaming_kafka2elasticsearch_spark.operators.windows import tumbling_window_agg
+
+
+def orders_enrichment_stream(
+    spark: SparkSession,
+    source: Any,
+    cities_dim: DataFrame,
+    drop_malformed: bool = False,
+    **source_kwargs: Any,
+) -> DataFrame:
+    """Unbounded curated+enriched orders frame, ready for a sink.
+
+    ``source`` needs ``load_stream(spark, **kwargs)`` returning a
+    DataFrame with a string ``value`` column (the Kafka envelope after
+    P1, or a JsonDirSource in envelope mode).
+
+    ``drop_malformed=False`` is reference parity: a bad JSON record
+    flows to the sink as an all-null row whose ``data_key`` is ``''``
+    (so in a keyed-upsert store all malformed rows collapse into one
+    junk document — exactly what the reference's ES sink would do).
+    Real deployments want ``True``.
+    """
+    raw = source.load_stream(spark, **source_kwargs)
+    if dict(raw.dtypes).get("value") == "binary":
+        raw = raw.selectExpr("CAST(value AS STRING) AS value")
+    parsed = parse_json_events(raw, drop_malformed=drop_malformed)
+    curated = curate_orders(parsed)
+    return enrich_stream_static(
+        curated, cities_dim, "ship_to_city_id", "city_id", cache_dim=True
+    )
+
+
+def windowed_orders_stats_stream(
+    curated: DataFrame,
+    ts_col: str = "order_date",
+    watermark: str = "2 minutes",
+    width: str = "2 minutes",
+    key: str = "fufilment_type",
+) -> DataFrame:
+    """Watermarked tumbling-window order counts (A1–A3).
+
+    Output schema matches the reference's windowed stats (FIXTURES.md
+    F4): window struct, key, total_orders.  In append output mode only
+    watermark-closed windows emit — the semantics the streaming tests
+    pin down.
+    """
+    with_ts = cast_to_timestamp(curated, ts_col)
+    return tumbling_window_agg(
+        with_ts,
+        ts_col=ts_col,
+        width=width,
+        keys=[key],
+        aggs=[F.count("ship_method").alias("total_orders")],
+        watermark=watermark,
+    )

@@ -1,0 +1,192 @@
+"""Streaming sinks (SURVEY.md §2.5, K1–K4).
+
+The reference's delivery contract: at-least-once micro-batch writes
+made *effectively-once* by an idempotent document key — foreachBatch
+hands each epoch back to Python, which bulk-writes with
+``es.mapping.id = data_key`` so replays overwrite instead of duplicate
+(reference ``bexley_spark_stream_msk_es.py:506-531``, key derivation
+``:396``, id mapping ``:515``).
+
+We reproduce that as a **KeyedUpsertSink** family: the prod
+implementation targets Elasticsearch (option-compatible, requires the
+es-hadoop connector on the classpath); the test/local implementations
+MERGE-by-key into a parquet table or an in-memory dict, preserving the
+replay-idempotency semantics exactly — which is what the streaming
+tests assert by re-delivering a batch.
+
+Scale note: the upsert key must be high-cardinality and stable
+(order_number + date-day here); the merge itself is a per-batch join
+against the sink table, so at 100 TB the sink table must be
+partitioned/bucketed by key (or be a real MERGE-capable store: Delta,
+Iceberg, ES) — the parquet rewrite here is the semantics-faithful
+test double, not the scale path, and says so loudly.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def start_console_sink(
+    stream: DataFrame,
+    output_mode: str = "complete",
+    truncate: bool = False,
+    query_name: str = "console_debug",
+) -> StreamingQuery:
+    """K1 — debug console writer (reference ``:465-476``); ``complete``
+    mode mirrors the reference's choice for the windowed agg (``:470``)."""
+    return (
+        stream.writeStream.format("console")
+        .outputMode(output_mode)
+        .option("truncate", str(truncate).lower())
+        .queryName(query_name)
+        .start()
+    )
+
+
+@dataclass
+class KeyedUpsertParquetSink:
+    """K2 (test/local impl) — foreachBatch MERGE-by-key into parquet.
+
+    Last-write-wins per ``key_col`` within and across batches; replayed
+    epochs converge to the same table (idempotent).  The table swap is
+    write-tmp-then-rename — atomic enough for tests; production should
+    bind the same ``write_batch`` contract to a transactional store.
+    """
+
+    path: str
+    key_col: str = "data_key"
+
+    def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates([self.key_col])
+        if os.path.exists(self.path):
+            current = spark.read.parquet(self.path)
+            merged = current.join(
+                fresh.select(self.key_col), [self.key_col], "left_anti"
+            ).unionByName(fresh)
+        else:
+            merged = fresh
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str | None = None,
+        query_name: str = "keyed_upsert",
+    ) -> StreamingQuery:
+        """Wire as the reference does: foreachBatch + queryName + start
+        (reference ``:521-531``), with the checkpoint location (K4) on
+        the stream writer where it belongs (the reference quirkily put
+        it inside the batch writer, ``:517``)."""
+        if checkpoint_dir is None:
+            checkpoint_dir = tempfile.mkdtemp(prefix="chk_")
+        return (
+            stream.writeStream.foreachBatch(self.write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name)
+            .start()
+        )
+
+    def read(self, spark: Any) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+
+@dataclass
+class KeyedUpsertMemorySink:
+    """K2 (unit-test impl) — upsert into a driver-side dict.
+
+    Only for small-result assertions (it collects!); the value is that
+    idempotency tests can inspect exact key→row state cheaply.
+    """
+
+    key_col: str = "data_key"
+    rows: dict[str, Any] = field(default_factory=dict)
+    epochs_seen: list[int] = field(default_factory=list)
+
+    def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self.epochs_seen.append(epoch_id)
+        for row in batch_df.collect():
+            self.rows[row[self.key_col]] = row.asDict()
+
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str | None = None,
+        query_name: str = "keyed_upsert_mem",
+    ) -> StreamingQuery:
+        if checkpoint_dir is None:
+            checkpoint_dir = tempfile.mkdtemp(prefix="chk_")
+        return (
+            stream.writeStream.foreachBatch(self.write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name)
+            .start()
+        )
+
+
+@dataclass
+class ElasticsearchUpsertSink:
+    """K2 (prod impl) — option-parity Elasticsearch batch writer.
+
+    Builds exactly the reference's writer options (``:506-518``):
+    ``es.mapping.id`` (⇒ upsert), ``es.nodes.wan.only``, auth, index
+    resource.  Requires the elasticsearch-hadoop connector at runtime;
+    constructing the sink (e.g. for config validation/tests) does not.
+    """
+
+    nodes: str
+    index: str
+    username: str | None = None
+    password: str | None = None
+    key_col: str = "data_key"
+    wan_only: bool = True
+    extra_options: dict[str, str] = field(default_factory=dict)
+
+    def options(self) -> dict[str, str]:
+        opts = {
+            "es.nodes": self.nodes,
+            "es.resource": self.index,
+            "es.mapping.id": self.key_col,
+            "es.nodes.wan.only": str(self.wan_only).lower(),
+        }
+        if self.username is not None:
+            opts["es.net.http.auth.user"] = self.username
+        if self.password is not None:
+            opts["es.net.http.auth.pass"] = self.password
+        opts.update(self.extra_options)
+        return opts
+
+    def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .format("es")
+            .options(**self.options())
+            .save()
+        )
+
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        query_name: str = "es_upsert",
+    ) -> StreamingQuery:
+        return (
+            stream.writeStream.foreachBatch(self.write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name)
+            .start()
+        )

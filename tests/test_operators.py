@@ -1,0 +1,227 @@
+"""Unit tests for the extended operator surface: joins, windows,
+dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka2elasticsearch_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
+from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+    blocked_ngram_jaccard_pairs,
+    exact_dedup,
+    minhash_lsh_candidate_pairs,
+    shingles,
+    simhash_table,
+)
+from spark_streaming_kafka2elasticsearch_spark.operators.joins import (
+    anti_join,
+    range_join,
+    semi_join,
+)
+from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+    decode_image_features,
+    synth_media_table,
+)
+from spark_streaming_kafka2elasticsearch_spark.operators.similarity import brute_force_topk
+from spark_streaming_kafka2elasticsearch_spark.operators.text import language_id
+from spark_streaming_kafka2elasticsearch_spark.operators.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+def test_semi_and_anti_join(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    right = spark.createDataFrame([(1,), (3,)], ["k"])
+    assert {r["k"] for r in semi_join(left, right, "k").collect()} == {1, 3}
+    assert {r["k"] for r in anti_join(left, right, "k").collect()} == {2}
+
+
+def test_range_join(spark):
+    events = spark.createDataFrame([(1, 5), (2, 15), (3, 25)], ["id", "t"])
+    intervals = spark.createDataFrame(
+        [(0, 10, "early"), (10, 20, "mid")], ["lo", "hi", "tag"]
+    )
+    out = range_join(events, intervals, "t", "lo", "hi")
+    got = {(r["id"], r["tag"]) for r in out.collect()}
+    assert got == {(1, "early"), (2, "mid")}  # 25 matches nothing
+
+
+# ---------------------------------------------------------------------------
+# windows (batch semantics of the streaming ops)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ts_df(spark):
+    rows = [
+        ("2024-01-01 00:00:30", "a"),
+        ("2024-01-01 00:01:59", "a"),
+        ("2024-01-01 00:02:00", "a"),  # exactly on the boundary → next window
+        ("2024-01-01 00:03:00", "b"),
+    ]
+    return spark.createDataFrame(rows, ["ts", "k"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+
+
+def test_tumbling_window_boundaries(ts_df):
+    out = tumbling_window_agg(ts_df, "ts", "2 minutes", keys=["k"])
+    got = {
+        (r["window"]["start"].strftime("%H:%M"), r["k"], r["total_orders"])
+        for r in out.collect()
+    }
+    assert got == {("00:00", "a", 2), ("00:02", "a", 1), ("00:02", "b", 1)}
+
+
+def test_sliding_window(ts_df):
+    out = sliding_window_agg(ts_df, "ts", "2 minutes", "1 minute")
+    # every event lands in exactly 2 windows
+    assert sum(r["total_events"] for r in out.collect()) == 2 * ts_df.count()
+
+
+def test_session_window(spark):
+    rows = [("2024-01-01 00:00:00",), ("2024-01-01 00:00:30",), ("2024-01-01 00:10:00",)]
+    df = spark.createDataFrame(rows, ["ts"]).withColumn("ts", F.to_timestamp("ts"))
+    out = session_window_agg(df, "ts", "1 minute")
+    counts = sorted(r["total_events"] for r in out.collect())
+    assert counts == [1, 2]  # two sessions: the 10:00 event is its own
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("only two",)], ["text"])
+    got = df.select(shingles("text", 3).alias("s")).collect()[0]["s"]
+    assert got == ["only two"]  # shorter than k → whole doc as one shingle
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], ["id", "text"])
+    assert exact_dedup(df, ["text"]).count() == 2
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different words in this sentence about spark engines ok"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    pairs = minhash_lsh_candidate_pairs(df, "doc_id").collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] > 0.5
+    assert all(k == (1, 2) or min(v, 1) < 0.2 for k, v in got.items())
+
+
+def test_blocked_jaccard_requires_positive_threshold(spark):
+    df = spark.createDataFrame([(1, "a", "x y z")], ["doc_id", "lang", "text"])
+    with pytest.raises(ValueError):
+        blocked_ngram_jaccard_pairs(df, "doc_id", ["lang"], min_jaccard=0.0)
+
+
+def test_blocked_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta gamma delta epsilon"),
+            (2, "en", "alpha beta gamma delta epsilon"),
+            (3, "fr", "alpha beta gamma delta epsilon"),  # other block: excluded
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    pairs = blocked_ngram_jaccard_pairs(df, "doc_id", ["lang"], min_jaccard=0.5).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "entirely unrelated content about query optimizers"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["simhash64"] for r in simhash_table(df, "doc_id").collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[3])
+
+
+# ---------------------------------------------------------------------------
+# similarity / vectors
+# ---------------------------------------------------------------------------
+
+
+def test_vector_functions(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], ["a", "b"])
+    rows = df.select(
+        dot_product("a", "b").alias("dot"),
+        l2_norm("a").alias("na"),
+        cosine_similarity("a", "b").alias("cos"),
+    ).collect()
+    assert rows[0]["dot"] == 0.0 and rows[0]["cos"] == 0.0
+    assert rows[1]["cos"] == pytest.approx(1.0)
+    assert rows[1]["na"] == pytest.approx(2**0.5)
+
+
+def test_brute_force_topk_exactness(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], ["query_id", "query_embedding"]
+    )
+    out = brute_force_topk(corpus, queries, k=3, exclude_self=False).collect()
+    # cosine with [1,0] is monotonically increasing in i → top-3 = 19,18,17
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [19, 18, 17]
+
+
+# ---------------------------------------------------------------------------
+# text / multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_language_id_markers_and_ties(spark):
+    markers = {"en": ["the"], "de": ["der"]}
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "der hund"), (3, "nothing matches"), (4, "the der tie")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["predicted_lang"] for r in language_id(df, markers).collect()}
+    assert out == {1: "en", 2: "de", 3: "unknown", 4: "de"}  # tie → priority order (sorted)
+
+
+def test_multimodal_decode_stub_deterministic(spark):
+    docs = spark.createDataFrame([(1, "hello"), (2, "world")], ["doc_id", "text"])
+    media = synth_media_table(docs, "doc_id", "text")
+    a = {r["media_id"]: r.asDict() for r in decode_image_features(media, fake=True).collect()}
+    b = {r["media_id"]: r.asDict() for r in decode_image_features(media, fake=True).collect()}
+    assert a == b  # content-hash-seeded fake decode is reproducible
+    assert all(64 <= r["width"] <= 256 for r in a.values())
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    docs = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    media = synth_media_table(docs, "doc_id", "text")
+    with pytest.raises(Exception) as exc_info:
+        decode_image_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )

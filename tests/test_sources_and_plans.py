@@ -1,0 +1,135 @@
+"""Sources, config providers, pipeline composition, and plan-quality
+assertions (pushdown / broadcast — the .explain contract)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from spark_streaming_kafka2elasticsearch_spark.config import (
+    ChainConfig,
+    DictConfig,
+    EnvConfig,
+    JsonFileConfig,
+)
+from spark_streaming_kafka2elasticsearch_spark.plans import Pipeline
+from spark_streaming_kafka2elasticsearch_spark.queries import all_oracles, all_queries
+from spark_streaming_kafka2elasticsearch_spark.sources.files import (
+    JsonDirSource,
+    ParquetSource,
+)
+from spark_streaming_kafka2elasticsearch_spark.sources.kafka import KafkaSource
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_kafka_source_option_surface():
+    src = KafkaSource(
+        bootstrap_servers="broker:9096",
+        topic="orders",
+        starting_offsets="earliest",
+        max_offsets_per_trigger=100,
+        sasl_username="u",
+        sasl_password="p",
+    )
+    opts = src.options()
+    assert opts["subscribe"] == "orders"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "100"
+    assert opts["includeHeaders"] == "true"
+    assert opts["kafka.sasl.mechanism"] == "SCRAM-SHA-512"
+    assert 'username="u"' in opts["kafka.sasl.jaas.config"]
+
+
+def test_kafka_source_plaintext_has_no_sasl():
+    opts = KafkaSource(bootstrap_servers="b:9092", topic="t").options()
+    assert not any(k.startswith("kafka.sasl") for k in opts)
+
+
+def test_json_dir_source_envelope(spark, tmp_path):
+    p = tmp_path / "f.json"
+    p.write_text('{"a": 1}\n{"a": 2}')
+    df = JsonDirSource(str(tmp_path), as_kafka_envelope=True).load(spark)
+    assert df.columns == ["value"]
+    assert df.count() == 2
+
+
+def test_streaming_file_source_requires_schema(spark, tmp_path):
+    with pytest.raises(ValueError):
+        ParquetSource(str(tmp_path)).load_stream(spark)
+
+
+def test_config_providers(tmp_path, monkeypatch):
+    monkeypatch.setenv("APP_DB_URL", "jdbc:x")
+    f = tmp_path / "c.json"
+    f.write_text(json.dumps({"es_user": "elastic"}))
+    chain = ChainConfig(
+        EnvConfig(prefix="APP_"), JsonFileConfig(str(f)), DictConfig({"fallback": 1})
+    )
+    assert chain.get("DB_URL") == "jdbc:x"
+    assert chain.get("es_user") == "elastic"
+    assert chain.get("fallback") == 1
+    assert chain.get("missing", "d") == "d"
+
+
+def test_pipeline_composition(spark):
+    from pyspark.sql import functions as F
+
+    pipe = Pipeline(ParquetSource(f"{SF_DIR}/nation.parquet"))
+    pipe.then("filter", lambda df: df.filter(F.col("n_regionkey") == 0))
+    pipe.then("project", lambda df: df.select("n_name"))
+    out = pipe.build(spark)
+    assert out.columns == ["n_name"]
+    assert out.count() == 5
+
+
+def test_pipeline_failure_reraises(spark):
+    pipe = Pipeline(ParquetSource(f"{SF_DIR}/nation.parquet"))
+    pipe.then("boom", lambda df: df.select("no_such_column"))
+    with pytest.raises(Exception):
+        pipe.build(spark)
+
+
+# ---------------------------------------------------------------------------
+# plan quality — the .explain contract (scale-readiness assertions)
+# ---------------------------------------------------------------------------
+
+
+def test_filter_and_projection_push_down_to_scan(spark):
+    q = all_queries()["lineitem_filter_project"]
+    plan = q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
+    import re
+
+    # Column pruning: the scan must read only the 5 referenced columns.
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    scanned = {c.split("#")[0] for c in m.group(1).split(",")}
+    assert scanned == {
+        "l_orderkey",
+        "l_partkey",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }
+
+
+def test_enrichment_join_is_broadcast(spark):
+    q = all_queries()["orders_enriched"]
+    plan = q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_every_query_has_stable_columns(spark):
+    """Driver contract: queries() and oracle_sql() column names line up
+    (the hash compare sorts by name)."""
+    oracles = all_oracles()
+    for name, fn in all_queries().items():
+        df = fn(spark, SF_DIR)
+        assert len(set(df.columns)) == len(df.columns), f"{name}: dup column names"
+        if name in oracles:
+            assert all(
+                c.isidentifier() for c in df.columns
+            ), f"{name}: non-identifier column name {df.columns}"

@@ -1,0 +1,188 @@
+"""Streaming-semantics tests (SURVEY.md §5): end-to-end file-stream
+pipeline, idempotent keyed upsert under replay, watermark late-data
+behavior with controlled event time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka2elasticsearch_spark.operators.curate import curate_orders
+from spark_streaming_kafka2elasticsearch_spark.sources.files import JsonDirSource
+from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+    orders_enrichment_stream,
+    windowed_orders_stats_stream,
+)
+from spark_streaming_kafka2elasticsearch_spark.streaming.sinks import (
+    KeyedUpsertMemorySink,
+    KeyedUpsertParquetSink,
+)
+
+
+def order_event(order_id, order_number, order_date, city=7, total=100.0, disc=0.0):
+    return json.dumps(
+        {
+            "order_id": order_id,
+            "order_total": total,
+            "ship_to_city_id": city,
+            "freight": 1.0,
+            "customer_id": 1,
+            "ship_method": "Express",
+            "order_number": order_number,
+            "discount_applied": disc,
+            "order_date": order_date,
+            "order_basket": [{"order_qty": 1, "product_id": 1, "is_discounted": False}],
+        }
+    )
+
+
+def write_batch_file(dirpath, name, lines):
+    # Write-then-rename so the file source never reads a partial file.
+    tmp = os.path.join(dirpath, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines))
+    os.rename(tmp, os.path.join(dirpath, name))
+
+
+@pytest.fixture()
+def cities_dim(spark):
+    return spark.createDataFrame([(7, "London"), (8, "Leeds")], ["city_id", "city"])
+
+
+def test_end_to_end_enrichment_with_upsert(spark, cities_dim, tmp_path):
+    """Full DAG: json-dir source → parse → curate → join → keyed upsert.
+    Two micro-batches; the second re-sends a data_key with new values —
+    the sink must converge to one row per key, last write wins."""
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    write_batch_file(
+        str(src_dir),
+        "batch0.json",
+        [
+            order_event(1, "BEX-23-00017", "2023-11-17 10:15:30", city=7, total=250.0),
+            order_event(2, "BEX-23-00018", "2023-11-17 11:00:00", city=99, total=50.0),
+        ],
+    )
+    source = JsonDirSource(str(src_dir), as_kafka_envelope=True)
+    enriched = orders_enrichment_stream(spark, source, cities_dim)
+    sink = KeyedUpsertParquetSink(str(tmp_path / "table"), key_col="data_key")
+    query = sink.start(enriched, checkpoint_dir=str(tmp_path / "chk"))
+    try:
+        query.processAllAvailable()
+        first = {r["data_key"]: r.asDict() for r in sink.read(spark).collect()}
+        assert len(first) == 2
+        assert first["BEX-23-00017-2023-11-17"]["city"] == "London"
+        assert first["BEX-23-00018-2023-11-17"]["city"] is None  # unmatched city
+
+        # Batch 2: same data_key for order 1 with a new total (upsert),
+        # plus one brand-new order.
+        write_batch_file(
+            str(src_dir),
+            "batch1.json",
+            [
+                order_event(1, "BEX-23-00017", "2023-11-17 23:59:59", total=300.0),
+                order_event(3, "BEX-23-00019", "2023-11-18 09:00:00", city=8),
+            ],
+        )
+        query.processAllAvailable()
+        final = {r["data_key"]: r.asDict() for r in sink.read(spark).collect()}
+        assert len(final) == 3  # not 4: key collision upserted
+        assert final["BEX-23-00017-2023-11-17"]["discounted_total"] == 300.0
+        assert final["BEX-23-00019-2023-11-18"]["city"] == "Leeds"
+    finally:
+        query.stop()
+
+
+def test_upsert_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering the same epoch (at-least-once) must not duplicate:
+    the reference's es.mapping.id semantics (``:515``)."""
+    sink = KeyedUpsertParquetSink(str(tmp_path / "table"), key_col="k")
+    batch = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    sink.write_batch(batch, epoch_id=0)
+    sink.write_batch(batch, epoch_id=0)  # replay
+    rows = sink.read(spark).collect()
+    assert sorted((r["k"], r["v"]) for r in rows) == [("a", 1), ("b", 2)]
+
+
+def test_memory_sink_upsert(spark, tmp_path):
+    sink = KeyedUpsertMemorySink(key_col="k")
+    sink.write_batch(spark.createDataFrame([("a", 1)], ["k", "v"]), 0)
+    sink.write_batch(spark.createDataFrame([("a", 9), ("b", 2)], ["k", "v"]), 1)
+    assert sink.rows == {"a": {"k": "a", "v": 9}, "b": {"k": "b", "v": 2}}
+    assert sink.epochs_seen == [0, 1]
+
+
+def test_watermark_drops_late_event(spark, cities_dim, tmp_path):
+    """Controlled-clock watermark test: batch 1 advances event time to
+    12:00; its watermark (12:00 − 2 min = 11:58) closes the 10:00
+    window.  Batch 2 delivers an event at 10:01 — beyond the watermark
+    — which must NOT change emitted results in append mode."""
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    source = JsonDirSource(str(src_dir), as_kafka_envelope=True)
+    raw = source.load_stream(spark, max_files_per_trigger=1)
+    from spark_streaming_kafka2elasticsearch_spark.operators.curate import (
+        parse_json_events,
+    )
+
+    stats = windowed_orders_stats_stream(
+        curate_orders(parse_json_events(raw)),
+        watermark="2 minutes",
+        width="2 minutes",
+    )
+    out = (
+        stats.select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "fufilment_type",
+            "total_orders",
+        )
+        .writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        # Batch 1: two events at 10:00:xx, one at 12:00 (advances watermark).
+        write_batch_file(
+            str(src_dir),
+            "b0.json",
+            [
+                order_event(1, "BEX-23-00017", "2023-11-17 10:00:10"),
+                order_event(2, "BEX-23-00027", "2023-11-17 10:00:50"),
+                order_event(3, "BEX-23-00037", "2023-11-17 12:00:00"),
+            ],
+        )
+        out.processAllAvailable()
+        # An extra empty-ish trigger lets the watermark commit + emit
+        # closed windows deterministically.
+        write_batch_file(
+            str(src_dir), "b1.json", [order_event(4, "BEX-23-00047", "2023-11-17 12:00:30")]
+        )
+        out.processAllAvailable()
+        emitted = {
+            (r["ws"], r["total_orders"])
+            for r in spark.sql("SELECT * FROM wm_test").collect()
+        }
+        assert ("2023-11-17 10:00:00", 2) in emitted  # closed 2-min window
+
+        # Batch 3: a LATE event for the already-closed 10:00 window.
+        write_batch_file(
+            str(src_dir), "b2.json", [order_event(5, "BEX-23-00057", "2023-11-17 10:01:00")]
+        )
+        write_batch_file(
+            str(src_dir), "b3.json", [order_event(6, "BEX-23-00067", "2023-11-17 12:01:00")]
+        )
+        out.processAllAvailable()
+        rows = spark.sql("SELECT * FROM wm_test").collect()
+        late_window_counts = [
+            r["total_orders"] for r in rows if r["ws"] == "2023-11-17 10:00:00"
+        ]
+        assert late_window_counts == [2]  # late event dropped, no re-emit
+    finally:
+        out.stop()
