@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
         from spark_streaming_kafka2elasticsearch_spark.queries import (  # noqa: F401
             analytics,
             datapipe,
+            extended,
             parity,
         )
 

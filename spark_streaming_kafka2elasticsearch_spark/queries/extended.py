@@ -1,0 +1,405 @@
+"""Extended operator coverage, batch 2: as-of joins, sessionization,
+pivots, scalar function families, token frequencies, sliding windows,
+embedding-cosine near-dup, cube aggregation.
+
+All oracles here rely on cross-engine invariants verified by probe:
+DuckDB ``list_dot_product``/``list_cosine_similarity`` over DOUBLE[]
+match Spark's sequential double fold bit-for-bit; integer/epoch
+arithmetic is exact; ASOF JOIN ≡ join + max_by(ts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka2elasticsearch_spark.functions.vectors import cosine_similarity
+from spark_streaming_kafka2elasticsearch_spark.queries import load_table, register
+
+# ---------------------------------------------------------------------------
+# Q: as-of join — for each purchase, the user's latest prior click
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_purchase_prior_click",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
+           WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       c.click_id AS prior_click_id,
+       strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS prior_click_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts < p.ts
+""",
+)
+def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (time-series enrichment): latest right row strictly
+    before each left row, per key.  Spark lacks a native ASOF operator;
+    the idiomatic composition is an equi join on the key with a range
+    conjunct + ``max_by`` per left row — the equi key keeps it a hash
+    join (shuffle on user_id), never a cross product.  For strongly
+    skewed keys, the alternative is union-sort-within-partition; this
+    formulation is the right default.  DuckDB's native ASOF JOIN is the
+    oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = p.join(
+        c, (p.user_id == c.c_user) & (c.click_ts < p.p_ts), "left"
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.max_by("click_id", "click_ts").alias("prior_click_id"),
+        F.date_format(F.max("click_ts"), "yyyy-MM-dd HH:mm:ss").alias("prior_click_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: sessionization via gap analysis (lag + cumulative sum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_sessionization",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM gaps
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM sess GROUP BY user_id, session_idx
+""",
+)
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → flag → running
+    sum → group.  One shuffle on user_id, sort within partition — the
+    classic scalable shape (state per user is one row in flight).  The
+    streaming twin is session_window_agg (operators/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    prev = F.lag(micros).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(prev.isNull() | ((micros - prev) > 1_800_000_000), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: manual pivot (conditional aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_event_type_pivot",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+FROM events GROUP BY 1
+""",
+)
+def daily_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot as conditional aggregation — same single-shuffle plan as
+    ``groupBy().pivot()`` but with engine-controlled output column
+    names (pivot's auto-naming can't be matched in portable SQL)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return ev.groupBy(day).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Q: scalar string-function family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_functions_showcase",
+    oracle="""
+SELECT c_custkey,
+       upper(c_mktsegment) AS seg_upper,
+       lower(c_name) AS name_lower,
+       substring(c_name, 10, 9) AS cust_digits,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '*') AS padded,
+       reverse(c_mktsegment) AS seg_rev,
+       length(c_name) AS name_len,
+       levenshtein(c_mktsegment, 'MACHINERY') AS lev_machinery,
+       replace(c_name, 'Customer', 'C') AS name_short,
+       concat(c_mktsegment, '/', CAST(c_nationkey AS VARCHAR)) AS seg_nation
+FROM customer
+""",
+)
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar string surface (P8/P9/P11 family + extensions) in one
+    oracle-checked projection — all codegen'd, all exact."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 10, 9).alias("cust_digits"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "*").alias("padded"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.length("c_name").alias("name_len"),
+        F.levenshtein("c_mktsegment", F.lit("MACHINERY")).alias("lev_machinery"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("name_short"),
+        F.concat("c_mktsegment", F.lit("/"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: scalar date/time-function family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "date_functions_showcase",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS o_year,
+       quarter(o_orderdate) AS o_quarter,
+       month(o_orderdate) AS o_month,
+       day(o_orderdate) AS o_day,
+       strftime(o_orderdate, '%Y-%m') AS o_ym,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '1999-01-01') AS BIGINT)
+         AS days_to_1999,
+       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date
+FROM orders
+""",
+)
+def date_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface (P12 family).  Week-of-year and
+    day-of-week are deliberately absent: engines disagree on ISO vs US
+    conventions, so pipelines should derive them from explicit formulas
+    — exactly the reasoning this query encodes."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("o_year"),
+        F.quarter(d).alias("o_quarter"),
+        F.month(d).alias("o_month"),
+        F.dayofmonth(d).alias("o_day"),
+        F.date_format(d, "yyyy-MM").alias("o_ym"),
+        F.datediff(F.lit("1999-01-01").cast("date"), d.cast("date"))
+        .cast("long")
+        .alias("days_to_1999"),
+        F.date_format(F.date_add(d.cast("date"), 90), "yyyy-MM-dd").alias("due_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: token frequencies (explode + count — the corpus vocabulary op)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_frequencies",
+    oracle="""
+SELECT tok, count(*) AS n
+FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+      FROM documents)
+GROUP BY tok
+HAVING count(*) >= 10
+""",
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode tokens, hash-aggregate counts.  The
+    shuffle carries (token, partial count) — map-side combine collapses
+    each partition's duplicates first, so skewed tokens ('the') cost
+    one row per partition, not one per occurrence."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: sliding windows (batch form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sliding_10min",
+    oracle="""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - offs AS win_start
+  FROM events,
+       (SELECT unnest([0, 300]) AS offs)
+  WHERE CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - offs >= 0
+)
+SELECT strftime(make_timestamp(win_start * 1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       count(*) AS n_events
+FROM buckets GROUP BY 1, 2
+""",
+)
+def events_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (width 10 min, slide 5 min): every event lands in
+    2 windows.  The oracle reproduces Spark's window assignment with
+    explicit bucket arithmetic (each event contributes to the two
+    5-min-aligned starts covering it)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.windows import (
+        sliding_window_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = sliding_window_agg(
+        ev,
+        ts_col="ts",
+        width="10 minutes",
+        slide="5 minutes",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    return agg.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: embedding-cosine near-duplicate pairs (exact, oracle-checked values)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_cosine_pairs",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_cosine_similarity(a.v, b.v) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+""",
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: intra-label (blocked) pair scan with
+    exact double cosine.  The similarity VALUES are oracle-checked —
+    probe-verified that DuckDB's list_cosine_similarity over DOUBLE[]
+    equals Spark's sequential zip_with/aggregate fold bit-for-bit.
+    Blocking on label bounds the quadratic exactly like lang-blocking
+    for text dedup; the unblocked scale path is SRP-bucket first
+    (operators/similarity.srp_bucket)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(b, (F.col("id_a") < F.col("id_b")) & (F.col("label_a") == F.col("label_b")))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        cosine_similarity("va", "vb").alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= 0.35)
+
+
+# ---------------------------------------------------------------------------
+# Q: cube aggregation + region-filtered supplier revenue (uses all dims)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@register(
+    "supplier_revenue_in_region",
+    oracle="""
+SELECT s.s_name AS supplier,
+       CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)))
+            AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY s.s_name
+""",
+)
+def supplier_revenue_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-filtered supplier revenue (TPC-H Q5/Q9 family).  The dim
+    chain region→nation→supplier is reduced FIRST (filter pushes into
+    the broadcast side), so the big lineitem side joins once against an
+    already-pruned broadcast — no fact-side shuffle at all."""
+    from pyspark.sql import types as T
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = s.join(n, s.s_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    joined = li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+    dec = T.DecimalType(28, 10)
+    return joined.groupBy(F.col("s_name").alias("supplier")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec))
+        .cast("double")
+        .alias("revenue")
+    )
