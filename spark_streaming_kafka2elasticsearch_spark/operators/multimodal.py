@@ -88,6 +88,99 @@ def decode_image_features(
     )
 
 
+#: Schema of a sampled video frame row (one row per sampled frame).
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("timestamp_ms", T.LongType(), False),
+        T.StructField("frame_hash", T.StringType(), True),
+    ]
+)
+
+#: Schema of decoded-audio features.
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("rms_energy", T.DoubleType(), True),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    binary_col: str = "content",
+    fake: bool = False,
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame — a 1→N
+    ``mapInPandas`` (the batch shape a real ffmpeg-backed sampler
+    uses; frame count and hashes are derived deterministically from
+    the content hash in fake mode).  Real decode requires ffmpeg (not
+    in this container) — clearly-marked stub."""
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real video decoding needs ffmpeg (not in this container); "
+                    "pass fake=True for the deterministic stub"
+                )
+            out: dict[str, list] = {
+                "media_id": [], "frame_index": [], "timestamp_ms": [], "frame_hash": []
+            }
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                h = hashlib.sha256(bytes(payload)).digest()
+                n_frames = 2 + h[3] % 6  # fake duration → 2..7 frames
+                for i in range(n_frames):
+                    out["media_id"].append(int(mid))
+                    out["frame_index"].append(i)
+                    out["timestamp_ms"].append(i * every_ms)
+                    out["frame_hash"].append(
+                        hashlib.sha256(h + i.to_bytes(4, "big")).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col).mapInPandas(
+        sample_batches, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
+def decode_audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    binary_col: str = "content",
+    fake: bool = False,
+) -> DataFrame:
+    """Audio decode → (duration, sample rate, RMS energy).  Same stub
+    contract as images/video: real codecs absent, fake mode derives
+    deterministic values from the content hash."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decoding needs torchaudio/soundfile (not in "
+                    "this container); pass fake=True for the deterministic stub"
+                )
+            hs = [hashlib.sha256(bytes(b)).digest() for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "duration_ms": [1000 + h[4] * 100 for h in hs],
+                    "sample_rate": [16000 for _ in hs],
+                    "rms_energy": [h[5] / 255.0 for h in hs],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        decode_batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def synth_media_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Manufacture an opaque-binary media column from any string column
     (test fixture: the container has no real media files)."""

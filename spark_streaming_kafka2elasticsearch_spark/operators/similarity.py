@@ -97,33 +97,110 @@ def srp_bucket(vec: Column | str, dim: int, num_planes: int = 8) -> Column:
     return bucket
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: seeded KMeans coarse quantizer → cell
+    assignment → rank only the query's cell.
+
+    Scale shape: training samples the corpus (KMeans on a bounded
+    sample is standard IVF practice), assignment is one narrow pass,
+    and at rest the cell id should be the storage partition key so a
+    query touches |corpus|/n_cells rows via partition pruning.  Single
+    probe here; multi-probe = union the p nearest cells.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    to_vec = lambda c: array_to_vector(F.col(c).cast("array<double>"))  # noqa: E731
+    train = corpus.select(to_vec(corpus_vec).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+
+    c_assigned = model.transform(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("_cvec"),
+            to_vec(corpus_vec).alias("features"),
+        )
+    ).select("neighbor_id", "_cvec", F.col("prediction").alias("_cell"))
+    q_assigned = model.transform(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("_qvec"),
+            to_vec(query_vec).alias("features"),
+        )
+    ).select("query_id", "_qvec", F.col("prediction").alias("_cell"))
+
+    pairs = c_assigned.join(F.broadcast(q_assigned), "_cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 10,
     num_planes: int = 6,
+    multi_probe: bool = True,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_embedding",
 ) -> DataFrame:
     """Approximate top-k: rank only corpus vectors in the query's SRP
-    bucket.  Recall < 1 by construction (single probe); at scale the
-    win is that each query touches |corpus|/2^planes candidates, and
-    the corpus bucketing is computed once (narrow map) and reusable —
-    in a real deployment it would be a partition column of the stored
-    table, turning ANN into partition-pruned scans."""
+    bucket(s).  Each query touches |corpus|/2^planes candidates per
+    probed bucket; the corpus bucketing is computed once (narrow map)
+    and reusable — in a real deployment it is a partition column of the
+    stored table, turning ANN into partition-pruned scans.
+
+    ``multi_probe`` additionally probes every bucket at Hamming
+    distance 1 from the query's (planes+1 buckets total) — the standard
+    recall fix for boundary-straddling neighbors, trading candidate
+    count for recall without touching the stored bucketing.
+    """
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("_cvec"),
         srp_bucket(corpus_vec, dim, num_planes).alias("_bucket"),
     )
-    q = queries.select(
+    q_base = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("_qvec"),
-        srp_bucket(query_vec, dim, num_planes).alias("_bucket"),
+        srp_bucket(query_vec, dim, num_planes).alias("_qbucket"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("_qbucket"),
+            *[
+                F.col("_qbucket").bitwiseXOR(F.lit(1 << j))
+                for j in range(num_planes)
+            ],
+        )
+        q = q_base.select(
+            "query_id", "_qvec", F.explode(probes).alias("_bucket")
+        )
+    else:
+        q = q_base.withColumnRenamed("_qbucket", "_bucket")
     pairs = c.join(F.broadcast(q), "_bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     )

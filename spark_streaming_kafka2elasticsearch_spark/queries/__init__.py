@@ -74,6 +74,7 @@ def _ensure_loaded() -> None:
     if not _loaded:
         # Import for side effect: modules register their queries.
         from spark_streaming_kafka2elasticsearch_spark.queries import (  # noqa: F401
+            advanced,
             analytics,
             datapipe,
             extended,

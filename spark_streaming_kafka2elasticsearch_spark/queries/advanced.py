@@ -1,0 +1,237 @@
+"""Batch-3 coverage: exact percentiles, arg-max selection, array
+functions, scalar subqueries, the Arrow/Pandas-UDF slow path (done
+right), and IVF-style ANN.
+
+Probe-verified invariants used by these oracles: Spark ``percentile``
+≡ DuckDB ``quantile_cont`` bit-for-bit (same linear-interpolation
+formula over doubles); event timestamps are unique per table so
+``max_by``/``arg_max`` have no tie ambiguity.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka2elasticsearch_spark.queries import load_table, register
+
+# ---------------------------------------------------------------------------
+# Q: exact percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantity_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25_qty,
+       quantile_cont(l_quantity, 0.50) AS p50_qty,
+       quantile_cont(l_quantity, 0.75) AS p75_qty,
+       quantile_cont(l_extendedprice, 0.90) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort-based).  At 100 TB exact percentile means
+    a per-group sort — prefer approx_percentile (t-digest, mergeable,
+    one pass) unless the contract demands exactness; both are exposed,
+    only the exact one is oracle-comparable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
+        F.expr("percentile(l_quantity, 0.50)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75_qty"),
+        F.expr("percentile(l_extendedprice, 0.90)").alias("p90_price"),
+    )
+
+
+@register("quantity_percentiles_approx")  # no oracle: t-digest is engine-specific
+def quantity_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5).alias("p50_qty_approx"),
+        F.percentile_approx("l_extendedprice", 0.9).alias("p90_price_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: arg-max selection (max_by)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+SELECT user_id,
+       arg_max(event_id, ts) AS last_event_id,
+       arg_max(event_type, ts) AS last_event_type,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events GROUP BY user_id
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/arg_max — single-pass argmax per group (no window+filter
+    double scan).  Timestamps are unique per table (probe-checked), so
+    the selection is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", "ts").alias("last_event_id"),
+        F.max_by("event_type", "ts").alias("last_event_type"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: array-function family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_functions_showcase",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_distinct_tokens,
+       array_to_string(toks[1:5], ',') AS first5,
+       toks[1] AS first_token,
+       toks[len(toks)] AS last_token,
+       CAST(list_contains(toks, 'spark') AS INTEGER) AS has_spark
+FROM t
+""",
+)
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface: distinct, sort, slice, element_at (1-based, both
+    engines), contains, join — on the token arrays of each document."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_sort(F.array_distinct(tokens(F.col("text"))))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_distinct_tokens"),
+        F.array_join(F.slice(toks, 1, 5), ",").alias("first5"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, F.size(toks)).alias("last_token"),
+        F.array_contains(toks, "spark").cast("int").alias("has_spark"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: scalar subquery (global aggregate as a predicate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "above_average_customers",
+    oracle="""
+WITH counts AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, n_orders
+FROM counts
+WHERE n_orders > (SELECT CAST(sum(n_orders) AS DOUBLE) / count(*) FROM counts)
+""",
+)
+def above_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: per-customer order counts filtered by
+    the global mean.  The scalar aggregate is computed once and
+    broadcast into the filter (a 1-row cross join) — never recomputed
+    per row.  Exact arithmetic: bigint sum / bigint count in double."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    mean = counts.agg(
+        (F.sum("n_orders").cast("double") / F.count(F.lit(1))).alias("_mean")
+    )
+    return (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n_orders") > F.col("_mean"))
+        .select("o_custkey", "n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: the Pandas-UDF slow path, done right (Arrow batches, exact math)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "document_scores_pandas",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars_calc,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+              AS DOUBLE) / greatest(length(text), 1) AS punct_ratio
+  FROM documents
+)
+SELECT doc_id,
+       0.5 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
+         + 0.3 * (CAST(least(n_chars_calc, 1000) AS DOUBLE) / 1000.0)
+         - 0.2 * punct_ratio AS quality_score
+FROM feats
+""",
+)
+def document_scores_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's template for unavoidable Python: features are
+    extracted JVM-side (codegen), and only the numeric scoring model
+    crosses into Python as ONE Arrow-batched pandas_udf — the shape a
+    real learned quality model (sklearn/torch) would use.  The demo
+    model is a linear polynomial so the oracle can reproduce it exactly
+    (+,*,/ are IEEE-identical everywhere; no exp/log, whose libm
+    implementations differ across engines)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import punct_count, token_count
+
+    @pandas_udf("double")
+    def score(n_tokens: pd.Series, n_chars: pd.Series, punct_ratio: pd.Series) -> pd.Series:
+        return (
+            0.5 * (n_tokens.clip(upper=200).astype("float64") / 200.0)
+            + 0.3 * (n_chars.clip(upper=1000).astype("float64") / 1000.0)
+            - 0.2 * punct_ratio
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    feats = docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars_calc"),
+        (
+            punct_count(t).cast("double")
+            / F.greatest(F.length(t), F.lit(1)).cast("double")
+        ).alias("punct_ratio"),
+    )
+    return feats.select(
+        "doc_id",
+        score("n_tokens", "n_chars_calc", "punct_ratio").alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: IVF-style ANN (coarse quantizer = KMeans, probe the nearest cell)
+# ---------------------------------------------------------------------------
+
+
+@register("ann_cosine_topk_ivf")  # no SQL oracle: KMeans assignment is Spark-side
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: a seeded KMeans coarse quantizer partitions the corpus
+    into cells; each query ranks only its own cell's members (single
+    probe).  At scale the cell id becomes the table's partition column,
+    so ANN = partition-pruned scan + local top-k — no full-corpus pass
+    per query.  Recall vs the exact oracle is measured in tests."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    return ivf_topk(emb, queries, k=10, n_cells=8)

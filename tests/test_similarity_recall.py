@@ -1,0 +1,78 @@
+"""ANN quality tests: approximate methods measured against the exact
+brute-force baseline on real driver testdata (sf0.001)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+    decode_audio_features,
+    sample_video_frames,
+    synth_media_table,
+)
+from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+
+
+@pytest.fixture(scope="module")
+def exact_topk(emb, queries):
+    out = brute_force_topk(emb, queries, k=10).collect()
+    return {(r["query_id"], r["neighbor_id"]) for r in out}
+
+
+def _recall(approx_rows, exact_set):
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    return len(approx & exact_set) / len(exact_set)
+
+
+def test_ivf_recall_beats_random(emb, queries, exact_topk):
+    """Single-probe IVF with 8 cells must beat the random baseline
+    (≈1/8 of the corpus per cell ⇒ random recall ≈ 0.125) by a wide
+    margin — clustered candidates are *better* than random because
+    near neighbors co-locate in cells."""
+    got = ivf_topk(emb, queries, k=10, n_cells=8).collect()
+    assert _recall(got, exact_topk) > 0.3
+
+
+def test_lsh_recall_beats_random(emb, queries, exact_topk):
+    got = lsh_bucketed_topk(emb, queries, dim=64, k=10, num_planes=4).collect()
+    assert _recall(got, exact_topk) > 0.3
+
+
+def test_video_frame_sampling_stub(spark):
+    docs = spark.createDataFrame([(1, "abc"), (2, "defg")], ["doc_id", "text"])
+    media = synth_media_table(docs, "doc_id", "text")
+    frames = sample_video_frames(media, every_ms=500, fake=True).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == {1, 2}
+    for rows in by_media.values():
+        assert [r["frame_index"] for r in rows] == list(range(len(rows)))
+        assert all(r["timestamp_ms"] == r["frame_index"] * 500 for r in rows)
+        assert 2 <= len(rows) <= 7
+
+
+def test_audio_decode_stub(spark):
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    media = synth_media_table(docs, "doc_id", "text")
+    rows = decode_audio_features(media, fake=True).collect()
+    assert rows[0]["sample_rate"] == 16000 and 0 <= rows[0]["rms_energy"] <= 1
