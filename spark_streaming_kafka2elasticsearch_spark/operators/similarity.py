@@ -70,16 +70,28 @@ def brute_force_topk(
     )
 
 
+def _plane_signs(plane_id: int, dim: int) -> list[int]:
+    """Deterministic Rademacher hyperplane: component j of plane p is
+    ±1 from a byte of sha256(p, j).  Computed driver-side once — the
+    plane is a constant, so it belongs in the plan as literals, not as
+    per-row hash evaluations."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = hashlib.sha256(f"srp:{plane_id}:{j}".encode()).digest()
+        out.append(1 if h[0] & 1 else -1)
+    return out
+
+
 def _hyperplane_sign(vec: Column, plane_id: int, dim: int) -> Column:
-    """Sign of ⟨vec, h_p⟩ for a deterministic pseudo-random hyperplane:
-    component j of plane p is ±1 from bit 0 of xxhash64(j, plane_id).
-    Rademacher hyperplanes are a standard SimHash/SRP construction and
-    integer-exact to evaluate."""
-    signs = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.xxhash64(j, F.lit(plane_id)).bitwiseAND(F.lit(1)).cast("double") * 2
-        - 1,
-    )
+    """Sign of ⟨vec, h_p⟩ via a sequential fold over a LITERAL ±1 sign
+    array.  The plane is a plan constant — no per-row hashing; and the
+    fold stays one compact expression (a fully unrolled ±element_at
+    chain was tried and blew janino's 64 KB method limit, forcing an
+    interpreted fallback with a noisy stack).  Left fold ⇒
+    deterministic, partition-independent summation."""
+    signs = F.array(*[F.lit(float(s)) for s in _plane_signs(plane_id, dim)])
     dot = F.aggregate(
         F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
         F.lit(0.0),

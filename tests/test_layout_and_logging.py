@@ -1,0 +1,140 @@
+"""Storage layout (partition pruning, bucketed zero-shuffle joins),
+JSON logging, and a Hypothesis property test of the curate pipeline
+against an independent pure-Python model."""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka2elasticsearch_spark.logging_util import (
+    EcsJsonFormatter,
+    configure_json_logging,
+)
+from spark_streaming_kafka2elasticsearch_spark.operators.curate import (
+    curate_orders,
+    parse_json_events,
+)
+from spark_streaming_kafka2elasticsearch_spark.sources.writer import (
+    write_bucketed_table,
+    write_table,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    write_table(orders, str(tmp_path / "t"), partition_by=["o_year"])
+    back = spark.read.parquet(str(tmp_path / "t")).filter(F.col("o_year") == 1995)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # Partition pruning: the year filter must land in PartitionFilters,
+    # not be applied post-scan.
+    assert "PartitionFilters: [" in plan and "o_year" in plan.split("PartitionFilters")[1][:200]
+    assert back.count() == orders.filter(F.col("o_year") == 1995).count()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    import shutil
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)  # stale dirs from prior runs
+    write_bucketed_table(orders, "b_orders", ["o_orderkey"], 4, sort_by=["o_orderkey"])
+    write_bucketed_table(
+        lineitem, "b_lineitem", ["l_orderkey"], 4, sort_by=["l_orderkey"]
+    )
+    joined = spark.table("b_lineitem").join(
+        spark.table("b_orders").hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # Co-located bucketed join: no shuffle on either side.
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 6000
+
+
+def test_ecs_json_logging():
+    logger = configure_json_logging("test_ecs_logger")
+    stream = io.StringIO()
+    handler = logging.StreamHandler(stream)
+    handler.setFormatter(EcsJsonFormatter())
+    logger.addHandler(handler)
+    logger.info("stage ok", extra={"event": {"stage": "join", "rows": 42}})
+    doc = json.loads(stream.getvalue())
+    assert doc["message"] == "stage ok"
+    assert doc["log.level"] == "info"
+    assert doc["event"] == {"stage": "join", "rows": 42}
+
+
+# ---------------------------------------------------------------------------
+# Property test: curate pipeline ≡ independent Python model
+# ---------------------------------------------------------------------------
+
+order_events = st.fixed_dictionaries(
+    {
+        "order_id": st.integers(min_value=0, max_value=2**31 - 1),
+        "order_total": st.floats(
+            min_value=0, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        "ship_to_city_id": st.integers(min_value=0, max_value=200),
+        "customer_id": st.integers(min_value=0, max_value=10000),
+        "ship_method": st.sampled_from(["Express", "Ground", "Air"]),
+        "order_number": st.text(
+            alphabet="ABC0123456789-", min_size=1, max_size=12
+        ),
+        "discount_applied": st.floats(
+            min_value=0, max_value=100, allow_nan=False, allow_infinity=False
+        ),
+        "order_date": st.datetimes(),
+    }
+)
+
+
+def python_curate(ev: dict) -> dict:
+    """Independent reimplementation of the curated projection
+    (the hypothesis oracle — deliberately not Spark)."""
+    date_str = ev["order_date"].strftime("%Y-%m-%d %H:%M:%S")
+    num = ev["order_number"]
+    return {
+        "order_number": num,
+        "discounted_total": ev["order_total"]
+        - (ev["discount_applied"] / 100.0) * ev["order_total"],
+        "data_key": f"{num}-{date_str[:10]}",
+        "fufilment_type": "Bexley" if (len(num) >= 6 and num[5] == "3") else "Merchant",
+    }
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(st.lists(order_events, min_size=1, max_size=20))
+def test_curate_matches_python_model(spark, events):
+    payloads = []
+    for ev in events:
+        payload = dict(ev)
+        payload["order_date"] = ev["order_date"].strftime("%Y-%m-%d %H:%M:%S")
+        payloads.append((json.dumps(payload),))
+    df = spark.createDataFrame(payloads, ["value"])
+    got = curate_orders(parse_json_events(df)).collect()
+    want = [python_curate(ev) for ev in events]
+    got_set = sorted(
+        (r["order_number"], r["data_key"], r["fufilment_type"], r["discounted_total"])
+        for r in got
+    )
+    want_set = sorted(
+        (w["order_number"], w["data_key"], w["fufilment_type"], w["discounted_total"])
+        for w in want
+    )
+    assert got_set == want_set
