@@ -355,6 +355,65 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promo_revenue_share",
+    oracle="""
+SELECT CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))
+                 ELSE CAST(0 AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE)
+         AS promo_revenue,
+       CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)))
+            AS VARCHAR) AS DOUBLE) AS total_revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+""",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue against a broadcast part
+    dim.  One global aggregate — the shuffle carries a single partial
+    row per task."""
+    from pyspark.sql import types as T
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    dec = T.DecimalType(28, 10)
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(F.lit(0).cast(dec)))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(net).cast("double").alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "parts_by_brand",
+    oracle="""
+SELECT p_brand, p_type,
+       count(*) AS n_parts,
+       min(p_size) AS min_size,
+       max(p_size) AS max_size,
+       CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_retail
+FROM part GROUP BY p_brand, p_type
+""",
+)
+def parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+        F.sum(F.col("p_retailprice").cast(T.DecimalType(28, 10)))
+        .cast("double")
+        .alias("sum_retail"),
+    )
+
+
+@register(
     "lineitem_cube",
     oracle="""
 SELECT l_returnflag, l_linestatus, count(*) AS n_rows

@@ -117,6 +117,51 @@ def curated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# P15 — the reference's commented one-shot alternative (parse+derive in a
+# single select, ``bexley_spark_stream_msk_es.py:379-391``): same semantics,
+# same oracle; kept as a distinct query so plan parity of the fused form is
+# continuously checked too.
+@register(
+    "curated_orders_fused",
+    oracle=_CURATED_CTE
+    + """
+SELECT
+  s.order_number,
+  s.order_total - (s.discount_applied / 100.0) * s.order_total AS discounted_total,
+  s.order_number || '-' || substring(s.order_date, 1, 10) AS data_key,
+  s.ship_to_city_id,
+  s.order_date,
+  s.ship_method,
+  CASE WHEN substring(s.order_number, 6, 1) = '3' THEN 'Bexley' ELSE 'Merchant' END
+    AS fufilment_type
+FROM src s
+""",
+)
+def curated_orders_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F  # local alias for the fused select
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.curate import (
+        data_key,
+        discounted_total,
+        fulfilment_type,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.schemas import ORDER_EVENT_SCHEMA
+
+    raw = orders_as_json_events(load_table(spark, sf_dir, "orders"))
+    ev = F.from_json(F.col("value"), ORDER_EVENT_SCHEMA).alias("e")
+    return raw.select(ev).select(
+        F.col("e.order_number").alias("order_number"),
+        discounted_total(F.col("e.order_total"), F.col("e.discount_applied")).alias(
+            "discounted_total"
+        ),
+        data_key(F.col("e.order_number"), F.col("e.order_date")).alias("data_key"),
+        F.col("e.ship_to_city_id").alias("ship_to_city_id"),
+        F.col("e.order_date").alias("order_date"),
+        F.col("e.ship_method").alias("ship_method"),
+        fulfilment_type(F.col("e.order_number")).alias("fufilment_type"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q: basket explode → products-sold view (P4–P6)
 # ---------------------------------------------------------------------------

@@ -117,6 +117,66 @@ def test_memory_sink_upsert(spark, tmp_path):
     assert sink.epochs_seen == [0, 1]
 
 
+def test_complete_mode_sorted_windows(spark, tmp_path):
+    """A3 semantics pin: orderBy on a streaming agg is legal only in
+    complete output mode (the reference pairs orderBy('window') with a
+    complete-mode console sink, reference :448,:470).  Complete mode
+    re-emits the whole sorted result table each trigger."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.curate import (
+        parse_json_events,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.windows import (
+        tumbling_window_agg,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    write_batch_file(
+        str(src_dir),
+        "b0.json",
+        [
+            order_event(1, "BEX-23-00017", "2023-11-17 10:03:00"),
+            order_event(2, "BEX-24-00018", "2023-11-17 10:01:00"),
+            order_event(3, "BEX-25-00019", "2023-11-17 10:05:00"),
+        ],
+    )
+    raw = JsonDirSource(str(src_dir), as_kafka_envelope=True).load_stream(spark)
+    curated = curate_orders(parse_json_events(raw))
+    stats = tumbling_window_agg(
+        cast_ts(curated),
+        ts_col="order_date",
+        width="2 minutes",
+        keys=[],
+        aggs=[F.count("ship_method").alias("total_orders")],
+        sort_by_window=True,
+    )
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("complete_sorted")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM complete_sorted").collect()
+        starts = [r["window"]["start"].strftime("%H:%M") for r in rows]
+        assert starts == ["10:00", "10:02", "10:04"]  # emitted pre-sorted
+        assert [r["total_orders"] for r in rows] == [1, 1, 1]
+    finally:
+        q.stop()
+
+
+def cast_ts(df):
+    from spark_streaming_kafka2elasticsearch_spark.operators.curate import (
+        cast_to_timestamp,
+    )
+
+    return cast_to_timestamp(df, "order_date")
+
+
 def test_watermark_drops_late_event(spark, cities_dim, tmp_path):
     """Controlled-clock watermark test: batch 1 advances event time to
     12:00; its watermark (12:00 − 2 min = 11:58) closes the 10:00
