@@ -50,7 +50,12 @@ def parse_json_events(
     """
     if drop_malformed:
         corrupt = "_corrupt_record"
-        schema_with_corrupt = schema.add(T.StructField(corrupt, T.StringType(), True))
+        # Copy, don't .add(): StructType.add mutates in place and would
+        # permanently append _corrupt_record to the shared module-global
+        # ORDER_EVENT_SCHEMA for every later caller in the process.
+        schema_with_corrupt = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt, T.StringType(), True)]
+        )
         parsed = df.select(
             F.from_json(
                 F.col(column),

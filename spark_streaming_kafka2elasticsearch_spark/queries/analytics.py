@@ -250,7 +250,7 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_props",
     oracle="""
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        count(*) AS n_events
 FROM events GROUP BY event_type
 """,

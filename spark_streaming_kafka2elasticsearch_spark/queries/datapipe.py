@@ -180,7 +180,8 @@ WITH toks AS (
          len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n
   FROM documents
 )
-SELECT lang, sum(n) AS total_tokens, min(n) AS min_tokens, max(n) AS max_tokens,
+SELECT lang, CAST(sum(n) AS BIGINT) AS total_tokens,
+       min(n) AS min_tokens, max(n) AS max_tokens,
        count(*) AS n_docs
 FROM toks GROUP BY lang
 """,

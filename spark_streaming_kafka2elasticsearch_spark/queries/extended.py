@@ -26,12 +26,17 @@ from spark_streaming_kafka2elasticsearch_spark.queries import load_table, regist
     oracle="""
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
      c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
-           WHERE event_type = 'click')
-SELECT p.event_id AS purchase_id,
-       p.user_id,
-       c.click_id AS prior_click_id,
-       strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS prior_click_ts
-FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts < p.ts
+           WHERE event_type = 'click'),
+j AS (
+  SELECT p.event_id AS purchase_id, p.user_id, c.click_id, c.click_ts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.click_ts DESC NULLS LAST,
+                                     c.click_id DESC NULLS LAST) AS rn
+  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts < p.ts
+)
+SELECT purchase_id, user_id, click_id AS prior_click_id,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS prior_click_ts
+FROM j WHERE rn = 1
 """,
 )
 def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,8 +46,10 @@ def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     conjunct + ``max_by`` per left row — the equi key keeps it a hash
     join (shuffle on user_id), never a cross product.  For strongly
     skewed keys, the alternative is union-sort-within-partition; this
-    formulation is the right default.  DuckDB's native ASOF JOIN is the
-    oracle."""
+    formulation is the right default.  Tie-break is deterministic:
+    ``max_by`` orders by (click_ts, click_id), and the oracle's
+    row_number() mirrors it — DuckDB's native ASOF JOIN picks an
+    arbitrary row on equal timestamps, so it can't be the oracle."""
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -58,7 +65,7 @@ def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, (p.user_id == c.c_user) & (c.click_ts < p.p_ts), "left"
     )
     return joined.groupBy("purchase_id", "user_id").agg(
-        F.max_by("click_id", "click_ts").alias("prior_click_id"),
+        F.max_by("click_id", F.struct("click_ts", "click_id")).alias("prior_click_id"),
         F.date_format(F.max("click_ts"), "yyyy-MM-dd HH:mm:ss").alias("prior_click_ts"),
     )
 
@@ -82,8 +89,8 @@ WITH gaps AS (
 ),
 sess AS (
   SELECT user_id, ts, event_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM gaps
 )
 SELECT user_id, session_idx,
@@ -126,11 +133,11 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "daily_event_type_pivot",
     oracle="""
 SELECT strftime(ts, '%Y-%m-%d') AS day,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
 FROM events GROUP BY 1
 """,
 )

@@ -48,9 +48,20 @@ class KafkaSource:
         if self.max_offsets_per_trigger is not None:
             opts["maxOffsetsPerTrigger"] = str(self.max_offsets_per_trigger)
         if self.sasl_username is not None:
+            if self.sasl_password is None:
+                raise ValueError(
+                    "sasl_password is required when sasl_username is set"
+                )
+
+            def _esc(s: str) -> str:
+                # JAAS values live inside double quotes: escape backslash
+                # first, then the quote itself.
+                return s.replace("\\", "\\\\").replace('"', '\\"')
+
             jaas = (
                 "org.apache.kafka.common.security.scram.ScramLoginModule required "
-                f'username="{self.sasl_username}" password="{self.sasl_password}";'
+                f'username="{_esc(self.sasl_username)}" '
+                f'password="{_esc(self.sasl_password)}";'
             )
             opts.update(
                 {
@@ -70,4 +81,9 @@ class KafkaSource:
         """Bounded batch read of the same topic (offset-range replay)."""
         opts = self.options()
         opts.pop("maxOffsetsPerTrigger", None)
+        # Spark rejects startingOffsets='latest' for batch Kafka queries
+        # (nothing to read between latest and latest); replay from the
+        # beginning unless the caller gave explicit offsets.
+        if opts.get("startingOffsets") == "latest":
+            opts["startingOffsets"] = "earliest"
         return spark.read.format("kafka").options(**opts).load()

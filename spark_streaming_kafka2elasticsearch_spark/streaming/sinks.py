@@ -150,6 +150,7 @@ class ElasticsearchUpsertSink:
 
     nodes: str
     index: str
+    port: int = 9200  # reference sets es.port explicitly (:510)
     username: str | None = None
     password: str | None = None
     key_col: str = "data_key"
@@ -159,6 +160,7 @@ class ElasticsearchUpsertSink:
     def options(self) -> dict[str, str]:
         opts = {
             "es.nodes": self.nodes,
+            "es.port": str(self.port),
             "es.resource": self.index,
             "es.mapping.id": self.key_col,
             "es.nodes.wan.only": str(self.wan_only).lower(),
