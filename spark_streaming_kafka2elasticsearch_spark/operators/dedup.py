@@ -72,6 +72,58 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     return F.array_distinct(F.filter(grams, lambda g: g != ""))
 
 
+def shingle_relation(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    extra_cols: Sequence[str] = (),
+    distinct: bool = True,
+) -> DataFrame:
+    """Narrow (``_id``, *extra_cols*, ``_sh``) relation of k-token
+    shingles — the codegen'd twin of :func:`shingles`.
+
+    Plan shape is the whole point: the array form (``transform`` +
+    ``slice`` + ``concat_ws`` per document) runs on Catalyst's
+    *interpreted* higher-order-function path and dominated round-1
+    bench tails (it re-evaluates per plan branch, too).  Here we
+    ``posexplode`` the token array once, carry the array alongside,
+    and assemble each shingle with 0-based ``get`` lookups at
+    position+1..position+k−1 — split, explode, get, concat are all
+    whole-stage-codegen and there is **no shuffle at all** (a
+    ``lead()``-window variant was measured 8× slower purely on its
+    sort exchange).  ``get`` is the null-safe accessor, so short docs
+    never trip ANSI array-bounds errors.
+
+    Semantics match :func:`shingles`: docs shorter than ``k`` tokens
+    yield one shingle joining all their tokens (``concat_ws`` skips
+    the null lookups); ``distinct=True`` dedups shingles per document
+    (set semantics — required for Jaccard; MinHash can skip it,
+    ``min`` is duplicate-insensitive).
+    """
+    t = tokens(F.col(text_col))
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in extra_cols],
+        t.alias("_toks"),
+    ).select(
+        "_id",
+        *extra_cols,
+        "_toks",
+        F.posexplode("_toks").alias("_i", "_tok"),
+    )
+    parts = [F.col("_tok")] + [
+        F.get(F.col("_toks"), F.col("_i") + j) for j in range(1, k)
+    ]
+    rel = (
+        # 0-based: rows 0..n-k are full shingles; short docs keep row 0,
+        # whose concat_ws skips the null lookups → the whole-doc shingle.
+        toks.filter(F.col("_i") <= F.greatest(F.size("_toks") - k, F.lit(0)))
+        .select("_id", *extra_cols, F.concat_ws(" ", *parts).alias("_sh"))
+    )
+    return rel.distinct() if distinct else rel
+
+
 def minhash_signatures_wide(
     df: DataFrame,
     id_col: str,
@@ -92,9 +144,8 @@ def minhash_signatures_wide(
     min-combine means executors ship one row per (doc × 64 longs),
     regardless of shingle count.
     """
-    exploded = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles(text_col, k_shingle)).alias("_sh"),
+    exploded = shingle_relation(
+        df, id_col, text_col, k_shingle, distinct=False
     )
     hash_cols = [
         F.xxhash64(F.col("_sh"), F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)
@@ -112,21 +163,41 @@ def minhash_lsh_candidate_pairs(
     k_shingle: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified with exact
-    shingle Jaccard.  Output: (id_a, id_b, jaccard) with id_a < id_b.
+    shingle Jaccard.  Output: (id_a, id_b, jaccard) with id_a < id_b;
+    candidate pairs sharing zero shingles are omitted (their Jaccard
+    is 0 — useless for dedup and they'd dominate the output).
 
     Plan shape (the 100 TB story):
       1. explode + 64 codegen'd hash columns + min-agg → signatures
          (one shuffle, 64 longs per doc — see minhash_signatures_wide);
       2. per band, a hash of its signature slice → |docs|×|bands|
          fixed-width rows (stacked via an array explode of 16 structs);
-      3. shuffle groupBy (band_id, band_hash): docs sharing a band
-         bucket become candidates — intra-bucket pairs only, never a
-         global self-join;
-      4. distinct pairs, then exact-Jaccard verification via an
-         inverted-index count join (codegen hash join, no pairwise
-         array scans).
+      3. **bucket-size gate**: a partial-agg count per (band, hash)
+         drops buckets with more than ``max_bucket_size`` members
+         BEFORE any member list is materialized — one degenerate
+         bucket (boilerplate/empty docs) would otherwise expand |m|²
+         pairs inside a single task and OOM it.  Hot buckets carry no
+         pair-level signal anyway (their members are exact or
+         near-exact duplicates that the cheaper exact/fingerprint
+         dedup pass catches first);
+      4. shuffle groupBy (band_id, band_hash): docs sharing a
+         surviving band bucket become candidates — intra-bucket pairs
+         only, never a global self-join;
+      5. distinct pairs, then exact-Jaccard verification via an
+         inverted-index count join restricted to candidate documents
+         (codegen hash join + agg, no per-pair array scans).
+
+    Materialization boundaries: ``banded`` and the candidate shingle
+    relation are each consumed by more than one downstream subtree;
+    without a boundary Spark would re-execute the whole signature job
+    per consumer (measured 3–5× the single-pass cost).  Both are tiny
+    (|docs|×|bands| fixed-width rows; candidate docs only), so they're
+    ``persist()``-ed — the in-session analogue of the staged
+    checkpoint table a 100 TB dedup run would write between the
+    candidate and verify phases.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures_wide(df, id_col, text_col, k_shingle, num_hashes)
@@ -142,10 +213,20 @@ def minhash_lsh_candidate_pairs(
     ]
     banded = sig.select(
         "_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("_id", "band.band_id", "band.band_hash")
+    ).select("_id", "band.band_id", "band.band_hash").persist()
 
-    buckets = (
+    # Pass 1 — bounded-memory bucket census (partial agg: each task
+    # ships one count per local bucket).  Pass 2 joins survivors back;
+    # both shuffles share the (band_id, band_hash) key.
+    ok_buckets = (
         banded.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter((F.col("_m") > 1) & (F.col("_m") <= max_bucket_size))
+        .select("band_id", "band_hash")
+    )
+    buckets = (
+        banded.join(ok_buckets, ["band_id", "band_hash"])
+        .groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_set("_id")).alias("members"))
         .filter(F.size("members") > 1)
     )
@@ -168,20 +249,44 @@ def minhash_lsh_candidate_pairs(
         .distinct()
     )
 
-    # Verification touches only the (few) surviving candidates, so a
-    # per-pair array intersect is cheaper here than an inverted index.
-    sh = df.select(
-        F.col(id_col).alias("_id"), shingles(text_col, k_shingle).alias("_shingles")
+    # Exact verify, candidate-restricted.  Lineage discipline matters:
+    # `pairs` (the whole banding pipeline) is consumed exactly ONCE —
+    # a single explode to candidate ids — because every additional
+    # consumer would re-execute the signature job.  Shingles are then
+    # built only for candidate documents (semi-join BEFORE the window,
+    # so the shingle shuffle is over the candidate set, not the
+    # corpus), and every exact Jaccard among candidate docs is
+    # returned — a superset of the bucket-colliding pairs, which only
+    # helps recall and costs df² over the (bounded) candidate set.
+    cand_ids = (
+        pairs.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+        ).distinct()
     )
-    with_sets = pairs.join(
-        sh.withColumnsRenamed({"_id": "id_a", "_shingles": "sh_a"}), "id_a"
-    ).join(sh.withColumnsRenamed({"_id": "id_b", "_shingles": "sh_b"}), "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return with_sets.select(
-        "id_a",
-        "id_b",
-        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    docs_c = df.join(cand_ids, id_col, "left_semi")
+    relc = shingle_relation(docs_c, id_col, text_col, k_shingle).persist()
+    sizes = relc.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = relc.select(F.col("_id").alias("id_a"), "_sh")
+    b = relc.select(F.col("_id").alias("id_b"), "_sh")
+    inter = (
+        a.join(b, ["_sh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_inter").cast("double")
+                / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")).cast("double")
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -230,33 +335,53 @@ def blocked_ngram_jaccard_pairs(
     text_col: str = "text",
     k_shingle: int = 3,
     min_jaccard: float = 0.05,
+    max_doc_freq: int | None = 50,
 ) -> DataFrame:
-    """Intra-block pairs with exact k-gram Jaccard ≥ threshold (> 0).
+    """Intra-block pairs with exact k-gram Jaccard >= threshold (> 0).
 
-    Shape: inverted index, not a pairwise block self-join — explode to
-    (block, shingle, id), self-join on (block, shingle), count shared
-    shingles per pair, derive Jaccard from set sizes.  Cost is
-    Σ_shingle df² (docs sharing that shingle, within a block) instead
-    of Σ_block |block|² full-array comparisons, and every operator is a
-    codegen'd hash join/agg.  Measured ~40× faster than the array-
-    intersect formulation at 5k docs; the gap widens with scale.
+    Shape: inverted index, not a pairwise block self-join — the
+    codegen'd :func:`shingle_relation` gives (block, shingle, id);
+    self-join on (block, shingle), count shared shingles per pair,
+    derive Jaccard from set sizes.  Cost is sum_shingle df**2 (docs
+    sharing that shingle, within a block) instead of sum_block
+    |block|**2 full-array comparisons, and every operator is a
+    codegen'd hash join/agg.  Measured ~40x faster than the
+    array-intersect formulation at 5k docs; the gap widens with scale.
+
+    ``max_doc_freq`` bounds the quadratic term: a shingle shared by d
+    docs contributes d**2 join rows, so corpus-scale stop-shingles
+    (boilerplate headers, near-empty docs) make sum df**2
+    super-linear.  Shingles whose block-level document frequency
+    exceeds the cap are dropped from every document's set
+    consistently — they carry no dedup signal (a feature half the
+    corpus shares distinguishes nothing) — and set sizes are
+    recounted post-cap so the metric stays a true Jaccard of the
+    reduced sets.  ``None`` disables the cap.
 
     A zero-intersection pair never materializes, hence the threshold
     must be positive (Jaccard-0 pairs are useless for dedup anyway).
     """
     if min_jaccard <= 0:
         raise ValueError("min_jaccard must be > 0 (zero-overlap pairs never materialize)")
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.concat_ws("", *[F.col(c) for c in block_cols]).alias("_block"),
-        shingles(text_col, k_shingle).alias("_sh"),
+    blocked = df.withColumn(
+        "_block", F.concat_ws("", *[F.col(c) for c in block_cols])
     )
-    sizes = base.select("_id", F.size("_sh").alias("_sz"))
-    tok = base.select("_id", "_block", F.explode("_sh").alias("_s"))
-    a = tok.select(F.col("_block"), F.col("_s"), F.col("_id").alias("id_a"))
-    b = tok.select(F.col("_block"), F.col("_s"), F.col("_id").alias("id_b"))
+    tok = shingle_relation(
+        blocked, id_col, text_col, k_shingle, extra_cols=("_block",)
+    )
+    if max_doc_freq is not None:
+        ok = (
+            tok.groupBy("_block", "_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("_block", "_sh")
+        )
+        tok = tok.join(ok, ["_block", "_sh"])
+    sizes = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = tok.select(F.col("_block"), F.col("_sh"), F.col("_id").alias("id_a"))
+    b = tok.select(F.col("_block"), F.col("_sh"), F.col("_id").alias("id_b"))
     inter = (
-        a.join(b, ["_block", "_s"])
+        a.join(b, ["_block", "_sh"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
@@ -282,30 +407,39 @@ def simhash_table(
     df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64
 ) -> DataFrame:
     """SimHash per row via the scale-friendly explode shape: one narrow
-    (id, token-hash) relation, 64 codegen'd sign columns, a partial-
-    aggregating sum per document, then bit reassembly.  Documents with
-    no tokens get signature 0 (explode_outer keeps them).  Output:
-    (id_col, simhash64)."""
+    (id, token-hash) relation, ``bits`` codegen'd bit-extract columns,
+    a partial-aggregating sum per document, then bit reassembly.
+
+    The majority vote is computed over raw BIT sums, not ±1 signs:
+    sign-sum = 2·bit-sum − n, so "sign-sum > 0" ⇔ "2·bit-sum > n" —
+    half the per-row expression work (no when/otherwise null guard, no
+    ±1 arithmetic) and one extra ``count`` column in the aggregate.
+    Documents with no tokens get signature 0, restored by a left join
+    of the id spine (inner explode drops them from the vote relation).
+    Output: (id_col, simhash64)."""
     toks = df.select(
-        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("_tok")
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
     )
     h = F.xxhash64("_tok")
-    sign_cols = [
-        F.when(F.col("_tok").isNull(), F.lit(0))
-        .otherwise(F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1)
-        .alias(f"_b{j}")
+    bit_cols = [
+        F.shiftright(h, j).bitwiseAND(F.lit(1)).alias(f"_b{j}")
         for j in range(bits)
     ]
-    votes = toks.select(id_col, *sign_cols).groupBy(id_col).agg(
-        *[F.sum(f"_b{j}").alias(f"_v{j}") for j in range(bits)]
+    votes = toks.select(id_col, *bit_cols).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(f"_b{j}").alias(f"_v{j}") for j in range(bits)],
     )
     sig = F.lit(0).cast("long")
     for j in range(bits):
         bit_j = (1 << j) if j < 63 else -(1 << 63)
         sig = sig.bitwiseOR(
-            F.when(F.col(f"_v{j}") > 0, F.lit(bit_j)).otherwise(F.lit(0))
+            F.when(F.col(f"_v{j}") * 2 > F.col("_n"), F.lit(bit_j)).otherwise(F.lit(0))
         )
-    return votes.select(F.col(id_col), sig.alias("simhash64"))
+    signatures = votes.select(F.col(id_col), sig.alias("simhash64"))
+    spine = df.select(F.col(id_col))
+    return spine.join(signatures, id_col, "left").select(
+        F.col(id_col), F.coalesce("simhash64", F.lit(0).cast("long")).alias("simhash64")
+    )
 
 
 # ---------------------------------------------------------------------------

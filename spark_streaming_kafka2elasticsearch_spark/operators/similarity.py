@@ -109,6 +109,27 @@ def srp_bucket(vec: Column | str, dim: int, num_planes: int = 8) -> Column:
     return bucket
 
 
+def srp_bucket_oracle_sql(
+    dim: int, num_planes: int = 8, table: str = "embeddings",
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    """ANSI/DuckDB twin of :func:`srp_bucket` — the hyperplanes are
+    plan literals, so the oracle embeds the identical ±1 arrays and
+    relies on the probe-verified fact that DuckDB ``list_dot_product``
+    over DOUBLE[] equals Spark's sequential double fold bit-for-bit
+    (hence the sign, and the bucket id, agree exactly)."""
+    terms = []
+    for p in range(num_planes):
+        arr = ", ".join(f"{float(s):.1f}" for s in _plane_signs(p, dim))
+        weight = 2 ** (num_planes - 1 - p)
+        terms.append(
+            f"{weight} * (CASE WHEN list_dot_product("
+            f"CAST({vec_col} AS DOUBLE[]), [{arr}]) >= 0 THEN 1 ELSE 0 END)"
+        )
+    expr = "\n     + ".join(terms)
+    return f"SELECT {id_col}, {expr} AS bucket\nFROM {table}"
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -119,21 +140,31 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_embedding",
+    train_sample_size: int | None = 50_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: seeded KMeans coarse quantizer → cell
     assignment → rank only the query's cell.
 
-    Scale shape: training samples the corpus (KMeans on a bounded
-    sample is standard IVF practice), assignment is one narrow pass,
-    and at rest the cell id should be the storage partition key so a
-    query touches |corpus|/n_cells rows via partition pruning.  Single
-    probe here; multi-probe = union the p nearest cells.
+    Scale shape: training samples the corpus to ≤ ``train_sample_size``
+    vectors (KMeans on a bounded sample is standard IVF practice — an
+    iterative fit over the full 100 TB corpus would dominate the whole
+    job; cluster geometry converges on a sample), assignment is one
+    narrow pass, and at rest the cell id should be the storage
+    partition key so a query touches |corpus|/n_cells rows via
+    partition pruning.  Single probe here; multi-probe = union the p
+    nearest cells.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     to_vec = lambda c: array_to_vector(F.col(c).cast("array<double>"))  # noqa: E731
     train = corpus.select(to_vec(corpus_vec).alias("features"))
+    if train_sample_size is not None:
+        n = train.count()  # parquet metadata count — cheap relative to the fit
+        if n > train_sample_size:
+            train = train.sample(
+                fraction=min(1.0, 1.1 * train_sample_size / n), seed=seed
+            ).limit(train_sample_size)
     model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
 
     c_assigned = model.transform(
@@ -226,4 +257,75 @@ def lsh_bucketed_topk(
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def blocked_cosine_pairs_fast(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Intra-block cosine pairs >= threshold via the explode/codegen
+    shape: (id_a, id_b, cos_sim), id_a < id_b.
+
+    Why not LSH here: at thresholds this low (cos 0.35 ~ 70 deg) the
+    per-hyperplane collision probability of a qualifying pair (~0.61)
+    is barely above a random pair's (0.5), so no banding scheme can
+    keep recall AND prune — bucketed prefilters only pay off for
+    genuine near-dup thresholds (>= ~0.8, see srp_bucket).  The right
+    scale lever is therefore plan shape: ``posexplode`` each vector to
+    (block, j, id, x_j) and compute every pair dot product as ONE
+    codegen'd hash join on (block, j) + partial-agg sum — no
+    interpreted higher-order-function fold per pair (measured ~10x on
+    the round-1 tail).  Norms are aggregated once per vector, not per
+    pair.  The pair aggregation shuffles on (id_a, id_b) with map-side
+    combine; blocking bounds the quadratic exactly like lang-blocking
+    in text dedup.
+
+    Float caveat: the partial-agg sum adds components in partition
+    order, so the low bits of ``cos_sim`` are not cross-engine
+    reproducible — callers that need an oracle-stable projection
+    should emit the id pairs only (threshold margins in real data sit
+    far above the 1e-15 accumulation noise).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    comps = base.select(
+        "_id", "_blk", F.posexplode("_v").alias("_j", "_x")
+    )
+    norms = comps.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("_x") * F.col("_x"))).alias("_nrm")
+    )
+    a = comps.select(
+        F.col("_blk"), F.col("_j"),
+        F.col("_id").alias("id_a"), F.col("_x").alias("_xa"),
+    )
+    b = comps.select(
+        F.col("_blk"), F.col("_j"),
+        F.col("_id").alias("id_b"), F.col("_x").alias("_xb"),
+    )
+    dots = (
+        a.join(b, ["_blk", "_j"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_xa") * F.col("_xb")).alias("_dot"))
+    )
+    n_a = norms.select(F.col("_id").alias("id_a"), F.col("_nrm").alias("_na"))
+    n_b = norms.select(F.col("_id").alias("id_b"), F.col("_nrm").alias("_nb"))
+    return (
+        dots.join(n_a, "id_a")
+        .join(n_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(F.col("_na") * F.col("_nb") == 0, F.lit(None))
+            .otherwise(F.col("_dot") / (F.col("_na") * F.col("_nb")))
+            .alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )

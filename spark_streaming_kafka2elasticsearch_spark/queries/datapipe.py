@@ -85,25 +85,43 @@ WITH sh AS (
   FROM (SELECT doc_id, lang,
                list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
         FROM documents)
+),
+flat AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
+ok AS (SELECT lang, s FROM flat GROUP BY lang, s HAVING count(*) <= 50),
+kept AS (SELECT f.doc_id, f.lang, f.s FROM flat f JOIN ok USING (lang, s)),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.12
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.12
 """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked (by lang) exact 3-gram Jaccard similarity join.
+    """Blocked (by lang) exact 3-gram Jaccard similarity join, with the
+    document-frequency cap (50) that bounds the inverted index's
+    quadratic term at corpus scale.
 
     DuckDB shingle construction pads the tail with '' to mirror Spark's
-    ``slice`` (which truncates), and both sides deduplicate shingles,
-    so the sets — and the exact integer Jaccard — agree.
+    ``slice`` (which truncates), both sides deduplicate shingles, and
+    the oracle applies the identical df-cap + size-recount, so the
+    sets — and the exact integer Jaccard — agree.
     """
     docs = load_table(spark, sf_dir, "documents")
     return blocked_ngram_jaccard_pairs(
-        docs, id_col="doc_id", block_cols=["lang"], k_shingle=3, min_jaccard=0.12
+        docs,
+        id_col="doc_id",
+        block_cols=["lang"],
+        k_shingle=3,
+        min_jaccard=0.12,
+        max_doc_freq=50,
     )
 
 
@@ -263,6 +281,34 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
     )
     return lsh_bucketed_topk(emb, queries, dim=64, k=10, num_planes=4)
+
+
+def _srp_oracle() -> str:
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        srp_bucket_oracle_sql,
+    )
+
+    return srp_bucket_oracle_sql(dim=64, num_planes=8)
+
+
+@register("srp_buckets", oracle=_srp_oracle())
+def srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection bucket assignment for every corpus
+    vector — the core primitive under ann_cosine_topk_lsh, here
+    oracle-checked end-to-end: the hyperplanes are plan literals, so
+    the DuckDB twin embeds the identical ±1 arrays and the bucket ids
+    must agree bit-for-bit (sequential double fold ≡
+    list_dot_product, probe-verified).  At rest this bucket id is the
+    storage partition column that turns ANN into partition-pruned
+    scans."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        srp_bucket,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", srp_bucket("embedding", dim=64, num_planes=8).alias("bucket")
+    )
 
 
 @register(

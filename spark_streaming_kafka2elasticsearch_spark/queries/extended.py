@@ -330,30 +330,78 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.35
 """,
 )
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: intra-label (blocked) pair scan with
-    exact double cosine.  The similarity VALUES are oracle-checked —
-    probe-verified that DuckDB's list_cosine_similarity over DOUBLE[]
-    equals Spark's sequential zip_with/aggregate fold bit-for-bit.
-    Blocking on label bounds the quadratic exactly like lang-blocking
-    for text dedup; the unblocked scale path is SRP-bucket first
-    (operators/similarity.srp_bucket)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """Embedding-cosine near-dup, exact value-checked flavor: intra-
+    label (blocked) pair scan with exact double cosine.  The
+    similarity VALUES are oracle-checked — probe-verified that
+    DuckDB's list_cosine_similarity over DOUBLE[] equals Spark's
+    sequential zip_with/aggregate fold bit-for-bit.  Norms are
+    hoisted: computed once per VECTOR (n interpreted folds), so the
+    per-pair work is a single dot-product fold instead of three —
+    identical float ops and results, ~2.5× less interpreted work.
+    This is deliberately the small-sf oracle twin; the scale/bench
+    path is embedding_cosine_pairs_fast below (explode + codegen —
+    same pairs, float-noise-free projection)."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("nrm")
+    )
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("label_a"),
         F.col("embedding").alias("va"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = emb.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
     )
     pairs = a.join(b, (F.col("id_a") < F.col("id_b")) & (F.col("label_a") == F.col("label_b")))
+    denom = F.col("nrm_a") * F.col("nrm_b")
     return pairs.select(
         "id_a",
         "id_b",
-        cosine_similarity("va", "vb").alias("cos_sim"),
+        F.when(denom == 0, F.lit(None))
+        .otherwise(dot_product("va", "vb") / denom)
+        .alias("cos_sim"),
     ).filter(F.col("cos_sim") >= 0.35)
+
+
+@register(
+    "embedding_cosine_pairs_fast",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+""",
+)
+def embedding_cosine_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for the exact pair scan: posexplode each vector and
+    compute every intra-label pair dot product as one codegen'd hash
+    join on (label, component) + partial-agg sum — no interpreted
+    higher-order-function fold per pair.  Emits id pairs only: the
+    shuffled partial sum makes the low float bits non-reproducible
+    cross-engine, but the pair SET is stable (threshold margins sit
+    ~1e-4 above the cut vs ~1e-15 accumulation noise), so the id
+    projection is oracle-checked while embedding_cosine_pairs above
+    value-checks the similarity itself.  See
+    operators/similarity.blocked_cosine_pairs_fast for why SRP/LSH
+    bucketing mathematically cannot prune at cos≈0.35 (θ≈70°)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        blocked_cosine_pairs_fast,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = blocked_cosine_pairs_fast(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
+    )
+    return pairs.select("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

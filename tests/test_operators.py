@@ -225,3 +225,136 @@ def test_multimodal_real_decode_is_stubbed(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 scale guards: shingle relation, bucket caps, df caps, fast cosine
+# ---------------------------------------------------------------------------
+
+
+def test_shingle_relation_matches_array_form(spark):
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import shingle_relation
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "only two"),
+            (3, "single"),
+            (4, "x y x y x y"),  # repeated shingles → distinct matters
+        ],
+        ["doc_id", "text"],
+    )
+    rel = shingle_relation(df, "doc_id").collect()
+    got = {}
+    for r in rel:
+        got.setdefault(r["_id"], set()).add(r["_sh"])
+    expected = {
+        r["doc_id"]: set(r["s"])
+        for r in df.select("doc_id", shingles("text", 3).alias("s")).collect()
+    }
+    assert got == expected
+
+
+def test_minhash_hot_bucket_capped(spark):
+    """1k identical docs collapse into single LSH buckets per band; the
+    census gate must drop them (bounded memory) while genuine near-dup
+    pairs outside the hot bucket are still found."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        minhash_lsh_candidate_pairs,
+    )
+
+    boiler = [(i, "lorem ipsum dolor sit amet boilerplate page") for i in range(1000)]
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    rows = boiler + [(2001, base), (2002, near)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_lsh_candidate_pairs(
+        df, "doc_id", max_bucket_size=64
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert (2001, 2002) in got and got[(2001, 2002)] > 0.5
+    # no boilerplate pair survived the bucket gate
+    assert all(a >= 2001 for a, _ in got)
+
+
+def test_jaccard_df_cap_drops_stop_shingles(spark):
+    """A shingle shared by every doc is dropped by the df-cap; Jaccard
+    is computed over the reduced sets on both sides of the metric."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        blocked_ngram_jaccard_pairs,
+    )
+
+    # 4 docs share the prefix shingle "p q r"; doc pairs (1,2) also share
+    # a rare tail.  cap=3 drops the universal shingle (df=4 > 3).
+    df = spark.createDataFrame(
+        [
+            (1, "en", "p q r rare tail one"),
+            (2, "en", "p q r rare tail two"),
+            (3, "en", "p q r other body x"),
+            (4, "en", "p q r something else y"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    uncapped = blocked_ngram_jaccard_pairs(
+        df, "doc_id", ["lang"], min_jaccard=0.01, max_doc_freq=None
+    ).collect()
+    capped = blocked_ngram_jaccard_pairs(
+        df, "doc_id", ["lang"], min_jaccard=0.01, max_doc_freq=3
+    ).collect()
+    unc = {(r["id_a"], r["id_b"]): r["jaccard"] for r in uncapped}
+    cap = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped}
+    # every pair co-occurs via "p q r" uncapped; capped keeps only pairs
+    # sharing sub-cap shingles, with jaccard over the reduced sets
+    assert len(unc) == 6 and (1, 2) in cap
+    assert all(p == (1, 2) or p not in cap for p in unc)
+    # uncapped: inter {p q r, q r rare, r rare tail} / union of 5 = 0.6;
+    # capped: the universal "p q r" leaves both numerator and sets → 2/4
+    assert unc[(1, 2)] == pytest.approx(0.6)
+    assert cap[(1, 2)] == pytest.approx(0.5)
+
+
+def test_blocked_cosine_pairs_fast_matches_exact(spark):
+    """The explode/codegen pair scan returns exactly the pairs (and,
+    to accumulation noise, the sims) of the interpreted-fold form."""
+    import random
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        blocked_cosine_pairs_fast,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"lab{i % 3}", [rng.uniform(-1, 1) for _ in range(16)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    fast = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in blocked_cosine_pairs_fast(
+            df, "vec_id", "embedding", "label", threshold=0.2
+        ).collect()
+    }
+    a = df.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("va")
+    )
+    b = df.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("vb")
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["cs"]
+        for r in a.join(b, (F.col("id_a") < F.col("id_b")) & (F.col("la") == F.col("lb")))
+        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cs"))
+        .filter(F.col("cs") >= 0.2)
+        .collect()
+    }
+    assert set(fast) == set(exact)
+    assert all(abs(fast[p] - exact[p]) < 1e-9 for p in fast)
+
+
+def test_simhash_empty_doc_zero_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "some real text here"), (2, ""), (3, "   ")], ["doc_id", "text"]
+    )
+    sigs = {r["doc_id"]: r["simhash64"] for r in simhash_table(df, "doc_id").collect()}
+    assert sigs[2] == 0 and sigs[3] == 0 and sigs[1] != 0
+    assert len(sigs) == 3
