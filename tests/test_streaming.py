@@ -246,3 +246,87 @@ def test_watermark_drops_late_event(spark, cities_dim, tmp_path):
         assert late_window_counts == [2]  # late event dropped, no re-emit
     finally:
         out.stop()
+
+
+def test_session_window_append_mode_emission(spark, tmp_path):
+    """Session-window streaming semantics pin (the stretch twin of the
+    tumbling-window pins above): in append mode a session is emitted
+    only once the watermark passes its close (last event + gap), and
+    events within the gap merge into ONE session row.
+
+    Controlled clock: batch 1 has two events 1 min apart (same 5-min
+    session) for user A; batch 2 advances event time to 12:00, pushing
+    the watermark (12:00 − 2 min) far past the session close
+    (10:06), which forces emission of the merged session."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.curate import (
+        cast_to_timestamp,
+        parse_json_events,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.windows import (
+        session_window_agg,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    source = JsonDirSource(str(src_dir), as_kafka_envelope=True)
+    raw = source.load_stream(spark, max_files_per_trigger=1)
+    curated = cast_to_timestamp(parse_json_events(raw), "order_date")
+    sess = session_window_agg(
+        curated,
+        ts_col="order_date",
+        gap="5 minutes",
+        keys=["customer_id"],
+        aggs=[F.count(F.lit(1)).alias("n_orders")],
+        watermark="2 minutes",
+    )
+    out = sess.select(
+        F.date_format("session_window.start", "HH:mm:ss").alias("s_start"),
+        F.date_format("session_window.end", "HH:mm:ss").alias("s_end"),
+        "customer_id",
+        "n_orders",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        write_batch_file(
+            str(src_dir),
+            "b0.json",
+            [
+                order_event(1, "BEX-23-00017", "2023-11-17 10:00:00"),
+                order_event(2, "BEX-23-00027", "2023-11-17 10:01:00"),
+            ],
+        )
+        q.processAllAvailable()
+        # session open (watermark at 10:01 − 2 min): nothing emitted yet
+        assert spark.sql("SELECT * FROM sess_test").count() == 0
+
+        write_batch_file(
+            str(src_dir),
+            "b1.json",
+            [order_event(3, "BEX-23-00037", "2023-11-17 12:00:00")],
+        )
+        q.processAllAvailable()
+        # one extra trigger so the state-store eviction runs post-watermark
+        write_batch_file(
+            str(src_dir),
+            "b2.json",
+            [order_event(4, "BEX-23-00047", "2023-11-17 12:30:00")],
+        )
+        q.processAllAvailable()
+        rows = {
+            (r["s_start"], r["s_end"], r["customer_id"]): r["n_orders"]
+            for r in spark.sql("SELECT * FROM sess_test").collect()
+        }
+        # the two 10:0x events merged into one session [10:00, 10:06);
+        # batch 3's watermark (12:28) also closed the 12:00 session
+        assert rows == {
+            ("10:00:00", "10:06:00", 1): 2,
+            ("12:00:00", "12:05:00", 1): 1,
+        }
+    finally:
+        q.stop()
