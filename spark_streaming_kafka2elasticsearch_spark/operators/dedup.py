@@ -483,3 +483,85 @@ def simhash(text_col: Column | str, bits: int = 64) -> Column:
             F.when(F.element_at(votes, j + 1) > 0, F.lit(bit_j)).otherwise(F.lit(0))
         )
     return sig
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Near-dup pairs via SimHash Hamming banding: (id_a, id_b,
+    hamming) with id_a < id_b and popcount(sig_a XOR sig_b) ≤
+    ``max_hamming``.
+
+    The 64-bit signature splits into 4 disjoint 16-bit bands; by
+    pigeonhole, any pair within Hamming distance 3 agrees exactly on
+    at least one band, so bucketing on (band, band-bits) finds every
+    qualifying pair while only ever comparing within buckets — the
+    same banded shape as MinHash-LSH, with the same two-pass census
+    gate dropping degenerate buckets before member lists materialize.
+    Verification is a single codegen'd ``bit_count(xor)`` per
+    candidate — no text access at all, so the verify stage moves 16
+    bytes per doc regardless of document size.  ``simhash_table`` (1
+    row/doc) is persisted: it feeds the banding and both sides of the
+    verify join.
+    """
+    bands = 4
+    width = 64 // bands
+    sig = simhash_table(df, id_col, text_col).persist()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("simhash64"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("band_bits"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*band_structs)).alias("band")
+    ).select("_id", "band.band_id", "band.band_bits")
+
+    ok_buckets = (
+        banded.groupBy("band_id", "band_bits")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter((F.col("_m") > 1) & (F.col("_m") <= max_bucket_size))
+        .select("band_id", "band_bits")
+    )
+    buckets = (
+        banded.join(ok_buckets, ["band_id", "band_bits"])
+        .groupBy("band_id", "band_bits")
+        .agg(F.array_sort(F.collect_set("_id")).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash64").alias("_sa"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash64").alias("_sb"))
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

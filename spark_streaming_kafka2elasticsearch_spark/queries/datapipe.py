@@ -147,6 +147,22 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_table(docs, id_col="doc_id", text_col="text")
 
 
+@register("simhash_near_dup_pairs")  # no SQL oracle: xxhash64 is Spark-side
+def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-banded near-dup pairs (Hamming ≤ 3 over 64-bit
+    signatures): the third banded-dedup flavor alongside MinHash-LSH
+    (Jaccard) and the embedding pair scan (cosine).  Verification is a
+    16-byte bit_count(xor) per candidate — never touches text.  See
+    operators/dedup.simhash_near_dup_pairs for the pigeonhole recall
+    guarantee."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, id_col="doc_id", text_col="text")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -240,6 +256,35 @@ LANG_MARKERS: dict[str, list[str]] = {
 def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return language_id(docs, LANG_MARKERS).select("doc_id", "lang", "predicted_lang")
+
+
+@register(
+    "bpe_token_stats",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+         AS n_bpe_tokens,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+         AS n_ws_tokens
+FROM documents
+""",
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer token counting: a BPE-style segmentation regex
+    (letter runs | digit runs | single punctuation) next to the plain
+    whitespace count — the cheap corpus-budget estimator an LLM data
+    pipeline runs before the real tokenizer.  The alternation uses
+    only constructs Java regex (Spark) and RE2 (DuckDB) interpret
+    identically, which is what makes it oracle-checkable."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_bpe_tokens"),
+        token_count("text").alias("n_ws_tokens"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -343,3 +388,30 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synth_media_table(docs, id_col="doc_id", text_col="text")
     return decode_image_features(media, fake=True)
+
+
+@register("multimodal_video_frames")  # no SQL oracle: mapInPandas kernel
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling over an opaque video column — the Arrow-
+    batched mapInPandas shape a real ffmpeg sampler plugs into
+    (deterministic fake: frame count derives from the content hash)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_media_table(docs, id_col="doc_id", text_col="text")
+    return sample_video_frames(media, every_ms=500, fake=True)
+
+
+@register("multimodal_audio_features")  # no SQL oracle: mapInPandas kernel
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode plumbing (duration / sample-rate / RMS) over opaque
+    binary, deterministic fake kernel — same stub contract as images."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        decode_audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_media_table(docs, id_col="doc_id", text_col="text")
+    return decode_audio_features(media, fake=True)

@@ -330,3 +330,64 @@ def test_session_window_append_mode_emission(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: a key redelivered in a
+    LATER micro-batch (beyond any watermark's reach) is suppressed;
+    first delivery's values win.  This is the custom-stateful
+    counterpart of the keyed-upsert sink's last-wins idempotency."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.curate import (
+        curate_orders,
+        parse_json_events,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.stateful import (
+        streaming_first_seen,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    source = JsonDirSource(str(src_dir), as_kafka_envelope=True)
+    raw = source.load_stream(spark, max_files_per_trigger=1)
+    curated = curate_orders(parse_json_events(raw))
+    deduped = streaming_first_seen(
+        curated, key_col="data_key", value_cols=["order_number", "discounted_total"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        write_batch_file(
+            str(src_dir),
+            "b0.json",
+            [
+                order_event(1, "BEX-23-00017", "2023-11-17 10:00:00", total=100.0),
+                order_event(1, "BEX-23-00017", "2023-11-17 10:00:00", total=100.0),
+                order_event(2, "BEX-23-00027", "2023-11-17 10:01:00", total=50.0),
+            ],
+        )
+        q.processAllAvailable()
+        # duplicate redelivered two batches later with DIFFERENT total,
+        # plus one genuinely new key
+        write_batch_file(
+            str(src_dir),
+            "b1.json",
+            [
+                order_event(1, "BEX-23-00017", "2023-11-17 10:00:00", total=999.0),
+                order_event(3, "BEX-23-00037", "2023-11-17 10:02:00", total=75.0),
+            ],
+        )
+        q.processAllAvailable()
+        rows = {
+            r["data_key"]: r["discounted_total"]
+            for r in spark.sql("SELECT * FROM first_seen").collect()
+        }
+        assert len(rows) == 3
+        assert rows["BEX-23-00017-2023-11-17"] == 100.0  # first delivery won
+        assert rows["BEX-23-00037-2023-11-17"] == 75.0
+    finally:
+        q.stop()
