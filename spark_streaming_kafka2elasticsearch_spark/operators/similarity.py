@@ -329,3 +329,104 @@ def blocked_cosine_pairs_fast(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def srp_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    tables: int = 8,
+    planes_per_table: int = 8,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Embedding near-dup pairs at genuine near-dup thresholds
+    (cos ≥ ~0.8) via multi-table SRP bucketing + exact verify:
+    (id_a, id_b, cos_sim), id_a < id_b.
+
+    This is the bucketed scale path that blocked_cosine_pairs_fast's
+    docstring points away from at low thresholds: for cos ≥ 0.9
+    (θ ≤ 26°) a plane agrees on a qualifying pair w.p. ~0.86, so one
+    8-plane table catches it w.p. ~0.29 and 8 independent tables reach
+    ~94 % recall (≥ 99.9 % for true duplicates at cos ≥ 0.98) while a
+    random pair collides anywhere w.p. only ~3 % — the candidate set is
+    linear-ish, never all-pairs.  Table t uses planes
+    [t·p, (t+1)·p): deterministic literal hyperplanes, so bucketing is
+    reproducible and, at rest, (table 0's) bucket id can be a storage
+    partition key.  The same two-pass census gate as the MinHash path
+    drops degenerate buckets (e.g. a zero-vector pile) before member
+    lists materialize.  Candidates are verified with the exact
+    hoisted-norm cosine, so precision is 1 by construction.
+    """
+    from spark_streaming_kafka2elasticsearch_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+
+    v = F.col(vec_col)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        l2_norm(v).alias("_nrm"),
+    ).persist()
+
+    def table_bucket(t: int) -> Column:
+        b = F.lit(0)
+        for j in range(planes_per_table):
+            b = b * 2 + _hyperplane_sign(F.col("_v"), t * planes_per_table + j, dim)
+        return b
+
+    band_structs = [
+        F.struct(F.lit(t).alias("table_id"), table_bucket(t).alias("bucket"))
+        for t in range(tables)
+    ]
+    banded = base.select(
+        "_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("_id", "b.table_id", "b.bucket").persist()
+
+    ok_buckets = (
+        banded.groupBy("table_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter((F.col("_m") > 1) & (F.col("_m") <= max_bucket_size))
+        .select("table_id", "bucket")
+    )
+    pairs = (
+        banded.join(ok_buckets, ["table_id", "bucket"])
+        .groupBy("table_id", "bucket")
+        .agg(F.array_sort(F.collect_set("_id")).alias("members"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_nrm").alias("_na")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb")
+    )
+    denom = F.col("_na") * F.col("_nb")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(denom == 0, F.lit(None))
+            .otherwise(dot_product("_va", "_vb") / denom)
+            .alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -259,6 +259,71 @@ def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "documents_curation_pipeline",
+    oracle="""
+WITH q AS (
+  SELECT doc_id, lang, text,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tokens,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(text)
+                        - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                   AS DOUBLE) / length(text)
+         END AS alpha_ratio,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+filtered AS (SELECT * FROM q WHERE n_tokens >= 10 AND alpha_ratio >= 0.5),
+canon AS (SELECT fingerprint, min(doc_id) AS doc_id FROM filtered GROUP BY fingerprint)
+SELECT f.doc_id, f.lang, f.n_tokens, f.fingerprint
+FROM filtered f JOIN canon c ON f.fingerprint = c.fingerprint AND f.doc_id = c.doc_id
+""",
+)
+def documents_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation composition a training-data run
+    executes: quality gate (token count + alpha ratio) → canonical-
+    form fingerprint → keep one canonical doc per fingerprint.  All
+    three stages are the oracle-checked operators above fused into one
+    plan: the quality filter prunes before the dedup shuffle, and the
+    shuffle key is the 16-byte fingerprint, never the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text_quality(docs)
+    filtered = q.filter((F.col("n_tokens") >= 10) & (F.col("alpha_ratio") >= 0.5))
+    fp = document_fingerprint(filtered).select(
+        "doc_id", "lang", "n_tokens", "fingerprint"
+    )
+    canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return fp.join(canon, ["fingerprint", "doc_id"]).select(
+        "doc_id", "lang", "n_tokens", "fingerprint"
+    )
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+WHERE ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+      % (CASE WHEN lang = 'en' THEN 2 WHEN lang = 'de' THEN 4 ELSE 8 END) = 0
+""",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-mixture
+    primitive: per-language keep rates (en ½, de ¼, rest ⅛) applied
+    via a cross-engine hash of the id, so the sample is reproducible
+    across runs, engines, and partitionings (no seed-dependent
+    ``df.sample``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 2)
+        .when(F.col("lang") == "de", 4)
+        .otherwise(8)
+    )
+    keep = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % rate == 0
+    return docs.filter(keep).select("doc_id", "lang")
+
+
+@register(
     "bpe_token_stats",
     oracle="""
 SELECT doc_id,
@@ -326,6 +391,48 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
     )
     return lsh_bucketed_topk(emb, queries, dim=64, k=10, num_planes=4)
+
+
+@register(
+    "embedding_near_dup_srp",
+    oracle="""
+WITH aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01 + 0.002)
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_cosine_similarity(a.v, b.v) AS cos_sim
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+""",
+)
+def embedding_near_dup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed embedding near-dup path, end-to-end oracle-checked:
+    the corpus is augmented with deterministic near-copies
+    (x·1.01 + 0.002 per component — IEEE-identical in both engines,
+    cos ≈ 0.9998 to the source), then multi-table SRP bucketing
+    prefilters candidates and the exact hoisted-norm cosine verifies
+    ≥ 0.9.  The oracle is the brute-force all-pairs scan: hash-equality
+    therefore PROVES 100 % recall of the bucketed path on this corpus
+    (miss probability per planted pair ~5e-13 with 8×8 planes), and
+    the similarity VALUES match bit-for-bit (sequential fold ≡
+    list_cosine_similarity).  See srp_near_dup_pairs for why this
+    works at 0.9 but cannot at 0.35."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        srp_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(v, lambda x: x * F.lit(1.01) + F.lit(0.002)).alias("embedding"),
+    )
+    aug = emb.select("vec_id", v.alias("embedding")).unionByName(planted)
+    return srp_near_dup_pairs(aug, dim=64, threshold=0.9)
 
 
 def _srp_oracle() -> str:

@@ -76,3 +76,33 @@ def test_audio_decode_stub(spark):
     media = synth_media_table(docs, "doc_id", "text")
     rows = decode_audio_features(media, fake=True).collect()
     assert rows[0]["sample_rate"] == 16000 and 0 <= rows[0]["rms_energy"] <= 1
+
+
+def test_srp_near_dup_planted_duplicates(spark):
+    """Plant a perturbed near-copy of every 10th corpus vector; the
+    multi-table SRP prefilter + exact verify must find every planted
+    pair (cos ≥ ~0.99 → per-table collision ~0.59, 8 tables → miss
+    probability ~1e-3 per pair) and nothing below threshold
+    (precision 1 by construction)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        srp_near_dup_pairs,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    rows = base.collect()
+    planted = []
+    for r in rows[::10]:
+        vec = [float(x) * 1.01 + (0.001 * ((i % 7) - 3)) for i, x in enumerate(r["embedding"])]
+        planted.append((100000 + r["vec_id"], vec))
+    df = base.unionByName(
+        spark.createDataFrame(planted, ["vec_id", "embedding"]).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+    )
+    got = srp_near_dup_pairs(df, dim=64, threshold=0.9).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    expected = {(r["vec_id"], 100000 + r["vec_id"]) for r in rows[::10]}
+    assert expected <= found, f"missed {expected - found}"
+    assert all(r["cos_sim"] >= 0.9 for r in got)
