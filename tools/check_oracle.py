@@ -41,6 +41,36 @@ def canon(rows, cols):
     return out
 
 
+#: canonical type-FAMILY vocabulary for the cross-engine dtype gate.
+#: The driver's value hash tolerates integer-width differences (8
+#: queries were hash-green in round 1 with Spark INT vs DuckDB BIGINT)
+#: but NOT DuckDB HUGEINT — sum(INTEGER)→HUGEINT cost 4 queries whose
+#: values were equal.  So widths within a family collapse; HUGEINT
+#: stays distinct and cross-family mismatches are hard FAILs.
+_SPARK_TYPE_CANON = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float", "string": "str", "boolean": "bool",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts", "binary": "bin",
+}
+_DUCK_TYPE_CANON = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "HUGEINT": "i128", "FLOAT": "float", "DOUBLE": "float", "VARCHAR": "str",
+    "BOOLEAN": "bool", "DATE": "date", "TIMESTAMP": "ts",
+    "TIMESTAMP WITH TIME ZONE": "ts", "BLOB": "bin",
+}
+
+
+def canon_types(scols, sdtypes, ocols, otypes):
+    """Return mismatch strings for columns whose canonical types differ."""
+    s = {c: _SPARK_TYPE_CANON.get(t, t) for c, t in sdtypes}
+    o = {c: _DUCK_TYPE_CANON.get(str(t), str(t)) for c, t in zip(ocols, otypes)}
+    out = []
+    for c in scols:
+        if c in o and s.get(c) != o[c]:
+            out.append(f"TYPE {c}: spark={s.get(c)} duck={o[c]}")
+    return out
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from spark_streaming_kafka2elasticsearch_spark.session import build_session
@@ -87,6 +117,8 @@ def main() -> int:
         status = []
         if sorted(scols) != sorted(ocols):
             status.append(f"SCHEMA spark={sorted(scols)} duck={sorted(ocols)}")
+        else:
+            status.extend(canon_types(scols, sdf.dtypes, ocols, ores.types))
         if len(srows) != len(orows):
             status.append(f"ROWCOUNT spark={len(srows)} duck={len(orows)}")
         if not status:
