@@ -76,3 +76,36 @@ def range_join(
             cond = (left[lk] == right[rk]) & cond
     right_b = F.broadcast(right) if not equi_keys else right
     return left.join(right_b, cond)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    equi_keys: list[tuple[str, str]],
+    interval: str,
+    left_watermark: str,
+    right_watermark: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream–stream join with a bounded time range:
+    ``left.ts ∈ [right.ts, right.ts + interval]``, equi-keyed.
+
+    Beyond the reference's stream–static J1: both sides are unbounded,
+    so Spark buffers each side in the state store and the TIME RANGE is
+    what bounds that state — the watermarks plus the interval tell the
+    engine when a buffered row can never match again and is evicted.
+    Without the range conjunct (or with outer joins lacking watermarks)
+    state grows forever; this wrapper makes both mandatory.  The equi
+    conjunct keeps the physical join a stream-stream hash join
+    (shuffled on the key), never a cross product.
+    """
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    cond: Column = (lw[left_ts] >= rw[right_ts]) & (
+        lw[left_ts] <= rw[right_ts] + F.expr(f"INTERVAL {interval}")
+    )
+    for lk, rk in equi_keys:
+        cond = (lw[lk] == rw[rk]) & cond
+    return lw.join(rw, cond, how)

@@ -245,3 +245,36 @@ def test_kafka_jaas_escaping_and_password_required():
         KafkaSource(
             bootstrap_servers="b", topic="t", sasl_username="u"
         ).options()
+
+
+def test_shingle_relation_plan_has_no_exchange(spark):
+    """The codegen shingle builder must stay a narrow map — no shuffle
+    (the round-1 window/lead formulation cost a sort exchange that was
+    8× the useful work)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        shingle_relation,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    plan = (
+        shingle_relation(df, "doc_id", distinct=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    # "*(n)" prefixes mark whole-stage-codegen stages in treeString form
+    assert "*(" in plan, plan
+
+
+def test_dedup_queries_scan_only_needed_columns(spark):
+    """Column pruning reaches the parquet scan for the dedup family:
+    shingle-based queries must read (doc_id, lang, text) at most —
+    never the full documents schema."""
+    import re
+
+    q = all_queries()["ngram_jaccard_pairs"]
+    plan = q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"FileScan parquet \[([^\]]*)\]", plan):
+        scanned = {c.split("#")[0] for c in m.group(1).split(",") if c}
+        assert scanned <= {"doc_id", "lang", "text"}, scanned

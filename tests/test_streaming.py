@@ -391,3 +391,77 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
         assert rows["BEX-23-00037-2023-11-17"] == 75.0
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream–stream joins (beyond the reference's stream–static J1):
+    purchases join clicks by user within [click_ts, click_ts + 10 min].
+    Both sides buffer in the state store; the watermark + range bound
+    eviction.  A purchase 30 min after the click must NOT match."""
+    from pyspark.sql import types as T
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.joins import (
+        stream_stream_interval_join,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    clicks_dir, buys_dir = tmp_path / "clicks", tmp_path / "buys"
+    clicks_dir.mkdir(); buys_dir.mkdir()
+
+    def jline(user_id, event_id, ts):
+        return json.dumps({"user_id": user_id, "event_id": event_id, "ts": ts})
+
+    clicks = (
+        spark.readStream.schema(schema).json(str(clicks_dir))
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").cast("timestamp").alias("click_ts"))
+    )
+    buys = (
+        spark.readStream.schema(schema).json(str(buys_dir))
+        .select(F.col("user_id").alias("b_user"), F.col("event_id").alias("buy_id"), F.col("ts").cast("timestamp").alias("buy_ts"))
+    )
+    joined = stream_stream_interval_join(
+        buys,
+        clicks,
+        left_ts="buy_ts",
+        right_ts="click_ts",
+        equi_keys=[("b_user", "user_id")],
+        interval="10 MINUTES",
+        left_watermark="1 minute",
+        right_watermark="1 minute",
+    ).select("buy_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        write_batch_file(
+            str(clicks_dir),
+            "c0.json",
+            [
+                jline(1, 100, "2023-11-17 10:00:00"),
+                jline(2, 200, "2023-11-17 10:00:00"),
+            ],
+        )
+        write_batch_file(
+            str(buys_dir),
+            "b0.json",
+            [
+                jline(1, 900, "2023-11-17 10:05:00"),  # in range of click 100
+                jline(2, 901, "2023-11-17 10:30:00"),  # 30 min later: out of range
+                jline(3, 902, "2023-11-17 10:02:00"),  # no click at all
+            ],
+        )
+        q.processAllAvailable()
+        rows = {(r["buy_id"], r["click_id"]) for r in spark.sql("SELECT * FROM ss_join").collect()}
+        assert rows == {(900, 100)}
+    finally:
+        q.stop()
