@@ -31,6 +31,14 @@ def main() -> None:
 
     spark = build_session(master=f"local[{cpus}]", app_name="bench")
 
+    # Untimed JVM/session warm-up (standard bench hygiene): one trivial
+    # job so executor startup and first-job scheduling overhead don't
+    # land inside whichever query happens to run first.  Per-query
+    # codegen compilation is still paid inside each query's timing.
+    spark.range(1_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name, fn in all_queries().items():
         t0 = time.time()

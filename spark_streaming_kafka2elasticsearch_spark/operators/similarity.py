@@ -371,19 +371,50 @@ def srp_near_dup_pairs(
         l2_norm(v).alias("_nrm"),
     ).persist()
 
-    def table_bucket(t: int) -> Column:
-        b = F.lit(0)
-        for j in range(planes_per_table):
-            b = b * 2 + _hyperplane_sign(F.col("_v"), t * planes_per_table + j, dim)
-        return b
-
-    band_structs = [
-        F.struct(F.lit(t).alias("table_id"), table_bucket(t).alias("bucket"))
-        for t in range(tables)
+    # All tables×planes dot products in one NARROW codegen dataflow:
+    # posexplode the vector, broadcast-join a tiny literal planes table
+    # (plane, component, ±1), partial-agg sum per (vector, plane), then
+    # assemble each table's bucket id with a second narrow agg.  Two
+    # wide alternatives measured worse: interpreted per-plane folds
+    # (srp_bucket's shape — kept there for its bit-exact oracle) ran
+    # ~3× slower steady-state, and a 64-sum-column aggregate with
+    # literal sign arrays paid ~6 s of janino compilation per session.
+    # Bucket assignment only needs the dot's SIGN, so shuffled-sum ulp
+    # noise is irrelevant (dominated by the per-plane collision
+    # probability the recall math already prices).
+    total_planes = tables * planes_per_table
+    spark = df.sparkSession
+    plane_rows = [
+        (p, j, float(s))
+        for p in range(total_planes)
+        for j, s in enumerate(_plane_signs(p, dim))
     ]
-    banded = base.select(
-        "_id", F.explode(F.array(*band_structs)).alias("b")
-    ).select("_id", "b.table_id", "b.bucket").persist()
+    planes = spark.createDataFrame(plane_rows, ["_p", "_j", "_sign"])
+    comps = base.select(
+        "_id", F.posexplode(F.col("_v").cast("array<double>")).alias("_j", "_x")
+    )
+    bits = (
+        comps.join(F.broadcast(planes), "_j")
+        .groupBy("_id", "_p")
+        .agg(F.sum(F.col("_x") * F.col("_sign")).alias("_dot"))
+        .select(
+            "_id",
+            (F.col("_p") / planes_per_table).cast("int").alias("table_id"),
+            # plane index within its table, MSB-first to match srp_bucket
+            (
+                (F.col("_dot") >= 0).cast("long")
+                * F.expr(
+                    f"shiftleft(1L, {planes_per_table} - 1"
+                    f" - int(_p % {planes_per_table}))"
+                )
+            ).alias("_bit"),
+        )
+    )
+    banded = (
+        bits.groupBy("_id", "table_id")
+        .agg(F.sum("_bit").alias("bucket"))
+        .persist()
+    )
 
     ok_buckets = (
         banded.groupBy("table_id", "bucket")

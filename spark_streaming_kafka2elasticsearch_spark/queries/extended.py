@@ -236,6 +236,32 @@ def date_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_localtime_kolkata",
+    oracle="""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_ts,
+       strftime(ts + INTERVAL 330 MINUTE, '%Y-%m-%d %H:%M:%S') AS kolkata_ts
+FROM events WHERE event_type = 'signup'
+""",
+)
+def events_localtime_kolkata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion (``from_utc_timestamp`` — imported but never
+    used by the reference, SURVEY §1.3; supported here).  Asia/Kolkata
+    is DST-free (+05:30 fixed since 1945), so the oracle can state the
+    expected semantics as plain interval arithmetic — an independent
+    implementation, free of any tz-database or session-timezone
+    dependence in the comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "signup").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("utc_ts"),
+        F.date_format(
+            F.from_utc_timestamp("ts", "Asia/Kolkata"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("kolkata_ts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q: token frequencies (explode + count — the corpus vocabulary op)
 # ---------------------------------------------------------------------------

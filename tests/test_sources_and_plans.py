@@ -278,3 +278,31 @@ def test_dedup_queries_scan_only_needed_columns(spark):
     for m in re.finditer(r"FileScan parquet \[([^\]]*)\]", plan):
         scanned = {c.split("#")[0] for c in m.group(1).split(",") if c}
         assert scanned <= {"doc_id", "lang", "text"}, scanned
+
+
+def test_es_sink_option_parity_with_reference():
+    """ElasticsearchUpsertSink.options() must carry the reference
+    writer's option surface key-for-key (bexley_spark_stream_msk_es.py
+    :506-518: es.nodes, es.port, es.net.http.auth.user/pass,
+    es.nodes.wan.only, es.mapping.id, es.resource + checkpoint at the
+    stream level)."""
+    from spark_streaming_kafka2elasticsearch_spark.streaming.sinks import (
+        ElasticsearchUpsertSink,
+    )
+
+    sink = ElasticsearchUpsertSink(
+        nodes="search-domain.eu-west-2.es.amazonaws.com",
+        index="orders-v1",
+        username="svc",
+        password="pw",
+    )
+    opts = sink.options()
+    assert opts == {
+        "es.nodes": "search-domain.eu-west-2.es.amazonaws.com",
+        "es.port": "9200",
+        "es.resource": "orders-v1",
+        "es.mapping.id": "data_key",
+        "es.nodes.wan.only": "true",
+        "es.net.http.auth.user": "svc",
+        "es.net.http.auth.pass": "pw",
+    }
