@@ -565,3 +565,67 @@ def simhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a (sparse) pair graph by min-label
+    propagation: output (node_col, component) where component is the
+    smallest node id reachable from the node.  The dedup completion
+    step — near-dup PAIRS only say "these two match"; keeping one doc
+    per duplicate GROUP needs the transitive closure.
+
+    Implementation is the iterative Spark pattern: labels start as the
+    node's own id; each round joins labels across (symmetrized,
+    persisted) edges and takes the min of (own, neighbors); stop when
+    a round changes nothing.  Rounds needed = graph diameter — for
+    dedup graphs that's tiny (duplicate clusters are dense blobs), and
+    each round is one shuffle join on the node id.  At extreme scale
+    the same loop upgrades to the large-star/small-star optimization
+    (alternating joins that contract paths in O(log n) rounds); the
+    loop structure and convergence check are identical.
+
+    ``edges`` is consumed through a persist boundary (it's typically
+    an expensive near-dup pipeline); the returned frame is small — one
+    row per node.
+    """
+    e = (
+        edges.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
+        .union(edges.select(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(F.col(node_col).alias("_n"), F.col(node_col).alias("_lbl"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(e, labels["_n"] == e["_src"])
+            .groupBy("_dst")
+            .agg(F.min("_lbl").alias("_nbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["_n"] == neighbor_min["_dst"], "left")
+            .select(
+                "_n",
+                F.least(
+                    F.col("_lbl"), F.coalesce(F.col("_nbl"), F.col("_lbl"))
+                ).alias("_lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("new")
+            .join(labels.alias("old"), "_n")
+            .filter(F.col("new._lbl") != F.col("old._lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("_n").alias(node_col), F.col("_lbl").alias("component"))

@@ -358,3 +358,19 @@ def test_simhash_empty_doc_zero_signature(spark):
     sigs = {r["doc_id"]: r["simhash64"] for r in simhash_table(df, "doc_id").collect()}
     assert sigs[2] == 0 and sigs[3] == 0 and sigs[1] != 0
     assert len(sigs) == 3
+
+
+def test_connected_components_transitive(spark):
+    """Chain a—b—c plus isolated d: one component {a,b,c} labeled by
+    its min, singleton d labels itself (diameter 2 → needs >1 round)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(2, 3), (3, 1)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["_id"])
+    got = {
+        r["_id"]: r["component"]
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
