@@ -49,6 +49,10 @@ def main() -> None:
         except Exception as exc:  # keep the bench line parseable on failure
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
+        # Queries are independent; drop persisted intermediates (dedup
+        # materialization boundaries) so cache pressure from one query
+        # can't skew the next one's timing.
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
