@@ -374,3 +374,38 @@ def test_connected_components_transitive(spark):
         for r in connected_components(edges, nodes).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_shingle_relation_property_matches_array_form(spark):
+    """Property check: for arbitrary whitespace-heavy texts the codegen
+    shingle relation and the array form produce identical per-doc
+    shingle SETS (hypothesis drives the corpus; one Spark round-trip
+    total keeps it fast)."""
+    from hypothesis import given, settings, strategies as st
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        shingle_relation,
+    )
+
+    texts = st.lists(
+        st.text(alphabet=list("ab \t\n"), max_size=40), min_size=1, max_size=8
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(texts)
+    def check(corpus):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+        )
+        rel = shingle_relation(df, "doc_id").collect()
+        got = {}
+        for r in rel:
+            got.setdefault(r["_id"], set()).add(r["_sh"])
+        expected = {
+            r["doc_id"]: set(r["s"])
+            for r in df.select("doc_id", shingles("text", 3).alias("s")).collect()
+            if r["s"]
+        }
+        assert got == expected
+
+    check()

@@ -465,3 +465,49 @@ def test_stream_stream_interval_join(spark, tmp_path):
         assert rows == {(900, 100)}
     finally:
         q.stop()
+
+
+def test_checkpoint_restart_resumes_without_loss_or_dupes(spark, cities_dim, tmp_path):
+    """K4 semantics: stop the stream, start a NEW query from the same
+    checkpoint — offsets resume (batch 1 not reprocessed, batch 2
+    picked up), and the keyed sink holds every key exactly once."""
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    source = JsonDirSource(str(src_dir), as_kafka_envelope=True)
+    sink = KeyedUpsertParquetSink(str(tmp_path / "table"), key_col="data_key")
+    chk = str(tmp_path / "chk")
+
+    write_batch_file(
+        str(src_dir),
+        "b0.json",
+        [order_event(1, "BEX-23-00017", "2023-11-17 10:00:00", total=100.0)],
+    )
+    q1 = sink.start(
+        orders_enrichment_stream(spark, source, cities_dim), checkpoint_dir=chk
+    )
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    write_batch_file(
+        str(src_dir),
+        "b1.json",
+        [
+            order_event(1, "BEX-23-00017", "2023-11-17 10:00:00", total=150.0),
+            order_event(2, "BEX-23-00027", "2023-11-17 11:00:00", total=50.0),
+        ],
+    )
+    q2 = sink.start(
+        orders_enrichment_stream(spark, source, cities_dim), checkpoint_dir=chk
+    )
+    try:
+        q2.processAllAvailable()
+        rows = {r["data_key"]: r["discounted_total"] for r in sink.read(spark).collect()}
+        assert len(rows) == 2  # exactly once per key across the restart
+        assert rows["BEX-23-00017-2023-11-17"] == 150.0  # batch-2 upsert applied
+        assert rows["BEX-23-00027-2023-11-17"] == 50.0
+        # (redelivery of batch 1 is permitted — at-least-once transport;
+        # the keyed sink is what makes the result effectively-once)
+    finally:
+        q2.stop()
