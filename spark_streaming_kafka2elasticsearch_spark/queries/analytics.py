@@ -286,3 +286,48 @@ def active_parties_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nation_key"), F.lit("supplier").alias("party")
     )
     return c.distinct().unionAll(s.distinct())
+
+
+@register(
+    "small_qty_order_revenue",
+    oracle="""
+WITH cuts AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,10))) AS VARCHAR)
+            AS DOUBLE) / 7.0 AS avg_yearly,
+       count(*) AS n_small
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN cuts c ON c.l_partkey = l.l_partkey
+WHERE l.l_quantity < c.qty_cut
+GROUP BY p.p_brand
+""",
+)
+def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar aggregate subquery
+    ("below 20% of this part's average quantity"), decorrelated into a
+    per-part aggregate + join, which is exactly what a correlated
+    subquery must become at scale (one extra shuffle on l_partkey,
+    AQE-sized).  Comparison determinism across engines: l_quantity is
+    integral, so the double average is an exact-integer sum in ANY
+    order / either engine, making the 0.2·avg threshold bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cuts = li.groupBy(F.col("l_partkey").alias("c_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    dec = T.DecimalType(28, 10)
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(cuts, li.l_partkey == F.col("c_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+    )
+    return joined.groupBy("p_brand").agg(
+        (F.sum(F.col("l_extendedprice").cast(dec)).cast("double") / 7.0).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_small"),
+    )

@@ -511,3 +511,53 @@ def test_checkpoint_restart_resumes_without_loss_or_dupes(spark, cities_dim, tmp
         # the keyed sink is what makes the result effectively-once)
     finally:
         q2.stop()
+
+
+def test_orders_etl_app_with_test_doubles(spark, cities_dim, tmp_path):
+    """The reference's main() as a config-driven app: same composition,
+    swappable endpoints — JSON-dir source, literal dim, parquet sink.
+    Also pins the default collaborators' config wiring (Kafka options,
+    ES options) without connecting anywhere."""
+    from spark_streaming_kafka2elasticsearch_spark.app import OrdersEtlApp
+    from spark_streaming_kafka2elasticsearch_spark.config import DictConfig
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    write_batch_file(
+        str(src_dir),
+        "b0.json",
+        [order_event(1, "BEX-23-00017", "2023-11-17 10:00:00", city=7)],
+    )
+    sink = KeyedUpsertParquetSink(str(tmp_path / "table"), key_col="data_key")
+    app = OrdersEtlApp(
+        config=DictConfig({"CHECKPOINT_DIR": str(tmp_path / "chk")}),
+        source=JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        dim=cities_dim,
+        sink=sink,
+    )
+    q = app.start(spark)
+    try:
+        q.processAllAvailable()
+        rows = {r["data_key"]: r["city"] for r in sink.read(spark).collect()}
+        assert rows == {"BEX-23-00017-2023-11-17": "London"}
+    finally:
+        q.stop()
+
+    # default collaborators build from config keys mirroring the
+    # reference's env/secret surface — constructed, never connected
+    cfg = DictConfig(
+        {
+            "KAFKA_BOOTSTRAP": "b:9096",
+            "KAFKA_SASL_USER": "u",
+            "KAFKA_SASL_PASSWORD": "p",
+            "ES_NODES": "es.example",
+            "ES_PORT": "9243",
+        }
+    )
+    bare = OrdersEtlApp(config=cfg)
+    kafka_opts = bare._source().options()
+    assert kafka_opts["kafka.bootstrap.servers"] == "b:9096"
+    assert kafka_opts["subscribe"] == "orders"
+    es_opts = bare._sink().options()
+    assert es_opts["es.port"] == "9243"
+    assert es_opts["es.mapping.id"] == "data_key"
