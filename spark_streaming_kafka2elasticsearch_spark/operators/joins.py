@@ -109,3 +109,44 @@ def stream_stream_interval_join(
     for lk, rk in equi_keys:
         cond = (lw[lk] == rw[rk]) & cond
     return lw.join(rw, cond, how)
+
+
+def salted_equi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-buster equi join: split each hot fact key across
+    ``salt_buckets`` shuffle partitions by salting with a hash of the
+    whole fact row, and replicate every dim row once per salt value —
+    result rows are identical to ``fact.join(dim, key)``, but no single
+    task owns a hot key's entire pair volume.
+
+    When to use over AQE's skew-join split (on by default in this
+    engine's session): AQE splits oversized SORT-MERGE partitions
+    after the fact, which caps task size but still funnels one key
+    through few streams; explicit salting pre-spreads the key at map
+    time and composes with broadcast-unfriendly dim sizes.  The dim
+    side pays ×``salt_buckets`` replication — keep it the smaller
+    side.  Supported joins: inner / left (the replicated dim keeps
+    left-outer null semantics: an unmatched fact row misses ALL salt
+    replicas, so it still emits exactly one null-padded row... for
+    'left' we dedupe nothing because each fact row carries exactly ONE
+    salt value and matches at most that salt's replica).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_equi_join supports inner/left joins")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)
+    ).cast("int")
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    joined = f.join(
+        d, (f[fact_key] == d[dim_key]) & (f["_salt"] == d["_salt"]), how
+    )
+    return joined.drop(d["_salt"]).drop(f["_salt"]).drop(d[dim_key])

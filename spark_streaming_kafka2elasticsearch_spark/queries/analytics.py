@@ -289,6 +289,96 @@ def active_parties_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nation_party_setops",
+    oracle="""
+SELECT nation_key, 'both' AS membership FROM (
+  SELECT c_nationkey AS nation_key FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT nation_key, 'customer_only' AS membership FROM (
+  SELECT c_nationkey AS nation_key FROM customer
+  EXCEPT
+  SELECT s_nationkey FROM supplier
+)
+""",
+)
+def nation_party_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT coverage (set semantics — Spark's intersect()
+    and exceptAll()'s distinct sibling subtract()): nations having both
+    customers and suppliers vs customer-only nations.  Physically both
+    are aggregate-style shuffles on the key, never row-by-row scans."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation_key")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nation_key")
+    )
+    both = c.intersect(s).withColumn("membership", F.lit("both"))
+    only_c = c.subtract(s).withColumn("membership", F.lit("customer_only"))
+    return both.unionAll(only_c)
+
+
+@register(
+    "pii_scrub_stats",
+    oracle="""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-0' || CAST(doc_id % 1000 AS VARCHAR)
+           AS dirty
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, dirty,
+         regexp_replace(
+           regexp_replace(dirty,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>',
+             'g'),
+           '\\+?[0-9][0-9-]{7,}', '<PHONE>', 'g') AS clean
+  FROM synth
+)
+SELECT doc_id,
+       length(dirty) - length(clean) AS bytes_removed,
+       CAST(len(regexp_extract_all(clean, '<EMAIL>')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(clean, '<PHONE>')) AS INTEGER) AS n_phones
+FROM scrubbed
+""",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the corpus-sanitization pass every training-data
+    pipeline runs before anything else.  The synthetic corpus has no
+    real PII, so the query PLANTS a deterministic email + phone per doc
+    (same construction in both engines), scrubs with Java/RE2-common
+    regexes, and emits audit counts.  All codegen'd regexp ops — the
+    100 TB cost is one narrow map over the text column."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-0"),
+        (F.col("doc_id") % 1000).cast("string"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+    phone_re = r"\+?[0-9][0-9-]{7,}"
+    synth = docs.select("doc_id", dirty.alias("dirty"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("dirty"), email_re, "<EMAIL>"),
+        phone_re,
+        "<PHONE>",
+    )
+    scrubbed = synth.select("doc_id", "dirty", clean.alias("clean"))
+    return scrubbed.select(
+        "doc_id",
+        (F.length("dirty") - F.length("clean")).alias("bytes_removed"),
+        F.size(F.regexp_extract_all("clean", F.lit("<EMAIL>"), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("clean", F.lit("<PHONE>"), 0)).alias("n_phones"),
+    )
+
+
+@register(
     "small_qty_order_revenue",
     oracle="""
 WITH cuts AS (

@@ -409,3 +409,27 @@ def test_shingle_relation_property_matches_array_form(spark):
         assert got == expected
 
     check()
+
+
+def test_salted_join_equivalent_to_plain(spark):
+    """Salting must not change the result set — only the shuffle
+    distribution.  Hot key 7 dominates; compare against a plain join,
+    inner and left (incl. unmatched fact keys emitting one null row)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.joins import (
+        salted_equi_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(i, 7 if i % 3 else i % 5) for i in range(300)], ["row_id", "k"]
+    )
+    dim = spark.createDataFrame([(7, "hot"), (1, "one"), (99, "x")], ["k", "v"])
+    for how in ("inner", "left"):
+        salted = {
+            (r["row_id"], r["v"])
+            for r in salted_equi_join(fact, dim, "k", "k", salt_buckets=4, how=how).collect()
+        }
+        plain = {
+            (r["row_id"], r["v"])
+            for r in fact.join(dim, "k", how).collect()
+        }
+        assert salted == plain, how
