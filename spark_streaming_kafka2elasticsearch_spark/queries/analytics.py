@@ -379,6 +379,39 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_brand_revenue",
+    oracle="""
+SELECT p.p_brand,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,10))) AS VARCHAR)
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+""",
+)
+def salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew-buster join, driver-checked for result
+    equivalence: the oracle is the PLAIN join, so hash equality proves
+    salting changes only the shuffle distribution (each hot part key
+    spreads across 8 salt partitions at map time), never the rows.
+    See operators/joins.salted_equi_join for when to prefer this over
+    AQE's after-the-fact skew split."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.joins import (
+        salted_equi_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_equi_join(li, p, "l_partkey", "p_partkey", salt_buckets=8)
+    return joined.groupBy("p_brand").agg(
+        _dsum(F.col("l_extendedprice"), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
     "small_qty_order_revenue",
     oracle="""
 WITH cuts AS (
