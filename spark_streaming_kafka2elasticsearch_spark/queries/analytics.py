@@ -379,6 +379,44 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_region_revenue",
+    oracle="""
+SELECT r.r_name AS region,
+       CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)))
+            AS VARCHAR) AS DOUBLE) AS revenue,
+       count(DISTINCT s.s_suppkey) AS n_suppliers
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
+""",
+)
+def sql_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the engine's tables registered as temp views
+    and the query expressed as a ``spark.sql`` string — same Catalyst
+    plan as the DataFrame API (views are just named plans), proving a
+    reference user can bring raw SQL unchanged.  Cross-engine decimal
+    discipline applies inside the SQL text exactly as in DataFrame
+    code."""
+    for t in ["lineitem", "supplier", "nation", "region"]:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT r.r_name AS region,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+               count(DISTINCT s.s_suppkey) AS n_suppliers
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+@register(
     "salted_brand_revenue",
     oracle="""
 SELECT p.p_brand,

@@ -138,3 +138,26 @@ def test_curate_matches_python_model(spark, events):
         for w in want
     )
     assert got_set == want_set
+
+
+def test_srp_bucket_partition_pruning(spark, tmp_path):
+    """The ANN scale story end-to-end: lay the corpus down partitioned
+    by SRP bucket, and a bucket-filtered read must prune partitions at
+    the scan (PartitionFilters), not post-filter rows."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import srp_bucket
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import write_table
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding", srp_bucket("embedding", dim=64, num_planes=3).alias("bucket")
+    )
+    path = str(tmp_path / "emb_by_bucket")
+    write_table(emb, path, partition_by=["bucket"])
+
+    back = spark.read.parquet(path).filter(F.col("bucket") == 3)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+    n_all = spark.read.parquet(path).count()
+    n_pruned = back.count()
+    assert 0 < n_pruned < n_all
