@@ -433,3 +433,31 @@ def test_salted_join_equivalent_to_plain(spark):
             for r in fact.join(dim, "k", how).collect()
         }
         assert salted == plain, how
+
+
+def test_simhash_near_dup_pairs_mechanism(spark):
+    """Hamming banding mechanism pin: exact duplicates collide in every
+    band and verify at distance 0; unrelated docs never pair.  (At
+    Hamming ≤ 3 SimHash is a near-EXACT dup detector — changing even
+    1 of 20 tokens flips ~13 of 64 bits, because per-bit vote margins
+    scale with √tokens; that physics is why the pipeline keeps MinHash
+    for fuzzy similarity and SimHash for boilerplate-level dupes.)"""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact duplicate
+            (3, base + " "),  # whitespace variant → same token stream
+            (4, "unrelated words entirely different content here now ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(df, "doc_id", max_hamming=3).collect()
+    }
+    assert got == {(1, 2): 0, (1, 3): 0, (2, 3): 0}
