@@ -165,7 +165,13 @@ def ivf_topk(
             train = train.sample(
                 fraction=min(1.0, 1.1 * train_sample_size / n), seed=seed
             ).limit(train_sample_size)
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    # KMeans is iterative: without a persist it re-reads and re-projects
+    # the training frame every iteration.
+    train = train.persist()
+    try:
+        model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    finally:
+        train.unpersist()
 
     c_assigned = model.transform(
         corpus.select(
