@@ -79,3 +79,51 @@ def windowed_orders_stats_stream(
         aggs=[F.count("ship_method").alias("total_orders")],
         watermark=watermark,
     )
+
+
+def documents_ingest_stream(
+    spark: SparkSession,
+    source: Any,
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.3,
+) -> DataFrame:
+    """Streaming corpus ingest — the LLM-data pipeline's front door,
+    composed from the SAME batch operators the oracle-checked queries
+    use (streaming = batch + state): parse document JSON → quality
+    gate → canonical fingerprint → cross-batch first-seen dedup on the
+    fingerprint (applyInPandasWithState), emitting each distinct
+    document exactly once no matter how often the transport redelivers
+    it or how duplicates straddle micro-batches.
+
+    Source contract: yields a ``value`` string column of JSON docs
+    ``{doc_id, lang, text}`` (Kafka envelope in prod, JsonDirSource in
+    tests).  Downstream: any keyed sink; the fingerprint IS the
+    idempotency key.
+    """
+    from pyspark.sql import types as T
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        document_fingerprint,
+        text_quality,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.stateful import (
+        streaming_first_seen,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    parsed = source.load_stream(spark).select(
+        F.from_json(F.col("value").cast("string"), doc_schema).alias("d")
+    ).select("d.*")
+    quality = text_quality(parsed).filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("alpha_ratio") >= min_alpha_ratio)
+    )
+    printed = document_fingerprint(quality)
+    return streaming_first_seen(
+        printed, key_col="fingerprint", value_cols=["doc_id", "lang", "n_tokens"]
+    )

@@ -561,3 +561,54 @@ def test_orders_etl_app_with_test_doubles(spark, cities_dim, tmp_path):
     es_opts = bare._sink().options()
     assert es_opts["es.port"] == "9243"
     assert es_opts["es.mapping.id"] == "data_key"
+
+
+def test_documents_ingest_stream_dedups_across_batches(spark, tmp_path):
+    """Streaming corpus ingest: quality gate + fingerprint dedup over
+    micro-batches.  Batch 2 redelivers doc 1's text verbatim under a
+    NEW doc_id (the crawl-dedup case) and adds a low-quality doc —
+    only genuinely new, quality-passing content is emitted."""
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        documents_ingest_stream,
+    )
+
+    def doc(doc_id, lang, text):
+        return json.dumps({"doc_id": doc_id, "lang": lang, "text": text})
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    source = JsonDirSource(str(src_dir), as_kafka_envelope=True)
+    out = documents_ingest_stream(
+        spark, source, min_tokens=3, min_alpha_ratio=0.3
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ingest")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        write_batch_file(
+            str(src_dir),
+            "b0.json",
+            [
+                doc(1, "en", "the quick brown fox jumps over the dog"),
+                doc(2, "en", "an entirely different document body here"),
+            ],
+        )
+        q.processAllAvailable()
+        write_batch_file(
+            str(src_dir),
+            "b1.json",
+            [
+                doc(9, "en", "the quick brown fox jumps over the dog"),  # dup text
+                doc(3, "en", "12 34 56 78 90 11"),  # fails alpha-ratio gate
+                doc(4, "en", "yet another brand new document arrives"),
+            ],
+        )
+        q.processAllAvailable()
+        rows = [r["doc_id"] for r in spark.sql("SELECT * FROM ingest").collect()]
+        assert sorted(rows) == [1, 2, 4]  # 9 suppressed as dup, 3 gated out
+    finally:
+        q.stop()
