@@ -379,6 +379,29 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_props_map_keys",
+    oracle="""
+SELECT event_type, k AS prop_key, count(*) AS n
+FROM (SELECT event_type, unnest(json_keys(props)) AS k FROM events)
+GROUP BY event_type, k
+""",
+)
+def events_props_map_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType coverage (imported but never used by the reference,
+    SURVEY §1.3): the JSON props column parsed as ``map<string,string>``
+    — the schema for semi-structured payloads whose keys aren't known
+    up front — then key-exploded and counted.  One narrow map + one
+    partial-agg shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return (
+        ev.select("event_type", F.explode(F.map_keys(m)).alias("prop_key"))
+        .groupBy("event_type", "prop_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "sql_region_revenue",
     oracle="""
 SELECT r.r_name AS region,

@@ -612,3 +612,47 @@ def test_documents_ingest_stream_dedups_across_batches(spark, tmp_path):
         assert sorted(rows) == [1, 2, 4]  # 9 suppressed as dup, 3 gated out
     finally:
         q.stop()
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """The BUILT-IN bounded-memory dedup, contrasted with
+    streaming_first_seen: dropDuplicatesWithinWatermark dedups only
+    while the key is inside the watermark window — a duplicate arriving
+    within the window is suppressed, and state for expired keys is
+    evicted (memory bounded by time, not by key cardinality)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("ts", T.StringType())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ddww")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        write_batch_file(
+            str(src),
+            "b0.json",
+            [
+                json.dumps({"k": "a", "ts": "2023-11-17 10:00:00"}),
+                json.dumps({"k": "a", "ts": "2023-11-17 10:01:00"}),  # in-window dup
+                json.dumps({"k": "b", "ts": "2023-11-17 10:02:00"}),
+            ],
+        )
+        q.processAllAvailable()
+        rows = [r["k"] for r in spark.sql("SELECT * FROM ddww").collect()]
+        assert sorted(rows) == ["a", "b"]
+    finally:
+        q.stop()
