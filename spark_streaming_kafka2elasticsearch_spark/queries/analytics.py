@@ -379,6 +379,53 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_functions_showcase",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS rn,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       lag(o_orderkey) OVER w AS prev_order,
+       lead(o_orderkey) OVER w AS next_order,
+       ntile(4) OVER w AS quartile,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,10)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)
+         AS running_spend,
+       first_value(o_orderkey) OVER w AS first_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+""",
+)
+def window_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window family in one oracle-checked projection:
+    ranking (row_number/rank/dense_rank), navigation (lag/lead/
+    first_value), distribution (ntile), and a decimal-exact running
+    sum.  One shuffle on the partition key serves every function —
+    Spark evaluates all frames over a single sorted partition pass.
+    Ordering by the unique o_orderkey makes every output
+    deterministic; the running sum uses the same DECIMAL(28,10)
+    discipline as the money aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(wrun).cast("double").alias(
+            "running_spend"
+        ),
+        F.first("o_orderkey").over(w).alias("first_order"),
+    )
+
+
+@register(
     "events_props_map_keys",
     oracle="""
 SELECT event_type, k AS prop_key, count(*) AS n
