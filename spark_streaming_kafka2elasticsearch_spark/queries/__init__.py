@@ -79,6 +79,7 @@ def _ensure_loaded() -> None:
             datapipe,
             extended,
             parity,
+            tpch,
         )
 
         _loaded = True

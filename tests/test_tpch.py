@@ -1,0 +1,80 @@
+"""Plan-shape contracts for the TPC-H-style suite (queries/tpch.py).
+
+Correctness is the oracle gate's job; these tests pin the SCALE
+properties the docstrings claim: dims broadcast (no sort-merge join of
+a fact against a filtered dim), scan-level predicate pushdown, and the
+left join in Q13 keeping its unmatched rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        all_queries()[name](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_q3_broadcasts_dims_and_pushes_dates(spark):
+    plan = _plan(spark, "shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    # The two date predicates must reach the parquet scans.
+    assert "PushedFilters" in plan and "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_q6_is_pure_scan_aggregate(spark):
+    plan = _plan(spark, "forecast_revenue_change")
+    # No join at all, and the predicates are offered to the scan (the
+    # toString truncates the PushedFilters list, so match the prefix).
+    assert "Join" not in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert ">= 0.04)" in plan  # discount bound survives into the Filter
+
+
+def test_q7_nation_dim_joined_twice_without_shuffle(spark):
+    plan = _plan(spark, "volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4  # c, s, n1, n2
+    assert "SortMergeJoin" not in plan or "l_orderkey" in plan.split(
+        "SortMergeJoin"
+    )[1][:200]  # only the fact-fact join may merge
+
+
+def test_q13_left_join_keeps_orderless_customers(spark):
+    df = all_queries()["customer_order_distribution"](spark, SF_DIR)
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    # Every customer appears exactly once in the distribution.
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert sum(rows.values()) == n_cust
+
+
+def test_q18_having_set_matches_manual_filter(spark):
+    df = all_queries()["large_volume_customer"](spark, SF_DIR)
+    out = df.select("o_orderkey", "sum_qty").collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    manual = {
+        r["l_orderkey"]
+        for r in li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("s"))
+        .filter(F.col("s") > 250)
+        .collect()
+    }
+    assert {r["o_orderkey"] for r in out} == manual
+    assert all(r["sum_qty"] > 250 for r in out)
+
+
+def test_q22_threshold_is_single_broadcast_row(spark):
+    plan = _plan(spark, "global_sales_opportunity")
+    # Scalar threshold arrives via a broadcast nested-loop/cross join,
+    # the anti join stays a hash anti — never a cartesian of facts.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
