@@ -124,6 +124,39 @@ def shingle_relation(
     return rel.distinct() if distinct else rel
 
 
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: for each training document, the
+    number of DISTINCT k-gram shingles it shares with any benchmark
+    document — ``(id_col, n_contaminated_ngrams)``, hits only.
+
+    The classic eval-leak detector (GPT-3 appendix C used 13-grams):
+    a training doc carrying verbatim benchmark n-grams inflates eval
+    scores and must be dropped or scrubbed before training.
+
+    Scale shape: both sides use the zero-shuffle codegen
+    :func:`shingle_relation`; the benchmark side is reduced to its
+    DISTINCT shingle set and **broadcast** — a benchmark corpus is
+    MBs against a 100 TB training corpus, so the scan side never
+    shuffles and the per-doc count is one partial aggregation on the
+    already-id-clustered explode output.  If the benchmark set ever
+    outgrew a broadcast, the same relation feeds a bloom-filter
+    prefilter with this exact join as the verify stage.
+    """
+    tr = shingle_relation(train, id_col, text_col, k=k)
+    ev = shingle_relation(benchmark, id_col, text_col, k=k).select("_sh").distinct()
+    return (
+        tr.join(F.broadcast(ev), "_sh")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+
+
 def minhash_signatures_wide(
     df: DataFrame,
     id_col: str,
