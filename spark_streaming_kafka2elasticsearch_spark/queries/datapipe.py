@@ -368,6 +368,49 @@ def documents_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_train_docs",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 12, 1)),
+           i -> array_to_string(toks[i:i+12], ' ')
+         )) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+),
+flat AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ev AS (SELECT DISTINCT s FROM flat WHERE doc_id % 2 = 1),
+tr AS (SELECT doc_id, s FROM flat WHERE doc_id % 2 = 0)
+SELECT tr.doc_id, count(*) AS n_contaminated_ngrams
+FROM tr JOIN ev USING (s)
+GROUP BY tr.doc_id
+""",
+)
+def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3-style 13-gram eval-leak
+    detector): the corpus is split into a training half (even doc_id)
+    and a benchmark half (odd doc_id); for every training doc, count
+    the DISTINCT 13-gram shingles it shares with ANY benchmark doc —
+    those docs leak eval data and must be dropped/scrubbed before
+    training.  Scale shape: the benchmark shingle set is distinct-
+    reduced and broadcast, so the 100 TB training side never shuffles
+    (operators/dedup.ngram_contamination).  The DuckDB oracle mirrors
+    the codegen shingle construction exactly: ``array_to_string(slice)``
+    ≡ ``concat_ws`` over null-skipping ``get`` lookups, docs shorter
+    than 13 tokens contribute their whole-doc join as one shingle."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        ngram_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    benchmark = docs.filter(F.col("doc_id") % 2 == 1)
+    return ngram_contamination(train, benchmark, id_col="doc_id", k=13)
+
+
+@register(
     "stratified_sample_by_lang",
     oracle="""
 SELECT doc_id, lang
