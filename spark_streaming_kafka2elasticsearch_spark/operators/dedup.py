@@ -197,6 +197,7 @@ def minhash_lsh_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket_size: int = 256,
+    verify_max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified with exact
     shingle Jaccard.  Output: (id_a, id_b, jaccard) with id_a < id_b;
@@ -297,7 +298,24 @@ def minhash_lsh_candidate_pairs(
         ).distinct()
     )
     docs_c = df.join(cand_ids, id_col, "left_semi")
-    relc = shingle_relation(docs_c, id_col, text_col, k_shingle).persist()
+    relc = shingle_relation(docs_c, id_col, text_col, k_shingle)
+    if verify_max_doc_freq is not None:
+        # The verify self-join costs Σ df² over candidate-doc shingle
+        # frequencies: one stop-shingle shared by most candidates
+        # would reintroduce exactly the quadratic blowup the bucket
+        # census gate exists to prevent.  Cap mirrors
+        # blocked_ngram_jaccard_pairs: drop over-frequent shingles
+        # from every candidate set consistently, recount sizes below,
+        # so the output stays a true Jaccard of the reduced sets.
+        # Default 1000 only bites on degenerate boilerplate shingles.
+        ok_sh = (
+            relc.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= verify_max_doc_freq)
+            .select("_sh")
+        )
+        relc = relc.join(ok_sh, "_sh")
+    relc = relc.persist()
     sizes = relc.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = relc.select(F.col("_id").alias("id_a"), "_sh")
     b = relc.select(F.col("_id").alias("id_b"), "_sh")
@@ -529,19 +547,29 @@ def simhash_near_dup_pairs(
     hamming) with id_a < id_b and popcount(sig_a XOR sig_b) ≤
     ``max_hamming``.
 
-    The 64-bit signature splits into 4 disjoint 16-bit bands; by
-    pigeonhole, any pair within Hamming distance 3 agrees exactly on
-    at least one band, so bucketing on (band, band-bits) finds every
-    qualifying pair while only ever comparing within buckets — the
-    same banded shape as MinHash-LSH, with the same two-pass census
-    gate dropping degenerate buckets before member lists materialize.
-    Verification is a single codegen'd ``bit_count(xor)`` per
-    candidate — no text access at all, so the verify stage moves 16
-    bytes per doc regardless of document size.  ``simhash_table`` (1
-    row/doc) is persisted: it feeds the banding and both sides of the
-    verify join.
+    The 64-bit signature splits into disjoint bands; by pigeonhole, a
+    pair within Hamming distance d agrees exactly on at least one band
+    only when there are **at least d+1 bands**, so the band count is
+    DERIVED from ``max_hamming`` (smallest power-of-two divisor of 64
+    ≥ max_hamming+1 — the default 3 gives the classic 4×16-bit
+    split).  Hardcoding 4 bands would silently lose recall for any
+    caller passing max_hamming ≥ 4: four differing bits can land one
+    per band and never collide.  Bucketing on (band, band-bits) finds
+    every qualifying pair while only ever comparing within buckets —
+    the same banded shape as MinHash-LSH, with the same two-pass
+    census gate dropping degenerate buckets before member lists
+    materialize.  Verification is a single codegen'd
+    ``bit_count(xor)`` per candidate — no text access at all, so the
+    verify stage moves 16 bytes per doc regardless of document size.
+    ``simhash_table`` (1 row/doc) is persisted: it feeds the banding
+    and both sides of the verify join.
     """
-    bands = 4
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(
+            "max_hamming must be in [0, 31] (recall needs max_hamming+1 "
+            "bands; beyond 32 the bands stop carrying signal)"
+        )
+    bands = next(b for b in (1, 2, 4, 8, 16, 32) if b >= max_hamming + 1)
     width = 64 // bands
     sig = simhash_table(df, id_col, text_col).persist()
     band_structs = [
@@ -607,6 +635,7 @@ def connected_components(
     id_b: str = "id_b",
     node_col: str = "_id",
     max_iter: int = 25,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Connected components over a (sparse) pair graph by min-label
     propagation: output (node_col, component) where component is the
@@ -620,13 +649,24 @@ def connected_components(
     a round changes nothing.  Rounds needed = graph diameter — for
     dedup graphs that's tiny (duplicate clusters are dense blobs), and
     each round is one shuffle join on the node id.  At extreme scale
-    the same loop upgrades to the large-star/small-star optimization
-    (alternating joins that contract paths in O(log n) rounds); the
-    loop structure and convergence check are identical.
+    prefer :func:`connected_components_star` — the alternating
+    large-star/small-star contraction converges in O(log²·) rounds on
+    deep graphs; this loop is the simpler choice for the shallow,
+    blob-shaped graphs dedup actually produces.
 
-    ``edges`` is consumed through a persist boundary (it's typically
-    an expensive near-dup pipeline); the returned frame is small — one
-    row per node.
+    Long-run hygiene (each round in a driver loop otherwise leaks):
+    the superseded labels frame is **unpersisted** the moment its
+    successor is materialized, the lineage (one join deeper per round)
+    is truncated with ``localCheckpoint`` every ``checkpoint_every``
+    rounds, and the final labels are checkpointed so the symmetrized
+    edge cache can be released before returning — at no point do more
+    than two label snapshots plus the edge relation occupy cache.
+
+    **Convergence is verified, never assumed**: if the graph diameter
+    exceeds ``max_iter`` (e.g. a long chain of pairwise near-dups) the
+    labels would be silently wrong — one true component split into
+    several — so hitting ``max_iter`` with changes still flowing raises
+    ``RuntimeError`` instead of returning truncated labels.
     """
     e = (
         edges.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
@@ -635,30 +675,158 @@ def connected_components(
         .persist()
     )
     labels = nodes.select(F.col(node_col).alias("_n"), F.col(node_col).alias("_lbl"))
-    for _ in range(max_iter):
+    changed = 1
+    for it in range(max_iter):
         neighbor_min = (
             labels.join(e, labels["_n"] == e["_src"])
             .groupBy("_dst")
             .agg(F.min("_lbl").alias("_nbl"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["_n"] == neighbor_min["_dst"], "left")
-            .select(
-                "_n",
-                F.least(
-                    F.col("_lbl"), F.coalesce(F.col("_nbl"), F.col("_lbl"))
-                ).alias("_lbl"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels["_n"] == neighbor_min["_dst"], "left"
+        ).select(
+            "_n",
+            F.least(
+                F.col("_lbl"), F.coalesce(F.col("_nbl"), F.col("_lbl"))
+            ).alias("_lbl"),
         )
+        if (it + 1) % checkpoint_every == 0:
+            # Materializes AND truncates lineage (one join per round
+            # otherwise nests max_iter plans deep → janino blowup).
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("new")
             .join(labels.alias("old"), "_n")
             .filter(F.col("new._lbl") != F.col("old._lbl"))
             .limit(1)
-            .count()
+            .count()  # the action that also materializes new_labels
         )
+        labels.unpersist()  # no-op on the round-0 unpersisted spine
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("_n").alias(node_col), F.col("_lbl").alias("component"))
+    if changed != 0:
+        e.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (graph diameter exceeds the round budget); raise "
+            "max_iter or use connected_components_star for deep graphs"
+        )
+    # Checkpoint the result so the edge/labels caches can be released
+    # now — callers consume the output lazily, long after this scope.
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    e.unpersist()
+    return final.select(F.col("_n").alias(node_col), F.col("_lbl").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by the alternating **large-star /
+    small-star** contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — the 100 TB path for DEEP graphs, where
+    min-label propagation's rounds-=-diameter cost is unacceptable.
+
+    Each round rewrites the edge set with two join+agg passes:
+
+    * **large-star(u)**: every neighbor LARGER than u re-attaches to
+      the minimum of u's neighborhood ∪ {u} — long tails fold onto
+      small labels in one hop;
+    * **small-star(u)** (edges oriented high→low): every smaller
+      neighbor, and u itself, attach to the neighborhood minimum.
+
+    Both passes strictly contract toward the component minimum and the
+    fixpoint is the star graph (every node → its component's min
+    node), reached in O(log² n) rounds regardless of diameter — a
+    10⁶-long chain converges in ~20 rounds where label propagation
+    needs 10⁶.  Per round: two groupBy-min shuffles and two joins over
+    the CURRENT edge set, which only shrinks.  No per-node member
+    lists ever materialize (pure join/agg — no collect_set), so one
+    mega-component cannot OOM a task.
+
+    Same hygiene contract as :func:`connected_components` — superseded
+    edge frames released as soon as the successor is materialized,
+    converged-or-raise (never silent truncation) — with one sharper
+    rule: lineage is cut with ``localCheckpoint`` **every** round,
+    because each star round references the previous edge set ~10×
+    (two symmetrize/orient unions, two join+agg passes), so an
+    uncheckpointed logical plan grows ~10^rounds and OOMs the driver
+    before any data moves.  One eager materialization per round IS the
+    algorithm's cost model (GraphX/GraphFrames checkpoint the same
+    way).
+    """
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = (
+            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        # m = min(N(u) ∪ {u}); attach strictly-larger neighbors to it.
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("_mn")).alias("v"),
+            )
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        orient = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = orient.groupBy("u").agg(F.min("v").alias("_mn"))
+        withm = orient.join(mins, "u")
+        nbrs = withm.select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+        selfe = withm.select("u", F.col("_mn").alias("v")).distinct()
+        return nbrs.union(selfe).filter(F.col("u") != F.col("v")).distinct()
+
+    e = (
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    converged = False
+    for it in range(max_iter):
+        e2 = small_star(large_star(e)).localCheckpoint(eager=True)
+        # Exact set equality (edge rows are distinct by construction).
+        stable = (
+            e2.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(e2).limit(1).count() == 0
+        )
+        e.unpersist()
+        e = e2
+        if stable:
+            converged = True
+            break
+    if not converged:
+        e.unpersist()
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # Fixpoint is a star graph: (node → component min); roots and
+    # isolated nodes label themselves via the left join.
+    stars = e.select(F.col("u").alias("_n"), F.col("v").alias("_lbl"))
+    out = (
+        nodes.select(F.col(node_col).alias("_n"))
+        .join(stars, "_n", "left")
+        .select(
+            F.col("_n").alias(node_col),
+            F.coalesce("_lbl", F.col("_n")).alias("component"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    return out

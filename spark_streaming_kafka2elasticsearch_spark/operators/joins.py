@@ -101,6 +101,12 @@ def stream_stream_interval_join(
     conjunct keeps the physical join a stream-stream hash join
     (shuffled on the key), never a cross product.
     """
+    if not equi_keys:
+        # Without an equality conjunct Spark falls back to a non-equi
+        # stream-stream join that buffers and compares across ALL keys
+        # — the cross-product shape this wrapper exists to forbid,
+        # same as it already makes the watermarks and range mandatory.
+        raise ValueError("stream_stream_interval_join requires equi_keys")
     lw = left.withWatermark(left_ts, left_watermark)
     rw = right.withWatermark(right_ts, right_watermark)
     cond: Column = (lw[left_ts] >= rw[right_ts]) & (

@@ -9,23 +9,187 @@ The Spark-side contract for a 100 TB multimodal corpus:
   never a row-at-a-time UDF;
 * output schemas are declared up front so Catalyst can prune/plan.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are not in this container,
-so the decode kernels are STUBBED: ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (seeded by content hash) produces plausible
-shapes — making the plumbing (schema, batching, partitioning) fully
-real and testable.
+Codec status (no PIL/ffmpeg/torchaudio in this container):
+
+* **image — REAL**: a pure stdlib+numpy PNG decoder (``zlib``
+  inflate + vectorized scanline unfiltering, 8-bit gray/RGB/RGBA,
+  all five filter types) backs ``decode_image_features(fake=False)``;
+* **audio — REAL**: stdlib ``wave`` parses RIFF/WAVE PCM for
+  ``decode_audio_features(fake=False)`` (duration/rate/RMS);
+* **video — STUBBED**: frame extraction genuinely needs ffmpeg;
+  ``sample_video_frames`` raises ``NotImplementedError`` unless
+  ``fake=True``.
+
+Every kernel keeps the deterministic fake path (seeded by content
+hash) so plumbing tests never depend on byte-level codec details.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Pure stdlib+numpy PNG codec (decoder + filter-0 encoder)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to a (h, w, channels) uint8
+    array — stdlib ``zlib``/``struct`` + numpy only, no PIL.
+
+    Supports gray / gray+alpha / RGB / RGBA and all five scanline
+    filters.  Filters none/up are fully vectorized; sub/average/paeth
+    carry a per-pixel recurrence along x (inherently sequential), done
+    row-wise in numpy int arithmetic.
+    """
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (bad magic)")
+    pos = 8
+    idat = bytearray()
+    w = h = channels = -1
+    while pos + 8 <= len(data):
+        (ln,), typ = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + payload + crc
+        if typ == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced PNG supported")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color}")
+            channels = _PNG_CHANNELS[color]
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if w < 0:
+        raise ValueError("PNG missing IHDR")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG payload size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    img = rows[:, 1:].astype(np.int32)
+    out = np.zeros_like(img)
+    c = channels
+    for y in range(h):
+        f = int(filters[y])
+        cur = img[y]
+        prev = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            out[y] = cur
+        elif f == 2:  # up — vectorized
+            out[y] = (cur + prev) & 0xFF
+        elif f == 1:  # sub — recurrence on x
+            row = cur.copy()
+            for x in range(c, stride):
+                row[x] = (row[x] + row[x - c]) & 0xFF
+            out[y] = row
+        elif f == 3:  # average
+            row = cur.copy()
+            for x in range(stride):
+                a = row[x - c] if x >= c else 0
+                row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+            out[y] = row
+        elif f == 4:  # paeth
+            row = cur.copy()
+            for x in range(stride):
+                a = row[x - c] if x >= c else 0
+                b = prev[x]
+                cc = prev[x - c] if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[x] = (row[x] + pred) & 0xFF
+            out[y] = row
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out.astype(np.uint8).reshape(h, w, channels)
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Encode a (h, w, channels) uint8 array as a filter-0 PNG —
+    the deterministic fixture generator for codec tests/queries."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_features(data: bytes) -> tuple[int, int, int, float]:
+    """(width, height, channels, mean_luma∈[0,1]) of a PNG payload."""
+    px = png_decode(data).astype(np.float64)
+    h, w, c = px.shape
+    if c >= 3:
+        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    else:
+        luma = px[..., 0]
+    return w, h, c, float(luma.mean() / 255.0)
+
+
+# ---------------------------------------------------------------------------
+# stdlib WAV codec
+# ---------------------------------------------------------------------------
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode int16 mono PCM as RIFF/WAVE via stdlib ``wave``."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _wav_features(data: bytes) -> tuple[int, int, float]:
+    """(duration_ms, sample_rate, rms_energy∈[0,1]) of 16-bit PCM WAV."""
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        width = wf.getsampwidth()
+        frames = wf.readframes(n)
+    if width != 2:
+        raise ValueError("only 16-bit PCM WAV supported")
+    x = np.frombuffer(frames, "<i2").astype(np.float64) / 32768.0
+    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+    duration_ms = int(round(n * 1000 / rate)) if rate else 0
+    return duration_ms, rate, rms
 
 #: Schema of a decoded-image feature row.
 IMAGE_FEATURES_SCHEMA = T.StructType(
@@ -59,20 +223,19 @@ def decode_image_features(
     """Decode images → (dims, mean luminance) via Arrow-batched
     ``mapInPandas``.
 
-    ``fake=False`` requires a real codec library and raises
-    ``NotImplementedError`` in this container (clearly-marked stub per
-    the build contract); ``fake=True`` runs the deterministic fake so
-    the distributed plumbing is exercised end-to-end.
+    ``fake=False`` runs the REAL pure-numpy PNG decoder
+    (:func:`png_decode` — no PIL needed); non-PNG payloads raise
+    ``ValueError`` (JPEG/WebP would need a real codec library).
+    ``fake=True`` runs the deterministic content-hash fake so plumbing
+    tests never depend on byte-level codec details.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decoding needs PIL/libvips (not in this "
-                    "container); pass fake=True for the deterministic stub"
-                )
-            decoded = [_fake_decode(bytes(b)) for b in pdf[binary_col]]
+            if fake:
+                decoded = [_fake_decode(bytes(b)) for b in pdf[binary_col]]
+            else:
+                decoded = [_png_features(bytes(b)) for b in pdf[binary_col]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
@@ -155,24 +318,34 @@ def decode_audio_features(
     binary_col: str = "content",
     fake: bool = False,
 ) -> DataFrame:
-    """Audio decode → (duration, sample rate, RMS energy).  Same stub
-    contract as images/video: real codecs absent, fake mode derives
-    deterministic values from the content hash."""
+    """Audio decode → (duration, sample rate, RMS energy).
+
+    ``fake=False`` parses REAL RIFF/WAVE 16-bit PCM via the stdlib
+    ``wave`` module (:func:`_wav_features`); compressed formats
+    (mp3/ogg/flac) would need a codec library and raise ``ValueError``
+    from the parser.  ``fake=True`` derives deterministic values from
+    the content hash."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real audio decoding needs torchaudio/soundfile (not in "
-                    "this container); pass fake=True for the deterministic stub"
+            if fake:
+                hs = [hashlib.sha256(bytes(b)).digest() for b in pdf[binary_col]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf[id_col].astype("int64"),
+                        "duration_ms": [1000 + h[4] * 100 for h in hs],
+                        "sample_rate": [16000 for _ in hs],
+                        "rms_energy": [h[5] / 255.0 for h in hs],
+                    }
                 )
-            hs = [hashlib.sha256(bytes(b)).digest() for b in pdf[binary_col]]
+                continue
+            decoded = [_wav_features(bytes(b)) for b in pdf[binary_col]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
-                    "duration_ms": [1000 + h[4] * 100 for h in hs],
-                    "sample_rate": [16000 for _ in hs],
-                    "rms_energy": [h[5] / 255.0 for h in hs],
+                    "duration_ms": [d[0] for d in decoded],
+                    "sample_rate": [d[1] for d in decoded],
+                    "rms_energy": [d[2] for d in decoded],
                 }
             )
 
@@ -183,9 +356,83 @@ def decode_audio_features(
 
 def synth_media_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Manufacture an opaque-binary media column from any string column
-    (test fixture: the container has no real media files)."""
+    (test fixture for the FAKE decode path — the bytes are not a real
+    media format)."""
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
         F.encode(F.col(text_col), "utf-8").alias("content"),
         F.lit("image/fake").alias("mime"),
+    )
+
+
+_MEDIA_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField("mime", T.StringType(), False),
+    ]
+)
+
+
+def _synth_png(media_id: int) -> bytes:
+    """Deterministic real PNG: an id-seeded gradient whose dimensions
+    and mean luminance are pure functions of the id."""
+    w = 16 + (media_id * 7) % 48
+    h = 16 + (media_id * 13) % 32
+    xs = np.arange(w, dtype=np.uint32)
+    ys = np.arange(h, dtype=np.uint32)[:, None]
+    r = ((xs + media_id) % 256).astype(np.uint8) * np.ones((h, 1), np.uint8)
+    g = ((ys * 3 + media_id * 5) % 256).astype(np.uint8) * np.ones((1, w), np.uint8)
+    b = ((xs[None, :] + ys * 2) % 256).astype(np.uint8)
+    return png_encode(np.stack([r, g, b], axis=-1))
+
+
+def _synth_wav(media_id: int, sample_rate: int = 16000) -> bytes:
+    """Deterministic real WAV: an id-seeded sine tone (so RMS of the
+    decoded PCM is analytically ≈ amplitude/√2)."""
+    dur_ms = 50 + (media_id * 17) % 200
+    freq = 200.0 + (media_id % 40) * 25.0
+    amp = 0.1 + (media_id % 8) * 0.1
+    t = np.arange(int(sample_rate * dur_ms / 1000)) / sample_rate
+    samples = np.round(amp * 32767.0 * np.sin(2 * np.pi * freq * t)).astype("<i2")
+    return wav_encode(samples, sample_rate)
+
+
+def synth_png_table(df: DataFrame, id_col: str) -> DataFrame:
+    """Real-PNG media table: one deterministic gradient PNG per input
+    id, generated in the same Arrow-batched ``mapInPandas`` shape a
+    real ingest (fetch-from-object-store) stage uses."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_synth_png(int(i)) for i in ids],
+                    "mime": ["image/png"] * len(ids),
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        gen, schema=_MEDIA_TABLE_SCHEMA
+    )
+
+
+def synth_wav_table(df: DataFrame, id_col: str) -> DataFrame:
+    """Real-WAV media table: one deterministic sine tone per input id."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_synth_wav(int(i)) for i in ids],
+                    "mime": ["audio/wav"] * len(ids),
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        gen, schema=_MEDIA_TABLE_SCHEMA
     )

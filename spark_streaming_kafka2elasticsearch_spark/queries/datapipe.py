@@ -609,6 +609,37 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(media, fake=True)
 
 
+@register("multimodal_image_decode_real")  # no SQL oracle: mapInPandas kernel
+def multimodal_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: deterministic gradient PNGs are
+    generated per doc_id (Arrow-batched encode stage), then decoded by
+    the pure-numpy PNG decoder (zlib inflate + scanline unfiltering —
+    no PIL).  Dimensions and luminance are true decoded-pixel values,
+    not content-hash fakes; see operators/multimodal.png_decode."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        synth_png_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_png_table(docs, id_col="doc_id")
+    return decode_image_features(media, fake=False)
+
+
+@register("multimodal_audio_decode_real")  # no SQL oracle: mapInPandas kernel
+def multimodal_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: deterministic sine-tone WAVs per
+    doc_id, parsed by the stdlib ``wave`` RIFF decoder — duration,
+    sample rate, and RMS energy come from the actual PCM samples."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        decode_audio_features,
+        synth_wav_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_wav_table(docs, id_col="doc_id")
+    return decode_audio_features(media, fake=False)
+
+
 @register("multimodal_video_frames")  # no SQL oracle: mapInPandas kernel
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame sampling over an opaque video column — the Arrow-

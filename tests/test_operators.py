@@ -217,14 +217,94 @@ def test_multimodal_decode_stub_deterministic(spark):
     assert all(64 <= r["width"] <= 256 for r in a.values())
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_real_decode_rejects_non_png(spark):
+    """fake=False is the REAL PNG decoder now — bytes that aren't a
+    PNG (here: utf-8 text) must fail loudly, not fake an answer."""
     docs = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
     media = synth_media_table(docs, "doc_id", "text")
-    with pytest.raises(Exception) as exc_info:
+    with pytest.raises(Exception, match="not a PNG"):
         decode_image_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
+
+
+def test_multimodal_real_png_decode_end_to_end(spark):
+    """REAL image decode: known pixels → PNG bytes → distributed
+    mapInPandas decode → exact dims and exact (to 1e-12) mean luma."""
+    import numpy as np
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        png_encode,
     )
+
+    rng = np.random.RandomState(11)
+    imgs = {i: rng.randint(0, 256, (10 + i, 20 + i, 3), dtype=np.uint8) for i in (1, 2)}
+    media = spark.createDataFrame(
+        [(i, bytearray(png_encode(img))) for i, img in imgs.items()],
+        "media_id long, content binary",
+    )
+    got = {
+        r["media_id"]: r.asDict()
+        for r in decode_image_features(media, fake=False).collect()
+    }
+    for i, img in imgs.items():
+        h, w, _ = img.shape
+        luma = (
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        ).mean() / 255.0
+        assert got[i]["width"] == w and got[i]["height"] == h
+        assert got[i]["channels"] == 3
+        assert abs(got[i]["mean_luma"] - luma) < 1e-12
+
+
+def test_multimodal_real_wav_decode_end_to_end(spark):
+    """REAL audio decode: a sine tone's decoded RMS must match the
+    analytic amplitude/√2, and duration/rate come from the header."""
+    import numpy as np
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        decode_audio_features,
+        wav_encode,
+    )
+
+    sr = 8000
+    t = np.arange(sr // 4) / sr  # 250 ms
+    samples = np.round(0.6 * 32767 * np.sin(2 * np.pi * 330 * t)).astype("<i2")
+    media = spark.createDataFrame(
+        [(1, bytearray(wav_encode(samples, sr)))], "media_id long, content binary"
+    )
+    row = decode_audio_features(media, fake=False).collect()[0]
+    assert row["duration_ms"] == 250 and row["sample_rate"] == sr
+    assert abs(row["rms_energy"] - 0.6 / np.sqrt(2)) < 1e-3
+
+
+def test_multimodal_synth_real_tables_roundtrip(spark):
+    """The registered real-decode queries' fixture generators produce
+    genuinely decodable media: id-seeded PNG dims follow the generator
+    formula; WAV duration follows its formula."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        decode_audio_features,
+        synth_png_table,
+        synth_wav_table,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (0, 5, 42)], ["doc_id"])
+    img = {
+        r["media_id"]: r.asDict()
+        for r in decode_image_features(
+            synth_png_table(ids, "doc_id"), fake=False
+        ).collect()
+    }
+    for i in (0, 5, 42):
+        assert img[i]["width"] == 16 + (i * 7) % 48
+        assert img[i]["height"] == 16 + (i * 13) % 32
+    aud = {
+        r["media_id"]: r.asDict()
+        for r in decode_audio_features(
+            synth_wav_table(ids, "doc_id"), fake=False
+        ).collect()
+    }
+    for i in (0, 5, 42):
+        assert aud[i]["duration_ms"] == 50 + (i * 17) % 200
+        assert aud[i]["sample_rate"] == 16000
 
 
 # ---------------------------------------------------------------------------
@@ -461,3 +541,132 @@ def test_simhash_near_dup_pairs_mechanism(spark):
         for r in simhash_near_dup_pairs(df, "doc_id", max_hamming=3).collect()
     }
     assert got == {(1, 2): 0, (1, 3): 0, (2, 3): 0}
+
+
+def test_connected_components_path_graph(spark):
+    """Diameter ≫ 2 property: a 15-node path needs 14 propagation
+    rounds — crossing several localCheckpoint lineage truncations —
+    and must still converge to a single min-labeled component."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 15
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["_id"])
+    got = {
+        r["_id"]: r["component"]
+        for r in connected_components(
+            edges, nodes, max_iter=20, checkpoint_every=4
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A graph whose diameter exceeds max_iter must RAISE — silently
+    returning truncated labels would split one duplicate group into
+    several (ADVICE r2)."""
+    import pytest as _pytest
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(12)], ["_id"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iter=4)
+
+
+def test_connected_components_star_matches_iterative(spark):
+    """Property test: large-star/small-star and min-label propagation
+    agree on random sparse graphs (components, labels, isolated
+    nodes) — and the star variant crushes a 40-deep path in its
+    O(log²) round budget, where label propagation would need 40."""
+    import random
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    n = 60
+    edge_list = sorted(
+        {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(50)
+        }
+    )
+    edges = spark.createDataFrame(edge_list, ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["_id"])
+    star = {
+        r["_id"]: r["component"]
+        for r in connected_components_star(edges, nodes).collect()
+    }
+    iterative = {
+        r["_id"]: r["component"]
+        for r in connected_components(edges, nodes, max_iter=30).collect()
+    }
+    assert star == iterative
+
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    deep_nodes = spark.createDataFrame([(i,) for i in range(41)], ["_id"])
+    got = {
+        r["_id"]: r["component"]
+        for r in connected_components_star(
+            deep, deep_nodes, max_iter=12
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_simhash_max_hamming_validation(spark):
+    """Band count derives from max_hamming (pigeonhole needs ≥ d+1
+    bands — ADVICE r2); out-of-range thresholds raise instead of
+    silently losing recall, and a wider threshold still finds the
+    exact dups the 4-band default finds."""
+    import pytest as _pytest
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "other stuff wholly unlike that")],
+        ["doc_id", "text"],
+    )
+    for bad in (-1, 32, 64):
+        with _pytest.raises(ValueError, match="max_hamming"):
+            simhash_near_dup_pairs(df, "doc_id", max_hamming=bad)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(df, "doc_id", max_hamming=7).collect()
+    }
+    assert got == {(1, 2): 0}
+
+
+def test_interval_join_requires_equi_keys(spark):
+    """Empty equi_keys would silently degrade to a buffered non-equi
+    stream-stream join (cross-product shape) — must raise (ADVICE r2)."""
+    import pytest as _pytest
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.joins import (
+        stream_stream_interval_join,
+    )
+
+    df = spark.createDataFrame([(1,)], ["k"]).select(
+        "k", F.current_timestamp().alias("ts")
+    )
+    with _pytest.raises(ValueError, match="equi_keys"):
+        stream_stream_interval_join(
+            df, df, "ts", "ts", [], "5 minutes", "10 minutes", "10 minutes"
+        )
