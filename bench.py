@@ -55,17 +55,23 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total wall-clock sec for all registered queries (noop sink)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "total wall-clock sec for all registered queries (noop sink)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    line = json.dumps(summary)
+    # Stdout is the driver contract, but long registries have had the
+    # tail of the captured line truncated (r2 lost its total) — also
+    # persist the summary to a file so totals always survive.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

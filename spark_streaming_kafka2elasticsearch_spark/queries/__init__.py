@@ -56,14 +56,63 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: Driver-cap rotation (VERDICT r2 item 5): the correctness harness
+#: checks only the first ~50 registry entries per round, so entries the
+#: driver has NEVER checked (new this round + the round-2 overflow)
+#: register first, then entries last checked in round 1, then the
+#: rest.  Dicts preserve insertion order; rotate this list each round
+#: so every query gets a driver row within two rounds.
+_PRIORITY: list[str] = [
+    # new in round 3 — never checked by anyone
+    "decontaminate_train_docs",
+    "multimodal_image_decode_real",
+    "multimodal_audio_decode_real",
+    # registered in round 2, beyond the driver's 50-cap both rounds
+    "events_localtime_kolkata",
+    "embedding_cosine_pairs_fast",
+    "shipping_priority",
+    "order_priority_late_ship",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "volume_shipping",
+    "national_market_share",
+    "returned_item_reporting",
+    "customer_order_distribution",
+    "top_supplier",
+    "large_volume_customer",
+    "discounted_revenue",
+    "global_sales_opportunity",
+    # last driver-checked in round 1
+    "token_frequencies",
+    "events_sliding_10min",
+    "embedding_cosine_pairs",
+    "promo_revenue_share",
+    "parts_by_brand",
+    "lineitem_cube",
+    "supplier_revenue_in_region",
+    "curated_orders",
+    "curated_orders_fused",
+    "products_sold_exploded",
+    "orders_enriched",
+    "events_tumbling_2min",
+    "lineitem_filter_project",
+    "orders_deterministic_sample",
+]
+
+
+def _rotated(d: dict) -> dict:
+    head = {k: d[k] for k in _PRIORITY if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def all_queries() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return dict(_QUERIES)
+    return _rotated(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
-    return dict(_ORACLES)
+    return _rotated(_ORACLES)
 
 
 _loaded = False
