@@ -19,6 +19,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# local[N] runs driver+executors in ONE JVM; the 1g default heap is
+# the bottleneck long before the 128 GiB box is.  Must be set before
+# the py4j gateway launches (builder.config is too late for driver
+# memory); respects any value the harness already exported.
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 48g pyspark-shell")
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

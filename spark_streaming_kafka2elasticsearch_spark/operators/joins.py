@@ -18,6 +18,8 @@ of a streaming enrichment engine needs them and they are free in Spark.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -115,6 +117,81 @@ def stream_stream_interval_join(
     for lk, rk in equi_keys:
         cond = (lw[lk] == rw[rk]) & cond
     return lw.join(rw, cond, how)
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    strict: bool = True,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the payload of
+    the LATEST right row with the same key and ``right_ts`` before
+    ``left_ts`` (strictly before when ``strict``, else ≤) — the
+    point-in-time enrichment primitive (last sensor reading, last
+    error, SCD2 dim version at event time).
+
+    Scale shape — this is the part that matters at 100 TB: the naive
+    formulation (range join + groupBy-max, or a per-key correlated
+    subquery) explodes |left|×|candidate window|.  Instead both sides
+    are TAGGED and UNIONED, shuffled ONCE on the key, sorted within
+    each key by (ts, side-order), and the match is a running
+    ``last(payload, ignorenulls=True)`` window — cost is one shuffle +
+    one sort, identical to a groupBy on the key, regardless of how
+    many right rows precede each left row.  Tie discipline: at equal
+    timestamps the left row sorts BEFORE the right row when strict
+    (the equal-ts right row must not match) and after it otherwise;
+    ``tie_col`` (e.g. a unique id) makes the pick among equal-ts right
+    rows deterministic.
+
+    Output: all left columns + ``payload_cols`` (null where no right
+    row qualifies).  Columns in ``payload_cols`` must not collide with
+    left column names — alias upstream.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(on)
+    lcols = left.columns
+    # Right rows sort after left at equal ts iff strict (so the
+    # running last() cannot see them from the left row).
+    r_ord = 1 if strict else -1
+    l2 = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("_ats"),
+        F.lit(0).alias("_ord"),
+        F.lit(None).cast("long").alias("_tie"),
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"{c}:{dict(right.dtypes)[c]}" for c in payload_cols
+            )
+            + ">"
+        )
+        .alias("_rp"),
+    )
+    r2 = right.select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c not in keys],
+        F.col(right_ts).alias("_ats"),
+        F.lit(r_ord).alias("_ord"),
+        (F.col(tie_col) if tie_col else F.lit(0)).cast("long").alias("_tie"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_rp"),
+    ).select(*lcols, "_ats", "_ord", "_tie", "_rp")
+    u = l2.unionByName(r2)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ats").asc(), F.col("_ord").asc(), F.col("_tie").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_match", F.last("_rp", ignorenulls=True).over(w))
+    return matched.filter(F.col("_ord") == 0).select(
+        *lcols, *[F.col(f"_match.{c}").alias(c) for c in payload_cols]
+    )
 
 
 def salted_equi_join(

@@ -65,6 +65,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _PRIORITY: list[str] = [
     # new in round 3 — never checked by anyone
     "decontaminate_train_docs",
+    "near_dup_clusters_star",
+    "events_last_error_asof",
     "multimodal_image_decode_real",
     "multimodal_audio_decode_real",
     # registered in round 2, beyond the driver's 50-cap both rounds

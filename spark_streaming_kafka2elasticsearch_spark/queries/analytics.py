@@ -562,3 +562,50 @@ def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_small"),
     )
+
+
+@register(
+    "events_last_error_asof",
+    oracle="""
+SELECT a.event_id, b.event_id AS last_error_event_id,
+       b.value AS last_error_value
+FROM (SELECT * FROM events WHERE event_type <> 'error') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+  ON a.user_id = b.user_id AND b.ts < a.ts
+""",
+)
+def events_last_error_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward AS-OF join: every non-error event enriched with the
+    user's most recent STRICTLY-earlier error event — the
+    point-in-time-correct enrichment primitive (no future leakage).
+    Spark side is the single-shuffle union+sort+running-last shape
+    (operators/joins.asof_join_backward); the oracle is DuckDB's
+    native ASOF LEFT JOIN, an independent implementation of the same
+    semantics.  (user_id, ts) is unique in the corpus, so the match is
+    engine-order deterministic; the payload is copied, not computed,
+    so the value hash is exact."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.joins import (
+        asof_join_backward,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.col("event_id").alias("last_error_event_id"),
+        F.col("value").alias("last_error_value"),
+    )
+    out = asof_join_backward(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="err_ts",
+        payload_cols=["last_error_event_id", "last_error_value"],
+        strict=True,
+        tie_col="last_error_event_id",
+    )
+    return out.select("event_id", "last_error_event_id", "last_error_value")

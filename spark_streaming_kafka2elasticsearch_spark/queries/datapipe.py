@@ -328,6 +328,74 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_clusters_star",
+    oracle="""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> toks[i] || ' ' || coalesce(toks[i+1], '') || ' ' || coalesce(toks[i+2], '')
+         )) AS shingles
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+),
+flat AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
+ok AS (SELECT lang, s FROM flat GROUP BY lang, s HAVING count(*) <= 50),
+kept AS (SELECT f.doc_id, f.lang, f.s FROM flat f JOIN ok USING (lang, s)),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.12
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a
+)
+SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+""",
+)
+def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster semantics as ``near_dup_clusters`` but
+    via the **large-star/small-star contraction** — the O(log²)-round
+    variant deep graphs need at 100 TB (min-label propagation pays
+    rounds = diameter).  Registered separately so the driver's oracle
+    gate proves BOTH implementations against the same independent
+    recursive-CTE closure."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = blocked_ngram_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        block_cols=["lang"],
+        k_shingle=3,
+        min_jaccard=0.12,
+        max_doc_freq=50,
+    ).select("id_a", "id_b")
+    return connected_components_star(
+        pairs, docs.select("doc_id"), node_col="doc_id"
+    )
+
+
+@register(
     "documents_curation_pipeline",
     oracle="""
 WITH q AS (

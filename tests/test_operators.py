@@ -670,3 +670,50 @@ def test_interval_join_requires_equi_keys(spark):
         stream_stream_interval_join(
             df, df, "ts", "ts", [], "5 minutes", "10 minutes", "10 minutes"
         )
+
+
+def test_decontamination_broadcasts_benchmark_side(spark):
+    """Scale contract of the 13-gram decontaminator: the benchmark
+    shingle set must be the BROADCAST side (a benchmark corpus is MBs
+    against a 100 TB training corpus — the training scan must never
+    shuffle for this join)."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+    df = all_queries()["decontaminate_train_docs"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_backward_semantics(spark):
+    """Strict vs non-strict tie handling, multiple right rows per
+    left row (latest wins), unmatched lefts get nulls — pinned on a
+    hand-computable fixture."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.joins import (
+        asof_join_backward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 20), (3, "v", 5)], ["eid", "k", "t"]
+    )
+    right = spark.createDataFrame(
+        [("u", 5, 100, "a"), ("u", 10, 101, "b"), ("u", 15, 102, "c")],
+        ["k", "rt", "rid", "tag"],
+    )
+    strict = {
+        r["eid"]: (r["rid"], r["tag"])
+        for r in asof_join_backward(
+            left, right, ["k"], "t", "rt", ["rid", "tag"], strict=True, tie_col="rid"
+        ).collect()
+    }
+    # t=10 strictly-before excludes the rt=10 row; t=20 sees rt=15.
+    assert strict == {1: (100, "a"), 2: (102, "c"), 3: (None, None)}
+    nonstrict = {
+        r["eid"]: r["rid"]
+        for r in asof_join_backward(
+            left, right, ["k"], "t", "rt", ["rid", "tag"], strict=False, tie_col="rid"
+        ).collect()
+    }
+    assert nonstrict == {1: 101, 2: 102, 3: None}
