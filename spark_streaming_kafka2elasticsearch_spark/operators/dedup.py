@@ -16,6 +16,17 @@ dominant corpus-curation cost, and the scale story differs per flavor:
 
 Everything is built-in Catalyst (higher-order array functions +
 xxhash64); no UDFs, no driver-side loops.
+
+Cache-lifetime contract: pair operators ``persist()`` small
+intermediates that multiple subtrees of the RETURNED lazy plan consume
+(banded signatures, candidate shingle relations, simhash tables) —
+without the boundary Spark re-executes the whole signature job per
+consumer.  Those caches belong to the returned DataFrame, so they can
+only be released AFTER the caller materializes it: call
+``spark.catalog.clearCache()`` (what bench.py and a staged 100 TB run
+do between stages) or unpersist explicitly.  The connected-components
+drivers are the exception — they manage and release every cache
+internally before returning a checkpointed result.
 """
 
 from __future__ import annotations
