@@ -364,6 +364,17 @@ def srp_near_dup_pairs(
     drops degenerate buckets (e.g. a zero-vector pile) before member
     lists materialize.  Candidates are verified with the exact
     hoisted-norm cosine, so precision is 1 by construction.
+
+    **Sizing rule for scale** (measured in SCALE_PROBE.json): bucket
+    count per table is 2^planes_per_table, so with FIXED planes the
+    expected occupancy grows with n and intra-bucket candidate pairs
+    grow ~n²/2^p — the probe's mild super-linearity (α≈1.1 from 2k→20k
+    vectors at p=8) is exactly this.  Hold occupancy constant by
+    growing the table width with the corpus:
+    ``planes_per_table ≈ log2(n / target_occupancy)`` (e.g. n=10⁹,
+    occupancy 64 → p=24).  Recall per qualifying pair falls only
+    geometrically in p (cos 0.9 → 0.86^p per table) and is recovered
+    by adding tables — the standard multi-probe LSH trade.
     """
     from spark_streaming_kafka2elasticsearch_spark.functions.vectors import (
         dot_product,

@@ -122,6 +122,19 @@ def main() -> None:
     spark = build_session(master="local[32]", app_name="scale_probe")
     spark.range(1_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
+    # Untimed codegen warm-up: run every probe query once at 1x first.
+    # janino compilation is paid per plan SHAPE per session (~3-5s for
+    # the wide dedup plans) and would otherwise inflate exactly the x1
+    # measurements the growth exponent divides by (measured: x1 >
+    # x3 wall-clock on three queries before this pass existed).
+    for q in PROBE_QUERIES:
+        try:
+            qs[q](spark, BASE).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001
+            pass
+        spark.catalog.clearCache()
+    print("warm-up pass done", file=sys.stderr)
+
     def flush(results: dict) -> None:
         with open("/root/repo/SCALE_PROBE.json", "w") as f:
             json.dump(
