@@ -125,3 +125,32 @@ SELECT {passthrough},
     ELSE 'unknown' END AS predicted_lang
 FROM hits
 """
+
+
+def repetition_ratio(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 2
+) -> DataFrame:
+    """Per-document n-gram repetition — the Gopher-style quality rule
+    (a doc whose k-grams repeat heavily is boilerplate/spam and gets
+    down-weighted or dropped before training):
+    ``repetition_ratio = 1 − distinct k-grams / total k-grams``.
+
+    Scale shape: the zero-shuffle codegen shingle relation
+    (``distinct=False``), then ONE partial-aggregating groupBy per
+    document computing count + count(distinct) together.  Exact
+    integer arithmetic and a single double division keep the value
+    bit-identical across engines."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        shingle_relation,
+    )
+
+    rel = shingle_relation(df, id_col, text_col, k=k, distinct=False)
+    n = F.count(F.lit(1))
+    nd = F.count_distinct(F.col("_sh"))
+    return rel.groupBy(F.col("_id").alias(id_col)).agg(
+        n.alias("n_grams"),
+        nd.alias("n_distinct_grams"),
+        (F.lit(1.0) - nd.cast("double") / n.cast("double")).alias(
+            "repetition_ratio"
+        ),
+    )

@@ -67,6 +67,7 @@ _PRIORITY: list[str] = [
     "decontaminate_train_docs",
     "near_dup_clusters_star",
     "events_last_error_asof",
+    "document_repetition_ratios",
     "multimodal_image_decode_real",
     "multimodal_audio_decode_real",
     # registered in round 2, beyond the driver's 50-cap both rounds

@@ -733,3 +733,36 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synth_media_table(docs, id_col="doc_id", text_col="text")
     return decode_audio_features(media, fake=True)
+
+
+@register(
+    "document_repetition_ratios",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(toks) - 1, 1)),
+           i -> array_to_string(toks[i:i+1], ' ')
+         )) AS s
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+)
+SELECT doc_id, count(*) AS n_grams,
+       count(DISTINCT s) AS n_distinct_grams,
+       1.0 - CAST(count(DISTINCT s) AS DOUBLE) / count(*) AS repetition_ratio
+FROM g GROUP BY doc_id
+""",
+)
+def document_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rule: fraction of repeated
+    bigrams per document (1 − distinct/total) — heavily repetitive
+    docs are boilerplate and get gated out before training.  Codegen
+    shingle relation + one partial-agg groupBy; the oracle mirrors the
+    identical gram construction and integer arithmetic."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        repetition_ratio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_ratio(docs, id_col="doc_id", k=2)
