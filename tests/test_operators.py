@@ -717,3 +717,16 @@ def test_asof_join_backward_semantics(spark):
         ).collect()
     }
     assert nonstrict == {1: 101, 2: 102, 3: None}
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The as-of join's scale claim: ONE hash exchange on the key
+    (tag+union+window), never a range-join explosion — pinned on the
+    registered events query's physical plan."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+    df = all_queries()["events_last_error_asof"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan[:2000]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -56,9 +56,11 @@ PROBE_QUERIES = [
     "minhash_near_dup_pairs",
     "simhash_near_dup_pairs",
     "near_dup_clusters",
+    "near_dup_clusters_star",
     "embedding_near_dup_srp",
     "ann_cosine_topk",
     "decontaminate_train_docs",
+    "document_repetition_ratios",
 ]
 
 
