@@ -154,3 +154,54 @@ def repetition_ratio(
             "repetition_ratio"
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-token chunks with overlap — the
+    context-window preparation step of an LLM training/RAG pipeline
+    (long docs must become ≤N-token pieces; overlap preserves
+    cross-boundary context).  Output: (id_col, chunk_id, chunk_text,
+    n_chunk_tokens), chunk_id 0-based; empty/whitespace-only docs
+    yield no rows (nothing to train on).
+
+    Pure codegen, zero shuffles: tokenize → ``sequence`` of chunk
+    starts (stride = chunk_tokens − overlap) → ``slice`` +
+    ``concat_ws`` per chunk → ``posexplode``.  The last chunk is the
+    remainder (shorter than chunk_tokens); a chunk start past the end is
+    never generated, so no empty trailing chunks.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    # starts: 1, 1+step, ... while start <= n (1-based slice indexing);
+    # the ceil division counts chunks: ceil((n - overlap) / step).
+    n_chunks = F.ceil((n - F.lit(overlap)).cast("double") / F.lit(step)).cast("int")
+    starts = F.sequence(
+        F.lit(0), F.greatest(n_chunks - 1, F.lit(0))
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.concat_ws(" ", F.slice(t, i * step + 1, chunk_tokens)),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        n.alias("_n"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    )
+    return (
+        exploded.filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_text",
+            F.size(tokens(F.col("chunk_text"))).alias("n_chunk_tokens"),
+        )
+    )

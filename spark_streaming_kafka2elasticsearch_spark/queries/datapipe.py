@@ -766,3 +766,42 @@ def document_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return repetition_ratio(docs, id_col="doc_id", k=2)
+
+
+@register(
+    "document_chunks",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id, t,
+         unnest(generate_series(
+           0,
+           greatest(CAST(ceil((len(t) - 8) / 24.0) AS INT) - 1, 0)
+         )) AS chunk_id
+  FROM d WHERE len(t) > 0
+)
+SELECT doc_id, chunk_id,
+       array_to_string(t[chunk_id*24 + 1 : chunk_id*24 + 32], ' ') AS chunk_text,
+       len(t[chunk_id*24 + 1 : chunk_id*24 + 32]) AS n_chunk_tokens
+FROM c
+""",
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document split into 32-token
+    chunks with 8-token overlap (stride 24) — the preparation step
+    that turns a raw corpus into trainable ≤N-token pieces.  Zero
+    shuffles (tokenize → sequence of starts → slice per chunk →
+    posexplode, all codegen); the oracle mirrors the arithmetic with
+    1-based list slices and the identical ceil chunk count."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, id_col="doc_id", chunk_tokens=32, overlap=8
+    )

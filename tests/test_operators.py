@@ -730,3 +730,36 @@ def test_asof_join_is_single_shuffle(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan[:2000]
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_documents_edges(spark):
+    """Chunk arithmetic pinned: exact-fit doc → 1 chunk; one extra
+    token → 2 chunks with the overlap region shared; short/empty docs."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        chunk_documents,
+    )
+
+    toks = [f"t{i}" for i in range(11)]
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(toks[:8])),   # n=8, c=8, o=2 → exactly 1 chunk
+            (2, " ".join(toks[:9])),   # n=9 → 2 chunks (starts 0, 6)
+            (3, "one"),                # short → 1 whole-doc chunk
+            (4, ""),                   # empty → no rows
+        ],
+        ["doc_id", "text"],
+    )
+    got = {}
+    for r in chunk_documents(df, "doc_id", chunk_tokens=8, overlap=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+        )
+    assert got[1] == [(0, " ".join(toks[:8]), 8)]
+    assert got[2] == [
+        (0, " ".join(toks[:8]), 8),
+        (1, " ".join(toks[6:9]), 3),  # start 6, remainder chunk
+    ]
+    assert got[3] == [(0, "one", 1)]
+    assert 4 not in got
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", chunk_tokens=8, overlap=8)

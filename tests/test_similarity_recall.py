@@ -106,3 +106,28 @@ def test_srp_near_dup_planted_duplicates(spark):
     expected = {(r["vec_id"], 100000 + r["vec_id"]) for r in rows[::10]}
     assert expected <= found, f"missed {expected - found}"
     assert all(r["cos_sim"] >= 0.9 for r in got)
+
+
+def test_srp_auto_plane_sizing(spark):
+    """planes_per_table=None derives the table width from corpus size
+    (log2(n/occupancy), clamped) and still finds planted near-dups."""
+    import numpy as np
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        srp_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(200)]
+    # plant 5 near-copies
+    planted = [
+        (1000 + i, [x * 1.01 + 0.002 for x in vecs[i][1]]) for i in range(5)
+    ]
+    df = spark.createDataFrame(vecs + planted, ["vec_id", "embedding"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in srp_near_dup_pairs(
+            df, dim=16, threshold=0.9, planes_per_table=None
+        ).collect()
+    }
+    assert {(i, 1000 + i) for i in range(5)} <= pairs
