@@ -68,6 +68,8 @@ _PRIORITY: list[str] = [
     "near_dup_clusters_star",
     "events_last_error_asof",
     "document_repetition_ratios",
+    "document_chunks",
+    "suppliers_kept_waiting",
     "multimodal_image_decode_real",
     "multimodal_audio_decode_real",
     # registered in round 2, beyond the driver's 50-cap both rounds

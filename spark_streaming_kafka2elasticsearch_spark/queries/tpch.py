@@ -640,3 +640,85 @@ def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("c_acctbal"), "totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (double correlated EXISTS)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "suppliers_kept_waiting",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_7'
+JOIN (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) l1
+  ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1
+                  FROM lineitem l3
+                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND o3.o_orderstatus = 'F'
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+""",
+)
+def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers in one nation who were the SOLE
+    late supplier on a multi-supplier finished order.  Adaptations
+    (noted per the module contract): no l_commitdate/l_receiptdate in
+    the trimmed schema, so "late" := shipped more than 60 days after
+    the order date; waiting orders are counted per DISTINCT
+    (order, supplier) since line-level duplicates carry no signal.
+
+    The plan shape is the query's whole point: the two correlated
+    subqueries become a **left-semi** ("some other supplier exists on
+    the order") and a **left-anti** ("no other supplier was late")
+    against the same derived late/pair relations — never a correlated
+    per-row re-scan.  Both self-relations shuffle once on l_orderkey
+    (co-partitioned with the lineitem⋈orders join that feeds them);
+    supplier⋈nation is a broadcast dim chain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = li.select(
+        F.col("l_orderkey").alias("p_orderkey"), F.col("l_suppkey").alias("p_suppkey")
+    ).distinct()
+    has_other = late.join(
+        all_pairs,
+        (late.l_orderkey == all_pairs.p_orderkey)
+        & (late.l_suppkey != all_pairs.p_suppkey),
+        "left_semi",
+    )
+    late_other = late.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    sole_late = has_other.join(
+        late_other,
+        (has_other.l_orderkey == late_other.x_orderkey)
+        & (has_other.l_suppkey != late_other.x_suppkey),
+        "left_anti",
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    dim = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        sole_late.join(F.broadcast(dim), sole_late.l_suppkey == dim.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
