@@ -70,6 +70,109 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Arrow-batched twin of :func:`brute_force_topk` — the vectorized
+    Pandas-UDF path for exact cosine top-k.
+
+    Scale shape is identical to the Catalyst variant: the (small, by
+    contract — same contract the broadcast join makes) query set is
+    collected once and shipped inside the ``mapInPandas`` closure; the
+    corpus is scanned exactly once with no shuffle; each Arrow batch
+    emits at most k rows per query, so only |batches|·k·|queries| rows
+    reach the final global rank.  Inside the batch the similarity
+    matrix is computed with numpy over float64.
+
+    Bit-compatibility with the Catalyst fold (and hence with the DuckDB
+    oracle): the dot/norm accumulations run as a **sequential fold over
+    the dimension axis** (``acc = acc + x_j·y_j``, vectorized across
+    rows) rather than ``np.matmul`` — numpy's pairwise/BLAS summation
+    reorders additions, which is a ±1-ulp difference that can flip
+    near-tie rankings.  Elementwise +,*,/ and sqrt are IEEE-exact in
+    both engines, so this ordering makes sims bit-identical to
+    ``functions.vectors.cosine_similarity``.  Zero-norm corpus vectors
+    (sim undefined, NULL in the Catalyst variant) are dropped.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id, query_vec).collect()
+    out_schema = "query_id bigint, neighbor_id bigint, sim double"
+    if not qrows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    q_ids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r[1]] for r in qrows], dtype=np.float64)
+    dim = Q.shape[1]
+
+    def _seq_fold_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+        # A: n×d, B: m×d → n×m, accumulated j = 0..d-1 like the fold.
+        acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+        for j in range(A.shape[1]):
+            acc = acc + A[:, j, None] * B[None, :, j]
+        return acc
+
+    def _seq_fold_sqnorm(A: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for j in range(A.shape[1]):
+            acc = acc + A[:, j] * A[:, j]
+        return acc
+
+    qnorm = np.sqrt(_seq_fold_sqnorm(Q))
+
+    def batch_topk(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            C = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
+            if C.shape[1] != dim:
+                raise ValueError(
+                    f"corpus dim {C.shape[1]} != query dim {dim}"
+                )
+            cnorm = np.sqrt(_seq_fold_sqnorm(C))
+            # cosine = dot / (‖q‖·‖c‖), same operand order as the
+            # Catalyst twin (multiplication is IEEE-commutative).
+            denom = qnorm[:, None] * cnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = _seq_fold_dot(Q, C) / denom  # q×n
+            sims = np.where(denom == 0.0, -np.inf, sims)
+            if exclude_self:
+                sims = np.where(q_ids[:, None] == ids[None, :], -np.inf, sims)
+            kk = min(k, n)
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(len(q_ids)):
+                row = sims[qi]
+                cand = np.argpartition(-row, kk - 1)[:kk] if n > kk else np.arange(n)
+                # exact tie-break: sim desc, neighbor_id asc
+                order = sorted(cand, key=lambda i: (-row[i], ids[i]))[:kk]
+                keep = [i for i in order if row[i] != -np.inf]
+                out_q.extend([q_ids[qi]] * len(keep))
+                out_id.extend(ids[i] for i in keep)
+                out_sim.extend(row[i] for i in keep)
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_id, "sim": out_sim}
+            )
+
+    partial = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        batch_topk, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def _plane_signs(plane_id: int, dim: int) -> list[int]:
     """Deterministic Rademacher hyperplane: component j of plane p is
     ±1 from a byte of sha256(p, j).  Computed driver-side once — the

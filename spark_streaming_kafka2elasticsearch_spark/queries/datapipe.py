@@ -562,6 +562,38 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("query_id", "neighbor_id")
 
 
+@register(
+    "ann_cosine_topk_pandas",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qvec, cvec) AS sim
+  FROM c, q WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id FROM s
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 10
+""",
+)
+def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/numpy ``mapInPandas`` twin of ``ann_cosine_topk`` —
+    same exact semantics, same oracle, but the similarity matrix is
+    computed batch-at-a-time in numpy (sequential-fold accumulation so
+    sims stay bit-identical to the Catalyst fold).  Demonstrates the
+    vectorized-Python path the brief calls for where JVM expressions
+    run out of steam (e.g. once a real model produces the vectors)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        brute_force_topk_pandas,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    topk = brute_force_topk_pandas(emb, queries, k=10)
+    return topk.select("query_id", "neighbor_id")
+
+
 @register("ann_cosine_topk_lsh")  # no SQL oracle: SRP bucketing is Spark-side
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate variant: signed-random-projection buckets prune the

@@ -43,6 +43,30 @@ def _recall(approx_rows, exact_set):
     return len(approx & exact_set) / len(exact_set)
 
 
+def test_pandas_topk_bit_identical_to_catalyst(emb, queries):
+    """The Arrow/numpy twin must agree with the Catalyst fold on every
+    (query, neighbor, rank) AND every similarity bit-for-bit — that is
+    the whole point of its sequential-fold accumulation (np.matmul's
+    pairwise summation would be ±1 ulp off and could flip near-ties)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        brute_force_topk_pandas,
+    )
+
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    arrow = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in brute_force_topk_pandas(emb, queries, k=10).collect()
+    }
+    assert exact.keys() == arrow.keys()
+    for key, (nid, sim) in exact.items():
+        a_nid, a_sim = arrow[key]
+        assert a_nid == nid, key
+        assert a_sim == sim, (key, sim, a_sim)  # bitwise, no tolerance
+
+
 def test_ivf_recall_beats_random(emb, queries, exact_topk):
     """Single-probe IVF with 8 cells must beat the random baseline
     (≈1/8 of the corpus per cell ⇒ random recall ≈ 0.125) by a wide
