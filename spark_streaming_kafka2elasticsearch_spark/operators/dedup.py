@@ -478,24 +478,55 @@ def simhash_table(
     ±1 arithmetic) and one extra ``count`` column in the aggregate.
     Documents with no tokens get signature 0, restored by a left join
     of the id spine (inner explode drops them from the vote relation).
+    Counter packing: the per-bit sums are packed 3-to-a-long (21-bit
+    fields), so the aggregate carries 22 sum buffers instead of 64 —
+    the whole-stage-codegen source shrinks ~3×, which cuts the one-off
+    janino compile tax (the dominant cold-start cost of this operator)
+    without changing a single output bit.  Packed adds never carry
+    across fields while every per-document token count stays below
+    2²¹ (≈ 2M tokens ≈ 10 MB of text — far beyond any sane document;
+    a ``raise_error`` guard on the per-doc count is folded into the
+    signature expression so a violation is a loud error, never a
+    silent wrong vote).
     Output: (id_col, simhash64)."""
+    field = 21  # bits per packed counter; 3 per long
+    group = 3
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
     )
     h = F.xxhash64("_tok")
-    bit_cols = [
-        F.shiftright(h, j).bitwiseAND(F.lit(1)).alias(f"_b{j}")
-        for j in range(bits)
-    ]
-    votes = toks.select(id_col, *bit_cols).groupBy(id_col).agg(
+    packed_cols = []
+    for c in range((bits + group - 1) // group):
+        js = range(c * group, min((c + 1) * group, bits))
+        col = F.lit(0).cast("long")
+        for g, j in enumerate(js):
+            col = col + F.shiftleft(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)), g * field
+            )
+        packed_cols.append(col.alias(f"_p{c}"))
+    votes = toks.select(id_col, *packed_cols).groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
-        *[F.sum(f"_b{j}").alias(f"_v{j}") for j in range(bits)],
+        *[F.sum(f"_p{c}").alias(f"_s{c}") for c in range(len(packed_cols))],
     )
-    sig = F.lit(0).cast("long")
+    mask = F.lit((1 << field) - 1)
+    # Overflow guard folded INTO the signature expression (a dropped
+    # guard column would be pruned by Catalyst and never evaluated):
+    # contributes 0 below the bound, raises above it.
+    sig = F.when(
+        F.col("_n") >= F.lit(1 << field),
+        F.raise_error(
+            F.lit(
+                "simhash_table: document exceeds 2^21 tokens; packed "
+                "vote counters would overflow"
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
     for j in range(bits):
+        c, g = divmod(j, group)
+        vote_j = F.shiftright(F.col(f"_s{c}"), g * field).bitwiseAND(mask)
         bit_j = (1 << j) if j < 63 else -(1 << 63)
         sig = sig.bitwiseOR(
-            F.when(F.col(f"_v{j}") * 2 > F.col("_n"), F.lit(bit_j)).otherwise(F.lit(0))
+            F.when(vote_j * 2 > F.col("_n"), F.lit(bit_j)).otherwise(F.lit(0))
         )
     signatures = votes.select(F.col(id_col), sig.alias("simhash64"))
     spine = df.select(F.col(id_col))
