@@ -543,3 +543,102 @@ def supplier_revenue_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: batch keyed MERGE (upsert + insert + tombstone delete)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_merge_upsert",
+    oracle="""
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+upd AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+         false AS is_delete
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N', o_totalprice, false
+  FROM orders WHERE o_orderkey % 17 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, true
+  FROM orders WHERE o_orderkey % 23 = 0
+),
+live AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM upd WHERE NOT is_delete)
+SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+FROM base b
+WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM live
+""",
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-MERGE semantics via the anti-join + union operator: a
+    synthetic change batch updates every 10th order (status 'U', price
+    ×1.1 — double multiply, IEEE-identical cross-engine), inserts a
+    shifted copy of every 17th, and tombstone-deletes every 23rd.  The
+    oracle is the literal relational definition of MERGE."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            F.lit(False).alias("is_delete"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.col("o_totalprice"),
+                F.lit(False).alias("is_delete"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 23 == 0).select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.lit(True).alias("is_delete"),
+            )
+        )
+    )
+    return merge_upsert(base, updates, keys=["o_orderkey"], delete_col="is_delete")
+
+
+# ---------------------------------------------------------------------------
+# Q: unpivot / melt — wide measures to long (variable, value) form
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_unpivot_measures",
+    oracle="""
+WITH src AS (SELECT * FROM lineitem WHERE l_quantity > 45)
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM src
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
+""",
+)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape with the built-in ``unpivot`` (Expand node:
+    one pass over the input, no shuffle, no UDF — each row fans out to
+    four (measure, value) rows inside codegen).  The oracle is the
+    portable UNION ALL spelling."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

@@ -763,3 +763,40 @@ def test_chunk_documents_edges(spark):
     assert 4 not in got
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", chunk_tokens=8, overlap=8)
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE contract on a tiny frame: update replaces, insert adds,
+    tombstone removes, untouched rows survive; delete column never
+    leaks into the output."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0, False), (4, "d", 40.0, False), (3, "c", 30.0, True)],
+        ["k", "s", "v", "is_delete"],
+    )
+    out = merge_upsert(base, updates, keys=["k"], delete_col="is_delete")
+    assert set(out.columns) == {"k", "s", "v"}
+    got = {r["k"]: (r["s"], r["v"]) for r in out.collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_validation_and_broadcast_plan(spark):
+    from spark_streaming_kafka2elasticsearch_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], ["k", "v"])
+    upd = spark.createDataFrame([(1, "b")], ["k", "v"])
+    with pytest.raises(ValueError, match="at least one key"):
+        merge_upsert(base, upd, keys=[])
+    with pytest.raises(ValueError, match="missing"):
+        merge_upsert(base, upd, keys=["nope"])
+    with pytest.raises(ValueError, match="matching columns"):
+        merge_upsert(base, upd.withColumnRenamed("v", "w"), keys=["k"])
+
+    plan = merge_upsert(
+        base, upd, keys=["k"], broadcast_updates=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
