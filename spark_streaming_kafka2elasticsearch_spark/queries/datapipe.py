@@ -207,6 +207,48 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_rarity_scores",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY tok)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(CAST(sum(f) AS BIGINT) AS DOUBLE) / count(*) AS avg_token_freq
+FROM toks JOIN freq USING (tok)
+GROUP BY doc_id
+""",
+)
+def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarity-based quality signal: the mean CORPUS frequency of a
+    document's tokens (low = rare-token-heavy — jargon, noise, or
+    genuinely novel text; high = boilerplate).  The integer-only
+    frequency join keeps it oracle-exact (no log-perplexity — libm
+    differs across engines).  Scale shape: one narrow (doc_id, token)
+    relation feeds both the frequency census and the per-doc
+    aggregate; the frequency table is vocabulary-sized, orders of
+    magnitude smaller than the corpus, so AQE broadcasts the join."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("f").cast("double") / F.count(F.lit(1))).alias(
+                "avg_token_freq"
+            ),
+        )
+    )
+
+
+@register(
     "token_stats_by_lang",
     oracle="""
 WITH toks AS (
@@ -324,6 +366,73 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
     return connected_components(
         pairs, docs.select("doc_id"), node_col="doc_id"
+    )
+
+
+@register(
+    "deduped_corpus",
+    oracle="""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> toks[i] || ' ' || coalesce(toks[i+1], '') || ' ' || coalesce(toks[i+2], '')
+         )) AS shingles
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+),
+flat AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
+ok AS (SELECT lang, s FROM flat GROUP BY lang, s HAVING count(*) <= 50),
+kept AS (SELECT f.doc_id, f.lang, f.s FROM flat f JOIN ok USING (lang, s)),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.12
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node)
+SELECT c.component AS doc_id, d.lang,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM comp c JOIN documents d ON d.doc_id = c.component
+GROUP BY c.component, d.lang
+""",
+)
+def deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual deliverable: the PRUNED corpus.
+    Pair discovery → connected components → keep the smallest doc_id
+    per component (the canonical copy), with ``n_merged`` = how many
+    near-dups that survivor absorbed (1 = unique doc).  At scale the
+    keep-one filter is a narrow map over the cluster labels (survivor
+    ⇔ doc_id = component, because labels start as ids and propagate
+    the min) — no extra shuffle beyond the per-component count."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_merged")
+    )
+    return (
+        sizes.withColumnRenamed("component", "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_merged")
     )
 
 

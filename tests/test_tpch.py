@@ -78,3 +78,43 @@ def test_q22_threshold_is_single_broadcast_row(spark):
     # the anti join stays a hash anti — never a cartesian of facts.
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
+    """100 TB evidence: with AQE's runtime bloom filter enabled (on by
+    default in the session), a selective dim filter injects a
+    might_contain(bloom_filter_agg(...)) predicate into the FACT scan
+    side of a shuffle join — rows that cannot match are dropped before
+    the exchange.  Production thresholds (10 GB application side) are
+    right-sized for clusters, so this test lowers them to make the
+    rewrite observable on test data; the assertion is about the
+    optimizer wiring, not the thresholds."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0"
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
