@@ -64,6 +64,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: so every query gets a driver row within two rounds.
 _PRIORITY: list[str] = [
     # new in round 3 — never checked by anyone
+    "ann_cosine_topk_pandas",
+    "orders_merge_upsert",
+    "lineitem_unpivot_measures",
+    "deduped_corpus",
+    "token_rarity_scores",
+    "user_event_scd2",
+    "orders_quality_report",
+    "distinct_users_sketch_rollup",
     "decontaminate_train_docs",
     "near_dup_clusters_star",
     "events_last_error_asof",

@@ -642,3 +642,146 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: SCD2 historization — change log to versioned validity intervals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_event_scd2",
+    oracle="""
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def user_event_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type 2 over the event stream: every event becomes a
+    versioned row whose validity runs until the user's next event —
+    the historized complement of the reference's type-1 keyed upsert.
+    One window pass, one shuffle on user_id
+    (operators/history.scd2_from_changes)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.history import (
+        scd2_from_changes,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    hist = scd2_from_changes(
+        events, keys=["user_id"], ts_col="ts", tiebreak_cols=["event_id"]
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return hist.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: data-quality gate — null / uniqueness / referential checks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_quality_report",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+              WHEN o_orderkey % 31 = 0 THEN o_custkey + 1000000
+              ELSE o_custkey END AS o_custkey
+  FROM orders
+),
+corrupted AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT * FROM base WHERE o_orderkey % 29 = 0
+)
+SELECT 'null:o_custkey' AS check, CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_bad
+FROM corrupted
+UNION ALL
+SELECT 'dup_key:o_orderkey', CAST(count(*) AS BIGINT) FROM (
+  SELECT o_orderkey FROM corrupted GROUP BY o_orderkey HAVING count(*) > 1
+)
+UNION ALL
+SELECT 'fk_orphan:o_custkey', CAST(count(*) AS BIGINT) FROM corrupted
+WHERE o_custkey IS NOT NULL
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+""",
+)
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality admission gate, exercised on a view of orders
+    corrupted three deterministic ways (nulled keys, duplicated rows,
+    dangling foreign keys) so every check fires a nonzero count.  All
+    rule aggregates fuse into single passes
+    (operators/quality: null_ratio_report, duplicate_keys, fk_orphans)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.quality import (
+        duplicate_keys,
+        fk_orphans,
+        null_ratio_report,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        "o_orderkey",
+        F.when(k % 13 == 0, F.lit(None))
+        .when(k % 31 == 0, F.col("o_custkey") + 1_000_000)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+    corrupted = base.unionByName(base.filter(k % 29 == 0))
+
+    nulls = null_ratio_report(corrupted, ["o_custkey"]).select(
+        F.lit("null:o_custkey").alias("check"), F.col("n_null").alias("n_bad")
+    )
+    dups = duplicate_keys(corrupted, ["o_orderkey"]).agg(
+        F.count(F.lit(1)).alias("n_bad")
+    ).select(F.lit("dup_key:o_orderkey").alias("check"), "n_bad")
+    orphans = fk_orphans(
+        corrupted.filter(F.col("o_custkey").isNotNull()),
+        "o_custkey",
+        customer,
+        "c_custkey",
+    ).agg(F.count(F.lit(1)).alias("n_bad")).select(
+        F.lit("fk_orphan:o_custkey").alias("check"), "n_bad"
+    )
+    return nulls.unionByName(dups).unionByName(orphans)
+
+
+# ---------------------------------------------------------------------------
+# Q: mergeable distinct-count sketches (HLL rollup)
+# ---------------------------------------------------------------------------
+
+
+@register("distinct_users_sketch_rollup")  # no SQL oracle: HLL estimate
+def distinct_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches-HLL distinct users per event type, PLUS the
+    all-types rollup computed by UNIONING the per-type sketches — no
+    second pass over raw data.  Mergeability is the entire point at
+    100 TB: per-partition/per-day sketches (a few KB each) roll up to
+    any grouping after the fact, turning distinct-count dashboards
+    into sketch unions instead of full re-scans.  Estimate error
+    ~1.6% at the default lgK=12 (bounded in tests against exact)."""
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per = per.persist()  # feeds both the per-type estimates and the union
+    per_type = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    overall = per.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    return per_type.unionByName(overall)

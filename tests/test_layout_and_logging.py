@@ -161,3 +161,52 @@ def test_srp_bucket_partition_pruning(spark, tmp_path):
     n_all = spark.read.parquet(path).count()
     n_pruned = back.count()
     assert 0 < n_pruned < n_all
+
+def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: re-landing one partition's data
+    must replace that partition and leave every other one intact —
+    the daily-incremental-load contract."""
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import (
+        overwrite_partitions,
+        write_table,
+    )
+
+    path = str(tmp_path / "inc")
+    full = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0), (3, "2024-01-02", 30.0)],
+        ["id", "day", "v"],
+    )
+    write_table(full, path, partition_by=["day"])
+    relanded = spark.createDataFrame([(9, "2024-01-02", 99.0)], ["id", "day", "v"])
+    overwrite_partitions(relanded, path, partition_by=["day"])
+    back = {
+        (r["id"], r["day"], r["v"])
+        for r in spark.read.parquet(path)
+        # partition-value inference types `day` as DATE; normalize back
+        .select("id", F.col("day").cast("string").alias("day"), "v")
+        .collect()
+    }
+    # day=2024-01-01 untouched; day=2024-01-02 fully replaced
+    assert back == {(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0),
+                    (9, "2024-01-02", 99.0)}
+    with pytest.raises(ValueError):
+        overwrite_partitions(relanded, path, partition_by=[])
+
+
+def test_compact_table_hits_file_target_and_preserves_rows(spark, tmp_path):
+    from pathlib import Path
+
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import compact_table
+
+    path = str(tmp_path / "shards")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    df.repartition(16).write.parquet(path)  # simulate small-file accretion
+    n_before = len(list(Path(path).glob("*.parquet")))
+    assert n_before == 16
+    compact_table(spark, path, target_files=2)
+    assert len(list(Path(path).glob("*.parquet"))) == 2
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).collect()[0][0] == 999 * 1000
+    with pytest.raises(ValueError):
+        compact_table(spark, path, target_files=0)

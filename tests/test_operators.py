@@ -800,3 +800,51 @@ def test_merge_upsert_validation_and_broadcast_plan(spark):
         base, upd, keys=["k"], broadcast_updates=True
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_scd2_from_changes_intervals(spark):
+    """SCD2 contract on a tiny change log: chained validity intervals
+    per key, deterministic same-timestamp ordering via the tiebreak,
+    exactly one open (current) version per key."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.history import (
+        scd2_from_changes,
+    )
+
+    rows = [
+        (1, 100, 1, "a"),
+        (1, 200, 2, "b"),
+        (1, 200, 3, "c"),  # same ts as event 2 — tiebreak orders it after
+        (2, 150, 4, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "seq", "state"])
+    out = scd2_from_changes(df, keys=["k"], ts_col="ts", tiebreak_cols=["seq"])
+    got = {
+        r["seq"]: (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    }
+    assert got == {
+        1: (100, 200, False),
+        2: (200, 200, False),
+        3: (200, None, True),
+        4: (150, None, True),
+    }
+    with pytest.raises(ValueError):
+        scd2_from_changes(df, keys=[], ts_col="ts")
+
+
+def test_hll_sketch_union_matches_single_pass(spark):
+    """Mergeability contract: unioning per-group HLL sketches must
+    estimate the global distinct count as well as a single global
+    sketch does (same sketch algorithm, same lgK), and both stay
+    within a 5% band at 100k distinct values (the ~1.6% std error at
+    lgK=12 makes 5% a >3-sigma bound)."""
+    df = spark.range(100_000).withColumn("grp", (F.col("id") % 7).cast("int"))
+    per = df.groupBy("grp").agg(F.hll_sketch_agg("id").alias("sk"))
+    merged = per.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.hll_sketch_estimate("sk").alias("est")
+    ).collect()[0]["est"]
+    single = df.agg(F.hll_sketch_agg("id").alias("sk")).select(
+        F.hll_sketch_estimate("sk").alias("est")
+    ).collect()[0]["est"]
+    assert merged == single  # union of partials ≡ one global sketch
+    assert abs(merged - 100_000) / 100_000 < 0.05
