@@ -70,6 +70,7 @@ _PRIORITY: list[str] = [
     "deduped_corpus",
     "token_rarity_scores",
     "user_event_scd2",
+    "events_zorder_keys",
     "orders_quality_report",
     "distinct_users_sketch_rollup",
     "decontaminate_train_docs",

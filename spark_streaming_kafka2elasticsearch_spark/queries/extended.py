@@ -785,3 +785,35 @@ def distinct_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("approx_users"),
     )
     return per_type.unionByName(overall)
+
+
+# ---------------------------------------------------------------------------
+# Q: Z-order clustering key (multi-dimensional layout)
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from spark_streaming_kafka2elasticsearch_spark.functions.zorder import (
+        zorder_key_oracle_sql,
+    )
+
+    expr = zorder_key_oracle_sql("user_id", "event_id", bits=16)
+    return (
+        "SELECT event_id, CAST("
+        + expr
+        + " AS BIGINT) AS zkey\nFROM events"
+    )
+
+
+@register("events_zorder_keys", oracle=_zorder_oracle())
+def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys over (user_id, event_id) — the clustering key a
+    z-ordered layout sorts by (functions/zorder).  The oracle is
+    generated from the same bit spec, so Spark and DuckDB cannot
+    drift; both mask to 16 bits per lane."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.zorder import zorder_key
+
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id", zorder_key("user_id", "event_id", bits=16).alias("zkey")
+    )

@@ -210,3 +210,63 @@ def test_compact_table_hits_file_target_and_preserves_rows(spark, tmp_path):
     assert back.agg(F.sum("v")).collect()[0][0] == 999 * 1000
     with pytest.raises(ValueError):
         compact_table(spark, path, target_files=0)
+
+
+def _py_morton(x, y, bits=16):
+    k = 0
+    for i in range(bits):
+        k |= ((x >> i) & 1) << (2 * i)
+        k |= ((y >> i) & 1) << (2 * i + 1)
+    return k
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from spark_streaming_kafka2elasticsearch_spark.functions.zorder import zorder_key
+
+    pts = [(x, y) for x in range(0, 64, 7) for y in range(0, 64, 5)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key("x", "y").alias("z")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _py_morton(x, y), (x, y)
+    with pytest.raises(ValueError):
+        zorder_key("x", "y", bits=0)
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """The point of z-ordering: range-partition a 64×64 grid into 16
+    files by Morton key and every file covers a small 2-D tile, so
+    min/max footer stats prune on EITHER dimension.  A linear sort by
+    x gives narrow x-ranges but each file spans the FULL y range."""
+    from pathlib import Path
+
+    from spark_streaming_kafka2elasticsearch_spark.functions.zorder import zorder_key
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], ["x", "y"]
+    )
+
+    def per_file_area(path):
+        areas = []
+        for f in Path(path).glob("*.parquet"):
+            pdf = spark.read.parquet(str(f)).agg(
+                F.min("x"), F.max("x"), F.min("y"), F.max("y")
+            ).collect()[0]
+            areas.append((pdf[1] - pdf[0] + 1) * (pdf[3] - pdf[2] + 1))
+        return areas
+
+    zpath = str(tmp_path / "zord")
+    (
+        grid.repartitionByRange(16, zorder_key("x", "y", bits=6))
+        .sortWithinPartitions(zorder_key("x", "y", bits=6))
+        .write.parquet(zpath)
+    )
+    lpath = str(tmp_path / "linear")
+    grid.repartitionByRange(16, "x").write.parquet(lpath)
+
+    # Perfect 16-way z-tiling of a 64×64 grid = 16×16 tiles (area 256).
+    assert max(per_file_area(zpath)) <= 2 * 256
+    # Linear layout: every file spans all 64 y values.
+    assert min(per_file_area(lpath)) >= 64 * 4
