@@ -205,3 +205,76 @@ def chunk_documents(
             F.size(tokens(F.col("chunk_text"))).alias("n_chunk_tokens"),
         )
     )
+
+
+def hashed_bow_embedding(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    dim: int = 16,
+) -> DataFrame:
+    """Hashing-trick bag-of-words featurization: token → md5 →
+    component index, component value = token count.  A REAL (if
+    classical) text-embedding model — deterministic, vocabulary-free,
+    streamable — producing (id_col, emb: array<bigint>).
+
+    This is the honest in-container stand-in for a neural encoder:
+    the dataflow (explode → hash-bucket → single aggregate with
+    ``dim`` conditional sums → dense vector) is exactly the shape a
+    Pandas-UDF encoder plugs into, but every step here is codegen'd
+    and engine-exact, so the whole featurizer is oracle-checkable
+    (md5 agrees across engines; xxhash64 would not leave Spark).
+
+    ``dim`` ≤ 16 uses one hex nibble of the digest; enough for the
+    demonstration while keeping the oracle a flat expression.
+    """
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    if not 1 <= dim <= 16:
+        raise ValueError("dim must be in [1, 16] (single hex nibble bucketing)")
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
+    # First hex nibble of md5 → bucket in [0, dim): identical
+    # instr/strpos spelling on both engines.
+    nib = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("_tok"), 1, 1)) - 1
+    bucketed = toks.select(id_col, (nib % dim).alias("_b"))
+    counts = bucketed.groupBy(id_col).agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("_b") == i, 1).otherwise(0)).cast("long")
+                for i in range(dim)
+            ]
+        ).alias("emb")
+    )
+    spine = df.select(F.col(id_col))
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(dim)])
+    return spine.join(counts, id_col, "left").select(
+        F.col(id_col), F.coalesce("emb", zero).alias("emb")
+    )
+
+
+def hashed_bow_oracle_sql(
+    id_col: str, text_col: str = "text", dim: int = 16, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`hashed_bow_embedding` (same md5-nibble
+    bucketing, same FILTER-per-component aggregate), generated so the
+    spellings cannot drift."""
+    comps = ", ".join(
+        f"CAST(count(*) FILTER (b = {i}) AS BIGINT)" for i in range(dim)
+    )
+    zeros = ", ".join("CAST(0 AS BIGINT)" for _ in range(dim))
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         unnest(list_filter(string_split_regex({text_col}, '\\s+'), x -> x <> '')) AS tok
+  FROM {table}
+),
+b AS (
+  SELECT {id_col},
+         (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) % {dim} AS b
+  FROM toks
+),
+emb AS (SELECT {id_col}, [{comps}] AS emb FROM b GROUP BY {id_col})
+SELECT d.{id_col},
+       array_to_string(coalesce(emb.emb, [{zeros}]), ',') AS emb_csv
+FROM {table} d LEFT JOIN emb ON d.{id_col} = emb.{id_col}
+"""

@@ -65,6 +65,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _PRIORITY: list[str] = [
     # new in round 3 — never checked by anyone
     "ann_cosine_topk_pandas",
+    "hashed_bow_embeddings",
     "orders_merge_upsert",
     "lineitem_unpivot_measures",
     "deduped_corpus",

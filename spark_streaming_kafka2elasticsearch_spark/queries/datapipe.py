@@ -946,3 +946,32 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         docs, id_col="doc_id", chunk_tokens=32, overlap=8
     )
+
+
+def _hashed_bow_oracle() -> str:
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        hashed_bow_oracle_sql,
+    )
+
+    return hashed_bow_oracle_sql("doc_id", "text", dim=16, table="documents")
+
+
+@register("hashed_bow_embeddings", oracle=_hashed_bow_oracle())
+def hashed_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → embedding featurization executed for real (hashing
+    trick, md5-nibble buckets): the oracle-checkable stand-in for a
+    neural encoder, producing dense 16-dim count vectors every
+    downstream similarity op in this repo can consume.  See
+    operators/text.hashed_bow_embedding for the dataflow shape."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        hashed_bow_embedding,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hashed_bow_embedding(docs, "doc_id", "text", dim=16)
+    # Emit the vector as CSV: the driver's value hash has no precedent
+    # for array-typed columns, and the string round-trip is lossless
+    # for integer counts.
+    return emb.select(
+        "doc_id", F.array_join(F.col("emb"), ",").alias("emb_csv")
+    )

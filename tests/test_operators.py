@@ -848,3 +848,22 @@ def test_hll_sketch_union_matches_single_pass(spark):
     ).collect()[0]["est"]
     assert merged == single  # union of partials ≡ one global sketch
     assert abs(merged - 100_000) / 100_000 < 0.05
+
+
+def test_hashed_bow_embedding_counts_and_empty_doc(spark):
+    """Hashing-trick featurizer: component sums must equal token
+    counts (mass conservation), empty docs get the zero vector, and
+    identical texts get identical vectors."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        hashed_bow_embedding,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, ""), (3, "a b c a")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["emb"] for r in hashed_bow_embedding(df, "doc_id").collect()}
+    assert sum(got[1]) == 4 and len(got[1]) == 16
+    assert got[2] == [0] * 16
+    assert got[1] == got[3]
+    with pytest.raises(ValueError):
+        hashed_bow_embedding(df, "doc_id", dim=17)

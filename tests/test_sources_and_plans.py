@@ -369,3 +369,33 @@ def test_kafka_live_source_or_documented_absence(spark):
         assert "DATA_SOURCE_NOT_FOUND" not in msg and "ClassNotFound" not in msg, (
             f"connector jar {jar} present but source failed to resolve: {msg}"
         )
+
+
+def test_plan_metrics_summary(spark):
+    """plan_metrics must see what the plan strings show: a broadcast
+    join with a pushed filter and no cartesian; and assert_no_cartesian
+    must catch a true cross join."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka2elasticsearch_spark.plans.inspect import (
+        assert_no_cartesian,
+        plan_metrics,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(
+        F.col("c_custkey") < 100
+    )
+    j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    m = plan_metrics(j)
+    assert m["n_broadcast_joins"] == 1
+    assert m["n_sort_merge_joins"] == 0
+    assert not m["has_cartesian"]
+    assert m["n_scans"] == 2
+    assert m["scans_with_pushed_filters"] >= 1  # c_custkey < 100 reaches the scan
+    assert m["n_codegen_spans"] == 0  # documented: unassigned pre-execution (AQE)
+    assert_no_cartesian(j)  # no raise
+
+    cross = orders.crossJoin(customer)
+    with pytest.raises(ValueError, match="CartesianProduct"):
+        assert_no_cartesian(cross)
