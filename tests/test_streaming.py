@@ -711,3 +711,97 @@ def test_jdbc_upsert_sink_streaming_micro_batches(spark, tmp_path):
         q.stop()
     got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
     assert got == {"a": 7, "b": 2, "c": 3}
+
+
+def test_stream_stream_left_outer_interval_join_emits_nulls_after_watermark(
+    spark, tmp_path
+):
+    """LEFT OUTER stream-stream semantics: an unmatched left row may
+    only emit (null-padded) once the watermark proves no future right
+    row can still match it — so the null row appears not in the epoch
+    that read it, but after event time advances past its join window.
+    This is the state-EVICTION contract made visible."""
+    from pyspark.sql import types as T
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.joins import (
+        stream_stream_interval_join,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    clicks_dir, buys_dir = tmp_path / "clicks", tmp_path / "buys"
+    clicks_dir.mkdir(); buys_dir.mkdir()
+
+    def jline(user_id, event_id, ts):
+        return json.dumps({"user_id": user_id, "event_id": event_id, "ts": ts})
+
+    clicks = (
+        spark.readStream.schema(schema).json(str(clicks_dir))
+        .select("user_id", F.col("event_id").alias("click_id"),
+                F.col("ts").cast("timestamp").alias("click_ts"))
+    )
+    buys = (
+        spark.readStream.schema(schema).json(str(buys_dir))
+        .select(F.col("user_id").alias("b_user"), F.col("event_id").alias("buy_id"),
+                F.col("ts").cast("timestamp").alias("buy_ts"))
+    )
+    joined = stream_stream_interval_join(
+        buys,
+        clicks,
+        left_ts="buy_ts",
+        right_ts="click_ts",
+        equi_keys=[("b_user", "user_id")],
+        interval="10 MINUTES",
+        left_watermark="1 minute",
+        right_watermark="1 minute",
+        how="leftOuter",
+    ).select("buy_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_left_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        write_batch_file(
+            str(clicks_dir), "c0.json", [jline(1, 100, "2023-11-17 10:00:00")]
+        )
+        write_batch_file(
+            str(buys_dir),
+            "b0.json",
+            [
+                jline(1, 900, "2023-11-17 10:05:00"),  # matches click 100
+                jline(3, 902, "2023-11-17 10:02:00"),  # never matches
+            ],
+        )
+        q.processAllAvailable()
+        rows = {
+            (r["buy_id"], r["click_id"])
+            for r in spark.sql("SELECT * FROM ss_left_join").collect()
+        }
+        assert rows == {(900, 100)}  # 902 still buffered: window not closed
+
+        # Advance event time far past 902's window on BOTH streams so
+        # the watermark closes it; the null-padded row must now emit.
+        write_batch_file(
+            str(clicks_dir), "c1.json", [jline(8, 800, "2023-11-17 12:00:00")]
+        )
+        write_batch_file(
+            str(buys_dir), "b1.json", [jline(9, 990, "2023-11-17 12:00:00")]
+        )
+        q.processAllAvailable()
+        q.processAllAvailable()  # second epoch lets the advanced watermark act
+        rows = {
+            (r["buy_id"], r["click_id"])
+            for r in spark.sql("SELECT * FROM ss_left_join").collect()
+        }
+        assert (902, None) in rows, rows
+        assert (900, 100) in rows
+    finally:
+        q.stop()

@@ -118,3 +118,15 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_global_topk_avoids_full_sort(spark):
+    """orderBy + limit must plan as TakeOrderedAndProject — per-
+    partition heaps merged on the driver — never a global sort-shuffle
+    of the table.  At 100 TB this is the difference between a top-10
+    costing one scan and costing a full range-partitioned sort."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    top = li.orderBy(F.desc("l_extendedprice")).limit(10)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
