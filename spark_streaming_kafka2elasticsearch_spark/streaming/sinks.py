@@ -67,13 +67,18 @@ class KeyedUpsertParquetSink:
     key_col: str = "data_key"
 
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from spark_streaming_kafka2elasticsearch_spark.operators.merge import (
+            merge_upsert,
+        )
+
         spark = batch_df.sparkSession
         fresh = batch_df.dropDuplicates([self.key_col])
         if os.path.exists(self.path):
-            current = spark.read.parquet(self.path)
-            merged = current.join(
-                fresh.select(self.key_col), [self.key_col], "left_anti"
-            ).unionByName(fresh)
+            # One MERGE definition for the whole engine: the batch
+            # operator IS the per-epoch upsert (anti-join + union).
+            merged = merge_upsert(
+                spark.read.parquet(self.path), fresh, keys=[self.key_col]
+            )
         else:
             merged = fresh
         tmp = f"{self.path}__tmp_{uuid.uuid4().hex}"
