@@ -71,6 +71,7 @@ _PRIORITY: list[str] = [
     "deduped_corpus",
     "token_rarity_scores",
     "user_event_scd2",
+    "user_state_asof",
     "events_zorder_keys",
     "orders_quality_report",
     "distinct_users_sketch_rollup",

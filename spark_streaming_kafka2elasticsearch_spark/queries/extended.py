@@ -817,3 +817,45 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id", zorder_key("user_id", "event_id", bits=16).alias("zkey")
     )
+
+
+@register(
+    "user_state_asof",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_id, event_type, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events
+)
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from
+FROM v
+WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
+""",
+)
+def user_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup over the SCD2 history: each user's state
+    as of 2024-01-15 12:00 UTC — a narrow interval filter on the
+    versioned table, the query shape historization exists to make
+    cheap (vs replaying the event log).  At rest the history table
+    partitions by valid_from month, so PIT lookups prune to a
+    bounded slice."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.history import (
+        scd2_from_changes,
+    )
+
+    t = F.lit("2024-01-15 12:00:00").cast("timestamp")
+    events = load_table(spark, sf_dir, "events")
+    hist = scd2_from_changes(
+        events, keys=["user_id"], ts_col="ts", tiebreak_cols=["event_id"]
+    )
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+    )

@@ -805,3 +805,41 @@ def test_stream_stream_left_outer_interval_join_emits_nulls_after_watermark(
         assert (900, 100) in rows
     finally:
         q.stop()
+
+
+def test_ecs_progress_listener_captures_metrics(spark, tmp_path):
+    """The observability surface: every micro-batch must surface
+    rows-in, throughput, and batch duration through the listener (and
+    thus into ECS logs). Listener events are delivered async, so poll."""
+    from spark_streaming_kafka2elasticsearch_spark.streaming.observability import (
+        EcsProgressListener,
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    listener = EcsProgressListener()
+    spark.streams.addListener(listener)
+    try:
+        write_batch_file(src, "b0.json", ['{"k": "a"}', '{"k": "b"}', '{"k": "c"}'])
+        q = (
+            spark.readStream.schema("k string").json(src)
+            .writeStream.format("memory").queryName("obs_probe")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for _ in range(40):  # async delivery: wait up to ~10 s
+                if any(p["num_input_rows"] == 3 for p in listener.progresses):
+                    break
+                time.sleep(0.25)
+        finally:
+            q.stop()
+        batches = [p for p in listener.progresses if p["num_input_rows"] == 3]
+        assert batches, listener.progresses
+        b = batches[0]
+        assert b["query_name"] == "obs_probe"
+        assert b["batch_duration_ms"] is not None and b["batch_duration_ms"] >= 0
+        assert b["state_rows_total"] == 0  # stateless query
+    finally:
+        spark.streams.removeListener(listener)
