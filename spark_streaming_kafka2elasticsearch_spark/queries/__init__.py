@@ -72,6 +72,8 @@ _PRIORITY: list[str] = [
     "token_rarity_scores",
     "user_event_scd2",
     "user_state_asof",
+    "quantity_price_correlation",
+    "event_value_mad",
     "events_zorder_keys",
     "orders_quality_report",
     "distinct_users_sketch_rollup",

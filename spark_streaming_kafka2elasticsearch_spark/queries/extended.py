@@ -859,3 +859,87 @@ def user_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: robust / second-moment statistics with engine-exact arithmetic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantity_price_correlation",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10)) * CAST(l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10)) * CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10)) * CAST(l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         AS corr_qty_price
+FROM s
+""",
+)
+def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation WITHOUT the built-in ``corr`` aggregate:
+    ``corr``'s streaming moments accumulate doubles in partition order
+    (non-deterministic across engines AND across runs at scale), so
+    the five raw sums go through exact DECIMAL(28,10) instead and the
+    closed form is evaluated in identically-ordered double arithmetic
+    — bit-stable on any cluster, oracle-exact here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(28,10)"
+    x = F.col("l_quantity").cast(dec)
+    y = F.col("l_extendedprice").cast(dec)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("string").cast("double").alias("sx"),
+        F.sum(y).cast("string").cast("double").alias("sy"),
+        F.sum(x * y).cast("string").cast("double").alias("sxy"),
+        F.sum(x * x).cast("string").cast("double").alias("sxx"),
+        F.sum(y * y).cast("string").cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+@register(
+    "event_value_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+       m.med AS median_value
+FROM events e JOIN med m USING (event_type)
+GROUP BY e.event_type, m.med
+""",
+)
+def event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust spread
+    statistic an outlier-resistant quality monitor uses.  Two exact
+    medians (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, probe-
+    verified); the per-type median joins back broadcast so the events
+    table is scanned twice but shuffled only for the two aggregates."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    return (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+        )
+        .select("event_type", "mad", F.col("med").alias("median_value"))
+    )
