@@ -61,6 +61,9 @@ PROBE_QUERIES = [
     "ann_cosine_topk",
     "decontaminate_train_docs",
     "document_repetition_ratios",
+    "deduped_corpus",
+    "hashed_bow_embeddings",
+    "ann_cosine_topk_pandas",
 ]
 
 
