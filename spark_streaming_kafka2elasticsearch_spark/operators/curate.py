@@ -69,6 +69,47 @@ def parse_json_events(
     return parsed.select("event.*")
 
 
+def parse_with_dead_letter(
+    df: DataFrame,
+    schema: T.StructType = ORDER_EVENT_SCHEMA,
+    column: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter routing: parse once, split into (good, bad).
+
+    ``good`` = flattened rows that parsed cleanly; ``bad`` = the RAW
+    payload plus an ``error_kind`` tag for rows that did not — the
+    quarantine stream a production pipeline lands in its dead-letter
+    topic/table for replay after a schema fix (the reference silently
+    null-fills these; a 100 TB ingest cannot afford silent data loss).
+
+    Works identically under batch and foreachBatch.  Note the upstream
+    frame is consumed by BOTH outputs — under streaming each side is
+    its own sink/query; under batch, persist ``df`` first if it is
+    expensive to recompute.
+    """
+    corrupt = "_corrupt_record"
+    schema_with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt, T.StringType(), True)]
+    )
+    parsed = df.select(
+        F.col(column).alias("_raw"),
+        F.from_json(
+            F.col(column),
+            schema_with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+        ).alias("event"),
+    )
+    is_bad = F.col(f"event.{corrupt}").isNotNull() | F.col("event").isNull()
+    good = parsed.filter(~is_bad).select("event.*").drop(corrupt)
+    bad = parsed.filter(is_bad).select(
+        F.col("_raw").alias("raw_payload"),
+        F.when(F.col("event").isNull(), F.lit("unparseable"))
+        .otherwise(F.lit("schema_mismatch"))
+        .alias("error_kind"),
+    )
+    return good, bad
+
+
 # ---------------------------------------------------------------------------
 # P7–P11: derived business columns
 # ---------------------------------------------------------------------------

@@ -122,3 +122,25 @@ def test_cast_value_to_string(spark):
     out = cast_value_to_string(df)
     assert out.collect()[0]["value"] == '{"a":1}'
     assert dict(out.dtypes)["value"] == "string"
+
+
+def test_parse_with_dead_letter_routes_bad_rows(spark):
+    """Dead-letter contract: clean rows flatten into the good stream;
+    unparseable payloads land in quarantine with the RAW payload
+    preserved byte-for-byte (replayability) and nothing is dropped."""
+    import json as _json
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.curate import (
+        parse_with_dead_letter,
+    )
+
+    ok = _json.dumps({"order_id": 1, "order_number": "A-1", "order_total": 5.0})
+    garbage = "this is not json at all {{{"
+    df = spark.createDataFrame([(ok,), (garbage,)], ["value"])
+    good, bad = parse_with_dead_letter(df)
+    assert [r["order_number"] for r in good.collect()] == ["A-1"]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert bad_rows[0]["raw_payload"] == garbage
+    assert bad_rows[0]["error_kind"] in ("unparseable", "schema_mismatch")
+    assert good.count() + bad.count() == df.count()  # lossless split
