@@ -74,6 +74,7 @@ _PRIORITY: list[str] = [
     "user_state_asof",
     "quantity_price_correlation",
     "event_value_mad",
+    "revenue_grouping_sets",
     "events_zorder_keys",
     "orders_quality_report",
     "distinct_users_sketch_rollup",

@@ -943,3 +943,50 @@ def event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "mad", F.col("med").alias("median_value"))
     )
+
+
+@register(
+    "revenue_grouping_sets",
+    oracle="""
+SELECT n_name, o_orderpriority,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))
+                     * (1 - CAST(l_discount AS DECIMAL(28,10)))) AS VARCHAR) AS DOUBLE)
+         AS revenue,
+       CAST(grouping(n_name) AS BIGINT) AS g_nation,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority), ())
+""",
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices):
+    revenue by nation, by priority, by both, and the grand total in
+    ONE pass — Spark's Expand node replicates each row once per set,
+    so the scan count stays 1 regardless of how many sets are asked
+    for.  grouping() flags disambiguate real NULLs from subtotal rows.
+    Dimension chain broadcasts; only lineitem⋈orders shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dec = "decimal(28,10)"
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast(dec) * (1 - F.col("l_discount").cast(dec))
+    )
+    return joined.groupingSets(
+        [["n_name"], ["o_orderpriority"], ["n_name", "o_orderpriority"], []],
+        "n_name",
+        "o_orderpriority",
+    ).agg(
+        rev.cast("string").cast("double").alias("revenue"),
+        F.grouping("n_name").cast("long").alias("g_nation"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+    )

@@ -843,3 +843,40 @@ def test_ecs_progress_listener_captures_metrics(spark, tmp_path):
         assert b["state_rows_total"] == 0  # stateless query
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_dead_letter_quarantine_two_sinks(spark, tmp_path):
+    """The dead-letter pattern end-to-end under streaming: one source,
+    two queries — good rows to the curated sink, malformed payloads to
+    quarantine with the raw bytes intact. Nothing lost, nothing mixed."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.curate import (
+        parse_with_dead_letter,
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    ok = order_event(1, "A-1", "2024-01-01 10:00:00")
+    write_batch_file(src, "b0.json", [ok, "NOT JSON %%%", '{"order_id": }'])
+
+    raw = spark.readStream.schema("value string").text(src).toDF("value")
+    good, bad = parse_with_dead_letter(raw)
+    q_good = (
+        good.select("order_number").writeStream.format("memory")
+        .queryName("dl_good").option("checkpointLocation", str(tmp_path / "c1"))
+        .start()
+    )
+    q_bad = (
+        bad.writeStream.format("memory")
+        .queryName("dl_bad").option("checkpointLocation", str(tmp_path / "c2"))
+        .start()
+    )
+    try:
+        q_good.processAllAvailable()
+        q_bad.processAllAvailable()
+        good_rows = [r["order_number"] for r in spark.sql("SELECT * FROM dl_good").collect()]
+        bad_rows = {r["raw_payload"] for r in spark.sql("SELECT * FROM dl_bad").collect()}
+        assert good_rows == ["A-1"]
+        assert bad_rows == {"NOT JSON %%%", '{"order_id": }'}
+    finally:
+        q_good.stop()
+        q_bad.stop()
