@@ -75,6 +75,7 @@ _PRIORITY: list[str] = [
     "quantity_price_correlation",
     "event_value_mad",
     "revenue_grouping_sets",
+    "event_value_anomalies",
     "events_zorder_keys",
     "orders_quality_report",
     "distinct_users_sketch_rollup",

@@ -990,3 +990,46 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("n_name").cast("long").alias("g_nation"),
         F.grouping("o_orderpriority").cast("long").alias("g_priority"),
     )
+
+
+@register(
+    "event_value_anomalies",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, m.med, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type, m.med
+)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN mad ON e.event_type = mad.event_type
+WHERE mad.mad > 0 AND abs(e.value - mad.med) > 6 * mad.mad
+""",
+)
+def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: events whose value deviates from the
+    per-type median by more than 6×MAD — immune to the outliers it
+    hunts (a mean/stddev gate moves with the contamination).  The MAD
+    table is per-type (tiny) and broadcasts; detection is a narrow
+    filter over one scan."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+        )
+    )
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("value") - F.col("med")) > 6 * F.col("mad"))
+        )
+        .select("event_id", "event_type", "value")
+    )
