@@ -399,3 +399,32 @@ def test_plan_metrics_summary(spark):
     cross = orders.crossJoin(customer)
     with pytest.raises(ValueError, match="CartesianProduct"):
         assert_no_cartesian(cross)
+
+
+def test_refreshable_dim_ttl_and_invalidate(spark):
+    """TTL contract: within TTL the cached frame is served (one load),
+    after expiry or invalidate() the loader runs again and the fresh
+    rows are visible — bounded staleness without per-batch re-reads."""
+    import time as _time
+
+    from spark_streaming_kafka2elasticsearch_spark.sources.dims import RefreshableDim
+
+    state = {"rows": [(1, "London")]}
+
+    def loader(s):
+        return s.createDataFrame(state["rows"], ["city_id", "city"])
+
+    dim = RefreshableDim(loader, ttl_seconds=60.0)
+    a = dim.get(spark)
+    b = dim.get(spark)
+    assert dim.n_loads == 1 and a is b and a.is_cached
+
+    state["rows"] = [(1, "London"), (2, "Leeds")]
+    assert dim.get(spark).count() == 1  # TTL not expired: still stale copy
+    dim.invalidate()
+    refreshed = dim.get(spark)
+    assert dim.n_loads == 2 and refreshed.count() == 2
+
+    eager = RefreshableDim(loader, ttl_seconds=0.0)
+    eager.get(spark); _time.sleep(0.01); eager.get(spark)
+    assert eager.n_loads == 2  # ttl<=0 == reference's per-batch re-read
