@@ -880,3 +880,50 @@ def test_streaming_dead_letter_quarantine_two_sinks(spark, tmp_path):
     finally:
         q_good.stop()
         q_bad.stop()
+
+
+def test_refreshable_dim_inside_foreachbatch(spark, tmp_path):
+    """Compose RefreshableDim with the J1 enrichment inside
+    foreachBatch: epochs within the TTL reuse one cached dim load;
+    after invalidate() the next epoch sees the re-published dim."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.joins import (
+        enrich_stream_static,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.sources.dims import RefreshableDim
+
+    dim_state = {"rows": [(7, "London")]}
+    dim = RefreshableDim(
+        lambda s: s.createDataFrame(dim_state["rows"], ["city_id", "city"]),
+        ttl_seconds=3600.0,
+    )
+    seen: list[tuple] = []
+
+    def enrich_epoch(batch_df, epoch_id):
+        d = dim.get(batch_df.sparkSession)
+        out = enrich_stream_static(
+            batch_df, d, fact_key="city_id", dim_key="city_id", cache_dim=False
+        )
+        seen.extend((r["k"], r["city"]) for r in out.collect())
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    write_batch_file(src, "b0.json", ['{"k": "a", "city_id": 7}'])
+    stream = spark.readStream.schema("k string, city_id bigint").json(src)
+    q = (
+        stream.writeStream.foreachBatch(enrich_epoch)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dim_state["rows"] = [(7, "Leeds")]
+        write_batch_file(src, "b1.json", ['{"k": "b", "city_id": 7}'])
+        q.processAllAvailable()  # TTL valid: still the London copy
+        dim.invalidate()
+        write_batch_file(src, "b2.json", ['{"k": "c", "city_id": 7}'])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert ("a", "London") in seen and ("b", "London") in seen
+    assert ("c", "Leeds") in seen
+    assert dim.n_loads == 2  # three epochs, two loads
