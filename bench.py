@@ -45,28 +45,61 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name, fn in all_queries().items():
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # keep the bench line parseable on failure
-            timings[name] = -1.0
-            print(f"bench error in {name}: {exc}", file=sys.stderr)
-        # Queries are independent; drop persisted intermediates (dedup
-        # materialization boundaries) so cache pressure from one query
-        # can't skew the next one's timing.
-        spark.catalog.clearCache()
+    # Median-of-N de-noising (same code measured 122.7s / 268.0s /
+    # 190.7s across three r3/r4 runs on this box — a single pass will
+    # eventually produce a false 2×-regression).  Pass 1 always runs;
+    # extra passes (up to SPARK_GRAFT_BENCH_PASSES, default 3) run only
+    # while total elapsed + the last pass's cost stays under
+    # SPARK_GRAFT_BENCH_BUDGET_SEC, so the driver's per-round budget is
+    # respected.  Reported per-query value = median across passes.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
+    max_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    t_start = time.time()
+    runs: dict[str, list[float]] = {}
+    passes_done = 0
+    for _ in range(max_passes):
+        pass_t0 = time.time()
+        for name, fn in all_queries().items():
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.setdefault(name, []).append(round(time.time() - t0, 3))
+            except Exception as exc:  # keep the bench line parseable on failure
+                runs.setdefault(name, []).append(-1.0)
+                print(f"bench error in {name}: {exc}", file=sys.stderr)
+            # Queries are independent; drop persisted intermediates (dedup
+            # materialization boundaries) so cache pressure from one query
+            # can't skew the next one's timing.
+            spark.catalog.clearCache()
+        passes_done += 1
+        pass_cost = time.time() - pass_t0
+        if time.time() - t_start + pass_cost > budget:
+            break
 
+    def median(xs: list[float]) -> float:
+        ok = sorted(x for x in xs if x >= 0)
+        if not ok:  # every pass failed
+            return -1.0
+        mid = len(ok) // 2
+        return ok[mid] if len(ok) % 2 else round((ok[mid - 1] + ok[mid]) / 2, 3)
+
+    timings = {name: median(xs) for name, xs in runs.items()}
+    spread = {
+        name: round(max(xs) - min(xs), 3)
+        for name, xs in runs.items()
+        if len([x for x in xs if x >= 0]) > 1
+    }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     summary = {
-        "metric": "total wall-clock sec for all registered queries (noop sink)",
+        "metric": "total wall-clock sec for all registered queries "
+        f"(noop sink, median of {passes_done} pass(es))",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "passes": passes_done,
+        "spread": spread,
     }
     line = json.dumps(summary)
     # Stdout is the driver contract, but long registries have had the

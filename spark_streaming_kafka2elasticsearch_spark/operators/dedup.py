@@ -36,7 +36,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+from spark_streaming_kafka2elasticsearch_spark.functions.text import md5_hash64, tokens
 
 # ---------------------------------------------------------------------------
 # exact / fingerprint dedup
@@ -494,7 +494,11 @@ def simhash_table(
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
     )
-    h = F.xxhash64("_tok")
+    # md5-derived token hash (functions/text.md5_hash64), NOT xxhash64:
+    # same sketch quality, but reproducible in DuckDB, so the whole
+    # fingerprint (and the Hamming pair set built on it) is
+    # value-checked by the driver's oracle gate.
+    h = md5_hash64("_tok")
     packed_cols = []
     for c in range((bits + group - 1) // group):
         js = range(c * group, min((c + 1) * group, bits))
@@ -555,7 +559,7 @@ def simhash(text_col: Column | str, bits: int = 64) -> Column:
     zero = F.array_repeat(F.lit(0), bits)
 
     def tok_bits(tok: Column) -> Column:
-        h = F.xxhash64(tok)
+        h = md5_hash64(tok)  # same hash as simhash_table — the two forms must agree
         return F.array(
             *[
                 F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1

@@ -296,14 +296,18 @@ def sample_video_frames(
                 "media_id": [], "frame_index": [], "timestamp_ms": [], "frame_hash": []
             }
             for mid, payload in zip(pdf[id_col], pdf[binary_col]):
-                h = hashlib.sha256(bytes(payload)).digest()
-                n_frames = 2 + h[3] % 6  # fake duration → 2..7 frames
+                # Derivations stay in HEX-STRING space (not raw digest
+                # bytes) so the fake is reproducible in any SQL engine
+                # whose sha256 takes VARCHAR (DuckDB's does) — this is
+                # what makes the plumbing query oracle-checkable.
+                hx = hashlib.sha256(bytes(payload)).hexdigest()
+                n_frames = 2 + int(hx[6:8], 16) % 6  # byte 3 → 2..7 frames
                 for i in range(n_frames):
                     out["media_id"].append(int(mid))
                     out["frame_index"].append(i)
                     out["timestamp_ms"].append(i * every_ms)
                     out["frame_hash"].append(
-                        hashlib.sha256(h + i.to_bytes(4, "big")).hexdigest()[:16]
+                        hashlib.sha256((hx + str(i)).encode()).hexdigest()[:16]
                     )
             yield pd.DataFrame(out)
 

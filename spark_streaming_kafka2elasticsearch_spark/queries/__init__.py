@@ -49,6 +49,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # by default; read nanos as long and convert exactly (integer div —
     # a double division would lose precision above 2^53 ns).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The driver's parquet has also shipped timestamp[us] WITHOUT a
+    # timezone annotation (isAdjustedToUTC=false), which Spark 4 infers
+    # as TIMESTAMP_NTZ — a type rejected by unix_micros & friends.
+    # Disabling NTZ inference makes the SCAN ITSELF produce canonical
+    # TIMESTAMP (session tz is pinned UTC above, so the reinterpretation
+    # is exact: same wall-clock instant).  Crucially this keeps filter
+    # pushdown alive — a post-read to_utc_timestamp() projection would
+    # hide o_orderdate / l_shipdate / ts predicates from the parquet
+    # reader (PushedFilters would go empty; test_tpch.py pins this).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     if name == "events" and dtypes.get("ts") == "bigint":
@@ -63,60 +73,61 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: rest.  Dicts preserve insertion order; rotate this list each round
 #: so every query gets a driver row within two rounds.
 _PRIORITY: list[str] = [
-    # new in round 3 — never checked by anyone
-    "ann_cosine_topk_pandas",
-    "hashed_bow_embeddings",
-    "orders_merge_upsert",
-    "lineitem_unpivot_measures",
-    "deduped_corpus",
-    "token_rarity_scores",
-    "user_event_scd2",
-    "user_state_asof",
-    "quantity_price_correlation",
-    "event_value_mad",
-    "revenue_grouping_sets",
-    "event_value_anomalies",
-    "events_zorder_keys",
-    "orders_quality_report",
-    "distinct_users_sketch_rollup",
-    "decontaminate_train_docs",
-    "near_dup_clusters_star",
-    "events_last_error_asof",
-    "document_repetition_ratios",
-    "document_chunks",
-    "suppliers_kept_waiting",
-    "multimodal_image_decode_real",
-    "multimodal_audio_decode_real",
-    # registered in round 2, beyond the driver's 50-cap both rounds
-    "events_localtime_kolkata",
-    "embedding_cosine_pairs_fast",
-    "shipping_priority",
-    "order_priority_late_ship",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    "volume_shipping",
-    "national_market_share",
-    "returned_item_reporting",
-    "customer_order_distribution",
-    "top_supplier",
-    "large_volume_customer",
-    "discounted_revenue",
-    "global_sales_opportunity",
-    # last driver-checked in round 1
-    "token_frequencies",
-    "events_sliding_10min",
-    "embedding_cosine_pairs",
-    "promo_revenue_share",
-    "parts_by_brand",
-    "lineitem_cube",
-    "supplier_revenue_in_region",
-    "curated_orders",
-    "curated_orders_fused",
-    "products_sold_exploded",
-    "orders_enriched",
-    "events_tumbling_2min",
-    "lineitem_filter_project",
+    # round-5 rotation (VERDICT r4 item 2): the fixed query first, then
+    # the 51 queries whose newest driver row is r1/r2 (code-to-oracle
+    # drift unproven since).  The 50 entries checked in r3/r4 drop to
+    # the tail — all green there on identical code.
+    "user_sessionization",
     "orders_deterministic_sample",
+    "quantity_percentiles",
+    "quantity_percentiles_approx",
+    "latest_event_per_user",
+    "array_functions_showcase",
+    "above_average_customers",
+    "document_scores_pandas",
+    "ann_cosine_topk_ivf",
+    "pricing_summary",
+    "revenue_by_nation",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "top_orders_per_customer",
+    "order_status_distinct_customers",
+    "order_status_distinct_customers_approx",
+    "lineitem_rollup",
+    "events_json_props",
+    "active_parties_union",
+    "nation_party_setops",
+    "pii_scrub_stats",
+    "window_functions_showcase",
+    "events_props_map_keys",
+    "sql_region_revenue",
+    "salted_brand_revenue",
+    "small_qty_order_revenue",
+    "dedup_exact_documents",
+    "document_fingerprints",
+    "ngram_jaccard_pairs",
+    "minhash_near_dup_pairs",
+    "simhash_fingerprints",
+    "simhash_near_dup_pairs",
+    "text_quality_scores",
+    "token_stats_by_lang",
+    "language_id_heuristic",
+    "near_dup_clusters",
+    "documents_curation_pipeline",
+    "stratified_sample_by_lang",
+    "bpe_token_stats",
+    "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
+    "embedding_near_dup_srp",
+    "srp_buckets",
+    "embedding_l2_norms",
+    "multimodal_image_features",
+    "multimodal_video_frames",
+    "multimodal_audio_features",
+    "asof_purchase_prior_click",
+    "daily_event_type_pivot",
+    "string_functions_showcase",
+    "date_functions_showcase",
 ]
 
 

@@ -348,7 +348,8 @@ def events_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_cosine_pairs",
     oracle="""
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 1000)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_cosine_similarity(a.v, b.v) AS cos_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
@@ -366,14 +367,25 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical float ops and results, ~2.5× less interpreted work.
     This is deliberately the small-sf oracle twin; the scale/bench
     path is embedding_cosine_pairs_fast below (explode + codegen —
-    same pairs, float-noise-free projection)."""
+    same pairs, float-noise-free projection).
+
+    INPUT CAP (VERDICT r4 item 7): the quadratic twin exists ONLY to
+    value-check cosine math, so its input is capped at vec_id < 1000
+    on BOTH engines — constant cost at any scale factor (a no-op at
+    sf≤0.01 where vec_id < 500; 4× fewer pairs at sf0.1).  The
+    uncapped scale path remains embedding_cosine_pairs_fast /
+    embedding_near_dup_srp."""
     from spark_streaming_kafka2elasticsearch_spark.functions.vectors import (
         dot_product,
         l2_norm,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", l2_norm("embedding").alias("nrm")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        # Cap pushed to the scan (see docstring) — keeps the oracle
+        # twin constant-cost while staying value-checked.
+        .filter(F.col("vec_id") < 1000)
+        .select("vec_id", "label", "embedding", l2_norm("embedding").alias("nrm"))
     )
     a = emb.select(
         F.col("vec_id").alias("id_a"),

@@ -1,0 +1,100 @@
+"""Round-end preflight gate (VERDICT r4 item 3).
+
+Round 4 shipped while ``pytest`` was red — that state was visible only
+in the judge's verdict, not in the repo.  This tool makes it
+un-ignorable: it runs the FULL test suite plus the local replica of the
+driver's oracle gate over every registry entry, and writes the combined
+result to ``PREFLIGHT.json`` at the repo root, which gets committed at
+round end.  A red preflight in git history is a loud artifact.
+
+    python tools/preflight.py            # full: pytest + all oracles
+    python tools/preflight.py --no-pytest  # oracle gate only
+
+Exit status is nonzero if anything is red, so it can gate scripts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def run_pytest() -> dict:
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=no"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    tail = (proc.stdout or "").strip().splitlines()[-1:] or [""]
+    m = re.search(r"(\d+) passed", tail[0])
+    f = re.search(r"(\d+) failed", tail[0])
+    s = re.search(r"(\d+) skipped", tail[0])
+    return {
+        "green": proc.returncode == 0,
+        "passed": int(m.group(1)) if m else 0,
+        "failed": int(f.group(1)) if f else 0,
+        "skipped": int(s.group(1)) if s else 0,
+        "summary_line": tail[0],
+        "sec": round(time.time() - t0, 1),
+    }
+
+
+def run_oracles() -> dict:
+    """Invoke check_oracle.py as a subprocess (it owns a SparkSession)."""
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"), SF_DIR],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    # check_oracle prints one status line per query; progress bars embed
+    # carriage returns, so split on both.
+    lines = re.split(r"[\r\n]+", proc.stdout or "")
+    status: dict[str, str] = {}
+    for ln in lines:
+        m = re.search(r"\b([a-z][a-z_0-9]+): (OK|FAIL|SPARK ERROR|rows-only)", ln)
+        if m:
+            status[m.group(1)] = m.group(2)
+    n_fail = sum(1 for v in status.values() if v in ("FAIL", "SPARK ERROR"))
+    return {
+        "green": proc.returncode == 0 and n_fail == 0,
+        "checked": len(status),
+        "failed": n_fail,
+        "failures": {k: v for k, v in status.items() if v in ("FAIL", "SPARK ERROR")},
+        "rows_only": sorted(k for k, v in status.items() if v == "rows-only"),
+        "sf_dir": SF_DIR,
+        "sec": round(time.time() - t0, 1),
+    }
+
+
+def main() -> None:
+    out: dict = {"ts_note": "written by tools/preflight.py at round end"}
+    if "--no-pytest" not in sys.argv:
+        out["pytest"] = run_pytest()
+        print(f"pytest: {'GREEN' if out['pytest']['green'] else 'RED'} "
+              f"({out['pytest']['summary_line']})")
+    out["oracle"] = run_oracles()
+    print(f"oracle gate: {'GREEN' if out['oracle']['green'] else 'RED'} "
+          f"({out['oracle']['checked']} checked, {out['oracle']['failed']} failed)")
+    out["green"] = all(v["green"] for k, v in out.items() if isinstance(v, dict))
+    with open(os.path.join(REPO, "PREFLIGHT.json"), "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(f"PREFLIGHT.json written — overall {'GREEN' if out['green'] else 'RED'}")
+    sys.exit(0 if out["green"] else 1)
+
+
+if __name__ == "__main__":
+    main()
