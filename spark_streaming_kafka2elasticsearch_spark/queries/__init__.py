@@ -78,6 +78,8 @@ _PRIORITY: list[str] = [
     # drift unproven since).  The 50 entries checked in r3/r4 drop to
     # the tail — all green there on identical code.
     "user_sessionization",
+    # new in round 5 — never driver-checked
+    "multimodal_video_decode_real",
     "orders_deterministic_sample",
     "quantity_percentiles",
     "quantity_percentiles_approx",

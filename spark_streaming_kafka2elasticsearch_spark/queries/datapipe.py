@@ -954,7 +954,63 @@ def multimodal_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_audio_decode_real")  # no SQL oracle: mapInPandas kernel
+@register(
+    "multimodal_video_decode_real",
+    # Same analytic-oracle trick as the real PNG decode: DuckDB can't
+    # parse Y4M, but the synthetic clip's luma plane is a pure modular
+    # function of (id, frame, x, y), so the oracle re-derives the
+    # DECODED per-frame means and the exact integer-floor sample set
+    # (every_ms=200 at 10 fps ⇒ even frame indices, 100 ms apart).
+    oracle="""
+WITH dims AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         16 + 2 * ((doc_id * 3) % 8) AS w,
+         16 + 2 * ((doc_id * 5) % 8) AS h,
+         2 + doc_id % 6 AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT media_id, w, h, f
+  FROM dims, unnest(generate_series(0, n_frames - 1)) AS tf(f)
+  WHERE f % 2 = 0
+),
+px AS (
+  SELECT media_id, w, h, f,
+         CAST((x + 2 * y + 3 * f + media_id) % 256 AS DOUBLE) AS yv
+  FROM frames,
+       unnest(generate_series(0, w - 1)) AS tx(x),
+       unnest(generate_series(0, h - 1)) AS ty(y)
+)
+SELECT media_id,
+       CAST(f AS INTEGER) AS frame_index,
+       CAST(f * 100 AS BIGINT) AS timestamp_ms,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       round(avg(yv) / 255.0, 6) AS mean_y
+FROM px GROUP BY media_id, f, w, h
+""",
+)
+def multimodal_video_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: deterministic Y4M (YUV4MPEG2)
+    clips are generated per doc_id, then parsed by the stdlib+numpy
+    Y4M decoder — frame dimensions, timestamps, and luma means come
+    from the actual decoded planes (operators/multimodal.y4m_parse).
+    Closes the last codec NotImplementedError for a format this
+    container can genuinely decode; compressed formats still name
+    their ffmpeg dependency honestly."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        synth_y4m_table,
+        video_frame_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_y4m_table(docs, id_col="doc_id")
+    return video_frame_stats(media, every_ms=200)
+
+
+@register(
+    "multimodal_audio_decode_real"
+)  # no SQL oracle: RMS of libm-rounded sine PCM — numpy/DuckDB sin() differ in ulps
 def multimodal_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: deterministic sine-tone WAVs per
     doc_id, parsed by the stdlib ``wave`` RIFF decoder — duration,

@@ -867,3 +867,72 @@ def test_hashed_bow_embedding_counts_and_empty_doc(spark):
     assert got[1] == got[3]
     with pytest.raises(ValueError):
         hashed_bow_embedding(df, "doc_id", dim=17)
+
+
+def test_y4m_roundtrip_pure_python():
+    """Y4M codec: known luma planes → encode → parse → identical
+    arrays, header fields, and frame count (no Spark needed)."""
+    import numpy as np
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        y4m_encode,
+        y4m_parse,
+    )
+
+    rng = np.random.RandomState(5)
+    frames = rng.randint(0, 256, (4, 18, 32), dtype=np.uint8)
+    w, h, num, den, got = y4m_parse(y4m_encode(frames, fps=(30, 1)))
+    assert (w, h, num, den) == (32, 18, 30, 1)
+    assert len(got) == 4
+    assert all((got[i] == frames[i]).all() for i in range(4))
+
+
+def test_y4m_sampled_frame_indices_integer_exact():
+    """Sampling is integer floor arithmetic: 10 fps sampled every
+    200 ms hits even frames; every_ms below the frame period dedupes;
+    non-integer fps (30000/1001 NTSC) still lands exact indices."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        sampled_frame_indices,
+    )
+
+    assert sampled_frame_indices(7, 10, 1, 200) == [0, 2, 4, 6]
+    assert sampled_frame_indices(3, 10, 1, 50) == [0, 1, 2]
+    idxs = sampled_frame_indices(60, 30000, 1001, 1000)
+    assert idxs[:3] == [0, 29, 59]  # 29.97 fps → ~every 30th frame
+
+
+def test_multimodal_real_y4m_decode_end_to_end(spark):
+    """REAL video decode: known planes → Y4M bytes → distributed
+    mapInPandas stats → exact dims, true timestamps, exact mean."""
+    import numpy as np
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        video_frame_stats,
+        y4m_encode,
+    )
+
+    frames = np.stack([np.full((16, 20), v, np.uint8) for v in (10, 200, 30)])
+    media = spark.createDataFrame(
+        [(1, bytearray(y4m_encode(frames, fps=(10, 1))))],
+        "media_id long, content binary",
+    )
+    rows = {r["frame_index"]: r.asDict() for r in video_frame_stats(media, every_ms=100).collect()}
+    assert set(rows) == {0, 1, 2}
+    for i, v in enumerate((10, 200, 30)):
+        assert rows[i]["width"] == 20 and rows[i]["height"] == 16
+        assert rows[i]["timestamp_ms"] == i * 100
+        assert abs(rows[i]["mean_y"] - round(v / 255.0, 6)) < 1e-9
+
+
+def test_multimodal_video_real_rejects_compressed(spark):
+    """Non-Y4M payloads must name the ffmpeg boundary, not fake an
+    answer — the honest-stub contract for compressed containers."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        sample_video_frames,
+        synth_media_table,
+    )
+
+    docs = spark.createDataFrame([(1, "not a video")], ["doc_id", "text"])
+    media = synth_media_table(docs, "doc_id", "text")
+    with pytest.raises(Exception, match="ffmpeg"):
+        sample_video_frames(media, fake=False).collect()
