@@ -80,6 +80,9 @@ _PRIORITY: list[str] = [
     "user_sessionization",
     # new in round 5 — never driver-checked
     "multimodal_video_decode_real",
+    "embedding_int8_quantized",
+    "sequence_packing_plan",
+    "training_shard_shuffle",
     "orders_deterministic_sample",
     "quantity_percentiles",
     "quantity_percentiles_approx",

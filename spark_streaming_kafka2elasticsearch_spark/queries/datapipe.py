@@ -1179,3 +1179,134 @@ def hashed_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "doc_id", F.array_join(F.col("emb"), ",").alias("emb_csv")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data preparation: quantization, sequence packing, sharding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_int8_quantized",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e)
+SELECT vec_id, scale,
+       CASE WHEN scale = 0
+            THEN array_to_string(list_transform(v, x -> 0), ',')
+            ELSE array_to_string(
+                   list_transform(v, x -> CAST(round(x / scale) AS INTEGER)), ',')
+       END AS q_csv
+FROM s
+""",
+)
+def embedding_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|x|/127,
+    q = round(x/scale)) — the storage/serving compression step of an
+    embedding pipeline, executed entirely in codegen'd array
+    expressions (no UDF).  Quantized components can never exceed
+    ±127 by construction, so no clamp branch exists to diverge
+    between engines; Spark and DuckDB both round ties away from
+    zero, and the scale division is a single IEEE op on identical
+    operands — hence value-hash-exact.  Emitted as CSV (the driver
+    hash's array-column convention, see hashed_bow_embeddings)."""
+    v = F.col("embedding").cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    emb = load_table(spark, sf_dir, "embeddings").select(F.col("vec_id"), v.alias("v"), scale)
+    q = F.when(
+        F.col("scale") == 0, F.transform(F.col("v"), lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(F.col("v"), lambda x: F.round(x / F.col("scale")).cast("int"))
+    )
+    return emb.select("vec_id", "scale", F.array_join(q, ",").alias("q_csv"))
+
+
+@register(
+    "sequence_packing_plan",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens, start_offset,
+       start_offset // 2048 AS pack_id
+FROM c
+""",
+)
+def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing plan (the GPT-style
+    pretraining layout): documents are concatenated in deterministic
+    order within hash shards and every doc is assigned the
+    2048-token context window its first token lands in.  The
+    distributed shape is the honest one — cumulative sums run
+    PER-SHARD (one shuffle on shard_id, then a sorted running sum
+    per partition), never a global single-partition window, so the
+    plan parallelizes across shards at any corpus size."""
+    from pyspark.sql import Window
+
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard_id"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return c.select(
+        "doc_id",
+        F.col("shard_id").cast("long").alias("shard_id"),
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / 2048).alias("pack_id"),
+    )
+
+
+@register(
+    "training_shard_shuffle",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx,
+         (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 4 AS shard_id
+  FROM documents
+)
+SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY hx, doc_id)
+            AS BIGINT) AS position
+FROM h
+""",
+)
+def training_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: every document
+    gets a content-hash shard and a within-shard position ordered by
+    the hash itself — a reshuffle that is reproducible run-to-run and
+    engine-to-engine (md5, not a seeded RNG), which is what epoch
+    resumability needs.  One shuffle on shard_id; the per-shard sort
+    is the partition-local kind every distributed sort does."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    nib = (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) % 4
+    t = docs.select("doc_id", h.alias("hx"), nib.cast("long").alias("shard_id"))
+    w = Window.partitionBy("shard_id").orderBy("hx", "doc_id")
+    return t.select(
+        "doc_id", "shard_id", F.row_number().over(w).cast("long").alias("position")
+    )

@@ -135,6 +135,37 @@ def test_every_query_has_stable_columns(spark):
             ), f"{name}: non-identifier column name {df.columns}"
 
 
+def test_sequence_packing_no_global_window(spark):
+    """The packing plan must cumsum PER-SHARD: a window without
+    partition keys would collapse the whole corpus onto one partition
+    (SinglePartition exchange) — the classic scale killer."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+    plan = (
+        all_queries()["sequence_packing_plan"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(shard_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_training_shard_shuffle_no_global_sort(spark):
+    """Shard shuffle sorts WITHIN hash partitions (row_number over
+    partitionBy) — no global ordering, no single-partition funnel."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+    plan = (
+        all_queries()["training_shard_shuffle"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(shard_id" in plan
+    assert "SinglePartition" not in plan
+
+
 # ---------------------------------------------------------------------------
 # JDBC source — real end-to-end execution against embedded Derby
 # (the JDBC driver that ships inside Spark's own jars; reference
