@@ -20,7 +20,7 @@ preceding join's shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_streaming_kafka2elasticsearch_spark.operators.joins import anti_join, semi_join
@@ -460,10 +460,11 @@ WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 )
 def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: the revenue view aggregates lineitem once; the
-    global max is an unpartitioned window over the ALREADY-aggregated
-    |supplier|-row frame (not a second scan, unlike the SQL's repeated
-    CTE — Spark reuses the cached exchange).  Decimal-exact revenue
-    makes the argmax deterministic."""
+    global max is the scalar-subquery broadcast pattern (1-row
+    aggregate cross-joined back), NOT an unpartitioned window — a
+    ``Window.partitionBy()`` would funnel every supplier row onto one
+    partition, the lone SinglePartition shape the plan audit used to
+    flag.  Decimal-exact revenue makes the argmax deterministic."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -471,8 +472,8 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         _dsum(_revenue(), "total_revenue")
     )
-    w = Window.partitionBy()
-    best = rev.withColumn("_mx", F.max("total_revenue").over(w)).filter(
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    best = rev.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("_mx")
     )
     return (
