@@ -52,10 +52,45 @@ def main() -> None:
     # while total elapsed + the last pass's cost stays under
     # SPARK_GRAFT_BENCH_BUDGET_SEC, so the driver's per-round budget is
     # respected.  Reported per-query value = median across passes.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
+    # Default budget is deliberately conservative: the driver's own
+    # bench timeout is unknown, and a lost BENCH artifact costs more
+    # than a noisier median (1 full pass has always fit in <300s).
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "420"))
     max_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     t_start = time.time()
     runs: dict[str, list[float]] = {}
+
+    def median(xs: list[float]) -> float:
+        ok = sorted(x for x in xs if x >= 0)
+        if not ok:  # every pass failed
+            return -1.0
+        mid = len(ok) // 2
+        return ok[mid] if len(ok) % 2 else round((ok[mid - 1] + ok[mid]) / 2, 3)
+
+    def summarize(passes_done: int) -> str:
+        timings = {name: median(xs) for name, xs in runs.items()}
+        spread = {
+            name: round(max(xs) - min(xs), 3)
+            for name, xs in runs.items()
+            if len([x for x in xs if x >= 0]) > 1
+        }
+        total = round(sum(t for t in timings.values() if t >= 0), 3)
+        return json.dumps(
+            {
+                "metric": "total wall-clock sec for all registered queries "
+                f"(noop sink, median of {passes_done} pass(es))",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "passes": passes_done,
+                "spread": spread,
+            }
+        )
+
+    bench_local = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
     passes_done = 0
     for _ in range(max_passes):
         pass_t0 = time.time()
@@ -73,44 +108,19 @@ def main() -> None:
             # can't skew the next one's timing.
             spark.catalog.clearCache()
         passes_done += 1
+        # Persist after EVERY pass: if the driver's (unknown) timeout
+        # kills a later pass, the artifact still carries the last
+        # complete pass's medians instead of vanishing.
+        with open(bench_local, "w") as f:
+            f.write(summarize(passes_done) + "\n")
         pass_cost = time.time() - pass_t0
         if time.time() - t_start + pass_cost > budget:
             break
 
-    def median(xs: list[float]) -> float:
-        ok = sorted(x for x in xs if x >= 0)
-        if not ok:  # every pass failed
-            return -1.0
-        mid = len(ok) // 2
-        return ok[mid] if len(ok) % 2 else round((ok[mid - 1] + ok[mid]) / 2, 3)
-
-    timings = {name: median(xs) for name, xs in runs.items()}
-    spread = {
-        name: round(max(xs) - min(xs), 3)
-        for name, xs in runs.items()
-        if len([x for x in xs if x >= 0]) > 1
-    }
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
-    summary = {
-        "metric": "total wall-clock sec for all registered queries "
-        f"(noop sink, median of {passes_done} pass(es))",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "passes": passes_done,
-        "spread": spread,
-    }
-    line = json.dumps(summary)
     # Stdout is the driver contract, but long registries have had the
-    # tail of the captured line truncated (r2 lost its total) — also
-    # persist the summary to a file so totals always survive.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
-        "w",
-    ) as f:
-        f.write(line + "\n")
-    print(line)
+    # tail of the captured line truncated (r2 lost its total) — the
+    # file above always carries the full summary.
+    print(summarize(passes_done))
 
 
 if __name__ == "__main__":
