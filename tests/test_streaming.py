@@ -927,3 +927,30 @@ def test_refreshable_dim_inside_foreachbatch(spark, tmp_path):
     assert ("a", "London") in seen and ("b", "London") in seen
     assert ("c", "Leeds") in seen
     assert dim.n_loads == 2  # three epochs, two loads
+
+
+def test_console_sink_runs_and_terminates(spark, tmp_path):
+    """K1 — the console debug sink actually executes a microbatch
+    (reference :465-476): rate source → console, one trigger, query
+    reaches a processed batch and stops cleanly.  Closes the last
+    'untested (trivial wrapper)' row in the §2 table."""
+    from spark_streaming_kafka2elasticsearch_spark.streaming.sinks import (
+        start_console_sink,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "10").load()
+    )
+    q = start_console_sink(stream, output_mode="append", query_name="k1_console")
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if q.lastProgress and q.lastProgress["numInputRows"] >= 0:
+                break
+            time.sleep(0.5)
+        assert q.isActive
+        assert q.lastProgress is not None  # at least one batch ran
+    finally:
+        q.stop()
+        q.awaitTermination(10)
+    assert not q.isActive
