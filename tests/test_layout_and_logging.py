@@ -270,3 +270,29 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     assert max(per_file_area(zpath)) <= 2 * 256
     # Linear layout: every file spans all 64 y values.
     assert min(per_file_area(lpath)) >= 64 * 4
+
+
+def test_s3a_conf_lands_in_session():
+    """I2 — enable_s3a=True must surface the S3A filesystem conf in
+    the live session (reference bexley_spark_stream_msk_es.py:118-124).  Runs in a
+    subprocess because getOrCreate would otherwise reuse the suite's
+    session and silently skip builder conf."""
+    import subprocess
+    import sys
+
+    code = (
+        "from spark_streaming_kafka2elasticsearch_spark.session import build_session\n"
+        "spark = build_session(master='local[1]', app_name='s3aprobe',"
+        " enable_s3a=True)\n"
+        "print('IMPL=' +"
+        " spark.conf.get('spark.hadoop.fs.s3a.impl'))\n"
+        "print('UPLOAD=' +"
+        " spark.conf.get('spark.hadoop.fs.s3a.fast.upload'))\n"
+        "spark.stop()\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "IMPL=org.apache.hadoop.fs.s3a.S3AFileSystem" in out.stdout
+    assert "UPLOAD=true" in out.stdout

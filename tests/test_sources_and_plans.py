@@ -459,3 +459,27 @@ def test_refreshable_dim_ttl_and_invalidate(spark):
     eager = RefreshableDim(loader, ttl_seconds=0.0)
     eager.get(spark); _time.sleep(0.01); eager.get(spark)
     assert eager.n_loads == 2  # ttl<=0 == reference's per-batch re-read
+
+
+def test_load_table_timestamps_are_canonical(spark):
+    """Regression for the r3/r4 breakage: the driver's parquet has
+    shipped ts columns as INT64 nanos AND as timestamp[us] without a
+    timezone (TIMESTAMP_NTZ to Spark 4) across rounds.  load_table
+    must present ONE canonical type — TIMESTAMP (UTC session) — for
+    every temporal column of every table, or unix_micros-class
+    functions crash data-dependently."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import load_table
+
+    for table in ["events", "orders", "lineitem"]:
+        df = load_table(spark, SF_DIR, table)
+        bad = {
+            c: t
+            for c, t in df.dtypes
+            if t in ("timestamp_ntz",) or (c == "ts" and t != "timestamp")
+        }
+        assert not bad, f"{table}: non-canonical temporal columns {bad}"
+    # And the round-3 killer expression must evaluate.
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    ev.select(F.unix_micros("ts")).limit(1).collect()
