@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,15 +26,58 @@ from spark_streaming_kafka2elasticsearch_spark.queries import all_oracles, all_q
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+_PKG = "spark_streaming_kafka2elasticsearch_spark"
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers via ``addPyFile``.
+
+    cloudpickle serializes the mapInPandas/applyInPandas kernels
+    (multimodal decode, Arrow top-k, …) BY REFERENCE to their module,
+    so each Python worker must be able to ``import`` the package.  The
+    driver-side ``sys.path`` insert above does not propagate to
+    workers: it only works when the driver's cwd happens to be the
+    repo root.  A zip of the package on ``addPyFile`` lands on every
+    worker's ``sys.path`` regardless of cwd — one ~100 KB upload per
+    session, a no-op on every later call.
+    """
+    if getattr(spark, "_spark_graft_pyfiles_added", False):
+        return
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"{_PKG}-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        src_root = os.path.join(_REPO_DIR, _PKG)
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for dirpath, _dirnames, filenames in os.walk(src_root):
+                for fname in filenames:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(dirpath, fname)
+                    zf.write(full, os.path.relpath(full, _REPO_DIR))
+    spark.sparkContext.addPyFile(zpath)
+    spark._spark_graft_pyfiles_added = True
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[
+    [SparkSession, str], DataFrame
+]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_workers_can_import(spark)
     return all_queries()["curated_orders"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return all_queries()
+    return {name: _wrap(fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

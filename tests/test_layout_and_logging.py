@@ -296,3 +296,40 @@ def test_s3a_conf_lands_in_session():
     assert out.returncode == 0, out.stderr[-500:]
     assert "IMPL=org.apache.hadoop.fs.s3a.S3AFileSystem" in out.stdout
     assert "UPLOAD=true" in out.stdout
+
+
+def test_driver_contract_loads_from_foreign_cwd():
+    """The external driver loads __spark_entry__.py by file path from
+    an arbitrary cwd.  mapInPandas kernels pickle BY REFERENCE to the
+    package, so executor Python workers must import it without the
+    repo being the cwd — entry()/queries() ship the package via
+    addPyFile.  This subprocess reproduces the exact foreign-cwd load
+    and runs a worker-dependent (mapInPandas) query end-to-end."""
+    import subprocess
+    import sys
+
+    code = (
+        "import importlib.util\n"
+        "spec = importlib.util.spec_from_file_location("
+        "'__spark_entry__', '/root/repo/__spark_entry__.py')\n"
+        "mod = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(mod)\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[2]')"
+        ".config('spark.sql.shuffle.partitions', '2').getOrCreate())\n"
+        "assert mod.entry(spark).count() > 0\n"
+        "q = mod.queries()['multimodal_image_decode_real']\n"
+        "print('WORKER_ROWS=' + str(q(spark, '/root/testdata/sf0.001').count()))\n"
+        "spark.stop()\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=180,
+        cwd="/tmp",
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "WORKER_ROWS=" in out.stdout
+    rows = int(out.stdout.split("WORKER_ROWS=")[1].split()[0])
+    assert rows > 0
