@@ -83,6 +83,7 @@ _PRIORITY: list[str] = [
     "embedding_int8_quantized",
     "sequence_packing_plan",
     "training_shard_shuffle",
+    "tfidf_scores",
     "orders_deterministic_sample",
     "quantity_percentiles",
     "quantity_percentiles_approx",

