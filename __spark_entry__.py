@@ -8,6 +8,7 @@ by ``spark_streaming_kafka2elasticsearch_spark.queries``.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import sys
 import tempfile
@@ -43,18 +44,28 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     """
     if getattr(spark, "_spark_graft_pyfiles_added", False):
         return
+    src_root = os.path.join(_REPO_DIR, _PKG)
+    sources: list[tuple[str, str]] = []  # (abs path, zip arcname)
+    digest = hashlib.sha256()
+    for dirpath, _dirnames, filenames in os.walk(src_root):
+        for fname in sorted(filenames):
+            if not fname.endswith(".py"):
+                continue
+            full = os.path.join(dirpath, fname)
+            rel = os.path.relpath(full, _REPO_DIR)
+            st = os.stat(full)
+            digest.update(f"{rel}:{st.st_mtime_ns}:{st.st_size}\n".encode())
+            sources.append((full, rel))
+    # Content-addressed cache name: source edits change the digest, so a
+    # long-lived driver that re-imports this module after edits never
+    # ships a stale zip (the pid-keyed scheme did).
     zpath = os.path.join(
-        tempfile.gettempdir(), f"{_PKG}-{os.getpid()}.zip"
+        tempfile.gettempdir(), f"{_PKG}-{digest.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zpath):
-        src_root = os.path.join(_REPO_DIR, _PKG)
         with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-            for dirpath, _dirnames, filenames in os.walk(src_root):
-                for fname in filenames:
-                    if not fname.endswith(".py"):
-                        continue
-                    full = os.path.join(dirpath, fname)
-                    zf.write(full, os.path.relpath(full, _REPO_DIR))
+            for full, rel in sources:
+                zf.write(full, rel)
     spark.sparkContext.addPyFile(zpath)
     spark._spark_graft_pyfiles_added = True
 

@@ -241,6 +241,8 @@ def y4m_parse(data: bytes) -> tuple[int, int, int, int, list[np.ndarray]]:
             h = int(val)
         elif tag == "F":
             num, den = (int(x) for x in val.split(":"))
+            if num <= 0 or den <= 0:
+                raise ValueError(f"Y4M frame rate must be positive, got F{val}")
         elif tag == "C" and not val.startswith("420"):
             raise ValueError(f"only C420 chroma supported, got C{val}")
     if w < 0 or h < 0:
@@ -249,9 +251,15 @@ def y4m_parse(data: bytes) -> tuple[int, int, int, int, list[np.ndarray]]:
     frames: list[np.ndarray] = []
     pos = nl + 1
     while pos < len(data):
-        fnl = data.index(b"\n", pos)
         if data[pos : pos + 5] != b"FRAME":
             raise ValueError("corrupt Y4M: expected FRAME marker")
+        try:
+            # FRAME line is tiny (marker + optional params); a missing
+            # newline within 256 bytes means the stream is corrupt — do
+            # not scan into binary plane data.
+            fnl = data.index(b"\n", pos, pos + 256)
+        except ValueError:
+            raise ValueError("corrupt Y4M: unterminated FRAME header") from None
         pos = fnl + 1
         plane = data[pos : pos + luma_sz]
         if len(plane) < luma_sz:
@@ -267,6 +275,11 @@ def sampled_frame_indices(
     """Frame indices sampled at every_ms ticks — pure integer floor
     arithmetic (``(k·every_ms·num) // (1000·den)``), so any SQL engine
     reproduces the exact sample set."""
+    if fps_num <= 0 or fps_den <= 0 or every_ms <= 0:
+        raise ValueError(
+            f"fps_num/fps_den/every_ms must be positive, got "
+            f"{fps_num}/{fps_den}/{every_ms}"
+        )
     idxs: list[int] = []
     k = 0
     while True:
@@ -469,12 +482,17 @@ def video_frame_stats(
                     out["width"].append(w)
                     out["height"].append(h)
                     out["mean_y"].append(
-                        round(float(frames[i].astype(np.float64).mean()) / 255.0, 6)
+                        float(frames[i].astype(np.float64).mean()) / 255.0
                     )
             yield pd.DataFrame(out)
 
-    return df.select(id_col, binary_col).mapInPandas(
-        stat_batches, schema=VIDEO_FRAME_STATS_SCHEMA
+    # Round JVM-side with F.round (HALF_UP) — same convention as the
+    # image twin and the DuckDB oracles; the kernel emits the raw mean
+    # so Python round() (banker's) never enters the comparison path.
+    return (
+        df.select(id_col, binary_col)
+        .mapInPandas(stat_batches, schema=VIDEO_FRAME_STATS_SCHEMA)
+        .withColumn("mean_y", F.round(F.col("mean_y"), 6))
     )
 
 

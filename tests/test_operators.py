@@ -901,6 +901,36 @@ def test_y4m_sampled_frame_indices_integer_exact():
     assert idxs[:3] == [0, 29, 59]  # 29.97 fps → ~every 30th frame
 
 
+def test_y4m_malformed_inputs_error_not_hang():
+    """Malformed streams raise targeted errors instead of hanging or
+    scanning binary plane data: zero fps (would loop forever in
+    sampled_frame_indices), garbage after the header (no FRAME
+    marker), and a FRAME line with no newline in bounded range."""
+    import numpy as np
+    import pytest
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        sampled_frame_indices,
+        y4m_encode,
+        y4m_parse,
+    )
+
+    with pytest.raises(ValueError, match="positive"):
+        sampled_frame_indices(10, 0, 1, 100)
+    with pytest.raises(ValueError, match="positive"):
+        sampled_frame_indices(10, 10, 1, 0)
+    with pytest.raises(ValueError, match="positive"):
+        y4m_parse(b"YUV4MPEG2 W4 H4 F0:1 C420\n")
+    with pytest.raises(ValueError, match="FRAME marker"):
+        y4m_parse(b"YUV4MPEG2 W4 H4 F10:1 C420\nnotaframe\n" + b"\x00" * 24)
+    good = y4m_encode(np.zeros((1, 4, 4), np.uint8), fps=(10, 1))
+    nl = good.index(b"\n")
+    # Keep header, then a FRAME marker with its newline stripped and
+    # raw plane bytes after it — must error, not scan for a far newline.
+    with pytest.raises(ValueError, match="unterminated FRAME"):
+        y4m_parse(good[: nl + 1] + b"FRAME" + b"\x07" * 300)
+
+
 def test_multimodal_real_y4m_decode_end_to_end(spark):
     """REAL video decode: known planes → Y4M bytes → distributed
     mapInPandas stats → exact dims, true timestamps, exact mean."""
