@@ -75,16 +75,20 @@ def main() -> None:
             if len([x for x in xs if x >= 0]) > 1
         }
         total = round(sum(t for t in timings.values() if t >= 0), 3)
+        # Key order matters for the driver artifact: it keeps only the
+        # LAST ~2000 chars of stdout, so the big per-query dicts go
+        # FIRST and the headline scalars (value!) go LAST — r5 lost its
+        # total to the old value-first ordering.
         return json.dumps(
             {
                 "metric": "total wall-clock sec for all registered queries "
                 f"(noop sink, median of {passes_done} pass(es))",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
                 "passes": passes_done,
-                "spread": spread,
+                "unit": "sec",
+                "value": total,
             }
         )
 

@@ -447,7 +447,7 @@ def srp_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     tables: int = 8,
-    planes_per_table: int | None = 8,
+    planes_per_table: int | None = None,
     max_bucket_size: int = 1024,
     target_occupancy: int = 64,
 ) -> DataFrame:
@@ -478,10 +478,14 @@ def srp_near_dup_pairs(
     ``planes_per_table ≈ log2(n / target_occupancy)`` (e.g. n=10⁹,
     occupancy 64 → p=24).  Recall per qualifying pair falls only
     geometrically in p (cos 0.9 → 0.86^p per table) and is recovered
-    by adding tables — the standard multi-probe LSH trade.  Pass
-    ``planes_per_table=None`` to apply the rule automatically (one
-    cheap count of the input; validated at the 10× probe: p 8→11 took
-    α from 1.32 back to 0.77 with planted-pair recall still 100 %).
+    by adding tables — the standard multi-probe LSH trade.  The
+    DEFAULT (``planes_per_table=None``) applies the rule automatically
+    (one cheap count of the input; validated at the 10× probe: p 8→11
+    took α from 1.32 back to 0.77 with planted-pair recall still
+    100 %).  Pass a fixed ``planes_per_table`` only when the bucket
+    layout itself must be reproducible across corpus sizes (e.g. the
+    oracle-pinned registry query, or a bucket id reused as a storage
+    partition key).
     """
     from spark_streaming_kafka2elasticsearch_spark.functions.vectors import (
         dot_product,

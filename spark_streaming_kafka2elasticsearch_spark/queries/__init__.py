@@ -73,12 +73,68 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: rest.  Dicts preserve insertion order; rotate this list each round
 #: so every query gets a driver row within two rounds.
 _PRIORITY: list[str] = [
-    # round-5 rotation (VERDICT r4 item 2): the fixed query first, then
-    # the 51 queries whose newest driver row is r1/r2 (code-to-oracle
-    # drift unproven since).  The 50 entries checked in r3/r4 drop to
-    # the tail — all green there on identical code.
+    # round-6 rotation (VERDICT r5 item 2): new-this-round first (never
+    # driver-checked), then the 6 queries whose newest driver row is r2,
+    # then the 50 last checked in r4; the 50 just re-greened in r5 drop
+    # to the tail.  Computed from the union of CORRECTNESS_r01-r05.
+    "embedding_near_dup_srp_auto",
+    "multimodal_video_frames",
+    "multimodal_audio_features",
+    "asof_purchase_prior_click",
+    "daily_event_type_pivot",
+    "string_functions_showcase",
+    "date_functions_showcase",
+    "events_last_error_asof",
+    "token_rarity_scores",
+    "deduped_corpus",
+    "near_dup_clusters_star",
+    "decontaminate_train_docs",
+    "ann_cosine_topk_pandas",
+    "multimodal_image_decode_real",
+    "multimodal_audio_decode_real",
+    "document_repetition_ratios",
+    "document_chunks",
+    "hashed_bow_embeddings",
+    "events_localtime_kolkata",
+    "token_frequencies",
+    "events_sliding_10min",
+    "embedding_cosine_pairs",
+    "embedding_cosine_pairs_fast",
+    "promo_revenue_share",
+    "parts_by_brand",
+    "lineitem_cube",
+    "supplier_revenue_in_region",
+    "orders_merge_upsert",
+    "lineitem_unpivot_measures",
+    "user_event_scd2",
+    "orders_quality_report",
+    "distinct_users_sketch_rollup",
+    "events_zorder_keys",
+    "user_state_asof",
+    "quantity_price_correlation",
+    "event_value_mad",
+    "revenue_grouping_sets",
+    "event_value_anomalies",
+    "curated_orders",
+    "curated_orders_fused",
+    "products_sold_exploded",
+    "orders_enriched",
+    "events_tumbling_2min",
+    "lineitem_filter_project",
+    "shipping_priority",
+    "order_priority_late_ship",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "volume_shipping",
+    "national_market_share",
+    "returned_item_reporting",
+    "customer_order_distribution",
+    "top_supplier",
+    "large_volume_customer",
+    "discounted_revenue",
+    "global_sales_opportunity",
+    "suppliers_kept_waiting",
     "user_sessionization",
-    # new in round 5 — never driver-checked
     "multimodal_video_decode_real",
     "embedding_int8_quantized",
     "sequence_packing_plan",
@@ -128,12 +184,6 @@ _PRIORITY: list[str] = [
     "srp_buckets",
     "embedding_l2_norms",
     "multimodal_image_features",
-    "multimodal_video_frames",
-    "multimodal_audio_features",
-    "asof_purchase_prior_click",
-    "daily_event_type_pivot",
-    "string_functions_showcase",
-    "date_functions_showcase",
 ]
 
 

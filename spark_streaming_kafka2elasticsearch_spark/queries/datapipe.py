@@ -816,7 +816,37 @@ def embedding_near_dup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(v, lambda x: x * F.lit(1.01) + F.lit(0.002)).alias("embedding"),
     )
     aug = emb.select("vec_id", v.alias("embedding")).unionByName(planted)
-    return srp_near_dup_pairs(aug, dim=64, threshold=0.9)
+    # p pinned to 8 ONLY here: the brute-force oracle proves recall at
+    # this exact bucket layout, so the layout must not move with sf.
+    # Production callers take the auto-sized default (see the _auto
+    # twin below, whose plan is the one that survives 100×).
+    return srp_near_dup_pairs(aug, dim=64, threshold=0.9, planes_per_table=8)
+
+
+# no oracle: bucket count derives from a Spark-side corpus count, so the
+# bucket layout is not a fixed literal DuckDB can re-embed; recall is
+# asserted in tests/test_similarity_recall.py (planted pairs) and scale
+# behavior in SCALE_PROBE.json (auto-sized alpha <= 1.0 at 10x).
+@register("embedding_near_dup_srp_auto")
+def embedding_near_dup_srp_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production SRP near-dup plan: same augmented corpus as
+    embedding_near_dup_srp, but with the occupancy-holding auto-sizing
+    rule (planes_per_table = log2(n/64), clamped to [4, 24]) that keeps
+    intra-bucket pair work linear-ish as the corpus grows — the fixed
+    p=8 twin exists only so the brute-force oracle can pin a stable
+    bucket layout."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        srp_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(v, lambda x: x * F.lit(1.01) + F.lit(0.002)).alias("embedding"),
+    )
+    aug = emb.select("vec_id", v.alias("embedding")).unionByName(planted)
+    return srp_near_dup_pairs(aug, dim=64, threshold=0.9, planes_per_table=None)
 
 
 def _srp_oracle() -> str:

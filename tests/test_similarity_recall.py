@@ -155,3 +155,23 @@ def test_srp_auto_plane_sizing(spark):
         ).collect()
     }
     assert {(i, 1000 + i) for i in range(5)} <= pairs
+
+
+def test_registered_srp_auto_query_recall(spark):
+    """The registered embedding_near_dup_srp_auto query (rows-only at
+    the driver) finds every planted near-copy pair — the recall
+    assertion that stands in for its missing DuckDB oracle."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = all_queries()["embedding_near_dup_srp_auto"](spark, sf_dir).collect()
+    base_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    expected = {(i, 100000 + i) for i in base_ids if i % 10 == 0}
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    assert expected <= found, f"missed {sorted(expected - found)[:5]}"
+    assert all(r["cos_sim"] >= 0.9 for r in got)

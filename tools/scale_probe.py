@@ -64,6 +64,15 @@ PROBE_QUERIES = [
     "deduped_corpus",
     "hashed_bow_embeddings",
     "ann_cosine_topk_pandas",
+    # auto-sized SRP (VERDICT r5 item 1): the production plan whose
+    # occupancy-holding p must keep alpha <= 1.0 where fixed p=8 hit 1.18
+    "embedding_near_dup_srp_auto",
+    # training-prep trio (VERDICT r5 item 8): per-shard window /
+    # content-hash shuffle / codegen quantize all claim shard-parallel
+    # shapes — measure them
+    "sequence_packing_plan",
+    "training_shard_shuffle",
+    "embedding_int8_quantized",
 ]
 
 
@@ -110,6 +119,78 @@ COPY (
     con.close()
 
 
+def skew_join_probe(spark) -> dict:
+    """Salted vs unsalted shuffle join under a zipf-skewed fact key
+    (VERDICT r5 item 6).  The hot key owns ~32 % of all fact rows
+    (key = floor(10000·u^8) for hash-uniform u — a zipf-ish inverse
+    CDF), the dim is forced past the broadcast path, and AQE's
+    skew-split is disabled so the probe measures the OPERATOR's
+    pre-spread, not the runtime's after-the-fact rescue.  Reported:
+    wall-clock at 1x/10x for both paths + growth exponent alpha."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.joins import (
+        salted_equi_join,
+    )
+
+    dim = (
+        spark.range(10_000)
+        .select(
+            F.col("id").alias("dim_key"),
+            F.sha2(F.conv(F.col("id").cast("string"), 10, 16), 256).alias("dim_payload"),
+        )
+        .persist()
+    )
+    dim.count()
+    out: dict[str, dict] = {"unsalted": {}, "salted": {}}
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        for factor in (1, 10):
+            n = 3_000_000 * factor
+            fact = spark.range(n).select(
+                F.col("id").alias("row_id"),
+                F.floor(
+                    F.pow(
+                        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).cast("double")
+                        / 1e6,
+                        F.lit(8.0),
+                    )
+                    * 10_000
+                ).alias("fact_key"),
+            )
+            for name, join_fn in (
+                ("unsalted", lambda f: f.join(dim, f["fact_key"] == dim["dim_key"])),
+                ("salted", lambda f: salted_equi_join(
+                    f, dim, "fact_key", "dim_key", salt_buckets=32
+                )),
+            ):
+                t0 = time.time()
+                join_fn(fact).write.format("noop").mode("overwrite").save()
+                out[name][f"x{factor}"] = round(time.time() - t0, 2)
+                print(
+                    f"skew x{factor} {name}: {out[name][f'x{factor}']}s",
+                    file=sys.stderr,
+                )
+        for name in out:
+            out[name]["alpha"] = round(
+                math.log(max(out[name]["x10"], 0.01) / max(out[name]["x1"], 0.01))
+                / math.log(10),
+                2,
+            )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        dim.unpersist()
+    out["workload"] = "zipf u^8 over 10k keys, hot key ~32% of fact rows; dim 10k rows, broadcast+AQE-skew disabled"
+    return out
+
+
 def main() -> None:
     rebuild = "--rebuild" in sys.argv
     dirs = {1: BASE}
@@ -140,6 +221,8 @@ def main() -> None:
         spark.catalog.clearCache()
     print("warm-up pass done", file=sys.stderr)
 
+    skew: dict = {}
+
     def flush(results: dict) -> None:
         with open("/root/repo/SCALE_PROBE.json", "w") as f:
             json.dump(
@@ -147,6 +230,7 @@ def main() -> None:
                     "base_rows": {"documents": 5000, "embeddings": 2000},
                     "factors": [1] + FACTORS,
                     "queries": results,
+                    "skew_join": skew,
                 },
                 f,
                 indent=1,
@@ -173,7 +257,9 @@ def main() -> None:
                 math.log(max(r["x10"], 0.01) / max(r["x1"], 0.01)) / math.log(10), 2
             )
     flush(results)
-    print(json.dumps(results, indent=1))
+    skew.update(skew_join_probe(spark))
+    flush(results)
+    print(json.dumps({"queries": results, "skew_join": skew}, indent=1))
 
 
 if __name__ == "__main__":
