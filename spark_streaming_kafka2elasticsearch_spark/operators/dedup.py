@@ -174,6 +174,7 @@ def minhash_signatures_wide(
     text_col: str = "text",
     k_shingle: int = 3,
     num_hashes: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures as ``num_hashes`` wide columns ``mh_0..mh_n``.
 
@@ -187,13 +188,40 @@ def minhash_signatures_wide(
     is a single map + one shuffle of 64 longs per document — partial
     min-combine means executors ship one row per (doc × 64 longs),
     regardless of shingle count.
+
+    ``hash_family``:
+      * ``"xxhash64"`` (default) — seeded JVM xxhash64 per function,
+        the fastest path;
+      * ``"md5"`` — ONE md5 per shingle split into 32-bit halves
+        (h1, h2), then Kirsch–Mitzenmacher double hashing
+        ``g_i = (h1 + i·h2) mod 2^32`` (h2 forced odd).  Every g_i is
+        exactly reproducible in any SQL engine with md5 — this is what
+        makes the registered LSH query fully value-checkable by the
+        DuckDB oracle — and the 38-bit intermediate never overflows a
+        long, so ANSI mode stays happy.  Sketch quality: K-M is the
+        standard multi-hash derivation (provably preserves the MinHash
+        collision bound); the 2^32 value space adds a ~|union|/2^32
+        min-tie bias — negligible below billions of distinct shingles.
     """
     exploded = shingle_relation(
         df, id_col, text_col, k_shingle, distinct=False
     )
-    hash_cols = [
-        F.xxhash64(F.col("_sh"), F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)
-    ]
+    if hash_family == "md5":
+        hx = F.md5(F.col("_sh"))
+        h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").bitwiseOR(F.lit(1))
+        mask = F.lit((1 << 32) - 1)
+        hash_cols = [
+            (h1 + F.lit(i) * h2).bitwiseAND(mask).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_family == "xxhash64":
+        hash_cols = [
+            F.xxhash64(F.col("_sh"), F.lit(i)).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     hashed = exploded.select("_id", *hash_cols)
     return hashed.groupBy("_id").agg(
         *[F.min(f"_h{i}").alias(f"mh_{i}") for i in range(num_hashes)]
@@ -209,6 +237,7 @@ def minhash_lsh_candidate_pairs(
     bands: int = 16,
     max_bucket_size: int = 256,
     verify_max_doc_freq: int | None = 1000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified with exact
     shingle Jaccard.  Output: (id_a, id_b, jaccard) with id_a < id_b;
@@ -219,7 +248,12 @@ def minhash_lsh_candidate_pairs(
       1. explode + 64 codegen'd hash columns + min-agg → signatures
          (one shuffle, 64 longs per doc — see minhash_signatures_wide);
       2. per band, a hash of its signature slice → |docs|×|bands|
-         fixed-width rows (stacked via an array explode of 16 structs);
+         fixed-width rows (stacked via an array explode of 16 structs).
+         The band hash stays xxhash64 regardless of ``hash_family``:
+         bucket membership is EQUALITY of the slice (the hash is just
+         a fixed-width key for it), so an external oracle reproduces
+         buckets by grouping on the slice VALUES — only the per-shingle
+         hashes feeding the signature must be cross-engine;
       3. **bucket-size gate**: a partial-agg count per (band, hash)
          drops buckets with more than ``max_bucket_size`` members
          BEFORE any member list is materialized — one degenerate
@@ -245,7 +279,9 @@ def minhash_lsh_candidate_pairs(
     candidate and verify phases.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_wide(df, id_col, text_col, k_shingle, num_hashes)
+    sig = minhash_signatures_wide(
+        df, id_col, text_col, k_shingle, num_hashes, hash_family
+    )
 
     band_structs = [
         F.struct(

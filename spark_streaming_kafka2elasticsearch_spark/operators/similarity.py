@@ -221,16 +221,24 @@ def srp_bucket_oracle_sql(
     relies on the probe-verified fact that DuckDB ``list_dot_product``
     over DOUBLE[] equals Spark's sequential double fold bit-for-bit
     (hence the sign, and the bucket id, agree exactly)."""
+    expr = srp_bucket_expr_sql(dim, num_planes, f"CAST({vec_col} AS DOUBLE[])")
+    return f"SELECT {id_col}, {expr} AS bucket\nFROM {table}"
+
+
+def srp_bucket_expr_sql(dim: int, num_planes: int, vec_expr: str) -> str:
+    """The bare bucket-id SQL expression over an existing DOUBLE[]
+    expression — shared by :func:`srp_bucket_oracle_sql` and the
+    ann_cosine_topk_lsh oracle, so every DuckDB twin embeds the exact
+    same literal hyperplanes as the Spark plan."""
     terms = []
     for p in range(num_planes):
         arr = ", ".join(f"{float(s):.1f}" for s in _plane_signs(p, dim))
         weight = 2 ** (num_planes - 1 - p)
         terms.append(
             f"{weight} * (CASE WHEN list_dot_product("
-            f"CAST({vec_col} AS DOUBLE[]), [{arr}]) >= 0 THEN 1 ELSE 0 END)"
+            f"{vec_expr}, [{arr}]) >= 0 THEN 1 ELSE 0 END)"
         )
-    expr = "\n     + ".join(terms)
-    return f"SELECT {id_col}, {expr} AS bucket\nFROM {table}"
+    return "\n     + ".join(terms)
 
 
 def ivf_topk(

@@ -46,7 +46,10 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("quantity_percentiles_approx")  # no oracle: t-digest is engine-specific
+# no oracle: t-digest internals are engine-specific; accuracy is
+# asserted vs the exact twin in tests/test_operators.py
+# (test_approx_queries_error_bounds_vs_exact_twins)
+@register("quantity_percentiles_approx")
 def quantity_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(

@@ -208,7 +208,10 @@ def order_status_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register("order_status_distinct_customers_approx")  # no oracle: HLL is engine-specific
+# no oracle: HLL is engine-specific; <10% relative error vs the exact
+# twin is asserted in tests/test_operators.py
+# (test_approx_queries_error_bounds_vs_exact_twins)
+@register("order_status_distinct_customers_approx")
 def order_status_distinct_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(

@@ -125,15 +125,93 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_near_dup_pairs")  # no SQL oracle: xxhash64 family is Spark-side
+@register(
+    "minhash_near_dup_pairs",
+    # Full-pipeline oracle (VERDICT r5 item 4): the md5 hash family
+    # makes every signature value cross-engine (g_i = (h1 + i·h2) mod
+    # 2^32, Kirsch–Mitzenmacher over md5 halves), so DuckDB re-runs the
+    # ENTIRE LSH dataflow — signatures, 16-band slices, the 2..256
+    # bucket census gate, candidate extraction, and the df-capped exact
+    # Jaccard verify.  Buckets group on the slice VALUES (Spark's
+    # xxhash64 band key is just a fixed-width rendering of the same
+    # equality).  Shingle construction mirrors ngram_jaccard_pairs'
+    # proven-green padding trick.
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+sh_all AS (
+  -- array_to_string over a clamped slice == Spark concat_ws (skips
+  -- missing tail tokens with NO padding), exact even for <3-token docs
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(toks[i : i + 2], ' ')
+         ))) AS s
+  FROM toks
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT) | 1 AS h2
+  FROM sh_all
+),
+mh AS (
+  SELECT doc_id, i.i AS i, min((h1 + i.i * h2) & 4294967295) AS g
+  FROM hashes CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+  GROUP BY doc_id, i.i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band_id,
+         string_agg(CAST(g AS VARCHAR), ',' ORDER BY i) AS slice
+  FROM mh GROUP BY doc_id, i // 4
+),
+census AS (
+  SELECT band_id, slice FROM bands
+  GROUP BY band_id, slice HAVING count(*) BETWEEN 2 AND 256
+),
+in_bucket AS (
+  SELECT b.doc_id, b.band_id, b.slice
+  FROM bands b JOIN census USING (band_id, slice)
+),
+cand_ids AS (
+  SELECT DISTINCT a.doc_id AS id FROM in_bucket a
+),
+kept AS (
+  SELECT s.doc_id, s.s FROM sh_all s JOIN cand_ids c ON s.doc_id = c.id
+),
+ok_sh AS (
+  SELECT s FROM kept GROUP BY s HAVING count(*) <= 1000
+),
+capped AS (SELECT k.doc_id, k.s FROM kept k JOIN ok_sh USING (s)),
+sz AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
+""",
+)
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 hashes) + 16-band LSH candidate pairs with exact
     Jaccard verification ≥ 0.1 — the scale path for near-dup dedup
     (banding keeps it out of O(n²)); ngram_jaccard_pairs above is the
-    oracle-checked exact flavor on the same corpus."""
+    exact flavor on the same corpus.  Registered with the md5
+    (Kirsch–Mitzenmacher) hash family so the full LSH pipeline —
+    probabilistic banding included — is value-checked by the DuckDB
+    oracle; production callers keep the faster xxhash64 default
+    (deduped_corpus, near_dup_clusters use it)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidate_pairs(
-        docs, id_col="doc_id", text_col="text", k_shingle=3, num_hashes=64, bands=16
+        docs, id_col="doc_id", text_col="text", k_shingle=3, num_hashes=64,
+        bands=16, hash_family="md5",
     )
     return pairs.filter(F.col("jaccard") >= 0.1).select("id_a", "id_b", "jaccard")
 
@@ -766,15 +844,53 @@ def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("query_id", "neighbor_id")
 
 
-@register("ann_cosine_topk_lsh")  # no SQL oracle: SRP bucketing is Spark-side
+def _ann_lsh_oracle() -> str:
+    # Full-pipeline DuckDB twin (VERDICT r5 item 4 family): the
+    # hyperplanes are plan literals (srp_bucket_expr_sql embeds the
+    # identical ±1 arrays), multi-probe = the bucket plus its 4
+    # Hamming-1 neighbors via xor, and ranking uses the same
+    # deterministic (sim DESC, neighbor_id) tie-break as Spark.  Ids
+    # only, like the exact twin — sim floats are engine-internal.
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        srp_bucket_expr_sql,
+    )
+
+    bucket = srp_bucket_expr_sql(64, 4, "CAST(embedding AS DOUBLE[])")
+    return f"""
+WITH cb AS (
+  SELECT vec_id, embedding, {bucket} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket AS qb FROM cb WHERE vec_id < 8),
+probes AS (
+  SELECT query_id, qvec,
+         unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8)]) AS bucket
+  FROM q
+),
+s AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(p.qvec, c.embedding) AS sim
+  FROM probes p JOIN cb c USING (bucket)
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id FROM s
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 10
+"""
+
+
+@register("ann_cosine_topk_lsh", oracle=_ann_lsh_oracle())
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate variant: signed-random-projection buckets prune the
-    candidate set to |corpus|/2^planes per query before ranking."""
+    candidate set to |corpus|/2^planes per query before ranking, with
+    Hamming-1 multi-probe for boundary recall.  Oracle-checked
+    end-to-end — bucketing, probing, and the deterministic top-10 all
+    reproduce in DuckDB because the hyperplanes are plan literals."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
     )
-    return lsh_bucketed_topk(emb, queries, dim=64, k=10, num_planes=4)
+    topk = lsh_bucketed_topk(emb, queries, dim=64, k=10, num_planes=4)
+    return topk.select("query_id", "neighbor_id")
 
 
 @register(
