@@ -9,6 +9,7 @@ infrastructure — the swappability the reference lacks.
 
 from spark_streaming_kafka2elasticsearch_spark.sources.files import (
     JsonDirSource,
+    KafkaEnvelopeReplaySource,
     ParquetSource,
     RateSource,
 )
@@ -18,6 +19,7 @@ from spark_streaming_kafka2elasticsearch_spark.sources.kafka import KafkaSource
 __all__ = [
     "JdbcSource",
     "JsonDirSource",
+    "KafkaEnvelopeReplaySource",
     "KafkaSource",
     "ParquetSource",
     "RateSource",

@@ -8,7 +8,11 @@ real parameter because at scale backpressure is not optional).
 
 This module builds *options*, not connections — it needs the
 spark-sql-kafka package on the classpath only when actually started,
-so the engine imports and unit-tests cleanly without Kafka.
+so the engine imports and unit-tests cleanly without Kafka.  The
+envelope DATAFLOW (7 columns + headers, binary key/value, offset
+bookkeeping) is driven end-to-end without a broker by
+``sources.files.KafkaEnvelopeReplaySource``, which emits a
+schema-identical frame from parquet replay files.
 """
 
 from __future__ import annotations

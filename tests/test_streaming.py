@@ -954,3 +954,89 @@ def test_console_sink_runs_and_terminates(spark, tmp_path):
         q.stop()
         q.awaitTermination(10)
     assert not q.isActive
+
+
+def test_kafka_envelope_replay_source_end_to_end(spark, cities_dim, tmp_path):
+    """S1's missing headers path, broker-free (VERDICT r5 item 3): the
+    replay source emits the FULL 7-column Kafka envelope + headers with
+    binary key/value, orders_enrichment_stream consumes it via P1's
+    binary->string cast unmodified, and the batch view proves offsets
+    are dense and monotonic per topic-partition and headers round-trip."""
+    from spark_streaming_kafka2elasticsearch_spark.schemas import KAFKA_ENVELOPE_SCHEMA
+    from spark_streaming_kafka2elasticsearch_spark.sources.files import (
+        KafkaEnvelopeReplaySource,
+    )
+
+    src = KafkaEnvelopeReplaySource(str(tmp_path / "log"), topic="orders")
+    src.append_batch(
+        [
+            {
+                "value": order_event(1, "BEX-23-00017", "2023-11-17 10:15:30", city=7).encode(),
+                "key": b"1",
+                "partition": 0,
+                "headers": [("source", b"pos-system"), ("trace", b"\x00\x01")],
+            },
+            {
+                "value": order_event(2, "BEX-23-00018", "2023-11-17 11:00:00", city=8).encode(),
+                "key": b"2",
+                "partition": 1,
+                "headers": [("source", b"web")],
+            },
+        ]
+    )
+
+    # The streaming frame is schema-identical to format("kafka")'s.
+    stream = src.load_stream(spark)
+    assert stream.isStreaming
+    assert stream.schema == KAFKA_ENVELOPE_SCHEMA
+    assert dict(stream.dtypes)["value"] == "binary"  # P1 gets real binary
+
+    enriched = orders_enrichment_stream(spark, src, cities_dim)
+    sink = KeyedUpsertMemorySink(key_col="data_key")
+    query = (
+        enriched.writeStream.outputMode("update")
+        .foreachBatch(sink.write_batch)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        # second micro-batch continues each partition's log
+        src.append_batch(
+            [
+                {
+                    "value": order_event(3, "BEX-23-00019", "2023-11-18 09:00:00", city=7).encode(),
+                    "key": b"3",
+                    "partition": 0,
+                    "headers": None,
+                },
+            ]
+        )
+        query.processAllAvailable()
+        assert len(sink.rows) == 3
+        assert sink.rows["BEX-23-00017-2023-11-17"]["city"] == "London"
+        assert sink.rows["BEX-23-00018-2023-11-17"]["city"] == "Leeds"
+    finally:
+        query.stop()
+
+    # Batch replay view: offsets dense + monotonic per partition,
+    # headers and keys round-trip byte-exact.
+    rows = src.load(spark).orderBy("partition", "offset").collect()
+    per_part = {}
+    for r in rows:
+        per_part.setdefault(r["partition"], []).append(r["offset"])
+    assert per_part == {0: [0, 1], 1: [0]}
+    h0 = {h["key"]: bytes(h["value"]) for h in rows[0]["headers"]}
+    assert h0 == {"source": b"pos-system", "trace": b"\x00\x01"}
+    assert bytes(rows[0]["key"]) == b"1" and rows[0]["topic"] == "orders"
+    assert rows[0]["timestampType"] == 0 and rows[0]["timestamp"] is not None
+
+    # A FRESH writer instance resumes each partition's log from disk
+    # instead of restarting offsets at 0.
+    src2 = KafkaEnvelopeReplaySource(str(tmp_path / "log"), topic="orders")
+    src2.append_batch([{"value": b"{}", "partition": 0}])
+    offs = {
+        (r["partition"], r["offset"])
+        for r in src2.load(spark).select("partition", "offset").collect()
+    }
+    assert (0, 2) in offs and len(offs) == 4
