@@ -78,6 +78,8 @@ _PRIORITY: list[str] = [
     # then the 50 last checked in r4; the 50 just re-greened in r5 drop
     # to the tail.  Computed from the union of CORRECTNESS_r01-r05.
     "embedding_near_dup_srp_auto",
+    "chunk_level_dedup",
+    "source_mixing_weights",
     "multimodal_video_frames",
     "multimodal_audio_features",
     "asof_purchase_prior_click",

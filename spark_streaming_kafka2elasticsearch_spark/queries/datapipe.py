@@ -1509,3 +1509,119 @@ def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("tf") * idf, 6).alias("tfidf"),
         )
     )
+
+
+@register(
+    "chunk_level_dedup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         unnest(generate_series(
+           0,
+           greatest(CAST(ceil((len(t) - 8) / 24.0) AS INT) - 1, 0)
+         )) AS chunk_id,
+         t
+  FROM d WHERE len(t) > 0
+),
+h AS (
+  SELECT doc_id, chunk_id,
+         md5(array_to_string(t[chunk_id*24 + 1 : chunk_id*24 + 32], ' ')) AS chunk_md5
+  FROM c
+)
+SELECT chunk_md5,
+       min(doc_id) AS canonical_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM h
+GROUP BY chunk_md5
+HAVING count(*) > 1
+""",
+)
+def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) dedup — the RefinedWeb/CCNet
+    step that document-level dedup misses: boilerplate repeated INSIDE
+    otherwise-distinct documents.  Reuses the 32-token/8-overlap
+    chunker, hashes each chunk, and reports every chunk shared by more
+    than one (doc, position): the shuffle moves 16-byte hashes (never
+    chunk text), partial-agg combines per mapper, and the canonical
+    keep is min(doc_id) — same linear hash-groupBy scale shape as
+    exact document dedup."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, id_col="doc_id", chunk_tokens=32, overlap=8)
+    return (
+        chunks.select("doc_id", F.md5(F.col("chunk_text")).alias("chunk_md5"))
+        .groupBy("chunk_md5")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "source_mixing_weights",
+    oracle="""
+WITH per_doc AS (
+  SELECT source,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+),
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens,
+         CAST(count(*) AS DOUBLE) AS n_sources
+  FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+       round(least(1.0, (1.0 / n_sources) / (CAST(n_tokens AS DOUBLE) / total_tokens)), 6)
+         AS mix_weight
+FROM per_source, tot
+""",
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing plan: per-source token census and the DOWN-sampling
+    weight that equalizes source shares (weight = min(1, target/actual)
+    with a uniform 1/n_sources target) — the knob a pretraining
+    pipeline turns to keep one crawl from dominating the mix.  Shape:
+    per-source partial-agg census (tiny), totals as a broadcast scalar
+    cross join; the weight then drives a deterministic hash sample at
+    scan time (cf. orders_deterministic_sample) with no extra pass.
+    Cross-engine float discipline: identical operand order, 6-dp
+    round."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.select(
+        "source", token_count(F.col("text")).cast("long").alias("n_tok")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(
+            F.least(F.lit(1.0), (F.lit(1.0) / F.col("n_sources")) / share), 6
+        ).alias("mix_weight"),
+    )
