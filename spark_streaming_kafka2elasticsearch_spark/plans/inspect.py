@@ -16,6 +16,73 @@ import re
 from pyspark.sql import DataFrame
 
 
+def _scala_seq(seq):
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _is_scalar_subtree(jnode) -> bool:
+    """True when this physical subtree provably emits EXACTLY ONE row:
+    a chain of row-preserving single-child nodes (exchange / project /
+    codegen wrapper) ending at a grouping-less aggregate.  Used to
+    separate benign broadcast scalar subqueries from real cartesians —
+    a ``crossJoin(broadcast(df.agg(...)))`` multiplies nothing."""
+    name = jnode.getClass().getSimpleName()
+    if name in (
+        "HashAggregateExec",
+        "SortAggregateExec",
+        "ObjectHashAggregateExec",
+    ):
+        return jnode.groupingExpressions().isEmpty()
+    if name == "ReusedExchangeExec":
+        return _is_scalar_subtree(jnode.child())
+    children = _scala_seq(jnode.children())
+    if len(children) == 1 and name in (
+        "BroadcastExchangeExec",
+        "ShuffleExchangeExec",
+        "AQEShuffleReadExec",
+        "ProjectExec",
+        "WholeStageCodegenExec",
+        "InputAdapter",
+        "FilterExec",  # filter can only shrink 1 row to 0/1
+        "CoalesceExec",
+    ):
+        return _is_scalar_subtree(children[0])
+    return False
+
+
+def _walk(jnode):
+    yield jnode
+    name = jnode.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        # AQE wrapper exposes the plan as a field, not as children()
+        yield from _walk(jnode.initialPlan())
+        return
+    for ch in _scala_seq(jnode.children()):
+        yield from _walk(ch)
+
+
+def _tree_has_cartesian(jplan) -> bool:
+    """Tree-walk cartesian detection: CartesianProduct, or an
+    UNCONDITIONED Cross/Inner BroadcastNestedLoopJoin whose build side
+    is NOT a provable single-row (scalar-subquery) subtree."""
+    for node in _walk(jplan):
+        name = node.getClass().getSimpleName()
+        if name == "CartesianProductExec":
+            return True
+        if name == "BroadcastNestedLoopJoinExec":
+            if node.condition().isDefined():
+                continue  # conditioned BNLJ (range join) is legitimate
+            jt = node.joinType().toString()
+            if jt not in ("Cross", "Inner"):
+                continue
+            build_right = "BuildRight" in node.buildSide().toString()
+            left, right = _scala_seq(node.children())
+            build = right if build_right else left
+            if not _is_scalar_subtree(build):
+                return True
+    return False
+
+
 def plan_metrics(df: DataFrame) -> dict:
     """Summarize the executed (post-AQE-planning) physical plan.
 
@@ -47,15 +114,14 @@ def plan_metrics(df: DataFrame) -> dict:
         "n_broadcast_joins": plan.count("BroadcastHashJoin"),
         "n_sort_merge_joins": plan.count("SortMergeJoin"),
         "n_broadcast_nested_loop": plan.count("BroadcastNestedLoopJoin"),
-        # An unconditioned cross shows up as CartesianProduct (both
-        # sides big) or as a BroadcastNestedLoopJoin whose join-type
-        # field says Cross/Inner with NO trailing condition — a
-        # conditioned BNLJ (range join) carries "(cond)" after the type
-        # and is legitimate.
-        "has_cartesian": "CartesianProduct" in plan
-        or bool(
-            re.search(r"BroadcastNestedLoopJoin Build(Left|Right), (Cross|Inner)\s*$",
-                      plan, re.MULTILINE)
+        # Tree walk, not string match: an unconditioned Cross/Inner
+        # BNLJ or CartesianProduct flags — UNLESS the broadcast side is
+        # a provable one-row scalar subquery (grouping-less aggregate
+        # behind row-preserving nodes), the standard
+        # crossJoin(broadcast(df.agg(...))) idiom that multiplies
+        # nothing.  A conditioned BNLJ (range join) is legitimate.
+        "has_cartesian": _tree_has_cartesian(
+            df._jdf.queryExecution().executedPlan()
         ),
         "n_codegen_spans": len(codegen_ids),
         "n_scans": plan.count("FileScan") + plan.count("BatchScan"),

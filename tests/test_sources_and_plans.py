@@ -431,6 +431,17 @@ def test_plan_metrics_summary(spark):
     with pytest.raises(ValueError, match="CartesianProduct"):
         assert_no_cartesian(cross)
 
+    # The scalar-subquery idiom — crossJoin(broadcast(ungrouped agg))
+    # — provably multiplies nothing and must NOT flag (the tree walk
+    # proves the build side emits one row), while a multi-row broadcast
+    # cross still must.
+    scalar = orders.crossJoin(
+        F.broadcast(customer.agg(F.count(F.lit(1)).alias("n")))
+    )
+    assert not plan_metrics(scalar)["has_cartesian"]
+    multi = orders.crossJoin(F.broadcast(customer.limit(5)))
+    assert plan_metrics(multi)["has_cartesian"]
+
 
 def test_refreshable_dim_ttl_and_invalidate(spark):
     """TTL contract: within TTL the cached frame is served (one load),
