@@ -59,11 +59,20 @@ def main() -> None:
     max_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     t_start = time.time()
     runs: dict[str, list[float]] = {}
+    pass_costs: list[float] = []
 
     def median(xs: list[float]) -> float:
+        # Noise here is ADDITIVE and pass-level (one slow pass of
+        # 131/128/205s measured on identical code — GC/page-cache, not
+        # cold compile).  An odd median outvotes it; with exactly TWO
+        # passes the median degenerates to the mean and inherits half
+        # the slow pass, so take the MIN instead (a query can't run
+        # faster than its true cost).
         ok = sorted(x for x in xs if x >= 0)
         if not ok:  # every pass failed
             return -1.0
+        if len(ok) == 2:
+            return ok[0]
         mid = len(ok) // 2
         return ok[mid] if len(ok) % 2 else round((ok[mid - 1] + ok[mid]) / 2, 3)
 
@@ -82,7 +91,8 @@ def main() -> None:
         return json.dumps(
             {
                 "metric": "total wall-clock sec for all registered queries "
-                f"(noop sink, median of {passes_done} pass(es))",
+                f"(noop sink, per-query median of {passes_done} pass(es); "
+                "min when exactly 2)",
                 "queries": timings,
                 "spread": spread,
                 "sf": sf,
@@ -118,7 +128,12 @@ def main() -> None:
         with open(bench_local, "w") as f:
             f.write(summarize(passes_done) + "\n")
         pass_cost = time.time() - pass_t0
-        if time.time() - t_start + pass_cost > budget:
+        pass_costs.append(pass_cost)
+        print(f"pass {passes_done}: {pass_cost:.1f}s", file=sys.stderr)
+        # Project the NEXT pass at the cheapest observed cost: one
+        # GC-noisy pass must not forfeit the 3rd pass that makes the
+        # per-query median robust to it.
+        if time.time() - t_start + min(pass_costs) > budget:
             break
 
     # Stdout is the driver contract, but long registries have had the

@@ -207,22 +207,38 @@ def minhash_signatures_wide(
         df, id_col, text_col, k_shingle, distinct=False
     )
     if hash_family == "md5":
+        # Stage the md5 halves in their own projection so the single
+        # md5 per shingle is structurally shared — the K-M columns then
+        # reference _h1/_h2, never re-derive them.
         hx = F.md5(F.col("_sh"))
-        h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
-        h2 = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").bitwiseOR(F.lit(1))
+        halves = exploded.select(
+            "_id",
+            F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("_h1"),
+            F.conv(F.substring(hx, 9, 8), 16, 10)
+            .cast("long")
+            .bitwiseOR(F.lit(1))
+            .alias("_h2"),
+        )
         mask = F.lit((1 << 32) - 1)
-        hash_cols = [
-            (h1 + F.lit(i) * h2).bitwiseAND(mask).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
+        hashed = halves.select(
+            "_id",
+            *[
+                (F.col("_h1") + F.lit(i) * F.col("_h2"))
+                .bitwiseAND(mask)
+                .alias(f"_h{i}")
+                for i in range(num_hashes)
+            ],
+        )
     elif hash_family == "xxhash64":
-        hash_cols = [
-            F.xxhash64(F.col("_sh"), F.lit(i)).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
+        hashed = exploded.select(
+            "_id",
+            *[
+                F.xxhash64(F.col("_sh"), F.lit(i)).alias(f"_h{i}")
+                for i in range(num_hashes)
+            ],
+        )
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
-    hashed = exploded.select("_id", *hash_cols)
     return hashed.groupBy("_id").agg(
         *[F.min(f"_h{i}").alias(f"mh_{i}") for i in range(num_hashes)]
     )
