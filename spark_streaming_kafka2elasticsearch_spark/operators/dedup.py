@@ -168,6 +168,51 @@ def ngram_contamination(
     )
 
 
+def ngram_contamination_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+    bucket_bits: int = 32,
+) -> DataFrame:
+    """:func:`ngram_contamination` for when the benchmark shingle
+    STRINGS outgrow a broadcast: a relational one-hash Bloom prefilter.
+
+    The benchmark side is reduced to its distinct ``bucket_bits``-bit
+    hash buckets — 8-byte ints, ~10× smaller than 13-gram strings —
+    and THAT set is broadcast; training shingles semi-join it by
+    bucket, and only the survivors (true hits + an ~|train-shingles|/
+    2^bits false-positive trickle) reach the exact string-equality
+    verify, which at scale is a shuffle join over the tiny surviving
+    subset instead of a corpus-wide broadcast join.  False positives
+    cannot reach the output (the verify is exact) and false negatives
+    are impossible (equal strings hash to equal buckets) — so the
+    result is IDENTICAL to :func:`ngram_contamination`, which is
+    exactly what the driver oracle proves.
+    """
+    tr = shingle_relation(train, id_col, text_col, k=k)
+    # ev feeds BOTH the bucket build and the verify join — persist the
+    # boundary or the benchmark shingle job runs twice (module cache
+    # contract: released by the caller's clearCache/unpersist).
+    ev = (
+        shingle_relation(benchmark, id_col, text_col, k=k)
+        .select("_sh")
+        .distinct()
+        .persist()
+    )
+    mask = F.lit((1 << bucket_bits) - 1)
+    buckets = ev.select(F.xxhash64("_sh").bitwiseAND(mask).alias("_bkt")).distinct()
+    survivors = tr.withColumn(
+        "_bkt", F.xxhash64("_sh").bitwiseAND(mask)
+    ).join(F.broadcast(buckets), "_bkt", "left_semi")
+    return (
+        survivors.join(ev, "_sh")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+
+
 def minhash_signatures_wide(
     df: DataFrame,
     id_col: str,

@@ -80,6 +80,8 @@ _PRIORITY: list[str] = [
     "embedding_near_dup_srp_auto",
     "chunk_level_dedup",
     "source_mixing_weights",
+    "decontaminate_bloom_prefilter",
+    "mixed_corpus_sample",
     "multimodal_video_frames",
     "multimodal_audio_features",
     "asof_purchase_prior_click",

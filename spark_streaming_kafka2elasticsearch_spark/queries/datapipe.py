@@ -1625,3 +1625,116 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), (F.lit(1.0) / F.col("n_sources")) / share), 6
         ).alias("mix_weight"),
     )
+
+
+@register(
+    "decontaminate_bloom_prefilter",
+    # IDENTICAL oracle to decontaminate_train_docs on purpose: the
+    # relational Bloom prefilter must be result-invariant (no false
+    # negatives by construction, false positives removed by the exact
+    # verify) — hash-equality against the exact twin's oracle PROVES it.
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 12, 1)),
+           i -> array_to_string(toks[i:i+12], ' ')
+         )) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+),
+flat AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ev AS (SELECT DISTINCT s FROM flat WHERE doc_id % 2 = 1),
+tr AS (SELECT doc_id, s FROM flat WHERE doc_id % 2 = 0)
+SELECT tr.doc_id, count(*) AS n_contaminated_ngrams
+FROM tr JOIN ev USING (s)
+GROUP BY tr.doc_id
+""",
+)
+def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast-diet variant of decontaminate_train_docs: the
+    benchmark side ships as distinct 32-bit hash buckets (8-byte ints)
+    instead of 13-gram strings, training shingles semi-join the bucket
+    set, and only survivors reach the exact string verify — the shape
+    for when the benchmark corpus outgrows a string broadcast at
+    100 TB.  Same output as the exact twin, proven by sharing its
+    oracle (see operators/dedup.ngram_contamination_bloom)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        ngram_contamination_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    benchmark = docs.filter(F.col("doc_id") % 2 == 1)
+    return ngram_contamination_bloom(train, benchmark, id_col="doc_id", k=13)
+
+
+@register(
+    "mixed_corpus_sample",
+    oracle="""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tok,
+         CAST(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS DOUBLE)
+           / 4294967296.0 AS u
+  FROM documents
+),
+per_source AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens,
+         CAST(count(*) AS DOUBLE) AS n_sources
+  FROM per_source
+),
+w AS (
+  SELECT source,
+         least(1.0, (1.0 / n_sources)
+                    / (CAST(n_tokens AS DOUBLE) / total_tokens)) AS mix_weight
+  FROM per_source, tot
+)
+SELECT d.doc_id, d.source
+FROM per_doc d JOIN w USING (source)
+WHERE d.u < w.mix_weight
+""",
+)
+def mixed_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source_mixing_weights APPLIED: every document draws a
+    deterministic uniform u from md5(text) (content-hash, not a seeded
+    RNG — reproducible run-to-run AND engine-to-engine) and is kept
+    iff u < its source's equalizing weight.  One corpus scan + a
+    broadcast of the per-source weight table; the sampled mix lands in
+    one pass with no repartition.  Unrounded weights on both sides:
+    identical IEEE expression shapes make the u < w comparison
+    bit-agreed, which the oracle's hash-equality proves."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+        (
+            F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("double")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    per_source = per_doc.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    w = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(F.lit(1.0), (F.lit(1.0) / F.col("n_sources")) / share).alias(
+            "mix_weight"
+        ),
+    )
+    return (
+        per_doc.join(F.broadcast(w), "source")
+        .filter(F.col("u") < F.col("mix_weight"))
+        .select("doc_id", "source")
+    )
