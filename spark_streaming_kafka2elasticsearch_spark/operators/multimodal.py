@@ -615,6 +615,24 @@ def _synth_wav(media_id: int, sample_rate: int = 16000) -> bytes:
     return wav_encode(samples, sample_rate)
 
 
+def _synth_wav_square(media_id: int, sample_rate: int = 16000) -> bytes:
+    """Deterministic real WAV, EXACT-RMS variant: an id-seeded square
+    wave.  Every sample is ±A for integer ``A = 3277·(1 + id%8)``, so
+    the decoded RMS is A/32768 EXACTLY — A/2^15 is a dyadic double,
+    its square has ≤30 significand bits, the mean of identical doubles
+    is exact, and IEEE sqrt of an exact square is exact.  That chain
+    is what upgrades the audio decode query from rows-only to a full
+    value oracle (the sine twin's RMS differs from the closed form by
+    libm-rounding ulps; this one cannot)."""
+    dur_ms = 50 + (media_id * 17) % 200
+    amp = 3277 * (1 + media_id % 8)
+    period = 16 + (media_id % 10) * 2  # even → clean half-periods
+    n = sample_rate * dur_ms // 1000
+    i = np.arange(n)
+    samples = np.where((i % period) < period // 2, amp, -amp).astype("<i2")
+    return wav_encode(samples, sample_rate)
+
+
 def synth_png_table(df: DataFrame, id_col: str) -> DataFrame:
     """Real-PNG media table: one deterministic gradient PNG per input
     id, generated in the same Arrow-batched ``mapInPandas`` shape a
@@ -636,8 +654,13 @@ def synth_png_table(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def synth_wav_table(df: DataFrame, id_col: str) -> DataFrame:
-    """Real-WAV media table: one deterministic sine tone per input id."""
+def synth_wav_table(df: DataFrame, id_col: str, wave_kind: str = "sine") -> DataFrame:
+    """Real-WAV media table: one deterministic tone per input id.
+    ``wave_kind``: "sine" (libm-shaped PCM) or "square" (exact-RMS —
+    see :func:`_synth_wav_square`)."""
+    if wave_kind not in ("sine", "square"):
+        raise ValueError(f"unknown wave_kind: {wave_kind!r}")
+    synth = _synth_wav if wave_kind == "sine" else _synth_wav_square
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -645,7 +668,7 @@ def synth_wav_table(df: DataFrame, id_col: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": ids,
-                    "content": [_synth_wav(int(i)) for i in ids],
+                    "content": [synth(int(i)) for i in ids],
                     "mime": ["audio/wav"] * len(ids),
                 }
             )

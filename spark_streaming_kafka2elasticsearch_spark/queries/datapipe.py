@@ -1155,19 +1155,35 @@ def multimodal_video_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_audio_decode_real"
-)  # no SQL oracle: RMS of libm-rounded sine PCM — numpy/DuckDB sin() differ in ulps
+    "multimodal_audio_decode_real",
+    # Full value oracle (was rows-only): the square-wave corpus makes
+    # decoded RMS EXACT — every PCM sample is ±A with integer
+    # A = 3277·(1+id%8), so sqrt(mean(x²)) computed by the numpy
+    # kernel equals the closed form A/32768 bit-for-bit (dyadic value,
+    # exact mean of identical doubles, correctly-rounded sqrt of an
+    # exact square).  The sine twin stays in tests where ulps are
+    # allowed; see operators/multimodal._synth_wav_square.
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(50 + (doc_id * 17) % 200 AS BIGINT) AS duration_ms,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(3277 * (1 + doc_id % 8) AS DOUBLE) / 32768.0 AS rms_energy
+FROM documents
+""",
+)
 def multimodal_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode end-to-end: deterministic sine-tone WAVs per
-    doc_id, parsed by the stdlib ``wave`` RIFF decoder — duration,
-    sample rate, and RMS energy come from the actual PCM samples."""
+    """REAL audio decode end-to-end: deterministic square-wave WAVs
+    per doc_id, parsed by the stdlib ``wave`` RIFF decoder — duration,
+    sample rate, and RMS energy come from the actual PCM samples, and
+    the square waveform makes the analytic oracle exact (no libm in
+    the signal path)."""
     from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
         decode_audio_features,
         synth_wav_table,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    media = synth_wav_table(docs, id_col="doc_id")
+    media = synth_wav_table(docs, id_col="doc_id", wave_kind="square")
     return decode_audio_features(media, fake=False)
 
 

@@ -1000,3 +1000,25 @@ def test_approx_queries_error_bounds_vs_exact_twins(spark):
         assert a["n_orders"] == e["n_orders"], st  # exact column must agree
         rel = abs(a["n_customers_approx"] - e["n_customers"]) / max(e["n_customers"], 1)
         assert rel < 0.10, f"{st}: HLL off by {rel:.1%}"
+
+
+def test_square_wav_rms_is_exact(spark):
+    """The square-wave synth's decode chain is EXACT: every sample is
+    +/-A, so RMS == A/32768 bit-for-bit (dyadic value, exact mean,
+    exact sqrt) -- the invariant the audio decode oracle relies on.
+    Equality here is ==, not approx."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        decode_audio_features,
+        synth_wav_table,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    rows = decode_audio_features(
+        synth_wav_table(ids, "doc_id", wave_kind="square"), fake=False
+    ).collect()
+    assert len(rows) == 12
+    for r in rows:
+        mid = r["media_id"]
+        assert r["rms_energy"] == (3277 * (1 + mid % 8)) / 32768.0
+        assert r["duration_ms"] == 50 + (mid * 17) % 200
+        assert r["sample_rate"] == 16000
