@@ -82,6 +82,8 @@ _PRIORITY: list[str] = [
     "source_mixing_weights",
     "decontaminate_bloom_prefilter",
     "mixed_corpus_sample",
+    "lang_token_stats_pandas",
+    "nation_revenue_reconciliation",
     "multimodal_video_frames",
     "multimodal_audio_features",
     "asof_purchase_prior_click",

@@ -238,3 +238,140 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
     )
     return ivf_topk(emb, queries, k=10, n_cells=8)
+
+
+@register(
+    "lang_token_stats_pandas",
+    # Exact cross-engine medians WITHOUT rounding: token counts are
+    # integers, so every median is k or k+0.5 and every |x−med| is a
+    # multiple of 0.5 — all dyadic doubles.  pandas' (a+b)/2 and
+    # DuckDB quantile_cont's lower+(upper−lower)·0.5 are then both
+    # exact and equal.
+    oracle="""
+WITH t AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+              AS DOUBLE) AS n_tokens
+  FROM documents
+),
+med AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         quantile_cont(n_tokens, 0.5) AS median_tokens
+  FROM t GROUP BY lang
+)
+SELECT m.lang, m.n_docs, m.median_tokens,
+       quantile_cont(abs(t.n_tokens - m.median_tokens), 0.5) AS mad_tokens
+FROM t JOIN med m USING (lang)
+GROUP BY m.lang, m.n_docs, m.median_tokens
+""",
+)
+def lang_token_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInPandas`` — the one Arrow surface the registry
+    lacked (scalar pandas_udf, mapInPandas, and
+    applyInPandasWithState are all exercised elsewhere): per-language
+    robust location/spread (median + MAD of token counts) computed as
+    one pandas frame per group.  The scale contract of this API: one
+    shuffle on the group key and each group must fit one worker's
+    memory — right for bounded per-key groups (languages, tenants),
+    wrong for skewed heavy keys (use the JVM percentile aggregate
+    then).  Exact math: see the oracle comment."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", token_count(F.col("text")).cast("double").alias("n_tokens")
+    )
+
+    def lang_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        tc = pdf["n_tokens"]
+        med = tc.median()
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "median_tokens": [med],
+                "mad_tokens": [(tc - med).abs().median()],
+            }
+        )
+
+    return t.groupBy("lang").applyInPandas(
+        lang_stats,
+        schema="lang string, n_docs long, median_tokens double, mad_tokens double",
+    )
+
+
+@register(
+    "nation_revenue_reconciliation",
+    oracle="""
+WITH cust_side AS (
+  SELECT n_name,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))
+                       * (1 - CAST(l_discount AS DECIMAL(28,10)))) AS VARCHAR) AS DOUBLE)
+           AS cust_revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+),
+supp_side AS (
+  SELECT n_name,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))
+                       * (1 - CAST(l_discount AS DECIMAL(28,10)))) AS VARCHAR) AS DOUBLE)
+           AS supp_revenue
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE s_acctbal < 0
+  GROUP BY n_name
+)
+SELECT coalesce(c.n_name, s.n_name) AS n_name,
+       coalesce(c.cust_revenue, 0.0) AS cust_revenue,
+       coalesce(s.supp_revenue, 0.0) AS supp_revenue,
+       CAST(c.n_name IS NULL AS BIGINT) AS missing_cust_side,
+       CAST(s.n_name IS NULL AS BIGINT) AS missing_supp_side
+FROM cust_side c FULL OUTER JOIN supp_side s ON c.n_name = s.n_name
+""",
+)
+def nation_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the reconciliation-report shape (and the one
+    join type the registry lacked): revenue per nation measured from
+    the customer side vs from a RESTRICTED supplier side
+    (s_acctbal < 0, so some nations genuinely miss), null-flagged and
+    zero-filled.  Exact DECIMAL(28,10) sums on both engines; the two
+    sides aggregate to ~|nations| rows, so the outer join itself is a
+    broadcast-scale merge however big lineitem is."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(28,10)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(28,10)"))
+    )
+    cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("string").cast("double").alias("cust_revenue"))
+    )
+    supp = (
+        li.join(
+            supplier.filter(F.col("s_acctbal") < 0),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("string").cast("double").alias("supp_revenue"))
+    )
+    c = cust.select(F.col("n_name").alias("c_name"), "cust_revenue")
+    s = supp.select(F.col("n_name").alias("s_name"), "supp_revenue")
+    return c.join(s, c["c_name"] == s["s_name"], "full_outer").select(
+        F.coalesce("c_name", "s_name").alias("n_name"),
+        F.coalesce("cust_revenue", F.lit(0.0)).alias("cust_revenue"),
+        F.coalesce("supp_revenue", F.lit(0.0)).alias("supp_revenue"),
+        F.col("c_name").isNull().cast("long").alias("missing_cust_side"),
+        F.col("s_name").isNull().cast("long").alias("missing_supp_side"),
+    )
