@@ -723,3 +723,215 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — priority mix by return flag (conditional two-way aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "returnflag_priority_mix",
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l.l_returnflag
+""",
+)
+def returnflag_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — the two-way conditional aggregation that
+    splits line counts into high/low order-priority buckets per group.
+    Adaptation (module contract): the trimmed schema has no
+    ``l_shipmode``/commit/receipt dates, so the grouping key is
+    ``l_returnflag`` and the shipping-year window stands in for the
+    receipt-year window; the pattern under test — CASE-WHEN inside
+    SUM, both branches in one pass — is Q12's whole point.
+
+    Scale: the ship-date filter pushes to the lineitem scan, the join
+    shuffles both sides on the order key once, and the conditional
+    sums are partial-aggregated map-side into 3 groups — the result
+    exchange carries six longs."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-line profit by supplier nation and order year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "product_type_profit",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       year(o.o_orderdate) AS o_year,
+       {_REV} AS sum_profit
+FROM part p
+JOIN lineitem l ON l.l_partkey  = p.p_partkey
+JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY nation, o_year
+""",
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit for one product line, rolled up by the
+    SUPPLIER's nation and the order year.  Adaptation: no ``partsupp``
+    table in the trimmed schema, so profit is the discounted revenue
+    (no ``ps_supplycost`` term to subtract); the five-way join tree
+    and the name-substring part filter are preserved.
+
+    Scale: part shrinks ~8× under the LIKE filter and broadcasts, as
+    do supplier and nation; lineitem⋈orders is the one big–big join,
+    shuffling on the order key.  The grouping key (25 nations × ~7
+    years) is tiny, so partial aggregation collapses the shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_dsum(_revenue(), "sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — best supplier per part (per-group top-1 via window rank)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_supplier_per_part",
+    oracle=f"""
+SELECT p_partkey, p_name, s_name, revenue
+FROM (
+  SELECT p.p_partkey, p.p_name, s.s_name,
+         {_REV} AS revenue,
+         row_number() OVER (
+           PARTITION BY p.p_partkey
+           ORDER BY {_REV} DESC, s.s_suppkey
+         ) AS rk
+  FROM part p
+  JOIN lineitem l ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE p.p_size = 15
+  GROUP BY p.p_partkey, p.p_name, s.s_name, s.s_suppkey
+)
+WHERE rk = 1
+""",
+)
+def top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — for each qualifying part, the single best
+    supplier.  Adaptation: no ``partsupp``, so "best" is the supplier
+    with the highest delivered revenue for the part rather than the
+    minimum supply cost; the correlated min-subquery of the original
+    is re-expressed as the idiomatic per-group top-1 window
+    (row_number over a deterministic ORDER BY with the supplier key as
+    tiebreak — a rank on revenue alone could flake on exact ties).
+
+    Scale: p_size=15 keeps ~2 % of parts, broadcast after the filter;
+    supplier broadcasts whole.  The aggregate and the window partition
+    share the part key, so AQE reuses one shuffle for both — no
+    global sort anywhere."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    grouped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_partkey", "p_name", "s_name", "s_suppkey")
+        .agg(_dsum(_revenue(), "revenue"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.desc("revenue"), F.asc("s_suppkey")
+    )
+    return (
+        grouped.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("p_partkey", "p_name", "s_name", "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important parts by one nation's revenue share (scalar-subquery HAVING)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "important_part_share",
+    oracle=f"""
+WITH nation_li AS (
+  SELECT l.l_partkey,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)) AS v
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_3'
+)
+SELECT l_partkey,
+       CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS part_value
+FROM nation_li
+GROUP BY l_partkey
+HAVING CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE)
+     > 0.001 * (SELECT CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) FROM nation_li)
+""",
+)
+def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose value from one nation's suppliers
+    exceeds a fixed fraction of that nation's total.  Adaptation: no
+    ``partsupp`` stock valuation, so "value" is delivered discounted
+    revenue; the defining pattern — a HAVING comparison against a
+    scalar subquery over the SAME relation — is preserved, and both
+    sides accumulate in exact decimal so the 0.001× threshold
+    comparison is bit-identical across engines.
+
+    Scale: the per-part aggregate and the global total reuse one
+    filtered lineitem⋈supplier⋈nation relation; the total collapses
+    map-side into a single row and joins back as a broadcast scalar —
+    no second scan of lineitem and no cartesian (the crossJoin is a
+    1-row literal, same as the other scalar-subquery queries)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    dim = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    nation_li = li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey).select(
+        "l_partkey", (_revenue()).cast(_DEC).alias("v")
+    )
+    per_part = nation_li.groupBy("l_partkey").agg(
+        F.sum("v").cast("double").alias("part_value")
+    )
+    total = nation_li.agg(F.sum("v").cast("double").alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > 0.001 * F.col("_total"))
+        .drop("_total")
+    )

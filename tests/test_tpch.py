@@ -130,3 +130,41 @@ def test_global_topk_avoids_full_sort(spark):
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_q12_priority_mix_pushes_shipdate_and_partial_aggs(spark):
+    plan = _plan(spark, "returnflag_priority_mix")
+    # The year window must reach the lineitem scan, and the conditional
+    # sums must partial-aggregate before the final exchange.
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipdate" in plan
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_profit_broadcasts_all_dims(spark):
+    plan = _plan(spark, "product_type_profit")
+    # part (filtered), supplier and nation all broadcast; the only
+    # shuffle join is lineitem⋈orders on the order key.
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_top_supplier_is_unique_per_part(spark):
+    df = all_queries()["top_supplier_per_part"](spark, SF_DIR)
+    rows = df.collect()
+    keys = [r["p_partkey"] for r in rows]
+    # row_number + deterministic tiebreak ⇒ exactly one winner per part.
+    assert len(keys) == len(set(keys)) and len(keys) > 0
+    plan = _plan(spark, "top_supplier_per_part")
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_q11_threshold_is_single_broadcast_scalar(spark):
+    plan = _plan(spark, "important_part_share")
+    # The global total joins back as a 1-row broadcast, never a
+    # fact-fact cartesian.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    df = all_queries()["important_part_share"](spark, SF_DIR)
+    vals = [r["part_value"] for r in df.collect()]
+    assert vals and all(v > 0 for v in vals)
