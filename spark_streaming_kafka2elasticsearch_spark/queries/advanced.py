@@ -375,3 +375,61 @@ def nation_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("c_name").isNull().cast("long").alias("missing_cust_side"),
         F.col("s_name").isNull().cast("long").alias("missing_supp_side"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: grouped-aggregate pandas UDF (the 5th and last Arrow crossing shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_avg_price_pandas",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+     / CAST(sum(CAST(l_quantity AS BIGINT)) * 100 AS DOUBLE)
+       AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def weighted_avg_price_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per (returnflag, linestatus) via a
+    GROUPED_AGG ``pandas_udf`` — the one Arrow crossing shape the
+    engine didn't yet exercise (scalar pandas_udf, mapInPandas,
+    applyInPandas and applyInPandasWithState are all covered
+    elsewhere).  Inside the UDF everything is exact int64 arithmetic —
+    prices become cents via ``floor(x*100 + 0.5)`` (same IEEE ops as
+    the oracle; a bare round() would flake between banker's and
+    half-up on exact midpoints) — so the single final division is the
+    only float op and both engines round it identically.
+
+    Scale note (why this is a demo of the API, not the production
+    path): grouped-agg pandas UDFs have NO partial aggregation — every
+    group's full column set is shuffled to one executor and
+    materialized as a pandas Series.  That is fine here (6 groups,
+    bounded by the flag/status vocabulary) and generally fine for
+    low-cardinality keys with learned/numpy aggregation logic; for
+    high-cardinality keys or plain arithmetic the decimal-exact
+    built-in twin (``pricing_summary``'s shape) is strictly better —
+    partial-agg map-side, zero Python.  Int64 headroom: cents ≤ 1e7,
+    qty ≤ 50 ⇒ ~5e8/row; overflow needs ~2e10 rows in ONE group,
+    far past any real flag/status partition."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg_cents(price: pd.Series, qty: pd.Series) -> float:
+        cents = np.floor(price.to_numpy(dtype="float64") * 100.0 + 0.5).astype(
+            "int64"
+        )
+        q = qty.to_numpy(dtype="float64").astype("int64")
+        num = int((cents * q).sum())
+        den = int(q.sum()) * 100
+        return float(num) / float(den)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        wavg_cents("l_extendedprice", "l_quantity").alias("wavg_price")
+    )

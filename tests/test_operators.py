@@ -1022,3 +1022,36 @@ def test_square_wav_rms_is_exact(spark):
         assert r["rms_energy"] == (3277 * (1 + mid % 8)) / 32768.0
         assert r["duration_ms"] == 50 + (mid * 17) % 200
         assert r["sample_rate"] == 16000
+
+
+def test_grouped_agg_pandas_udf_matches_builtin_twin(spark):
+    """weighted_avg_price_pandas crosses into Python as a GROUPED_AGG
+    pandas UDF (AggregateInPandas plan node, no partial agg) and its
+    exact-int arithmetic must agree with the decimal-exact built-in
+    twin to the last bit of the final division."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    df = all_queries()["weighted_avg_price_pandas"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Spark 4 names the node ArrowAggregatePython (AggregateInPandas
+    # pre-4.0) — either way it's the no-partial-agg grouped Arrow node.
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    twin = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+                    * F.col("l_quantity").cast("long")
+                ).cast("double")
+                / (F.sum(F.col("l_quantity").cast("long")) * 100).cast("double")
+            ).alias("wavg_price")
+        )
+    )
+    got = {(r.l_returnflag, r.l_linestatus): r.wavg_price for r in df.collect()}
+    want = {(r.l_returnflag, r.l_linestatus): r.wavg_price for r in twin.collect()}
+    assert got == want
