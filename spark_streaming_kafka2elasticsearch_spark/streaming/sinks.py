@@ -319,3 +319,73 @@ class KeyedUpsertJdbcSink:
             .option("dbtable", f'"{self.table}"')
             .load()
         )
+
+
+class RowForeachSink:
+    """Row-level ``foreach`` sink — the alternative the reference's K3
+    docstring weighs against ``foreachBatch`` and rejects for bulk
+    stores (reference ``bexley_spark_stream_msk_es.py:479-499``): one
+    connection-ish lifecycle per (partition, epoch) via
+    ``open(partition_id, epoch_id) → process(row) → close(error)``,
+    instead of one bulk write per epoch.
+
+    The engine ships it anyway because the lifecycle is the right fit
+    when the target is a per-record API (a queue producer, a webhook, a
+    metrics counter) rather than a batch store.  This implementation
+    appends each row as a JSON line to
+    ``<target_dir>/p<partition>-e<epoch>.jsonl`` — files are opened in
+    ``open`` and closed in ``close``, making the lifecycle itself
+    observable by tests.  Delivery is at-least-once (a replayed epoch
+    rewrites its own ``p*-e<epoch>`` files, never other epochs'), so
+    downstream consumers key on (partition, epoch) for idempotence —
+    the same replay story as the keyed-upsert family, expressed in
+    file names instead of a MERGE key.
+
+    Scale note: every row crosses the JVM→Python bridge one at a time
+    — this is THE slow path the engine's docs warn about, acceptable
+    only when the per-row side effect dominates anyway.  Bulk stores
+    (ES, JDBC, parquet) always take the foreachBatch sinks above.
+    """
+
+    def __init__(self, target_dir: str) -> None:
+        self.target_dir = target_dir
+        self._fh: Any = None
+        self._path: str | None = None
+
+    # -- ForeachWriter lifecycle -------------------------------------
+    def open(self, partition_id: int, epoch_id: int) -> bool:  # noqa: A003
+        os.makedirs(self.target_dir, exist_ok=True)
+        self._path = os.path.join(
+            self.target_dir, f"p{partition_id}-e{epoch_id}.jsonl"
+        )
+        # "w", not "a": an epoch replay overwrites its own output — the
+        # file-level idempotence the docstring promises.
+        self._fh = open(self._path, "w")
+        return True  # accept this (partition, epoch)
+
+    def process(self, row: Any) -> None:
+        import json as _json
+
+        self._fh.write(_json.dumps(row.asDict(), default=str) + "\n")
+
+    def close(self, error: Exception | None) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+        if error is not None:
+            raise error
+
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str | None = None,
+        query_name: str = "row_foreach",
+    ) -> StreamingQuery:
+        if checkpoint_dir is None:
+            checkpoint_dir = tempfile.mkdtemp(prefix="chk_")
+        return (
+            stream.writeStream.foreach(self)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name)
+            .start()
+        )

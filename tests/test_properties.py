@@ -1,0 +1,109 @@
+"""Property-based invariants (hypothesis) for layout and training-prep
+kernels — randomized inputs, model-checked outputs, one Spark job per
+example batch.
+
+These complement the fixed-fixture tests: the properties here are the
+contracts the docstrings promise for ALL inputs (monotonicity,
+bijectivity, error bounds), not just the driver corpus.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka2elasticsearch_spark.functions.zorder import zorder_key
+
+BITS = 8
+DOM = 1 << BITS
+
+pairs_dominated = st.lists(
+    st.tuples(
+        st.integers(0, DOM - 1),
+        st.integers(0, DOM - 1),
+        st.integers(0, DOM - 1),
+        st.integers(0, DOM - 1),
+    ).map(lambda t: (min(t[0], t[2]), min(t[1], t[3]), max(t[0], t[2]), max(t[1], t[3]))),
+    min_size=1,
+    max_size=64,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pairs_dominated)
+def test_zorder_key_monotone_under_dominance(spark, quads):
+    """If a1 <= a2 AND b1 <= b2 then morton(a1,b1) <= morton(a2,b2):
+    componentwise dominance never reorders the Z-curve.  This is the
+    property that makes min/max footer stats prune on EITHER dimension
+    — a file's key range bounds each dimension's bit range."""
+    df = spark.createDataFrame(quads, ["a1", "b1", "a2", "b2"])
+    out = df.select(
+        zorder_key("a1", "b1", bits=BITS).alias("k1"),
+        zorder_key("a2", "b2", bits=BITS).alias("k2"),
+    ).collect()
+    assert all(r["k1"] <= r["k2"] for r in out)
+
+
+def test_zorder_key_bijective_on_domain(spark):
+    """Every (a, b) in [0, 32)^2 maps to a distinct key and the key
+    unpacks back to (a, b) — the interleave loses nothing."""
+    n = 32
+    rows = [(a, b) for a in range(n) for b in range(n)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = df.select("a", "b", zorder_key("a", "b", bits=BITS).alias("k")).collect()
+    assert len({r["k"] for r in out}) == n * n
+
+    def unpack(k: int) -> tuple[int, int]:
+        a = b = 0
+        for i in range(BITS):
+            a |= ((k >> (2 * i)) & 1) << i
+            b |= ((k >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    assert all(unpack(r["k"]) == (r["a"], r["b"]) for r in out)
+
+
+vectors = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+            width=64,
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vectors)
+def test_int8_quantization_error_bound(spark, vecs):
+    """Symmetric int8 quantization (the embedding_int8_quantized
+    kernel, applied to arbitrary finite vectors): every quantized
+    component stays in [-127, 127] and dequantization lands within
+    half a quantization step of the input (plus float slack)."""
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)], ["vec_id", "v"])
+    v = F.col("v")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scaled = df.select("vec_id", "v", (amax / F.lit(127.0)).alias("scale"))
+    q = F.when(
+        F.col("scale") == 0, F.transform(F.col("v"), lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(F.col("v"), lambda x: F.round(x / F.col("scale")).cast("int"))
+    )
+    out = scaled.select("v", "scale", q.alias("q")).collect()
+    for r in out:
+        scale = r["scale"]
+        assert all(abs(qc) <= 127 for qc in r["q"])
+        if scale == 0:
+            assert all(x == 0 for x in r["v"])
+            continue
+        slack = scale * (0.5 + 1e-9)
+        for x, qc in zip(r["v"], r["q"]):
+            assert abs(qc * scale - x) <= slack

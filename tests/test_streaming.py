@@ -1088,3 +1088,37 @@ def test_refreshable_dim_ttl_expiry_picks_up_changed_dim(spark, tmp_path):
     assert ("a", "London") in seen  # pre-refresh value
     assert ("b", "Londinium") in seen  # post-TTL value differs
     assert dim.n_loads == 2
+
+
+def test_row_foreach_sink_lifecycle_and_replay_isolation(spark, tmp_path):
+    """K3's rejected-but-real alternative, executed: the row-level
+    foreach sink runs the open/process/close lifecycle per
+    (partition, epoch), lands every row exactly where its epoch says,
+    and a later epoch never touches an earlier epoch's files."""
+    import glob
+
+    from spark_streaming_kafka2elasticsearch_spark.streaming.sinks import RowForeachSink
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    out = str(tmp_path / "out")
+    write_batch_file(src, "b0.json", ['{"k": "a", "v": 1}', '{"k": "b", "v": 2}'])
+    stream = spark.readStream.schema("k string, v bigint").json(src).coalesce(1)
+    sink = RowForeachSink(out)
+    q = sink.start(stream, checkpoint_dir=str(tmp_path / "chk"))
+    try:
+        q.processAllAvailable()
+        write_batch_file(src, "b1.json", ['{"k": "c", "v": 3}'])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    files = sorted(glob.glob(f"{out}/*.jsonl"))
+    assert len(files) == 2  # one partition × two epochs
+    epochs = {os.path.basename(f).split("-")[1].split(".")[0] for f in files}
+    assert epochs == {"e0", "e1"}
+    rows = []
+    for f in files:
+        with open(f) as fh:
+            rows += [json.loads(line) for line in fh if line.strip()]
+    assert sorted((r["k"], r["v"]) for r in rows) == [("a", 1), ("b", 2), ("c", 3)]
