@@ -86,3 +86,80 @@ def streaming_first_seen(
     return df.groupBy(key_col).applyInPandasWithState(
         dedup, out_schema, _SEEN_STATE_SCHEMA, "append", timeout
     )
+
+
+#: per-key changelog state: running total + row count.
+_CHANGELOG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total", T.DoubleType(), False),
+        T.StructField("cnt", T.LongType(), False),
+    ]
+)
+
+
+def streaming_keyed_changelog(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CDC-style per-key changelog: each micro-batch emits, per touched
+    key, ONE row ``(key, old_total, new_total, n_events)`` carrying the
+    running sum before and after the batch.  Built-in streaming aggs
+    can emit the new value (update mode) but never the old→new
+    transition in append mode — the delta view a downstream cache
+    invalidator or incremental materialization consumes.
+
+    State is one (double, long) cell per key in the checkpointed store
+    (RocksDB under the engine session), so memory is |keys| × 16 bytes
+    — the same bound the built-in agg would hold.  Batch-internal sums
+    use pandas' float64 sum; exactly like the built-in double sum the
+    result is order-sensitive at the ulp level, so treat totals as
+    measures, not join keys.
+
+    Note: Spark 4's ``transformWithStateInPandas`` expresses the same
+    processor with finer state primitives (ValueState/ListState/
+    timers); this engine pins the ``applyInPandasWithState`` form
+    because TWS's Python state server needs ``protobuf``, absent in
+    the build sandbox — tests/test_streaming.py's probe documents the
+    boundary and the operator semantics are API-agnostic.
+    """
+    out_schema = T.StructType(
+        [
+            df.schema[key_col],
+            T.StructField("old_total", T.DoubleType(), False),
+            T.StructField("new_total", T.DoubleType(), False),
+            T.StructField("n_events", T.LongType(), False),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd_
+
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        batch_sum, batch_cnt = 0.0, 0
+        for pdf in pdfs:
+            batch_sum += float(pdf[value_col].sum())
+            batch_cnt += len(pdf)
+        old_total, old_cnt = state.get if state.exists else (0.0, 0)
+        new_total, new_cnt = old_total + batch_sum, old_cnt + batch_cnt
+        state.update((new_total, new_cnt))
+        yield pd_.DataFrame(
+            {
+                key_col: [key[0]],
+                "old_total": [old_total],
+                "new_total": [new_total],
+                "n_events": [new_cnt],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        out_schema,
+        _CHANGELOG_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

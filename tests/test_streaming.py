@@ -1122,3 +1122,104 @@ def test_row_foreach_sink_lifecycle_and_replay_isolation(spark, tmp_path):
         with open(f) as fh:
             rows += [json.loads(line) for line in fh if line.strip()]
     assert sorted((r["k"], r["v"]) for r in rows) == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_streaming_keyed_changelog_old_new_transitions(spark, tmp_path):
+    """The CDC-style changelog operator: each batch emits one
+    (key, old_total, new_total, n_events) row per touched key, with
+    old_total carrying the running sum from BEFORE the batch across
+    micro-batch boundaries (checkpointed state, not batch-local)."""
+    from spark_streaming_kafka2elasticsearch_spark.streaming.stateful import (
+        streaming_keyed_changelog,
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    write_batch_file(
+        src,
+        "b0.json",
+        ['{"k": "a", "v": 1.0}', '{"k": "a", "v": 2.0}', '{"k": "b", "v": 5.0}'],
+    )
+    stream = spark.readStream.schema("k string, v double").json(src)
+    out = streaming_keyed_changelog(stream, "k", "v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch_file(src, "b1.json", ['{"k": "a", "v": 4.0}'])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        (
+            (r["k"], r["old_total"], r["new_total"], r["n_events"])
+            for r in spark.sql("SELECT * FROM chg").collect()
+        )
+    )
+    assert rows == [
+        ("a", 0.0, 3.0, 2),  # batch 0: 1+2
+        ("a", 3.0, 7.0, 3),  # batch 1 sees batch 0's total as old
+        ("b", 0.0, 5.0, 1),
+    ]
+
+
+def test_transform_with_state_env_probe(spark, tmp_path):
+    """Spark 4's transformWithStateInPandas needs protobuf for its
+    Python state server; this sandbox ships pyspark without it, so the
+    modern API cannot run here (streaming_keyed_changelog pins the
+    applyInPandasWithState form instead).  This probe SKIPS with the
+    exact boundary today and runs a real TWS query the moment the
+    environment gains protobuf — the same self-lighting pattern as the
+    Kafka connector-jar probe."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state server needs protobuf; "
+        "not shipped in this sandbox (operator expressed via "
+        "applyInPandasWithState instead — see streaming/stateful.py)",
+    )
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self._st = handle.getValueState("cnt", "cnt bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd_
+
+            c = sum(len(pdf) for pdf in rows)
+            old = self._st.get()
+            total = (old[0] if old else 0) + c
+            self._st.update((total,))
+            yield pd_.DataFrame({"k": [key[0]], "cnt": [total]})
+
+        def close(self):
+            pass
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    write_batch_file(src, "b0.json", ['{"k": "a", "v": 1.0}'])
+    stream = spark.readStream.schema("k string, v double").json(src)
+    out = stream.groupBy("k").transformWithStateInPandas(
+        Counter(), "k string, cnt bigint", "append", "none"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [r["cnt"] for r in spark.sql("SELECT * FROM tws_probe").collect()] == [1]
