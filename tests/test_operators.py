@@ -1055,3 +1055,30 @@ def test_grouped_agg_pandas_udf_matches_builtin_twin(spark):
     got = {(r.l_returnflag, r.l_linestatus): r.wavg_price for r in df.collect()}
     want = {(r.l_returnflag, r.l_linestatus): r.wavg_price for r in twin.collect()}
     assert got == want
+
+
+def test_sketch_rollup_estimates_within_hll_error(spark):
+    """distinct_users_sketch_rollup is rows-only at the driver (HLL
+    binary internals are engine-specific); its accuracy contract lives
+    here: every per-type estimate and the ALL rollup must land within
+    5% (3 sigma at lgK=12, se ~1.6%) of the exact distinct counts."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries, load_table
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in all_queries()["distinct_users_sketch_rollup"](spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = events.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for et, e in exact.items():
+        rel = abs(got[et] - e) / max(e, 1)
+        assert rel < 0.05, f"{et}: HLL estimate off by {rel:.1%}"
