@@ -1754,3 +1754,67 @@ def mixed_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("mix_weight"))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "unigram_logprob_scores",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+freq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+terms AS (
+  SELECT t.doc_id,
+         CAST(round(ln(f.c / tot.total), 9) AS DECIMAL(28,10)) AS lp
+  FROM toks t JOIN freq f USING (tok), tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(CAST(sum(lp) AS VARCHAR) AS DOUBLE) / count(*), 6)
+         AS avg_logprob
+FROM terms
+GROUP BY doc_id
+""",
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    empirical unigram LM — the perplexity-proxy quality score the CCNet
+    family of pipelines filters on (docs full of corpus-typical tokens
+    score high; gibberish and boilerplate-of-rare-tokens score low).
+
+    Cross-engine float discipline, composing two proven recipes: each
+    per-token term is ``round(ln(freq/total), 9)`` (identical operand
+    order; Java Math.log vs DuckDB ln probed ≤ 4.5e-16 apart — the
+    tfidf_scores result), then the PER-DOC SUM runs in exact
+    DECIMAL(28,10) — a raw double sum over a shuffled token stream
+    would be partition-order-dependent and flake the driver hash.  The
+    final division and 6-dp round are single IEEE ops on identical
+    operands.
+
+    Scale shape: one (doc_id, tok) explode feeds a vocabulary-sized
+    frequency aggregate that AQE broadcasts back onto the token
+    stream, the grand total arrives as a 1-row broadcast scalar, and
+    the per-doc reduce is partial-agg friendly — no global sort, no
+    quadratic term, same silhouette as tfidf_scores."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    lp = F.round(F.log(F.col("c") / F.col("total")), 9).cast("decimal(28,10)")
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("lp").cast("string").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )
