@@ -1818,3 +1818,48 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "train_val_test_split",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, lang,
+         (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN bucket < 204 THEN 'train'
+            WHEN bucket < 230 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(bucket AS BIGINT) AS bucket
+FROM h
+""",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment by CONTENT
+    hash (first md5 byte → bucket 0..255): reproducible across runs,
+    engines and re-partitionings — the property a seeded RNG split
+    lacks — and leak-proof under exact-duplicate documents, since
+    byte-identical texts always land in the same split.  Embarrassingly
+    parallel (a projection; no shuffle at all), so the split of a
+    100 TB corpus is a single map pass.  Keyed on text rather than
+    doc_id deliberately: re-ingesting the same corpus with different
+    ids preserves every assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+
+    def nib(i: int) -> F.Column:
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+
+    bucket = nib(1) * 16 + nib(2)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 204, "train")
+        .when(bucket < 230, "val")
+        .otherwise("test")
+        .alias("split"),
+        bucket.cast("long").alias("bucket"),
+    )
