@@ -69,3 +69,27 @@ def fk_orphans(
     dimension's key cardinality allows, leaving the fact unshuffled."""
     keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
     return fact.join(keys, fact_key, "left_anti")
+
+
+def with_observed_quality(
+    df: DataFrame, name: str, cols: Sequence[str]
+) -> tuple[DataFrame, "object"]:
+    """Piggyback the null/row-count quality metrics on whatever action
+    the caller already runs (``df.observe`` + ``Observation``) —
+    the zero-extra-pass alternative to :func:`null_ratio_report`.
+
+    ``null_ratio_report`` spends a dedicated aggregate job, which is
+    right for a standalone admission gate; but when the table is about
+    to be WRITTEN anyway, observed metrics ride the write's own scan
+    for free — at 100 TB the difference is literally one full pass of
+    the corpus.  Returns ``(observed_df, observation)``: run exactly
+    one action on ``observed_df``, then read ``observation.get`` —
+    a dict with ``n_rows`` and ``n_null_<col>`` per requested column.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        metrics.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"n_null_{c}"))
+    return df.observe(obs, *metrics), obs

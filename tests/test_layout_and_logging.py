@@ -333,3 +333,25 @@ def test_driver_contract_loads_from_foreign_cwd():
     assert "WORKER_ROWS=" in out.stdout
     rows = int(out.stdout.split("WORKER_ROWS=")[1].split()[0])
     assert rows > 0
+
+
+def test_observed_quality_metrics_ride_the_write(spark, tmp_path):
+    """with_observed_quality attaches null/row metrics to the write's
+    own scan (df.observe): after the single write action the
+    Observation holds the exact counts — no second aggregate job over
+    the data, which is the operator's entire point at scale."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.quality import (
+        with_observed_quality,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], ["k", "v"]
+    )
+    observed, obs = with_observed_quality(df, "load_gate", ["v", "k"])
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["n_null_v"] == 2
+    assert got["n_null_k"] == 0
+    # and the written data is unaffected by the observation
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 4
