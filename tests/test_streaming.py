@@ -1261,3 +1261,35 @@ def test_available_now_trigger_drains_and_stops(spark, tmp_path):
     drain()
     rows = sorted(r["k"] for r in spark.read.parquet(out).collect())
     assert rows == ["a", "b", "c"]
+
+
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """S4's rate cap, file-source twin: maxFilesPerTrigger=1 forces one
+    input file per micro-batch, so three files drain as three bounded
+    batches — the same backpressure contract maxOffsetsPerTrigger
+    gives the Kafka source (sources/kafka.py pins that option)."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for i in range(3):
+        write_batch_file(src, f"b{i}.json", [json.dumps({"k": f"k{i}", "v": i})])
+    stream = (
+        spark.readStream.schema("k string, v bigint")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("capped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress
+    finally:
+        q.stop()
+    assert spark.sql("SELECT count(*) AS n FROM capped").collect()[0]["n"] == 3
+    batches_with_rows = [p for p in progress if p["numInputRows"] > 0]
+    assert len(batches_with_rows) == 3  # one file -> one batch each
+    assert all(p["numInputRows"] == 1 for p in batches_with_rows)

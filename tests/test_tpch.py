@@ -168,3 +168,18 @@ def test_q11_threshold_is_single_broadcast_scalar(spark):
     df = all_queries()["important_part_share"](spark, SF_DIR)
     vals = [r["part_value"] for r in df.collect()]
     assert vals and all(v > 0 for v in vals)
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Join strategy control beyond broadcast: a SHUFFLE_HASH hint must
+    produce a ShuffledHashJoin and a MERGE hint a SortMergeJoin for the
+    same big-big join — the knobs a 100 TB tuning pass reaches for when
+    the optimizer's default pick is wrong for a known skew/size case."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    hashed = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    merged = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    hp = hashed._jdf.queryExecution().executedPlan().toString()
+    mp = merged._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in hp and "SortMergeJoin" not in hp
+    assert "SortMergeJoin" in mp and "ShuffledHashJoin" not in mp
