@@ -494,3 +494,37 @@ def test_load_table_timestamps_are_canonical(spark):
 
     ev = load_table(spark, SF_DIR, "events")
     ev.select(F.unix_micros("ts")).limit(1).collect()
+
+
+def test_train_val_test_split_is_pure_projection(spark):
+    """The content-hash split must stay embarrassingly parallel: a
+    single scan, zero Exchange of the documents table (the plan's only
+    legal exchange is AQE's final coalesce of results, which local
+    mode doesn't add either)."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+    plan = (
+        all_queries()["train_val_test_split"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_unigram_logprob_scalar_is_broadcast_not_cartesian(spark):
+    """The grand token total must arrive as a 1-row broadcast
+    (BroadcastNestedLoopJoin) and the doc aggregate must shuffle on
+    doc_id — never a SinglePartition funnel of the token stream."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+    plan = (
+        all_queries()["unigram_logprob_scores"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(doc_id" in plan

@@ -73,6 +73,10 @@ PROBE_QUERIES = [
     "sequence_packing_plan",
     "training_shard_shuffle",
     "embedding_int8_quantized",
+    # r6 text additions: both claim the tfidf silhouette (vocab agg
+    # broadcast back over the token stream) — measure it
+    "unigram_logprob_scores",
+    "tfidf_scores",
 ]
 
 
