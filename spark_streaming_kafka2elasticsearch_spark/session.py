@@ -42,6 +42,13 @@ BASE_CONF: dict[str, str] = {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
     "spark.sql.shuffle.partitions": "32",
+    # Whole-stage-codegen class cache: the default 100 entries thrashes
+    # on a 100+-query workload (each query compiles several stages), so
+    # every repeated run pays janino again — measured 8.7s cold vs 2.8s
+    # warm on the SRP near-dup plan.  2000 classes is a few hundred MB
+    # of metaspace at most; read once at first codegen, so it must be
+    # set at session build, not later.
+    "spark.sql.codegen.cache.maxEntries": "2000",
     "spark.ui.enabled": "false",
 }
 
