@@ -1,0 +1,162 @@
+"""TPC-H-family scale probe: growth exponents for the warehouse suite.
+
+tools/scale_probe.py measures the dedup/similarity/text tail over
+scaled documents/embeddings; this tool gives the SAME evidence for the
+join/agg-heavy warehouse queries, which it previously lacked.  It
+builds factor-scaled lineitem+orders (key-shifted replicas — every
+replica keeps the original's per-order line structure, so join fan-outs
+scale honestly), copies the dims verbatim (dims don't grow with fact
+volume in a star schema), and times each probe query at 1x and 10x:
+
+    python tools/scale_probe_tpch.py [--rebuild]
+
+Results merge into SCALE_PROBE.json under "tpch_queries" (the doc/emb
+probe owns the rest of the file — run this one AFTER it).  alpha =
+log(t10/t1)/log(10): 1.0 is linear scaling, 2.0 quadratic.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 48g pyspark-shell")
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/root/repo/tmp_scale_tpch"
+FACTOR = 10
+
+#: dims copied verbatim; facts replicated with shifted keys.
+DIM_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "events", "documents", "embeddings",
+]
+
+#: The warehouse shapes worth measuring: the one big-big join
+#: (shuffle on the order key), the Expand-based grouping sets, the
+#: per-group top-1 window, the scalar-subquery HAVING, the pure
+#: scan-agg, the double self-join (Q21), and the two r6 conditional/
+#: profit shapes.
+PROBE_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "returnflag_priority_mix",
+    "product_type_profit",
+    "top_supplier_per_part",
+    "important_part_share",
+    "revenue_grouping_sets",
+    "suppliers_kept_waiting",
+    "shipping_priority",
+]
+
+
+def build_scaled(factor: int, outdir: str) -> None:
+    os.makedirs(outdir, exist_ok=True)
+    con = duckdb.connect()
+    for t in DIM_TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{BASE}/{t}.parquet')) "
+            f"TO '{outdir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    # Key shift must clear the base keyspace; orders keys are dense-ish
+    # so max+1 is the safe stride.  o_custkey stays — customer is a dim.
+    stride = con.execute(
+        f"SELECT max(o_orderkey) + 1 FROM read_parquet('{BASE}/orders.parquet')"
+    ).fetchone()[0]
+    con.execute(
+        f"""
+COPY (
+  SELECT o.o_orderkey + r.r * {stride} AS o_orderkey,
+         o.o_custkey, o.o_orderstatus, o.o_totalprice,
+         o.o_orderdate, o.o_orderpriority
+  FROM read_parquet('{BASE}/orders.parquet') o
+  CROSS JOIN (SELECT unnest(generate_series(0, {factor - 1})) AS r) r
+) TO '{outdir}/orders.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.execute(
+        f"""
+COPY (
+  SELECT l.l_orderkey + r.r * {stride} AS l_orderkey,
+         l.l_partkey, l.l_suppkey, l.l_linenumber, l.l_quantity,
+         l.l_extendedprice, l.l_discount, l.l_tax, l.l_returnflag,
+         l.l_linestatus, l.l_shipdate
+  FROM read_parquet('{BASE}/lineitem.parquet') l
+  CROSS JOIN (SELECT unnest(generate_series(0, {factor - 1})) AS r) r
+) TO '{outdir}/lineitem.parquet' (FORMAT PARQUET)
+"""
+    )
+
+
+def main() -> None:
+    rebuild = "--rebuild" in sys.argv
+    xdir = os.path.join(OUT, f"x{FACTOR}")
+    if rebuild or not os.path.exists(os.path.join(xdir, "lineitem.parquet")):
+        print(f"building {FACTOR}x facts at {xdir} ...", file=sys.stderr)
+        build_scaled(FACTOR, xdir)
+
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+    from spark_streaming_kafka2elasticsearch_spark.session import build_session
+
+    qs = all_queries()
+    spark = build_session(master="local[32]", app_name="scale_probe_tpch")
+    spark.range(1_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # Untimed codegen warm-up at 1x (same rationale as the doc probe:
+    # janino cost is per plan shape per session and would inflate the
+    # x1 denominators the exponent divides by).
+    for q in PROBE_QUERIES:
+        try:
+            qs[q](spark, BASE).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001
+            pass
+        spark.catalog.clearCache()
+    print("warm-up done", file=sys.stderr)
+
+    results: dict[str, dict[str, float]] = {q: {} for q in PROBE_QUERIES}
+
+    def flush() -> None:
+        path = "/root/repo/SCALE_PROBE.json"
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except FileNotFoundError:
+            doc = {}
+        doc["tpch_base"] = {"lineitem": 600000, "factor": FACTOR}
+        doc["tpch_queries"] = results
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1)
+
+    for factor, sf_dir in ((1, BASE), (FACTOR, xdir)):
+        for q in PROBE_QUERIES:
+            t0 = time.time()
+            try:
+                qs[q](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                results[q][f"x{factor}"] = round(time.time() - t0, 2)
+            except Exception as exc:  # noqa: BLE001
+                results[q][f"x{factor}"] = -1.0
+                print(f"x{factor} {q} FAILED: {exc}", file=sys.stderr)
+            spark.catalog.clearCache()
+            print(f"x{factor} {q}: {results[q][f'x{factor}']}s", file=sys.stderr)
+            flush()
+
+    for q, r in results.items():
+        if r.get("x1", -1) > 0 and r.get(f"x{FACTOR}", -1) > 0:
+            r["alpha"] = round(
+                math.log(r[f"x{FACTOR}"] / r["x1"]) / math.log(FACTOR), 2
+            )
+    flush()
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
