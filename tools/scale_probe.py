@@ -240,18 +240,32 @@ def main() -> None:
                 indent=1,
             )
 
+    # Min-of-N per measurement: host noise on a saturated 32-thread box
+    # is ADDITIVE and huge at the tail (the same SRP x10 plan measured
+    # 19s / 38s / 67s across single-pass runs) — a query cannot run
+    # FASTER than its true cost, so the min is the signal.  Single-pass
+    # alphas were swinging ±0.5 on exactly the entries the probe
+    # exists to judge.
+    passes = int(os.environ.get("SCALE_PROBE_PASSES", "2"))
     results: dict[str, dict[str, float]] = {q: {} for q in PROBE_QUERIES}
     for factor, sf_dir in dirs.items():
         for q in PROBE_QUERIES:
-            t0 = time.time()
-            try:
-                qs[q](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                results[q][f"x{factor}"] = round(time.time() - t0, 2)
-            except Exception as exc:  # noqa: BLE001 — record, keep probing
-                results[q][f"x{factor}"] = -1.0
-                print(f"x{factor} {q} FAILED: {exc}", file=sys.stderr)
-            spark.catalog.clearCache()
-            print(f"x{factor} {q}: {results[q][f'x{factor}']}s", file=sys.stderr)
+            best = -1.0
+            for _ in range(passes):
+                t0 = time.time()
+                try:
+                    qs[q](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = round(time.time() - t0, 2)
+                    best = dt if best < 0 else min(best, dt)
+                except Exception as exc:  # noqa: BLE001 — record, keep probing
+                    print(f"x{factor} {q} FAILED: {exc}", file=sys.stderr)
+                    break
+                finally:
+                    spark.catalog.clearCache()
+            results[q][f"x{factor}"] = best
+            print(f"x{factor} {q}: {best}s (min of {passes})", file=sys.stderr)
             flush(results)
 
     for q, r in results.items():

@@ -136,17 +136,27 @@ def main() -> None:
         with open(path, "w") as f:
             json.dump(doc, f, indent=1)
 
+    # Min-of-N per measurement — same additive-noise rationale as
+    # tools/scale_probe.py (single-pass tails swung 2-3x on this box).
+    passes = int(os.environ.get("SCALE_PROBE_PASSES", "2"))
     for factor, sf_dir in ((1, BASE), (FACTOR, xdir)):
         for q in PROBE_QUERIES:
-            t0 = time.time()
-            try:
-                qs[q](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                results[q][f"x{factor}"] = round(time.time() - t0, 2)
-            except Exception as exc:  # noqa: BLE001
-                results[q][f"x{factor}"] = -1.0
-                print(f"x{factor} {q} FAILED: {exc}", file=sys.stderr)
-            spark.catalog.clearCache()
-            print(f"x{factor} {q}: {results[q][f'x{factor}']}s", file=sys.stderr)
+            best = -1.0
+            for _ in range(passes):
+                t0 = time.time()
+                try:
+                    qs[q](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = round(time.time() - t0, 2)
+                    best = dt if best < 0 else min(best, dt)
+                except Exception as exc:  # noqa: BLE001
+                    print(f"x{factor} {q} FAILED: {exc}", file=sys.stderr)
+                    break
+                finally:
+                    spark.catalog.clearCache()
+            results[q][f"x{factor}"] = best
+            print(f"x{factor} {q}: {best}s (min of {passes})", file=sys.stderr)
             flush()
 
     for q, r in results.items():
