@@ -612,3 +612,89 @@ def events_last_error_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_col="last_error_event_id",
     )
     return out.select("event_id", "last_error_event_id", "last_error_value")
+
+
+@register(
+    "customer_rfm_scores",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(max(date_diff('day', DATE '1995-01-01', o_orderdate)) AS BIGINT)
+           AS recency_day,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR)
+              AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+cuts AS (
+  SELECT quantile_cont(CAST(recency_day AS DOUBLE), 0.25) AS r1,
+         quantile_cont(CAST(recency_day AS DOUBLE), 0.50) AS r2,
+         quantile_cont(CAST(recency_day AS DOUBLE), 0.75) AS r3,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f1,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.50) AS f2,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f3,
+         quantile_cont(monetary, 0.25) AS m1,
+         quantile_cont(monetary, 0.50) AS m2,
+         quantile_cont(monetary, 0.75) AS m3
+  FROM cust
+)
+SELECT o_custkey, recency_day, frequency, monetary,
+       CAST(1 + CAST(recency_day >= r1 AS INT) + CAST(recency_day >= r2 AS INT)
+              + CAST(recency_day >= r3 AS INT) AS BIGINT) AS r_score,
+       CAST(1 + CAST(frequency >= f1 AS INT) + CAST(frequency >= f2 AS INT)
+              + CAST(frequency >= f3 AS INT) AS BIGINT) AS f_score,
+       CAST(1 + CAST(monetary >= m1 AS INT) + CAST(monetary >= m2 AS INT)
+              + CAST(monetary >= m3 AS INT) AS BIGINT) AS m_score
+FROM cust, cuts
+""",
+)
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile scores per
+    customer — the classic CRM segmentation.  Deliberately NOT
+    ``ntile``: a global ntile would funnel every customer through one
+    SinglePartition window, the shape the plan tests ban.  Instead the
+    quartile CUTOFFS are computed once on the aggregated relation
+    (``percentile`` ≡ DuckDB ``quantile_cont`` bit-for-bit — the
+    module invariant) and broadcast back as a 1-row scalar, so scoring
+    is a parallel projection.  Semantic difference vs ntile, accepted
+    on purpose: ties at a cutoff share a score instead of being split
+    to equalize bucket sizes — for segmentation that is the BETTER
+    behavior (equal values must not land in different segments).
+    Money sums are decimal-exact before the double conversion."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")))
+        .cast("long")
+        .alias("recency_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(_DEC))
+        .cast("string")
+        .cast("double")
+        .alias("monetary"),
+    )
+    cuts = cust.agg(
+        *[
+            F.percentile(F.col(c).cast("double"), F.lit(q)).alias(f"{c[0]}{i}")
+            for c in ("recency_day", "frequency", "monetary")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def score(col: str, pfx: str) -> F.Column:
+        v = F.col(col)
+        return (
+            1
+            + (v >= F.col(f"{pfx}1")).cast("long")
+            + (v >= F.col(f"{pfx}2")).cast("long")
+            + (v >= F.col(f"{pfx}3")).cast("long")
+        )
+
+    return cust.join(F.broadcast(cuts)).select(
+        "o_custkey",
+        "recency_day",
+        "frequency",
+        "monetary",
+        score("recency_day", "r").alias("r_score"),
+        score("frequency", "f").alias("f_score"),
+        score("monetary", "m").alias("m_score"),
+    )

@@ -1863,3 +1863,59 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         bucket.cast("long").alias("bucket"),
     )
+
+
+@register(
+    "bigram_counts",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+b AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
+  FROM d WHERE len(t) >= 2
+)
+SELECT t[i] || ' ' || t[i + 1] AS bigram,
+       CAST(count(*) AS BIGINT) AS n
+FROM b
+GROUP BY bigram
+HAVING count(*) >= 5
+""",
+)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (threshold ≥ 5) — the n-gram LM statistics
+    pass of a language-model data pipeline, and the canonical
+    shuffle-a-reduction shape: each doc emits its adjacent token pairs
+    via a positional ``transform`` over a sliced array (pure codegen,
+    no UDF, no self-join of the token stream against itself), and only
+    (bigram, partial count) pairs cross the wire.  The HAVING keeps
+    the result vocabulary-sized.
+
+    100 TB note: identical silhouette to token_frequencies — partial
+    map-side counts collapse the shuffle to the distinct-bigram
+    vocabulary, and AQE coalesces the post-agg partitions.  The only
+    growth risk is vocabulary cardinality itself, which the count
+    threshold bounds."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    # slice(t, 1, -1) throws on negative length, so short docs get an
+    # empty array explicitly (explode then drops them, like the
+    # oracle's len >= 2 guard).  The guard reads the projected
+    # ``tokens`` column — the raw text is already pruned away.
+    bigrams = F.when(
+        F.size(F.col("tokens")) >= 2,
+        F.expr(
+            "transform(slice(tokens, 1, size(tokens) - 1),"
+            " (x, i) -> concat(x, ' ', tokens[i + 1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(tokens(F.col("text")).alias("tokens"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )

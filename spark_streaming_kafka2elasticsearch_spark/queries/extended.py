@@ -1045,3 +1045,61 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "event_type", "value")
     )
+
+
+@register(
+    "nation_trailing_7day_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT n.n_name AS nation,
+         CAST(date_diff('day', DATE '1995-01-01', o.o_orderdate) AS BIGINT)
+           AS day_num,
+         sum(CAST(o.o_totalprice AS DECIMAL(28,10))) AS day_rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  GROUP BY nation, day_num
+)
+SELECT nation, day_num,
+       CAST(CAST(sum(day_rev) OVER (
+              PARTITION BY nation ORDER BY day_num
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS VARCHAR) AS DOUBLE) AS rev_7d
+FROM daily
+""",
+)
+def nation_trailing_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue per nation — the RANGE-frame window
+    (value-based, ``rangeBetween``) the rest of the window family
+    doesn't exercise: the frame is "all days within 6 of mine", not
+    "6 rows", so gap days are skipped correctly without calendar
+    densification.  Sums stay decimal-exact inside the frame (window
+    order affects only membership, not the exact accumulation).
+
+    Scale shape — the honest time-series recipe: the RAW orders table
+    is first collapsed to (nation, day) partial aggregates (one
+    shuffle, partial-agg friendly), and the window then runs over a
+    calendar-bounded relation (25 nations × ~2400 days) partitioned by
+    nation — never a single-partition window over raw facts."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+            .cast("long")
+            .alias("day_num"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("day_rev"))
+    )
+    w = Window.partitionBy("nation").orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "nation",
+        "day_num",
+        F.sum("day_rev").over(w).cast("string").cast("double").alias("rev_7d"),
+    )

@@ -528,3 +528,105 @@ def test_unigram_logprob_scalar_is_broadcast_not_cartesian(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_python_datasource_kafka_replay_envelope(spark, tmp_path):
+    """Spark 4 Python DataSource extension point, end-to-end: register
+    format('kafka_replay'), read a two-file JSONL dir, and get the full
+    Kafka envelope — one Spark partition per file, per-file monotonic
+    offsets, binary value, headers carrying provenance — feeding the
+    P1 cast exactly like the real Kafka source would."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka2elasticsearch_spark.sources.pyds import (
+        KafkaReplayDataSource,
+    )
+
+    d = tmp_path / "replay"
+    d.mkdir()
+    (d / "p0.jsonl").write_text(
+        "\n".join(_json.dumps({"order_id": i}) for i in range(3))
+    )
+    (d / "p1.jsonl").write_text(_json.dumps({"order_id": 99}))
+
+    spark.dataSource.register(KafkaReplayDataSource)
+    df = (
+        spark.read.format("kafka_replay")
+        .option("path", str(d))
+        .option("topic", "orders")
+        .load()
+    )
+    assert [f.name for f in df.schema.fields] == [
+        "key", "value", "topic", "partition", "offset",
+        "timestamp", "timestampType", "headers",
+    ]
+    rows = df.collect()
+    assert len(rows) == 4
+    offsets = {
+        (r["partition"], r["offset"]) for r in rows
+    }
+    assert offsets == {(0, 0), (0, 1), (0, 2), (1, 0)}
+    assert {r["topic"] for r in rows} == {"orders"}
+    # the binary value round-trips through the P1 cast into from_json
+    parsed = df.select(
+        F.get_json_object(F.col("value").cast("string"), "$.order_id").alias("oid")
+    ).collect()
+    assert sorted(int(r["oid"]) for r in parsed) == [0, 1, 2, 99]
+    # headers carry provenance as (key, binary value) structs
+    hdr = rows[0]["headers"][0]
+    assert hdr["key"] == "source_file" and bytes(hdr["value"]).endswith(b".jsonl")
+
+
+def test_rfm_scores_have_no_global_window(spark):
+    """RFM scoring must be cutoff-broadcast + projection: one 1-row
+    broadcast (the percentile cutoffs), no Window node at all, no
+    single-partition funnel of the customer relation."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+    plan = (
+        all_queries()["customer_rfm_scores"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trailing_revenue_window_is_partitioned_by_nation(spark):
+    """The RANGE-frame window must run per-nation over the pre-
+    aggregated (nation, day) relation — partitioned window, and the
+    raw orders scan feeds an aggregate, never the window directly."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+    plan = (
+        all_queries()["nation_trailing_7day_revenue"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(nation" in plan
+    assert "SinglePartition" not in plan
+    assert "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW" in plan.upper() or (
+        "rangeBetween" in plan or "specifiedwindowframe(RangeFrame" in plan
+    )
+
+
+def test_bigram_counts_shuffles_only_reductions(spark):
+    """Bigram extraction is a codegen'd positional transform feeding a
+    partial-aggregated count — no join, no cartesian; only (bigram,
+    partial count) pairs cross the exchange."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+    plan = (
+        all_queries()["bigram_counts"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "HashAggregate" in plan
