@@ -87,3 +87,51 @@ def merge_upsert(
 
     survivors = base.join(upd_keys, list(keys), "left_anti")
     return survivors.unionByName(upd.select(*base.columns))
+
+
+def incremental_agg_merge(
+    prev_agg: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental maintenance of an algebraic aggregate — the nightly
+    materialized-view refresh: fold a new DELTA of raw rows into
+    yesterday's aggregate table WITHOUT rescanning history.
+
+    ``prev_agg`` must carry ``keys + [f"sum_{c}" for c in sum_cols] +
+    [count_col]`` (i.e. this function's own output schema, so refreshes
+    chain day after day); ``delta`` is raw rows with ``keys`` and the
+    measure columns.  Sums accumulate in DECIMAL(28,10) so a year of
+    daily folds equals the one-shot aggregate bit-for-bit — with
+    double sums the two paths would drift apart and reconciliation
+    checks against a full recompute would false-alarm.
+
+    Scale shape: the delta partial-aggregates map-side to its own key
+    set, the union with the (aggregate-sized, not history-sized) prev
+    table shuffles on the keys once, and history is never in the plan
+    at all — refresh cost is O(delta + |distinct keys|), the whole
+    point.  Works for any algebraic measure (sum/count here; avg =
+    sum/count downstream; min/max would fold the same way).  Holistic
+    measures (exact percentiles, distinct counts) do NOT fold — use
+    sketches (HLL rollup, distinct_users_sketch_rollup) for those.
+    """
+    dec = "decimal(28,10)"
+    partial = delta.groupBy(*keys).agg(
+        *[F.sum(F.col(c).cast(dec)).alias(f"sum_{c}") for c in sum_cols],
+        F.count(F.lit(1)).alias(count_col),
+    )
+    prev_norm = prev_agg.select(
+        *keys,
+        *[F.col(f"sum_{c}").cast(dec).alias(f"sum_{c}") for c in sum_cols],
+        F.col(count_col),
+    )
+    return (
+        prev_norm.unionByName(partial)
+        .groupBy(*keys)
+        .agg(
+            *[F.sum(f"sum_{c}").cast(dec).alias(f"sum_{c}") for c in sum_cols],
+            F.sum(count_col).alias(count_col),
+        )
+    )

@@ -1082,3 +1082,39 @@ def test_sketch_rollup_estimates_within_hll_error(spark):
     for et, e in exact.items():
         rel = abs(got[et] - e) / max(e, 1)
         assert rel < 0.05, f"{et}: HLL estimate off by {rel:.1%}"
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    """Folding three daily deltas through incremental_agg_merge must
+    equal the one-shot aggregate of all rows, bit-for-bit (decimal
+    accumulation), and history must never appear in the refresh plan —
+    the refresh reads only prev_agg + today's delta."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.merge import (
+        incremental_agg_merge,
+    )
+
+    days = [
+        [("a", 10.5, 1.0), ("b", 1.25, 2.0)],
+        [("a", 0.25, 3.0), ("c", 7.0, 4.0)],
+        [("b", 2.0, 5.0), ("a", 1.0, 6.0)],
+    ]
+    cols = ["k", "amount", "qty"]
+    empty = spark.createDataFrame([], "k string, sum_amount decimal(28,10), sum_qty decimal(28,10), n_rows bigint")
+    agg = empty
+    for day in days:
+        agg = incremental_agg_merge(
+            agg, spark.createDataFrame(day, cols), ["k"], ["amount", "qty"]
+        )
+    got = {
+        r["k"]: (float(r["sum_amount"]), float(r["sum_qty"]), r["n_rows"])
+        for r in agg.collect()
+    }
+    full = spark.createDataFrame([r for d in days for r in d], cols)
+    want = {
+        r["k"]: (float(r["sum_amount"]), float(r["sum_qty"]), r["n_rows"])
+        for r in incremental_agg_merge(
+            empty, full, ["k"], ["amount", "qty"]
+        ).collect()
+    }
+    assert got == want
+    assert got["a"] == (11.75, 10.0, 3)
