@@ -107,3 +107,47 @@ def test_int8_quantization_error_bound(spark, vecs):
         slack = scale * (0.5 + 1e-9)
         for x, qc in zip(r["v"], r["q"]):
             assert abs(qc * scale - x) <= slack
+
+
+batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d", "e"]),  # key
+            st.integers(0, 100),  # value
+            st.booleans(),  # delete flag
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches)
+def test_merge_upsert_matches_dict_model(spark, seq):
+    """ANSI-MERGE semantics against the obvious model: apply random
+    upsert/delete batches one at a time through merge_upsert and in a
+    plain dict (last row per key within a batch wins, delete removes);
+    the table must equal the dict after every fold."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.merge import merge_upsert
+
+    # the delete flag lives only on the update side; merge_upsert
+    # drops it from the output, so the base table never carries it
+    base = spark.createDataFrame([], "k string, v bigint")
+    model: dict[str, int] = {}
+    for batch in seq:
+        # merge_upsert requires unique keys per batch: keep the LAST
+        # occurrence, which is also what the model does.
+        last = {k: (k, v, d) for k, v, d in batch}
+        rows = list(last.values())
+        for k, v, d in rows:
+            if d:
+                model.pop(k, None)
+            else:
+                model[k] = v
+        updates = spark.createDataFrame(rows, "k string, v bigint, is_delete boolean")
+        base = merge_upsert(base, updates, keys=["k"], delete_col="is_delete")
+    got = {r["k"]: r["v"] for r in base.collect()}
+    assert got == model
