@@ -389,3 +389,93 @@ class RowForeachSink:
             .queryName(query_name)
             .start()
         )
+
+
+@dataclass
+class IncrementalAggParquetSink:
+    """Streaming materialized-view maintenance: every micro-batch folds
+    into a keyed aggregate table via ``operators.merge.
+    incremental_agg_merge`` — the streaming face of the nightly MV
+    refresh, and the scale-correct alternative to complete-mode aggs
+    (state is the aggregate TABLE, not an in-memory store; history is
+    never rescanned).
+
+    Idempotence differs from the upsert sinks in kind: an upsert
+    replay converges because overwrite is idempotent, but a FOLD is
+    additive — replaying an epoch would double-count.  So this sink
+    keeps an epoch watermark next to the table and silently skips any
+    epoch ≤ the last applied one (exactly-once effect under
+    at-least-once delivery).  The marker is written after the table
+    swap; a crash BETWEEN the two re-folds one epoch on restart — a
+    transactional store (Delta/Iceberg) commits both in one
+    transaction, which is the production binding of this contract and
+    why the two writes sit adjacent here.
+    """
+
+    path: str
+    keys: tuple[str, ...] = ("k",)
+    sum_cols: tuple[str, ...] = ("v",)
+    count_col: str = "n_rows"
+    #: Epoch watermarks are per QUERY LINEAGE (a checkpoint's epoch
+    #: counter restarts from 0 for a new query) — so the marker is
+    #: scoped by this name.  One MV fed by several writers (or by a
+    #: query restarted with a FRESH checkpoint) needs a distinct
+    #: lineage per writer, or the new writer's epoch 0 would be
+    #: mistaken for a replay of the old one's.
+    lineage: str = "default"
+
+    def _marker(self) -> str:
+        return f"{self.path}__epoch_{self.lineage}"
+
+    def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from spark_streaming_kafka2elasticsearch_spark.operators.merge import (
+            incremental_agg_merge,
+        )
+
+        last = -1
+        if os.path.exists(self._marker()):
+            with open(self._marker()) as fh:
+                last = int(fh.read().strip() or -1)
+        if epoch_id <= last:
+            return  # replayed epoch: already folded
+        spark = batch_df.sparkSession
+        if os.path.exists(self.path):
+            prev = spark.read.parquet(self.path)
+        else:
+            prev = self._empty_agg(batch_df)
+        out = incremental_agg_merge(
+            prev, batch_df, list(self.keys), list(self.sum_cols), self.count_col
+        )
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex}"
+        out.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+        with open(self._marker(), "w") as fh:
+            fh.write(str(epoch_id))
+
+    def _empty_agg(self, batch_df: DataFrame) -> DataFrame:
+        dec = "decimal(28,10)"
+        return batch_df.limit(0).select(
+            *self.keys,
+            *[F.col(c).cast(dec).alias(f"sum_{c}") for c in self.sum_cols],
+            F.lit(0).cast("long").alias(self.count_col),
+        )
+
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str | None = None,
+        query_name: str = "incremental_agg",
+    ) -> StreamingQuery:
+        if checkpoint_dir is None:
+            checkpoint_dir = tempfile.mkdtemp(prefix="chk_")
+        return (
+            stream.writeStream.foreachBatch(self.write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name)
+            .start()
+        )
+
+    def read(self, spark: Any) -> DataFrame:
+        return spark.read.parquet(self.path)

@@ -1293,3 +1293,54 @@ def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
     batches_with_rows = [p for p in progress if p["numInputRows"] > 0]
     assert len(batches_with_rows) == 3  # one file -> one batch each
     assert all(p["numInputRows"] == 1 for p in batches_with_rows)
+
+
+def test_incremental_agg_sink_folds_and_skips_replays(spark, tmp_path):
+    """Streaming MV maintenance: two micro-batches fold into the keyed
+    aggregate table; a replayed epoch is skipped via the epoch
+    watermark (a fold is additive, so replay idempotence must come
+    from epoch tracking, not overwrite)."""
+    from spark_streaming_kafka2elasticsearch_spark.streaming.sinks import (
+        IncrementalAggParquetSink,
+    )
+
+    sink = IncrementalAggParquetSink(
+        str(tmp_path / "mv"), keys=("k",), sum_cols=("v",)
+    )
+    b0 = spark.createDataFrame([("a", 10.0), ("a", 2.5), ("b", 1.0)], ["k", "v"])
+    b1 = spark.createDataFrame([("a", 0.5), ("c", 4.0)], ["k", "v"])
+    sink.write_batch(b0, 0)
+    sink.write_batch(b1, 1)
+    sink.write_batch(b1, 1)  # redelivery of epoch 1: must not double-count
+    got = {
+        r["k"]: (float(r["sum_v"]), r["n_rows"])
+        for r in sink.read(spark).collect()
+    }
+    assert got == {"a": (13.0, 3), "b": (1.0, 1), "c": (4.0, 1)}
+
+    # and through a real stream: one more file-sourced micro-batch.
+    # A fresh checkpoint is a NEW query lineage whose epochs restart at
+    # 0, so the streaming writer takes its own lineage name — reusing
+    # the direct-write lineage would read epoch 0 as a replay.
+    from spark_streaming_kafka2elasticsearch_spark.streaming.sinks import (
+        IncrementalAggParquetSink as _Sink,
+    )
+
+    stream_sink = _Sink(
+        str(tmp_path / "mv"), keys=("k",), sum_cols=("v",), lineage="q2"
+    )
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    write_batch_file(src, "b2.json", ['{"k": "b", "v": 9.0}'])
+    stream = spark.readStream.schema("k string, v double").json(src)
+    q = stream_sink.start(stream, checkpoint_dir=str(tmp_path / "chk"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got2 = {
+        r["k"]: (float(r["sum_v"]), r["n_rows"])
+        for r in sink.read(spark).collect()
+    }
+    assert got2["b"] == (10.0, 2)
+    assert got2["a"] == (13.0, 3)
