@@ -127,6 +127,98 @@ FROM hits
 """
 
 
+#: The Gopher rule set's required stop words (Rae et al. 2021, §A1.1):
+#: a document must contain at least 2 of these to pass the filter.
+GOPHER_STOP_WORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.80,
+    min_stop_words: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    public heuristics used by most LLM corpus pipelines):
+
+    * word count in [min_words, max_words];
+    * mean word length in [min_mean_word_len, max_mean_word_len];
+    * symbol-to-word ratio (``#`` and ``...``) ≤ max_symbol_word_ratio;
+    * ≥ min_alpha_word_frac of words contain an alphabetic character;
+    * ≥ min_stop_words distinct required stop words present.
+
+    Emits the raw metrics, one 0/1 flag per rule, and the conjunction
+    ``keep`` — keep the metrics, not just the verdict, so thresholds
+    can be re-tuned without re-tokenizing the corpus.
+
+    Scale shape: pure Catalyst expressions over one row — a narrow
+    zero-shuffle map that runs inside WholeStageCodegen; at 100 TB this
+    is scan-bound, exactly what a first-pass corpus filter must be.
+    All arithmetic is exact-int counts plus single double divisions, so
+    any SQL engine reproduces the values bit-for-bit.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    nw = n_words.cast("double")
+    total_word_chars = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    mean_word_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        total_word_chars.cast("double") / nw
+    )
+    # '#' count + '...' count (non-overlapping, both engines' replace()
+    # semantics); the difference is a multiple of 3 so /3 is exact.
+    sym_count = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))) + (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_word_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        sym_count.cast("double") / nw
+    )
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_word_frac = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        alpha_words.cast("double") / nw
+    )
+    n_stop = sum(
+        (F.array_contains(toks, w).cast("int") for w in GOPHER_STOP_WORDS),
+        F.lit(0),
+    )
+    flag_word_count = (
+        (n_words >= min_words) & (n_words <= max_words)
+    ).cast("int")
+    flag_mean_word_len = (
+        (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+    ).cast("int")
+    flag_symbol_ratio = (symbol_word_ratio <= max_symbol_word_ratio).cast("int")
+    flag_alpha_words = (alpha_word_frac >= min_alpha_word_frac).cast("int")
+    flag_stop_words = (n_stop >= min_stop_words).cast("int")
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": mean_word_len,
+            "symbol_word_ratio": symbol_word_ratio,
+            "alpha_word_frac": alpha_word_frac,
+            "n_stop_words": n_stop,
+            "flag_word_count": flag_word_count,
+            "flag_mean_word_len": flag_mean_word_len,
+            "flag_symbol_ratio": flag_symbol_ratio,
+            "flag_alpha_words": flag_alpha_words,
+            "flag_stop_words": flag_stop_words,
+            "keep": flag_word_count
+            * flag_mean_word_len
+            * flag_symbol_ratio
+            * flag_alpha_words
+            * flag_stop_words,
+        }
+    )
+
+
 def repetition_ratio(
     df: DataFrame, id_col: str, text_col: str = "text", k: int = 2
 ) -> DataFrame:

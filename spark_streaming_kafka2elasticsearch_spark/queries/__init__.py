@@ -77,6 +77,7 @@ _PRIORITY: list[str] = [
     # driver-checked), then the 6 queries whose newest driver row is r2,
     # then the 50 last checked in r4; the 50 just re-greened in r5 drop
     # to the tail.  Computed from the union of CORRECTNESS_r01-r05.
+    "gopher_quality_flags",
     "customer_rfm_scores",
     "nation_trailing_7day_revenue",
     "bigram_counts",

@@ -31,6 +31,7 @@ from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
 )
 from spark_streaming_kafka2elasticsearch_spark.operators.text import (
     document_fingerprint,
+    gopher_quality,
     language_id,
     language_id_oracle_sql,
     text_quality,
@@ -344,6 +345,77 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_token_len",
         "punct_ratio",
         "alpha_ratio",
+    )
+
+
+_GOPHER_STOP_SUM = " + ".join(
+    f"(CASE WHEN list_contains(t, '{w}') THEN 1 ELSE 0 END)"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(t) AS n_words,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+    END AS mean_word_len,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              AS DOUBLE) / len(t)
+    END AS symbol_word_ratio,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+              AS DOUBLE) / len(t)
+    END AS alpha_word_frac,
+    {_GOPHER_STOP_SUM} AS n_stop_words
+  FROM toks
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_frac,
+  n_stop_words,
+  CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS flag_word_count,
+  CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+    AS flag_mean_word_len,
+  CAST(symbol_word_ratio <= 0.1 AS INT) AS flag_symbol_ratio,
+  CAST(alpha_word_frac >= 0.80 AS INT) AS flag_alpha_words,
+  CAST(n_stop_words >= 2 AS INT) AS flag_stop_words,
+  CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+    * CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+    * CAST(symbol_word_ratio <= 0.1 AS INT)
+    * CAST(alpha_word_frac >= 0.80 AS INT)
+    * CAST(n_stop_words >= 2 AS INT) AS keep
+FROM m
+""",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set document filter (Rae et al. 2021 §A1.1) — word
+    count, mean word length, symbol ratio, alphabetic-word fraction,
+    and stop-word presence, each as a 0/1 flag plus the raw metric so
+    thresholds stay re-tunable without re-tokenizing.  North-star
+    extension (no reference counterpart): the standard first-pass
+    admission gate of an LLM pretraining corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality(docs).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "alpha_word_frac",
+        "n_stop_words",
+        "flag_word_count",
+        "flag_mean_word_len",
+        "flag_symbol_ratio",
+        "flag_alpha_words",
+        "flag_stop_words",
+        "keep",
     )
 
 

@@ -1118,3 +1118,39 @@ def test_incremental_agg_merge_equals_full_recompute(spark):
     }
     assert got == want
     assert got["a"] == (11.75, 10.0, 3)
+
+
+def test_gopher_quality_rules_on_handcrafted_docs(spark):
+    """Each Gopher rule (Rae et al. 2021 §A1.1) trips on exactly the
+    document built to violate it; the clean doc passes all five."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        gopher_quality,
+    )
+
+    good = "the cat sat off mat and dog ran " * 8  # 64 words, mwl 3.0
+    docs = [
+        (1, good),
+        (2, "the of short doc"),  # 4 words -> word-count fail
+        (3, "the of " + "a " * 60),  # mean word len (8+2+60)/62 < 3
+        (4, "the of " + "seventeencharword " * 60),  # mean len > 10
+        (5, good + "# # # # # # # # #"),  # 9 symbols / 73 words > 0.1
+        (6, "the of " + "123 456 " * 30),  # alpha frac 2/62 < 0.8
+        (7, "cat dog " * 30),  # zero required stop words
+    ]
+    out = {
+        r["id"]: r
+        for r in gopher_quality(
+            spark.createDataFrame(docs, ["id", "text"]), "text"
+        ).collect()
+    }
+    assert out[1]["keep"] == 1 and out[1]["n_words"] == 64
+    assert out[1]["n_stop_words"] == 2  # the, and
+    failing = {2: "flag_word_count", 3: "flag_mean_word_len",
+               4: "flag_mean_word_len", 5: "flag_symbol_ratio",
+               6: "flag_alpha_words", 7: "flag_stop_words"}
+    for i, flag in failing.items():
+        assert out[i][flag] == 0, (i, flag, dict(out[i].asDict()))
+        assert out[i]["keep"] == 0
+    # Raw metrics survive alongside the verdicts (threshold re-tuning).
+    assert out[5]["symbol_word_ratio"] > 0.1
+    assert abs(out[1]["mean_word_len"] - (24 / 8)) < 1e-12
