@@ -78,6 +78,7 @@ _PRIORITY: list[str] = [
     # then the 50 last checked in r4; the 50 just re-greened in r5 drop
     # to the tail.  Computed from the union of CORRECTNESS_r01-r05.
     "gopher_quality_flags",
+    "countmin_token_frequencies",
     "customer_rfm_scores",
     "nation_trailing_7day_revenue",
     "bigram_counts",

@@ -348,6 +348,78 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "countmin_token_frequencies",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT tok,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) | 1 AS h2
+  FROM toks
+),
+rows_ AS (SELECT unnest([0, 1, 2, 3]) AS j),
+sk AS (
+  SELECT j, (h1 + j * h2) & 15 AS bucket, CAST(count(*) AS BIGINT) AS c
+  FROM h CROSS JOIN rows_
+  GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT tok, h1, h2 FROM h),
+est AS (
+  SELECT tok, min(coalesce(sk.c, 0)) AS cm_estimate
+  FROM cand
+  CROSS JOIN rows_
+  LEFT JOIN sk
+    ON sk.j = rows_.j AND sk.bucket = (cand.h1 + rows_.j * cand.h2) & 15
+  GROUP BY tok
+),
+exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_count FROM toks GROUP BY tok
+)
+SELECT exact.tok AS token, exact_count, cm_estimate,
+       cm_estimate - exact_count AS overestimate
+FROM exact JOIN est USING (tok)
+""",
+)
+def countmin_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch token frequencies vs exact truth — per-source
+    sketches merged by cell-wise sum (the 100 TB rollup path: sketches
+    combine without re-reading the corpus), then every vocabulary
+    token point-estimated from the merged grid.  ``width=16`` forces
+    visible collisions so ``overestimate`` (always ≥ 0 — Count-Min
+    never undercounts) is a real accuracy report, and the md5-derived
+    hashes make the whole sketch — unlike the JVM HLL rollup — fully
+    value-checkable by the DuckDB oracle."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+    from spark_streaming_kafka2elasticsearch_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_merge,
+        countmin_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    per_source = countmin_sketch(
+        toks, "tok", ["source"], depth=4, width=16
+    )
+    merged = countmin_merge(per_source)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = countmin_estimate(
+        exact.select("tok"), merged, "tok", depth=4, width=16
+    )
+    return exact.join(est, "tok").select(
+        F.col("tok").alias("token"),
+        "exact_count",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
 _GOPHER_STOP_SUM = " + ".join(
     f"(CASE WHEN list_contains(t, '{w}') THEN 1 ELSE 0 END)"
     for w in ("the", "be", "to", "of", "and", "that", "have", "with")

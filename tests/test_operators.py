@@ -1154,3 +1154,40 @@ def test_gopher_quality_rules_on_handcrafted_docs(spark):
     # Raw metrics survive alongside the verdicts (threshold re-tuning).
     assert out[5]["symbol_word_ratio"] > 0.1
     assert abs(out[1]["mean_word_len"] - (24 / 8)) < 1e-12
+
+
+def test_countmin_sketch_invariants(spark):
+    """Count-Min contracts: (a) merging per-group sketches cell-wise
+    equals the sketch built globally; (b) estimates never undercount;
+    (c) with a collision-free width the estimate IS the exact count."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_merge,
+        countmin_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(f"src{i % 3}", f"tok{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["source", "tok"])
+
+    per_src = countmin_sketch(df, "tok", ["source"], depth=3, width=8)
+    merged = countmin_merge(per_src)
+    direct = countmin_sketch(df, "tok", depth=3, width=8)
+    as_map = lambda sk: {
+        (r["cm_row"], r["cm_bucket"]): r["cm_count"] for r in sk.collect()
+    }
+    assert as_map(merged) == as_map(direct)
+
+    exact = df.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    est = countmin_estimate(exact.select("tok"), merged, "tok", depth=3, width=8)
+    joined = {r["tok"]: (r["n"], r["cm_estimate"])
+              for r in exact.join(est, "tok").collect()}
+    assert len(joined) == 7
+    assert all(cm >= n for n, cm in joined.values())
+
+    wide = countmin_sketch(df, "tok", depth=3, width=1024)
+    est_w = countmin_estimate(
+        exact.select("tok"), wide, "tok", depth=3, width=1024
+    )
+    exact_map = {r["tok"]: r["n"] for r in exact.collect()}
+    assert {r["tok"]: r["cm_estimate"] for r in est_w.collect()} == exact_map
