@@ -299,6 +299,65 @@ def chunk_documents(
     )
 
 
+class ChunkDocumentsUDTF:
+    """Python UDTF (Spark 4 table-valued function) emitting the same
+    chunks as :func:`chunk_documents`: 32-token windows, 8-token
+    overlap, short tail kept, empty docs dropped.
+
+    This is the LATERAL-join Python escape hatch for chunkers that a
+    SQL expression genuinely can't state (model-specific tokenizers,
+    sentence-boundary packers); for whitespace chunking the
+    pure-Catalyst :func:`chunk_documents` is the production path —
+    this twin exists to pin the UDTF plumbing (registration, LATERAL
+    correlation, per-row generator) against the identical oracle.
+    Module-level class: workers import it from the shipped package
+    zip rather than relying on pickling-by-value.
+    """
+
+    def eval(self, text: str, chunk_tokens: int, overlap: int):  # noqa: D102
+        import re
+
+        if text is None:
+            return
+        toks = [t for t in re.split(r"\s+", text) if t != ""]
+        n = len(toks)
+        if n == 0:
+            return
+        stride = chunk_tokens - overlap
+        n_chunks = max(-(-(n - overlap) // stride), 1)  # ceil div
+        for c in range(n_chunks):
+            piece = toks[c * stride : c * stride + chunk_tokens]
+            yield c, " ".join(piece), len(piece)
+
+
+def chunk_documents_udtf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """LATERAL-join the UDTF chunker against ``df`` — one generator
+    call per document, rows fanned out by the engine.  Scale shape:
+    a narrow per-partition Python crossing (no shuffle); the UDTF
+    runs in the Python worker alongside the scan."""
+    from pyspark.sql.functions import udtf
+
+    spark = df.sparkSession
+    fn = udtf(
+        ChunkDocumentsUDTF,
+        returnType="chunk_id int, chunk_text string, n_chunk_tokens int",
+    )
+    spark.udtf.register("chunk_documents_udtf", fn)
+    df.createOrReplaceTempView("_chunk_udtf_input")
+    return spark.sql(
+        f"SELECT t.{id_col}, s.chunk_id, s.chunk_text, s.n_chunk_tokens "
+        f"FROM _chunk_udtf_input t, "
+        f"LATERAL chunk_documents_udtf(t.{text_col}, {int(chunk_tokens)}, "
+        f"{int(overlap)}) s"
+    )
+
+
 def hashed_bow_embedding(
     df: DataFrame,
     id_col: str,

@@ -79,6 +79,7 @@ _PRIORITY: list[str] = [
     # to the tail.  Computed from the union of CORRECTNESS_r01-r05.
     "gopher_quality_flags",
     "countmin_token_frequencies",
+    "document_chunks_udtf",
     "customer_rfm_scores",
     "nation_trailing_7day_revenue",
     "bigram_counts",

@@ -1419,9 +1419,10 @@ def document_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_ratio(docs, id_col="doc_id", k=2)
 
 
-@register(
-    "document_chunks",
-    oracle="""
+#: Shared by document_chunks (pure-Catalyst, the production path) and
+#: document_chunks_udtf (the Python-UDTF twin) — identical semantics,
+#: so one oracle value-checks both implementations.
+_DOCUMENT_CHUNKS_ORACLE = """
 WITH d AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
@@ -1439,8 +1440,10 @@ SELECT doc_id, chunk_id,
        array_to_string(t[chunk_id*24 + 1 : chunk_id*24 + 32], ' ') AS chunk_text,
        len(t[chunk_id*24 + 1 : chunk_id*24 + 32]) AS n_chunk_tokens
 FROM c
-""",
-)
+"""
+
+
+@register("document_chunks", oracle=_DOCUMENT_CHUNKS_ORACLE)
 def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: every document split into 32-token
     chunks with 8-token overlap (stride 24) — the preparation step
@@ -1454,6 +1457,22 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(
+        docs, id_col="doc_id", chunk_tokens=32, overlap=8
+    )
+
+
+@register("document_chunks_udtf", oracle=_DOCUMENT_CHUNKS_ORACLE)
+def document_chunks_udtf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python-UDTF twin of document_chunks (same oracle): pins the
+    Spark 4 LATERAL table-function path — the escape hatch for
+    model-specific tokenizers — against the pure-Catalyst chunker's
+    exact output."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        chunk_documents_udtf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents_udtf(
         docs, id_col="doc_id", chunk_tokens=32, overlap=8
     )
 

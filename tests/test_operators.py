@@ -1191,3 +1191,34 @@ def test_countmin_sketch_invariants(spark):
     )
     exact_map = {r["tok"]: r["n"] for r in exact.collect()}
     assert {r["tok"]: r["cm_estimate"] for r in est_w.collect()} == exact_map
+
+
+def test_chunk_udtf_matches_catalyst_chunker_on_edges(spark):
+    """The Python-UDTF chunker and the pure-Catalyst one must agree
+    row-for-row on the edge cases: empty doc (dropped), short doc
+    (one whole chunk), exact 32-token boundary (one chunk), 33 tokens
+    (two chunks, 9-token tail)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        chunk_documents,
+        chunk_documents_udtf,
+    )
+
+    docs = [
+        (1, ""),
+        (2, "only three tokens"),
+        (3, " ".join(f"w{i}" for i in range(32))),
+        (4, " ".join(f"w{i}" for i in range(33))),
+        (5, " ".join(f"w{i}" for i in range(80))),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    canon = lambda out: sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in out.collect()
+    )
+    got_sql = canon(chunk_documents(df, "doc_id"))
+    got_udtf = canon(chunk_documents_udtf(df, "doc_id"))
+    assert got_sql == got_udtf
+    by_doc = {}
+    for d, c, _, _ in got_udtf:
+        by_doc[d] = by_doc.get(d, 0) + 1
+    assert by_doc == {2: 1, 3: 1, 4: 2, 5: 3}
