@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     "gopher_quality_flags",
     "countmin_token_frequencies",
     "document_chunks_udtf",
+    "events_variant_props",
     "customer_rfm_scores",
     "nation_trailing_7day_revenue",
     "bigram_counts",

@@ -266,6 +266,44 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_variant_props",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+         AS max_k,
+       CAST(count(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_with_missing
+FROM events GROUP BY event_type
+""",
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    ``parse_json`` once into an open-schema variant, then typed
+    ``try_variant_get`` extractions — the schema-on-read path for
+    payloads whose shape drifts (vs events_json_props' per-field
+    string re-parse).  At scale VARIANT wins because the binary
+    encoding parses the JSON text exactly once per row and pushes
+    shredded-field access down to the scan; absent paths yield NULL
+    (n_with_missing pins that contract).  Oracle: DuckDB
+    json_extract over the same text."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.try_variant_get("v", "$.k", "int")
+    missing = F.try_variant_get("v", "$.missing", "string")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(missing).alias("n_with_missing"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q: set ops + dedup of rows
 # ---------------------------------------------------------------------------
