@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     "countmin_token_frequencies",
     "document_chunks_udtf",
     "events_variant_props",
+    "dominant_part_suppliers",
     "customer_rfm_scores",
     "nation_trailing_7day_revenue",
     "bigram_counts",

@@ -935,3 +935,67 @@ def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("part_value") > 0.001 * F.col("_total"))
         .drop("_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape — suppliers holding a dominant share of a part's volume
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-01-01'
+  GROUP BY 1, 2
+),
+tot AS (SELECT l_partkey, sum(qty) AS t FROM sp GROUP BY 1)
+SELECT s.s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS n_dominant_parts,
+       sum(sp.qty) AS dominant_qty
+FROM sp
+JOIN tot USING (l_partkey)
+JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+WHERE sp.qty > 0.5 * tot.t
+GROUP BY 1, 2
+""",
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (reference has no warehouse suite; this closes
+    the 22-query sweep).  Adaptation: no ``partsupp`` stock table in
+    the testdata, so "excess availability" becomes *dominance* —
+    suppliers who shipped more than half of a part's total 1995
+    volume.  The defining Q20 pattern is preserved: a per-(supplier,
+    part) aggregate compared against a correlated per-part aggregate,
+    then collapsed to qualifying suppliers.
+
+    Scale: ONE shipdate-pruned scan feeds both aggregation levels
+    (``tot`` re-aggregates the already-tiny ``sp`` relation, never
+    lineitem); the per-part totals join is on the grouped relation
+    (|parts| rows), and supplier resolution is a broadcast.  Quantities
+    are integer-valued doubles, so every sum is exact and the 0.5×
+    threshold (a power of two) compares bit-identically across
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+    )
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    tot = sp.groupBy("l_partkey").agg(F.sum("qty").alias("t"))
+    s = load_table(spark, sf_dir, "supplier")
+    dom = sp.join(tot, "l_partkey").filter(
+        F.col("qty") > 0.5 * F.col("t")
+    )
+    return (
+        dom.join(F.broadcast(s), dom.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominant_parts"),
+            F.sum("qty").alias("dominant_qty"),
+        )
+    )

@@ -54,6 +54,7 @@ PROBE_QUERIES = [
     "revenue_grouping_sets",
     "suppliers_kept_waiting",
     "shipping_priority",
+    "dominant_part_suppliers",
 ]
 
 
