@@ -479,3 +479,76 @@ class IncrementalAggParquetSink:
 
     def read(self, spark: Any) -> DataFrame:
         return spark.read.parquet(self.path)
+
+
+@dataclass
+class CountMinParquetSink:
+    """Streaming frequency-sketch maintenance: every micro-batch's
+    items fold into a stored Count-Min grid by cell-wise sum
+    (operators/sketches.py) — the streaming twin of the HLL rollup
+    for *frequency* (not distinct-count) questions: "how often has
+    this token/URL/user appeared, ever?" answered from depth×width
+    counters instead of an unbounded keyed state store.
+
+    Mergeability is what makes this exactly-once-able the same way as
+    IncrementalAggParquetSink: the fold is additive, so the sink keeps
+    the identical per-lineage epoch watermark and skips replayed
+    epochs.  The stored artifact stays ≤ depth×width rows forever —
+    state size is O(1) in stream length, the whole point of a sketch.
+    """
+
+    path: str
+    item_col: str = "tok"
+    depth: int = 4
+    width: int = 1024
+    lineage: str = "default"
+
+    def _marker(self) -> str:
+        return f"{self.path}__epoch_{self.lineage}"
+
+    def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from spark_streaming_kafka2elasticsearch_spark.operators.sketches import (
+            countmin_merge,
+            countmin_sketch,
+        )
+
+        last = -1
+        if os.path.exists(self._marker()):
+            with open(self._marker()) as fh:
+                last = int(fh.read().strip() or -1)
+        if epoch_id <= last:
+            return  # replayed epoch: already folded
+        spark = batch_df.sparkSession
+        batch_sketch = countmin_sketch(
+            batch_df, self.item_col, depth=self.depth, width=self.width
+        )
+        if os.path.exists(self.path):
+            prev = spark.read.parquet(self.path)
+            merged = countmin_merge(prev.unionByName(batch_sketch))
+        else:
+            merged = batch_sketch
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+        with open(self._marker(), "w") as fh:
+            fh.write(str(epoch_id))
+
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str | None = None,
+        query_name: str = "countmin_sketch",
+    ) -> StreamingQuery:
+        if checkpoint_dir is None:
+            checkpoint_dir = tempfile.mkdtemp(prefix="chk_")
+        return (
+            stream.writeStream.foreachBatch(self.write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name)
+            .start()
+        )
+
+    def read(self, spark: Any) -> DataFrame:
+        return spark.read.parquet(self.path)

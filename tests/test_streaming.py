@@ -1344,3 +1344,63 @@ def test_incremental_agg_sink_folds_and_skips_replays(spark, tmp_path):
     }
     assert got2["b"] == (10.0, 2)
     assert got2["a"] == (13.0, 3)
+
+
+def test_countmin_sink_folds_and_matches_batch_sketch(spark, tmp_path):
+    """Streaming sketch maintenance: micro-batches fold cell-wise into
+    the stored Count-Min grid; the final grid equals the sketch built
+    over all rows at once (merge associativity), replayed epochs are
+    skipped, and estimates never undercount."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.sinks import (
+        CountMinParquetSink,
+    )
+
+    sink = CountMinParquetSink(
+        str(tmp_path / "cm"), item_col="tok", depth=3, width=8
+    )
+    rows = [(f"tok{i % 5}",) for i in range(60)]
+    b0 = spark.createDataFrame(rows[:25], ["tok"])
+    b1 = spark.createDataFrame(rows[25:], ["tok"])
+    sink.write_batch(b0, 0)
+    sink.write_batch(b1, 1)
+    sink.write_batch(b1, 1)  # replay: must not double-count
+
+    all_df = spark.createDataFrame(rows, ["tok"])
+    direct = countmin_sketch(all_df, "tok", depth=3, width=8)
+    as_map = lambda sk: {
+        (r["cm_row"], r["cm_bucket"]): r["cm_count"] for r in sk.collect()
+    }
+    assert as_map(sink.read(spark)) == as_map(direct)
+
+    # one more micro-batch through a real file stream (new lineage)
+    stream_sink = CountMinParquetSink(
+        str(tmp_path / "cm"), item_col="tok", depth=3, width=8, lineage="q2"
+    )
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    write_batch_file(src, "b2.json", ['{"tok": "tok0"}'] * 7)
+    stream = spark.readStream.schema("tok string").json(src)
+    q = stream_sink.start(stream, checkpoint_dir=str(tmp_path / "chk"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    exact = all_df.union(
+        spark.createDataFrame([("tok0",)] * 7, ["tok"])
+    ).groupBy("tok").count()
+    est = countmin_estimate(
+        exact.select("tok"), sink.read(spark), "tok", depth=3, width=8
+    )
+    joined = {
+        r["tok"]: (r["count"], r["cm_estimate"])
+        for r in exact.join(est, "tok").collect()
+    }
+    assert len(joined) == 5
+    assert all(cm >= n for n, cm in joined.values())
+    # sketch never exceeds depth*width rows no matter the stream length
+    assert sink.read(spark).count() <= 3 * 8
