@@ -82,6 +82,7 @@ _PRIORITY: list[str] = [
     "document_chunks_udtf",
     "events_variant_props",
     "dominant_part_suppliers",
+    "bigram_logprob_scores",
     "customer_rfm_scores",
     "nation_trailing_7day_revenue",
     "bigram_counts",

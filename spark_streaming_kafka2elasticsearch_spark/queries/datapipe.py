@@ -2029,6 +2029,107 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_logprob_scores",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+b AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+  FROM (SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
+        FROM d WHERE len(t) >= 2)
+),
+bgf AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c2 FROM b GROUP BY bg),
+w1f AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(count(*) AS DOUBLE) AS c1
+  FROM b GROUP BY 1
+),
+v AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents)
+),
+terms AS (
+  SELECT b.doc_id,
+         CAST(round(ln((bgf.c2 + 0.5) / (w1f.c1 + 0.5 * v.vocab)), 9)
+              AS DECIMAL(28,10)) AS lp
+  FROM b
+  JOIN bgf USING (bg)
+  JOIN w1f ON w1f.w1 = split_part(b.bg, ' ', 1), v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(CAST(sum(lp) AS VARCHAR) AS DOUBLE) / count(*), 6)
+         AS avg_bigram_logprob
+FROM terms
+GROUP BY doc_id
+""",
+)
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under an add-0.5-smoothed
+    bigram LM trained on the corpus itself — the CCNet-style
+    perplexity filter one order up from unigram_logprob_scores
+    (bigrams catch scrambled-word salad that unigram stats score as
+    fluent).  ``P(w2|w1) = (c(w1 w2)+0.5) / (c(w1 ·)+0.5·V)``.
+
+    Float discipline is the proven unigram recipe verbatim: each term
+    is ``round(ln(·), 9)`` on identically-ordered operands (the +0.5
+    and 0.5·V addends are exact in binary), the per-doc sum runs in
+    DECIMAL(28,10), and the final mean is one IEEE division + 6-dp
+    round.
+
+    Scale shape: the (doc_id, bigram) relation feeds both LM count
+    tables (vocabulary-sized after partial aggregation; AQE broadcasts
+    them back), V arrives as a 1-row broadcast scalar, and the per-doc
+    reduce is partial-agg friendly — same silhouette as tfidf/unigram,
+    no new shuffle class."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.when(
+        F.size(F.col("tokens")) >= 2,
+        F.expr(
+            "transform(slice(tokens, 1, size(tokens) - 1),"
+            " (x, i) -> concat(x, ' ', tokens[i + 1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rel = (
+        docs.select("doc_id", tokens(F.col("text")).alias("tokens"))
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+    )
+    bgf = rel.groupBy("bg").agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    w1f = (
+        rel.select(F.substring_index("bg", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    )
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.agg(
+        F.count_distinct(F.col("tok")).cast("double").alias("vocab")
+    )
+    lp = F.round(
+        F.log((F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("vocab"))), 9
+    ).cast("decimal(28,10)")
+    return (
+        rel.join(bgf, "bg")
+        .join(w1f, F.substring_index(rel.bg, " ", 1) == F.col("w1"))
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("lp").cast("string").cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("avg_bigram_logprob"),
+        )
+    )
+
+
+@register(
     "bigram_counts",
     oracle="""
 WITH d AS (
