@@ -83,6 +83,7 @@ _PRIORITY: list[str] = [
     "events_variant_props",
     "dominant_part_suppliers",
     "bigram_logprob_scores",
+    "bpe_merge_candidates",
     "customer_rfm_scores",
     "nation_trailing_7day_revenue",
     "bigram_counts",

@@ -926,6 +926,48 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_merge_candidates",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+wf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+p AS (
+  SELECT substr(tok, i, 2) AS pair, c
+  FROM (SELECT tok, c, unnest(generate_series(1, length(tok) - 1)) AS i
+        FROM wf WHERE length(tok) >= 2)
+)
+SELECT pair, CAST(sum(c) AS BIGINT) AS pair_count
+FROM p GROUP BY pair
+""",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first real BPE training iteration (Sennrich et al. 2016):
+    score every adjacent character pair by its corpus frequency —
+    ``argmax`` of ``pair_count`` is the first merge the tokenizer
+    learns.  The defining scale trick is computing over the
+    WORD-FREQUENCY table, not the raw token stream: pair extraction
+    touches |vocab| rows (each weighted by its count), so a 100 TB
+    corpus costs one token census plus work proportional to the
+    vocabulary.  Pure codegen — ``sequence``+``substring`` per word,
+    no UDF."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    wf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    pairs = F.expr(
+        "transform(sequence(1, length(tok) - 1),"
+        " i -> substring(tok, i, 2))"
+    )
+    rel = wf.filter(F.length("tok") >= 2).select(
+        F.explode(pairs).alias("pair"), "c"
+    )
+    return rel.groupBy("pair").agg(F.sum("c").alias("pair_count"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
