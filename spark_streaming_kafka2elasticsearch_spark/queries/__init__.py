@@ -84,6 +84,8 @@ _PRIORITY: list[str] = [
     "dominant_part_suppliers",
     "bigram_logprob_scores",
     "bpe_merge_candidates",
+    "tokenizer_vocab_ids",
+    "documents_token_ids",
     "customer_rfm_scores",
     "nation_trailing_7day_revenue",
     "bigram_counts",

@@ -927,6 +927,134 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tokenizer_vocab_ids",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+f AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+r AS (
+  SELECT tok AS token, n,
+         CAST(row_number() OVER (ORDER BY n DESC, tok) + 3 AS INT) AS token_id
+  FROM f
+)
+SELECT * FROM (
+  SELECT '<pad>' AS token, CAST(0 AS BIGINT) AS n, 0 AS token_id
+  UNION ALL SELECT '<unk>', 0, 1
+  UNION ALL SELECT '<bos>', 0, 2
+  UNION ALL SELECT '<eos>', 0, 3
+  UNION ALL SELECT token, n, token_id FROM r
+)
+""",
+)
+def tokenizer_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-artifact builder: contiguous token ids assigned by
+    corpus frequency (ties broken lexically — fully deterministic),
+    with the four conventional specials reserved at ids 0–3.  This is
+    the table every downstream encode step joins against.
+
+    Scale note: the global ORDER BY runs AFTER the census collapse, so
+    the window sorts |vocabulary| rows, not the corpus — the one
+    pattern where an unpartitioned window is correct by construction
+    (a vocabulary that doesn't fit one task isn't a vocabulary)."""
+    from pyspark.sql import Window
+
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    census = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = census.select(
+        F.col("tok").alias("token"),
+        "n",
+        (F.row_number().over(w) + 3).alias("token_id"),
+    )
+    specials = spark.createDataFrame(
+        [("<pad>", 0, 0), ("<unk>", 0, 1), ("<bos>", 0, 2), ("<eos>", 0, 3)],
+        "token string, n bigint, token_id int",
+    )
+    return specials.unionByName(ranked)
+
+
+@register(
+    "documents_token_ids",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+f AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+v AS (
+  SELECT tok AS token,
+         CAST(row_number() OVER (ORDER BY n DESC, tok) + 3 AS INT) AS token_id
+  FROM f
+),
+d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(generate_series(1, len(t))) AS i
+  FROM d WHERE len(t) > 0
+),
+enc AS (
+  SELECT pos.doc_id, pos.i, coalesce(v.token_id, 1) AS tid
+  FROM pos LEFT JOIN v ON v.token = pos.tok
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       array_to_string(list(tid ORDER BY i), ',') AS ids_csv
+FROM enc
+GROUP BY doc_id
+""",
+)
+def documents_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization: every document encoded to its id sequence
+    against the frequency-ranked vocabulary (tokenizer_vocab_ids),
+    unknown tokens falling back to ``<unk>``=1 — the step that turns
+    curated text into the integer sequences sequence_packing_plan
+    packs.  Emitted as CSV (the driver's hash has no array-column
+    precedent; lossless for ints).
+
+    Scale shape: the vocabulary is broadcast onto the (doc, pos,
+    token) stream (vocab-sized build side, corpus-sized probe side —
+    never the reverse), and per-doc assembly is one partial-agg
+    groupBy whose order is restored by array_sort on the carried
+    position, not a global sort."""
+    from pyspark.sql import Window
+
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    census = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    vocab = census.select(
+        F.col("tok").alias("token"),
+        (F.row_number().over(w) + 3).alias("token_id"),
+    )
+    rel = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "tok")
+    )
+    enc = rel.join(F.broadcast(vocab), rel.tok == vocab.token, "left").select(
+        "doc_id", "i", F.coalesce("token_id", F.lit(1)).alias("tid")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tid"))),
+                lambda x: x["tid"].cast("string"),
+            ),
+            ",",
+        ).alias("ids_csv"),
+    )
+
+
+@register(
     "bpe_merge_candidates",
     oracle="""
 WITH toks AS (
