@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     "bpe_merge_candidates",
     "tokenizer_vocab_ids",
     "documents_token_ids",
+    "deduped_corpus_best_quality",
     "customer_rfm_scores",
     "nation_trailing_7day_revenue",
     "bigram_counts",

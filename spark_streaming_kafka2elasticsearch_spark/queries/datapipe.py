@@ -722,6 +722,101 @@ def deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "deduped_corpus_best_quality",
+    oracle="""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> toks[i] || ' ' || coalesce(toks[i+1], '') || ' ' || coalesce(toks[i+2], '')
+         )) AS shingles
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+),
+flat AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
+ok AS (SELECT lang, s FROM flat GROUP BY lang, s HAVING count(*) <= 50),
+kept AS (SELECT f.doc_id, f.lang, f.s FROM flat f JOIN ok USING (lang, s)),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.12
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node),
+q AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+)
+SELECT component, doc_id AS kept_doc_id,
+       CAST(n_tokens AS BIGINT) AS kept_n_tokens,
+       CAST(n_merged AS BIGINT) AS n_merged
+FROM (
+  SELECT comp.component, comp.doc_id, q.n_tokens,
+         count(*) OVER (PARTITION BY component) AS n_merged,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY q.n_tokens DESC, comp.doc_id) AS rn
+  FROM comp JOIN q USING (doc_id)
+) WHERE rn = 1
+""",
+)
+def deduped_corpus_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: within each near-dup
+    cluster keep the doc with the MOST tokens (tie → smallest id) —
+    what production pipelines do instead of min-id keep-one (the
+    longest copy of a boilerplate family usually carries the extra
+    content worth training on).  Same pair graph and components as
+    deduped_corpus; the survivor pick is a per-component window over
+    cluster-sized groups (bounded by the census cap, never corpus-
+    scale partitions)."""
+    from pyspark.sql import Window
+
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(spark, sf_dir)
+    q = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    j = clusters.join(q, "doc_id")
+    w = Window.partitionBy("component")
+    rn = Window.partitionBy("component").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("n_merged", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_tokens").cast("long").alias("kept_n_tokens"),
+            F.col("n_merged").cast("long").alias("n_merged"),
+        )
+    )
+
+
+@register(
     "near_dup_clusters_star",
     oracle="""
 WITH RECURSIVE
