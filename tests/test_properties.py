@@ -151,3 +151,56 @@ def test_merge_upsert_matches_dict_model(spark, seq):
         base = merge_upsert(base, updates, keys=["k"], delete_col="is_delete")
     got = {r["k"]: r["v"] for r in base.collect()}
     assert got == model
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: estimates dominate truth; splits merge associatively
+# ---------------------------------------------------------------------------
+
+token_lists = st.lists(
+    st.sampled_from([f"t{i}" for i in range(12)]), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(token_lists, st.integers(min_value=1, max_value=59))
+def test_countmin_never_undercounts_and_merges(spark, toks, cut):
+    """For ANY multiset and ANY two-way split: (a) the merged split
+    sketches equal the one-shot sketch cell-for-cell; (b) every
+    estimate ≥ the true count (Count-Min's one-sided error)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_merge,
+        countmin_sketch,
+    )
+
+    cut = min(cut, len(toks))
+    df = spark.createDataFrame([(t,) for t in toks], ["tok"])
+    a = spark.createDataFrame([(t,) for t in toks[:cut]] or [("_",)], ["tok"])
+    b_rows = [(t,) for t in toks[cut:]]
+    one_shot = countmin_sketch(df, "tok", depth=2, width=4)
+    parts = [countmin_sketch(a, "tok", depth=2, width=4)]
+    if b_rows:
+        parts.append(
+            countmin_sketch(
+                spark.createDataFrame(b_rows, ["tok"]), "tok", depth=2, width=4
+            )
+        )
+    merged = countmin_merge(parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1]))
+    cells = lambda sk: {
+        (r["cm_row"], r["cm_bucket"]): r["cm_count"] for r in sk.collect()
+    }
+    if cut == len(toks):
+        assert cells(merged) == cells(countmin_merge(parts[0]))
+    else:
+        assert cells(merged) == cells(one_shot)
+
+    exact = df.groupBy("tok").count()
+    est = countmin_estimate(
+        exact.select("tok"), one_shot, "tok", depth=2, width=4
+    )
+    got = {
+        r["tok"]: (r["count"], r["cm_estimate"])
+        for r in exact.join(est, "tok").collect()
+    }
+    assert all(cm >= n for n, cm in got.values())
