@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     "tokenizer_vocab_ids",
     "documents_token_ids",
     "deduped_corpus_best_quality",
+    "embedding_near_dup_clusters",
     "customer_rfm_scores",
     "nation_trailing_7day_revenue",
     "bigram_counts",

@@ -442,6 +442,54 @@ def embedding_cosine_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b")
 
 
+@register(
+    "embedding_near_dup_clusters",
+    oracle="""
+WITH RECURSIVE
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT ed.b, r.label FROM reach r JOIN edges ed ON r.node = ed.a
+)
+SELECT node AS vec_id, min(label) AS component FROM reach GROUP BY node
+""",
+)
+def embedding_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup completion: the exact
+    intra-label cosine pair graph (embedding_cosine_pairs_fast's
+    codegen'd shape) closed into clusters by the same iterative
+    min-label connected components the text near-dup path uses —
+    embedding near-dups get the identical keep-one machinery, not a
+    parallel implementation.  Oracle: brute-force pair SQL + a
+    recursive CTE, both independent of the Spark path."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        connected_components,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        blocked_cosine_pairs_fast,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = blocked_cosine_pairs_fast(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label",
+        threshold=0.35,
+    ).select("id_a", "id_b")
+    return connected_components(
+        pairs, emb.select("vec_id"), node_col="vec_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q: cube aggregation + region-filtered supplier revenue (uses all dims)
 # ---------------------------------------------------------------------------

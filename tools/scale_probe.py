@@ -77,6 +77,14 @@ PROBE_QUERIES = [
     # broadcast back over the token stream) — measure it
     "unigram_logprob_scores",
     "tfidf_scores",
+    # r6 additions: scan-bound rule filter, LM-count silhouette ×2,
+    # vocab-sized sketch/pair shapes, CC + per-cluster window
+    "gopher_quality_flags",
+    "bigram_logprob_scores",
+    "documents_token_ids",
+    "bpe_merge_candidates",
+    "countmin_token_frequencies",
+    "deduped_corpus_best_quality",
 ]
 
 
