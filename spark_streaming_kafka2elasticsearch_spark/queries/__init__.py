@@ -88,6 +88,7 @@ _PRIORITY: list[str] = [
     "documents_token_ids",
     "deduped_corpus_best_quality",
     "embedding_near_dup_clusters",
+    "embedding_label_centroids",
     "customer_rfm_scores",
     "nation_trailing_7day_revenue",
     "bigram_counts",

@@ -443,6 +443,70 @@ def embedding_cosine_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_label_centroids",
+    oracle="""
+WITH comp AS (
+  SELECT label,
+         unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(generate_series(1, len(embedding))) AS dim
+  FROM embeddings
+),
+s AS (
+  SELECT label, dim,
+         CAST(sum(CAST(round(x, 9) AS DECIMAL(28,10))) AS VARCHAR) AS sx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM comp GROUP BY label, dim
+)
+SELECT label,
+       n AS n_vectors,
+       array_to_string(
+         list(CAST(CAST(round(CAST(sx AS DOUBLE) / n, 6) AS DECIMAL(18,6))
+                   AS VARCHAR) ORDER BY dim),
+         ',') AS centroid_csv
+FROM s
+GROUP BY label, n
+""",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (centroids) — the vector aggregate
+    under IVF coarse quantizers and k-means assignment steps, as a
+    first-class relational op: posexplode to (label, dim, x), ONE
+    partial-agg groupBy, reassemble ordered by dim.  Cross-engine
+    float discipline: components round to 9 dp then sum in
+    DECIMAL(28,10) (shuffle-order-proof), mean is one IEEE divide +
+    6-dp round, vector emitted as CSV.  Scale: shuffle carries
+    |labels|×dim cells, never vectors; no window, no driver loop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "x")
+    s = comp.groupBy("label", "dim").agg(
+        F.sum(F.round(F.col("x"), 9).cast("decimal(28,10)"))
+        .cast("string")
+        .alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_dim = s.select(
+        "label",
+        "dim",
+        "n",
+        F.round(F.col("sx").cast("double") / F.col("n"), 6)
+        .cast("decimal(18,6)")
+        .cast("string")
+        .alias("cx"),
+    )
+    return per_dim.groupBy("label", "n").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+                lambda t: t["cx"],
+            ),
+            ",",
+        ).alias("centroid_csv")
+    ).select("label", F.col("n").alias("n_vectors"), "centroid_csv")
+
+
+@register(
     "embedding_near_dup_clusters",
     oracle="""
 WITH RECURSIVE
