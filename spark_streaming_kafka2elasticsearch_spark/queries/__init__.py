@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "deduped_corpus_best_quality",
     "embedding_near_dup_clusters",
     "embedding_label_centroids",
+    "event_value_histogram",
     "customer_rfm_scores",
     "nation_trailing_7day_revenue",
     "bigram_counts",

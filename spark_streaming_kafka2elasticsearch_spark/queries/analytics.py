@@ -267,6 +267,37 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_value_histogram",
+    oracle="""
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT CAST(least(CAST(floor((value - lo) / ((hi - lo) / 20)) AS INT), 19)
+            AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events, b
+GROUP BY 1
+""",
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of event values — the data-profiling
+    distribution scan.  Two-pass shape: min/max collapse map-side to a
+    1-row broadcast scalar, then binning is a codegen'd projection
+    feeding one partial-agg groupBy of ≤20 groups — profiling a 100 TB
+    column costs two scans and shuffles 20 rows.  Bin arithmetic is
+    the identical IEEE expression on both engines (max value clamped
+    into the last bin by least())."""
+    ev = load_table(spark, sf_dir, "events").select("value")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(20)
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+            F.lit(19),
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@register(
     "events_variant_props",
     oracle="""
 SELECT event_type,
