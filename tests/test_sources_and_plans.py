@@ -630,3 +630,51 @@ def test_bigram_counts_shuffles_only_reductions(spark):
     assert "Join" not in plan
     assert "Generate explode" in plan or "Generate" in plan
     assert "HashAggregate" in plan
+
+
+def test_csv_dir_source_batch_and_stream(spark, tmp_path):
+    """CSV landing-zone source: header + declared schema batch read,
+    malformed-row handling under DROPMALFORMED, and a schema-required
+    streaming read that drains via availableNow semantics."""
+    import pyspark.sql.types as T
+
+    from spark_streaming_kafka2elasticsearch_spark.sources.files import CsvDirSource
+
+    src = tmp_path / "csv"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\na,1\nb,2\nc,not_an_int\n")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in CsvDirSource(str(src), schema=schema, mode="DROPMALFORMED")
+        .load(spark)
+        .collect()
+    }
+    assert got == {"a": 1, "b": 2}  # malformed row dropped
+
+    inferred = CsvDirSource(str(src)).load(spark)
+    assert inferred.columns == ["k", "v"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="declared schema"):
+        CsvDirSource(str(src)).load_stream(spark)
+
+    stream = CsvDirSource(str(src), schema=schema).load_stream(spark)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("csv_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM csv_stream_t").collect()
+    assert {r["k"] for r in rows} >= {"a", "b"}
