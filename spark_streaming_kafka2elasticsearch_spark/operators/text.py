@@ -341,6 +341,8 @@ def chunk_documents_udtf(
     call per document, rows fanned out by the engine.  Scale shape:
     a narrow per-partition Python crossing (no shuffle); the UDTF
     runs in the Python worker alongside the scan."""
+    import uuid
+
     from pyspark.sql.functions import udtf
 
     spark = df.sparkSession
@@ -349,10 +351,13 @@ def chunk_documents_udtf(
         returnType="chunk_id int, chunk_text string, n_chunk_tokens int",
     )
     spark.udtf.register("chunk_documents_udtf", fn)
-    df.createOrReplaceTempView("_chunk_udtf_input")
+    # Unique view per call: a fixed name would let two concurrent
+    # callers on one session clobber each other's input relation.
+    view = f"_chunk_udtf_input_{uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(view)
     return spark.sql(
         f"SELECT t.{id_col}, s.chunk_id, s.chunk_text, s.n_chunk_tokens "
-        f"FROM _chunk_udtf_input t, "
+        f"FROM {view} t, "
         f"LATERAL chunk_documents_udtf(t.{text_col}, {int(chunk_tokens)}, "
         f"{int(overlap)}) s"
     )

@@ -270,8 +270,10 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_value_histogram",
     oracle="""
 WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
-SELECT CAST(least(CAST(floor((value - lo) / ((hi - lo) / 20)) AS INT), 19)
-            AS INT) AS bin,
+SELECT CASE WHEN hi = lo THEN 0
+            ELSE CAST(least(CAST(floor((value - lo) / ((hi - lo) / 20)) AS INT),
+                            19) AS INT)
+       END AS bin,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events, b
 GROUP BY 1
@@ -289,10 +291,14 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / F.lit(20)
     binned = ev.crossJoin(F.broadcast(bounds)).select(
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
-            F.lit(19),
-        ).alias("bin")
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+                F.lit(19),
+            )
+        )
+        .alias("bin")
     )
     return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_events"))
 
