@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     "embedding_near_dup_clusters",
     "embedding_label_centroids",
     "event_value_histogram",
+    "corpus_summary_report",
     "customer_rfm_scores",
     "nation_trailing_7day_revenue",
     "bigram_counts",

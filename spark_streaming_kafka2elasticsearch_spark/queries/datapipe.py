@@ -1022,6 +1022,76 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_summary_report",
+    oracle="""
+WITH per_lang AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_langs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM per_lang
+),
+ent AS (
+  SELECT CAST(CAST(sum(CAST(round(
+           (CAST(p.n_docs AS DOUBLE) / t.n_docs)
+           * round(ln(CAST(p.n_docs AS DOUBLE) / t.n_docs), 9), 9)
+         AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS neg_entropy
+  FROM per_lang p, tot t
+)
+SELECT t.n_docs, t.n_langs, t.total_tokens,
+       round(CAST(t.total_tokens AS DOUBLE) / t.n_docs, 6) AS mean_doc_tokens,
+       round(-e.neg_entropy, 6) AS lang_entropy
+FROM tot t, ent e
+""",
+)
+def corpus_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan corpus profile: doc/lang/token counts, mean document
+    length, and the Shannon entropy of the language mix (the balance
+    metric corpus curators monitor).  One groupBy collapses the corpus
+    to |langs| rows; everything downstream folds those.  Entropy terms
+    follow the proven ln discipline — round(ln(p),9) on identical
+    operands, product re-rounded, DECIMAL sum, single final negate and
+    6-dp round."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("ln_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("ln_tokens"),
+    )
+    tot = per_lang.agg(
+        F.sum("ln_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum("ln_tokens").alias("total_tokens"),
+    )
+    p = F.col("ln_docs").cast("double") / F.col("n_docs")
+    term = F.round(p * F.round(F.log(p), 9), 9).cast("decimal(28,10)")
+    ent = (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(term.alias("t"))
+        .agg(F.sum("t").cast("string").cast("double").alias("neg_entropy"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(ent))
+        .select(
+            "n_docs",
+            "n_langs",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+            ).alias("mean_doc_tokens"),
+            F.round(-F.col("neg_entropy"), 6).alias("lang_entropy"),
+        )
+    )
+
+
+@register(
     "tokenizer_vocab_ids",
     oracle="""
 WITH toks AS (
