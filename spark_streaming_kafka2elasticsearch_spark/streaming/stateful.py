@@ -163,3 +163,89 @@ def streaming_keyed_changelog(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+#: per-key Welford state: (count, mean, M2).
+_WELFORD_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("mean", T.DoubleType(), False),
+        T.StructField("m2", T.DoubleType(), False),
+    ]
+)
+
+
+def streaming_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    z_threshold: float = 3.0,
+    min_baseline: int = 10,
+) -> DataFrame:
+    """Streaming anomaly detection: per-key running mean/variance via
+    Welford's online algorithm, each event scored against the state
+    *before* it arrived — an event can never vouch for itself, and a
+    burst of outliers is judged against the pre-burst baseline, not
+    absorbed into it mid-batch.  Events are emitted (append mode) only
+    once the key has ``min_baseline`` prior observations and
+    ``|z| > z_threshold``.
+
+    State is (n, mean, M2) — 24 bytes per key in the checkpointed
+    store regardless of stream length — and Welford is numerically
+    stable where the naive sum-of-squares cancels catastrophically.
+    This is the streaming twin of the batch ``event_value_anomalies``
+    query (global z-score over history) re-expressed as O(1)-state
+    incremental maintenance.
+    """
+    out_schema = T.StructType(
+        [
+            df.schema[key_col],
+            df.schema[id_col],
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("zscore", T.DoubleType(), True),
+            T.StructField("baseline_n", T.LongType(), False),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd_
+
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        out = {key_col: [], id_col: [], "value": [], "zscore": [], "baseline_n": []}
+        for pdf in pdfs:
+            for rid, x in zip(pdf[id_col], pdf[value_col]):
+                xv = float(x)
+                # score against the PRE-update baseline
+                if n >= min_baseline and m2 > 0:
+                    std = math.sqrt(m2 / (n - 1))
+                    z = (xv - mean) / std if std > 0 else 0.0
+                    if abs(z) > z_threshold:
+                        out[key_col].append(key[0])
+                        out[id_col].append(rid)
+                        out["value"].append(xv)
+                        out["zscore"].append(z)
+                        out["baseline_n"].append(n)
+                # Welford fold
+                n += 1
+                d = xv - mean
+                mean += d / n
+                m2 += d * (xv - mean)
+        state.update((n, mean, m2))
+        if out[key_col]:
+            yield pd_.DataFrame(out)
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        out_schema,
+        _WELFORD_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

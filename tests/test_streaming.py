@@ -1404,3 +1404,55 @@ def test_countmin_sink_folds_and_matches_batch_sketch(spark, tmp_path):
     assert all(cm >= n for n, cm in joined.values())
     # sketch never exceeds depth*width rows no matter the stream length
     assert sink.read(spark).count() <= 3 * 8
+
+
+def test_streaming_zscore_anomalies_welford(spark, tmp_path):
+    """Per-key Welford anomaly stream: events score against the
+    pre-arrival baseline, nothing emits until min_baseline prior
+    observations exist, and an obvious outlier flags with a large z."""
+    from spark_streaming_kafka2elasticsearch_spark.streaming.stateful import (
+        streaming_zscore_anomalies,
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    baseline = [10.0, 11.0, 9.0, 10.0, 12.0, 8.0, 10.0, 11.0, 9.0, 10.0, 11.0, 9.0]
+    write_batch_file(
+        src,
+        "b0.json",
+        [json.dumps({"k": "u", "eid": i, "v": v}) for i, v in enumerate(baseline)]
+        + [json.dumps({"k": "cold", "eid": 100, "v": 9999.0})],
+    )
+    stream = spark.readStream.schema("k string, eid long, v double").json(src)
+    out = streaming_zscore_anomalies(
+        stream, key_col="k", value_col="v", id_col="eid",
+        z_threshold=3.0, min_baseline=10,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom_t")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 0 builds the baseline: nothing has 10 PRIOR observations
+        # until the 11th row, and rows 11-12 are in-distribution
+        assert spark.sql("SELECT * FROM anom_t").count() == 0
+        write_batch_file(
+            src,
+            "b1.json",
+            [
+                json.dumps({"k": "u", "eid": 20, "v": 10.0}),
+                json.dumps({"k": "u", "eid": 21, "v": 100.0}),
+                json.dumps({"k": "u", "eid": 22, "v": 11.0}),
+                json.dumps({"k": "cold", "eid": 101, "v": -9999.0}),
+            ],
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM anom_t").collect()
+    finally:
+        q.stop()
+    assert [(r["k"], r["eid"]) for r in rows] == [("u", 21)]
+    assert rows[0]["zscore"] > 3.0 and rows[0]["baseline_n"] >= 12
