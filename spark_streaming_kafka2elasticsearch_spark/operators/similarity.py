@@ -605,3 +605,116 @@ def srp_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semdedup_assignments(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic
+    deduplication: cluster the embedding space, then prune — inside
+    each cluster only — every vector that is ≥ ``threshold`` cosine
+    to a lower-id clustermate.  Returns one row per input vector:
+    (id, cluster_id, max_intra_sim, keep).
+
+    The insight that makes this tractable at corpus scale is that
+    near-duplicate semantics only need INTRA-cluster comparisons: with
+    c ≈ √n balanced clusters the pair work drops from n²/2 to ~n^1.5,
+    and each cluster's pair scan is an independent, shuffle-local
+    hash-join on ``cluster_id``.  The plan here is three joins, all
+    scale-safe:
+
+    1. assignment — broadcast the (small: c ≪ n) centroid table, one
+       corpus scan, argmax cosine per vector via a (id)-partitioned
+       row_number.  Tie-break is (sim DESC, centroid_id ASC), fully
+       deterministic because the cosine is the sequential-fold double
+       dot product (functions/vectors.py) that the oracle probe pinned
+       bit-identical to DuckDB's list_cosine_similarity.
+    2. intra-cluster pair scan — self-join on cluster_id with
+       ``id_a < id_b``; norms hoisted per vector so each pair costs
+       one fused fold.
+    3. greedy keep rule — vector b is pruned iff SOME a < b in its
+       cluster has cos(a,b) ≥ threshold.  Greedy-by-id is SemDeDup's
+       own rule (keep one representative per ε-ball, don't chase
+       transitive closure); it needs only a groupBy max per b, not a
+       connected-components pass.
+
+    The caller chooses the centroid table.  For the oracle-checked
+    registry query the centroids are a deterministic literal rule (the
+    c lowest-id vectors — reproducible in any engine); a production
+    run would feed seeded KMeans centers (see ivf_topk's fit) — the
+    operator is agnostic.
+    """
+    from spark_streaming_kafka2elasticsearch_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(vec_col).alias("_nrm"),
+    )
+    cent = centroids.select(
+        F.col(centroid_id).alias("_cid"),
+        F.col(centroid_vec).alias("_cv"),
+        l2_norm(centroid_vec).alias("_cnrm"),
+    )
+    cdenom = F.col("_nrm") * F.col("_cnrm")
+    scored = base.join(F.broadcast(cent)).select(
+        "_id",
+        "_v",
+        "_nrm",
+        "_cid",
+        F.when(cdenom == 0, F.lit(None))
+        .otherwise(dot_product("_v", "_cv") / cdenom)
+        .alias("_csim"),
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.desc_nulls_last("_csim"), F.asc("_cid")
+    )
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_id", "_v", "_nrm", F.col("_cid").alias("cluster_id"))
+    )
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col("_id").alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col("_id").alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    pdenom = F.col("_na") * F.col("_nb")
+    # max cosine from any LOWER-id clustermate, per vector b.
+    best_prior = (
+        a.join(b, "cluster_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(
+            F.col("_idb").alias("_id"),
+            F.when(pdenom == 0, F.lit(None))
+            .otherwise(dot_product("_va", "_vb") / pdenom)
+            .alias("_sim"),
+        )
+        .groupBy("_id")
+        .agg(F.max("_sim").alias("max_intra_sim"))
+    )
+    return assigned.join(best_prior, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "cluster_id",
+        "max_intra_sim",
+        (
+            F.col("max_intra_sim").isNull()
+            | (F.col("max_intra_sim") < F.lit(threshold))
+        ).alias("keep"),
+    )

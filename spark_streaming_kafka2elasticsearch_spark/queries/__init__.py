@@ -77,6 +77,11 @@ _PRIORITY: list[str] = [
     # driver-checked), then the 6 queries whose newest driver row is r2,
     # then the 50 last checked in r4; the 50 just re-greened in r5 drop
     # to the tail.  Computed from the union of CORRECTNESS_r01-r05.
+    "user_cohort_retention",
+    "purchase_funnel",
+    "user_daily_gapfill",
+    "purchase_error_correlation",
+    "semdedup_keep_decisions",
     "gopher_quality_flags",
     "countmin_token_frequencies",
     "document_chunks_udtf",
@@ -242,6 +247,7 @@ def _ensure_loaded() -> None:
         from spark_streaming_kafka2elasticsearch_spark.queries import (  # noqa: F401
             advanced,
             analytics,
+            behavior,
             datapipe,
             extended,
             parity,

@@ -2518,3 +2518,71 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: SemDeDup — semantic dedup via cluster-then-prune
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semdedup_keep_decisions",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(e.v, c.cv) AS sim,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+         ) AS rn
+  FROM e CROSS JOIN c
+),
+assigned AS (
+  SELECT s.vec_id, s.cid AS cluster_id, e.v
+  FROM scored s JOIN e ON e.vec_id = s.vec_id WHERE s.rn = 1
+),
+best_prior AS (
+  SELECT b.vec_id, max(list_cosine_similarity(a.v, b.v)) AS max_intra_sim
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  GROUP BY b.vec_id
+)
+SELECT assigned.vec_id, assigned.cluster_id, bp.max_intra_sim,
+       (bp.max_intra_sim IS NULL OR bp.max_intra_sim < 0.40) AS keep
+FROM assigned LEFT JOIN best_prior bp ON bp.vec_id = assigned.vec_id
+""",
+)
+def semdedup_keep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: assign every vector to its
+    nearest of 8 deterministic centroids (the 8 lowest-id vectors — a
+    literal rule both engines can reproduce; production would feed
+    seeded KMeans centers), then prune any vector ≥ 0.40 cosine to a
+    lower-id clustermate.  Emits the full audit trail (vec_id,
+    cluster_id, max_intra_sim, keep), value-checked: the cosine folds
+    are the bit-deterministic sequential double ops shared with
+    embedding_cosine_pairs.
+
+    100 TB note: the intra-cluster pair scan is the cost center; with
+    c ≈ √n clusters it is ~n^1.5 total and embarrassingly parallel
+    across clusters.  The 8-centroid literal here keeps the oracle
+    deterministic at toy scale — the operator itself
+    (operators/similarity.semdedup_assignments) takes any centroid
+    table width."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        semdedup_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return semdedup_assignments(
+        emb, centroids, threshold=0.40, id_col="vec_id", vec_col="embedding"
+    )

@@ -1,0 +1,209 @@
+"""Behavioral-analytics queries (queries/behavior.py) + SemDeDup:
+semantics on literal frames, plan-shape (scale) assertions on the
+registered queries.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return (
+        all_queries()[name](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+# ---------------------------------------------------------------------------
+# funnel semantics — the ordering constraint is the whole point
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_requires_strict_event_order(spark):
+    """A purchase BEFORE the user's first view-then-click chain must
+    not convert; one in order must."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: view → click → purchase (converts all 3 stages)
+        (1, "view", ts(0)),
+        (1, "click", ts(1)),
+        (1, "purchase", ts(2)),
+        # user 2: purchase first, then view — view stage only
+        (2, "purchase", ts(0)),
+        (2, "view", ts(1)),
+        # user 3: click before view, none after — view stage only
+        (3, "click", ts(0)),
+        (3, "view", ts(1)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    assert v.count() == 3
+    assert [r.user_id for r in c.collect()] == [1]
+    assert [r.user_id for r in p.collect()] == [1]
+
+
+def test_funnel_is_monotone_on_real_data(spark):
+    rows = {
+        r.stage: r.n_users
+        for r in all_queries()["purchase_funnel"](spark, SF_DIR).collect()
+    }
+    assert rows["view"] >= rows["click"] >= rows["purchase"]
+
+
+# ---------------------------------------------------------------------------
+# gap-fill semantics — dense span, zero-fill, forward-fill
+# ---------------------------------------------------------------------------
+
+
+def test_gapfill_dense_span_and_forward_fill(spark):
+    out = all_queries()["user_daily_gapfill"](spark, SF_DIR)
+    one = (
+        out.filter(F.col("user_id") == out.select("user_id").first().user_id)
+        .orderBy("day")
+        .collect()
+    )
+    days = [dt.date.fromisoformat(r.day) for r in one]
+    # dense: consecutive calendar days, no holes in the user's span
+    assert all((b - a).days == 1 for a, b in zip(days, days[1:]))
+    # first day of the span is the user's first event day → has events
+    assert one[0].n_events > 0 and one[0].filled_value is not None
+    # forward fill: no null filled_value anywhere after day one
+    assert all(r.filled_value is not None for r in one)
+    # zero-filled gap days carry the previous observed value
+    for prev, cur in zip(one, one[1:]):
+        if cur.n_events == 0:
+            assert cur.filled_value == prev.filled_value
+
+
+# ---------------------------------------------------------------------------
+# interval join — banded equi-join must stay a hash join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    plan = _plan(spark, "purchase_error_correlation")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # broadcast or shuffled — either is fine
+
+
+def test_interval_join_counts_match_naive(spark):
+    """The 3-bucket expansion is exactly equivalent to the naive
+    inequality join (no double counting, no missed edge cases at the
+    bucket boundary)."""
+    out = {
+        r.event_id: r.n_errors
+        for r in all_queries()["purchase_error_correlation"](
+            spark, SF_DIR
+        ).collect()
+    }
+    from spark_streaming_kafka2elasticsearch_spark.queries import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("eu"), F.unix_micros("ts").alias("e_us")
+    )
+    naive = (
+        p.join(e, (p.user_id == e.eu), "left")
+        .withColumn(
+            "hit",
+            (F.abs(F.col("p_us") - F.col("e_us")) <= 1800 * 1_000_000).cast("int"),
+        )
+        .groupBy("event_id")
+        .agg(F.coalesce(F.sum("hit"), F.lit(0)).alias("n"))
+    )
+    naive_map = {r.event_id: r.n for r in naive.collect()}
+    assert out == naive_map
+
+
+# ---------------------------------------------------------------------------
+# cohorts — offsets are non-negative, cohort 0 row exists per cohort
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_shape(spark):
+    rows = all_queries()["user_cohort_retention"](spark, SF_DIR).collect()
+    assert rows and all(r.week_offset >= 0 for r in rows)
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r.n_users
+    for cohort, offs in by_cohort.items():
+        # week 0 is the cohort's own first week — every member is active
+        assert 0 in offs, cohort
+        # retention can never exceed the cohort's own size
+        assert all(n <= offs[0] for n in offs.values()), cohort
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — centroid broadcast + greedy prune semantics
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_centroid_join_is_broadcast(spark):
+    plan = _plan(spark, "semdedup_keep_decisions")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_greedy_prune_on_literal_vectors(spark):
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        semdedup_assignments,
+    )
+
+    # two orthogonal clusters; ids 10,11 are near-dups of each other,
+    # id 12 is the same direction again (greedy keeps ONLY the lowest
+    # id), id 20 is alone in the second cluster.
+    vecs = [
+        (10, [1.0, 0.0]),
+        (11, [0.999, 0.01]),
+        (12, [0.998, 0.02]),
+        (20, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid_vec array<float>",
+    )
+    out = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in semdedup_assignments(df, cents, threshold=0.9).collect()
+    }
+    assert out[10] == (0, True)
+    assert out[11] == (0, False)
+    assert out[12] == (0, False)  # pruned vs 10 OR 11 — either suffices
+    assert out[20] == (1, True)
