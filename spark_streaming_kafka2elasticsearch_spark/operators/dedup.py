@@ -997,3 +997,126 @@ def connected_components_star(
     )
     e.unpersist()
     return out
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    seed_col: str = "_id",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Bounded multi-source BFS over a pair graph: (node, hops) for
+    every node within ``max_hops`` of ANY seed, hops = exact shortest
+    distance (integer — fully deterministic cross-engine, unlike
+    PageRank-style float propagation).
+
+    The iterative-graph companion to :func:`connected_components`:
+    CC answers "which cluster", BFS answers "how far from a trusted
+    node" — the shape behind contamination-radius audits (how many
+    hops from a known benchmark doc do near-dup edges reach?) and
+    seed-expansion labeling.
+
+    Level-synchronous frontier expansion: round h joins ONLY the
+    frontier discovered at h-1 (not the whole visited set) against the
+    symmetrized edge list, anti-joins out already-visited nodes, and
+    stops early the first round the frontier empties.  Each round is
+    one shuffle join keyed on node id; the same cache hygiene as CC
+    applies — the edge relation is localCheckpoint'ed once before the
+    loop, per-round frontiers are materialized eagerly and superseded
+    ones unpersisted, so at no point do more than the visited set, one
+    frontier, and the edges occupy cache.  Work per round is
+    O(edges incident to the frontier), total O(E) for the full sweep —
+    the bound ``max_hops`` caps rounds, not correctness (every emitted
+    hop count is exact; nodes further than the cap are simply absent,
+    which is the point of a radius audit).
+    """
+    e = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")),
+                    F.struct(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e._src", "_e._dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        seeds.select(F.col(seed_col).alias("_n"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["_n"] == e["_src"])
+            .select(F.col("_dst").alias("_n"))
+            .distinct()
+            .join(visited.select("_n"), "_n", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        new_visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        visited.unpersist()
+        frontier.unpersist()
+        visited, frontier = new_visited, nxt
+    return visited.select(F.col("_n"), F.col("hops"))
+
+
+def fuzzy_levenshtein_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Fuzzy (edit-distance) self-join over an attribute DOMAIN:
+    (name_a, name_b, dist) with name_a < name_b and
+    levenshtein ≤ ``max_dist``.
+
+    Entity-resolution practice, encoded in the plan:
+
+    1. **Dedupe the domain first** — the join runs over DISTINCT
+       values, so a column with n rows but d ≪ n distinct values costs
+       O(d²-ish), never O(n²) (64 distinct part names among 2 000 rows
+       here; catalog attributes at 100 TB behave the same way).  Rows
+       map back to matched values with an ordinary equi-join afterward.
+    2. **Length banding turns the inequality into an equi-join** —
+       levenshtein(a, b) ≥ |len(a) − len(b)|, so only pairs within
+       ``max_dist`` length of each other can qualify.  The probe side
+       explodes into its 2·max_dist+1 surrounding length buckets and
+       hash-joins on exact length; each qualifying pair meets in
+       exactly one bucket (b's single length matches one exploded
+       value of a), so no post-dedup is needed.  Catalyst keeps a
+       shuffled/broadcast HASH join — never a nested-loop scan.
+    3. The exact ``levenshtein`` filter runs only on banded
+       candidates; both engines implement classic unit-cost edit
+       distance, so the value is oracle-exact.
+    """
+    names = (
+        df.select(F.col(name_col).alias("_name"))
+        .where(F.col("_name").isNotNull())
+        .distinct()
+        .withColumn("_len", F.length("_name"))
+    )
+    probe = names.select(
+        F.col("_name").alias("name_a"),
+        F.explode(
+            F.array(
+                *[F.col("_len") + F.lit(i) for i in range(-max_dist, max_dist + 1)]
+            )
+        ).alias("_jl"),
+    )
+    build = names.select(F.col("_name").alias("name_b"), F.col("_len").alias("_lb"))
+    return (
+        probe.join(build, probe["_jl"] == build["_lb"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist")
+    )

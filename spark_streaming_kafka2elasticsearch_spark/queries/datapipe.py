@@ -2586,3 +2586,121 @@ def semdedup_keep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_assignments(
         emb, centroids, threshold=0.40, id_col="vec_id", vec_col="embedding"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: contamination-radius BFS over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dup_graph_bfs_hops",
+    oracle="""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> toks[i] || ' ' || coalesce(toks[i+1], '') || ' ' || coalesce(toks[i+2], '')
+         )) AS shingles
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+),
+flat AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
+ok AS (SELECT lang, s FROM flat GROUP BY lang, s HAVING count(*) <= 50),
+kept AS (SELECT f.doc_id, f.lang, f.s FROM flat f JOIN ok USING (lang, s)),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.12
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(node, hops) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 7 = 0
+  UNION
+  SELECT e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.hops < 6
+)
+SELECT node AS doc_id, min(hops) AS hops FROM walk GROUP BY node
+""",
+)
+def dup_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-radius audit: exact shortest hop distance (≤ 6)
+    from a seed set (every 7th doc — stand-ins for known benchmark /
+    flagged documents) to every document reachable through near-dup
+    edges.  The dedup graph's third primitive after pairs (edges) and
+    connected components (clusters): CC says "same blob", BFS says
+    "HOW MANY near-dup steps from a trusted/contaminated doc", which
+    is what a decontamination review actually triages by.
+
+    Spark side is level-synchronous frontier expansion
+    (operators/dedup.bfs_hops — per-round shuffle join keyed on node
+    id, early exit on empty frontier, CC-style cache hygiene); the
+    oracle is an independent recursive-CTE walk over the identical
+    edge set.  Hop counts are integers, so the cross-engine check is
+    exact."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import bfs_hops
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = blocked_ngram_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        block_cols=["lang"],
+        k_shingle=3,
+        min_jaccard=0.12,
+        max_doc_freq=50,
+    ).select("id_a", "id_b")
+    seeds = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    return bfs_hops(pairs, seeds, seed_col="doc_id", max_hops=6).select(
+        F.col("_n").alias("doc_id"), F.col("hops").cast("long").alias("hops")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: fuzzy (edit-distance) attribute matching
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_name_fuzzy_pairs",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM names a JOIN names b
+  ON a.name < b.name
+ AND abs(len(a.name) - len(b.name)) <= 2
+WHERE levenshtein(a.name, b.name) <= 2
+""",
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part-name domain: every DISTINCT
+    name pair within Levenshtein distance 2, via the banded equi-join
+    (operators/dedup.fuzzy_levenshtein_pairs) — domain-dedupe first
+    (64 distinct names among 2 000 rows at sf0.01; catalog attributes
+    at 100 TB are equally low-cardinality relative to facts), then
+    length-band bucketing so the |len Δ| ≤ 2 pruning bound runs as a
+    hash join, then the exact edit-distance filter on candidates
+    only.  The oracle states the same semantics as a direct
+    inequality join — tractable for DuckDB at domain size, while the
+    Spark plan is the one that survives a wide domain."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        fuzzy_levenshtein_pairs,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_levenshtein_pairs(part, "p_name", max_dist=2)

@@ -207,3 +207,88 @@ def test_semdedup_greedy_prune_on_literal_vectors(spark):
     assert out[11] == (0, False)
     assert out[12] == (0, False)  # pruned vs 10 OR 11 — either suffices
     assert out[20] == (1, True)
+
+
+# ---------------------------------------------------------------------------
+# BFS hops — literal chain graph: exact distances, bound, early exit
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_hops_chain_graph_exact_distances(spark):
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import bfs_hops
+
+    # chain 1-2-3-4-5-6, plus isolated 99; seed at node 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "id_a long, id_b long"
+    )
+    seeds = spark.createDataFrame([(1,)], "_id long")
+    out = {r._n: r.hops for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    # exact shortest distances, truncated at the hop bound
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_multi_source_takes_min_distance(spark):
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import bfs_hops
+
+    # path 1-2-3-4-5 with seeds at both ends: 3 is 2 hops from either
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "_id long")
+    out = {r._n: r.hops for r in bfs_hops(edges, seeds, max_hops=6).collect()}
+    assert out == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_hops_early_exit_on_empty_frontier(spark):
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import bfs_hops
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    seeds = spark.createDataFrame([(1,)], "_id long")
+    # max_hops far beyond the graph: loop must stop at the empty
+    # frontier, and the result is just the 2-node component
+    out = {r._n: r.hops for r in bfs_hops(edges, seeds, max_hops=50).collect()}
+    assert out == {1: 0, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# fuzzy levenshtein pairs — banding correctness + plan shape
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_pairs_match_naive_all_pairs(spark):
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        fuzzy_levenshtein_pairs,
+    )
+
+    names = ["kitten", "sitten", "sitting", "kite", "cat", "bat", "cart"]
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    got = {
+        (r.name_a, r.name_b): r.dist
+        for r in fuzzy_levenshtein_pairs(df, "p_name", max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            x, y = sorted([a, b])
+            d = lev(x, y)
+            if d <= 2:
+                want[(x, y)] = d
+    assert got == want
+
+
+def test_fuzzy_pairs_plan_is_hash_join(spark):
+    plan = _plan(spark, "part_name_fuzzy_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
