@@ -11,7 +11,7 @@ the similarity itself can never flake the hash check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
@@ -2704,3 +2704,120 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, sf_dir, "part")
     return fuzzy_levenshtein_pairs(part, "p_name", max_dist=2)
+
+
+@register(
+    "semdedup_keep_decisions_auto",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c AS (
+  SELECT vec_id AS cid, v AS cv FROM e
+  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(e.v, c.cv) AS sim,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+         ) AS rn
+  FROM e CROSS JOIN c
+),
+assigned AS (
+  SELECT s.vec_id, s.cid AS cluster_id, e.v
+  FROM scored s JOIN e ON e.vec_id = s.vec_id WHERE s.rn = 1
+),
+best_prior AS (
+  SELECT b.vec_id, max(list_cosine_similarity(a.v, b.v)) AS max_intra_sim
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  GROUP BY b.vec_id
+)
+SELECT assigned.vec_id, assigned.cluster_id, bp.max_intra_sim,
+       (bp.max_intra_sim IS NULL OR bp.max_intra_sim < 0.40) AS keep
+FROM assigned LEFT JOIN best_prior bp ON bp.vec_id = assigned.vec_id
+""",
+)
+def semdedup_keep_decisions_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the SIZED cluster count — the scale path.  With a
+    FIXED centroid count c the intra-cluster pair scan grows n²/c
+    (exactly the super-linearity the SRP probe caught at fixed p);
+    holding per-cluster occupancy at √n by taking c = ⌈√n⌉ centroids
+    makes total pair work ~n^1.5 — the SemDeDup paper's own regime.
+    The sizing rule stays fully oracle-checkable because it is
+    SQL-expressible (centroids = the ⌈√n⌉ lowest-id vectors via a
+    scalar subquery); the Spark side pays one cheap count() for n,
+    same as srp_near_dup_pairs' auto-p.  Emits the identical audit
+    schema as semdedup_keep_decisions (the fixed-c=8 twin kept for a
+    scale-stable cluster layout)."""
+    import math
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        semdedup_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = int(math.ceil(math.sqrt(emb.count())))
+    centroids = emb.filter(F.col("vec_id") < c).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return semdedup_assignments(
+        emb, centroids, threshold=0.40, id_col="vec_id", vec_col="embedding"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: per-language quantile normalization of document length
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_length_quantiles_by_lang",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens) AS length_pct,
+       CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS INT)
+         AS decile
+FROM t
+""",
+)
+def doc_length_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a quality signal WITHIN each language
+    — the step before quality-stratified corpus sampling (absolute
+    token counts aren't comparable across languages; percentiles
+    are).  Emits percent_rank (exact rational (rank−1)/(n−1), so the
+    double is bit-identical cross-engine) and a decile bucket whose
+    ordering key includes doc_id: ``ntile`` assigns by row POSITION,
+    so a tie-broken total order is what makes the bucket deterministic
+    — ordering by n_tokens alone would let tied docs swap deciles
+    between runs/engines.
+
+    Scale shape: one window per language partition — state is a
+    running rank inside each lang's hash partition, no global sort, no
+    SinglePartition exchange.  Skew note: language sizes are zipfy;
+    at 100 TB the big-language partitions are further split by AQE,
+    and percent_rank/ntile only need a per-partition sort, which
+    spills gracefully."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w_rank = Window.partitionBy("lang").orderBy("n_tokens")
+    w_tile = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.percent_rank().over(w_rank).alias("length_pct"),
+        F.ntile(10).over(w_tile).alias("decile"),
+    )

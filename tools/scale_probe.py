@@ -85,6 +85,12 @@ PROBE_QUERIES = [
     "bpe_merge_candidates",
     "countmin_token_frequencies",
     "deduped_corpus_best_quality",
+    # r6 continuation: SemDeDup (fixed-c oracle twin vs sqrt-n sized
+    # scale path — the fixed twin is EXPECTED super-linear, that's the
+    # point of probing both) and the bounded BFS radius audit
+    "semdedup_keep_decisions",
+    "semdedup_keep_decisions_auto",
+    "dup_graph_bfs_hops",
 ]
 
 

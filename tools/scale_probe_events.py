@@ -1,0 +1,148 @@
+"""Events-family scale probe: growth exponents for the behavioral
+analytics suite (queries/behavior.py).
+
+tools/scale_probe.py owns the dedup/similarity tail over scaled
+documents/embeddings; tools/scale_probe_tpch.py owns the warehouse
+shapes over scaled facts.  This probe gives the same evidence for the
+event-stream analytics: it scales the events table by replicating
+USERS (replica r shifts user_id and event_id into disjoint ranges,
+timestamps unchanged), which is the honest growth model — a 10×
+bigger product has ~10× the users at the same per-user event density,
+so per-user shapes (cohorts, funnels, gap-fill spans, banded interval
+joins keyed on user) must scale linearly, and any accidental
+cross-user quadratic (e.g. a join that lost its user_id key) shows up
+as alpha ≈ 2.
+
+    python tools/scale_probe_events.py [--rebuild]
+
+Results merge into SCALE_PROBE.json under "events_queries" (run AFTER
+the main probe, which owns the rest of the file).  alpha =
+log(t10/t1)/log(10): 1.0 linear, 2.0 quadratic.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 48g pyspark-shell")
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/root/repo/tmp_scale_events"
+FACTOR = 10
+
+PROBE_QUERIES = [
+    "user_cohort_retention",
+    "purchase_funnel",
+    "user_daily_gapfill",
+    "purchase_error_correlation",
+    "user_sessionization",
+    "latest_event_per_user",
+]
+
+
+def build_scaled(outdir: str) -> None:
+    os.makedirs(outdir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW base AS SELECT * FROM read_parquet('{BASE}/events.parquet')"
+    )
+    # Replica r shifts ids into disjoint ranges; ts/event_type/value
+    # keep the original per-user temporal structure intact.
+    con.execute(
+        f"""
+COPY (
+  SELECT event_id, ts, user_id, event_type, value, props FROM base
+  UNION ALL
+  SELECT e.event_id + r.r * 100000000 AS event_id,
+         e.ts,
+         e.user_id + r.r * 1000000 AS user_id,
+         e.event_type, e.value, e.props
+  FROM base e
+  CROSS JOIN (SELECT unnest(generate_series(1, {FACTOR - 1})) AS r) r
+) TO '{outdir}/events.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.close()
+
+
+def main() -> None:
+    rebuild = "--rebuild" in sys.argv
+    xdir = os.path.join(OUT, f"x{FACTOR}")
+    if rebuild or not os.path.exists(os.path.join(xdir, "events.parquet")):
+        print(f"building {FACTOR}x events at {xdir} ...", file=sys.stderr)
+        build_scaled(xdir)
+
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+    from spark_streaming_kafka2elasticsearch_spark.session import build_session
+
+    qs = all_queries()
+    spark = build_session(master="local[32]", app_name="scale_probe_events")
+    spark.range(1_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # Untimed warm-up at 1x: janino compile is per plan shape per
+    # session and would otherwise inflate exactly the x1 denominators.
+    for q in PROBE_QUERIES:
+        try:
+            qs[q](spark, BASE).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001
+            pass
+        spark.catalog.clearCache()
+    print("warm-up pass done", file=sys.stderr)
+
+    passes = int(os.environ.get("SCALE_PROBE_PASSES", "2"))
+    results: dict[str, dict[str, float]] = {q: {} for q in PROBE_QUERIES}
+    for factor, sf_dir in ((1, BASE), (FACTOR, xdir)):
+        for q in PROBE_QUERIES:
+            best = -1.0
+            for _ in range(passes):
+                t0 = time.time()
+                try:
+                    qs[q](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = round(time.time() - t0, 2)
+                    best = dt if best < 0 else min(best, dt)
+                except Exception as exc:  # noqa: BLE001
+                    print(f"x{factor} {q} FAILED: {exc}", file=sys.stderr)
+                    break
+                finally:
+                    spark.catalog.clearCache()
+            results[q][f"x{factor}"] = best
+            print(f"x{factor} {q}: {best}s (min of {passes})", file=sys.stderr)
+
+    for q, r in results.items():
+        if r.get("x1", -1) > 0 and r.get(f"x{FACTOR}", -1) > 0:
+            r["alpha"] = round(
+                math.log(max(r[f"x{FACTOR}"], 0.01) / max(r["x1"], 0.01))
+                / math.log(FACTOR),
+                2,
+            )
+
+    path = "/root/repo/SCALE_PROBE.json"
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except FileNotFoundError:
+        doc = {}
+    doc["events_queries"] = results
+    doc["events_workload"] = (
+        f"events x{FACTOR} by user replication (ids shifted, timestamps kept); "
+        "per-user density constant, user count grows"
+    )
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({"events_queries": results}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
