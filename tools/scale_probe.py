@@ -242,17 +242,25 @@ def main() -> None:
     skew: dict = {}
 
     def flush(results: dict) -> None:
-        with open("/root/repo/SCALE_PROBE.json", "w") as f:
-            json.dump(
-                {
-                    "base_rows": {"documents": 5000, "embeddings": 2000},
-                    "factors": [1] + FACTORS,
-                    "queries": results,
-                    "skew_join": skew,
-                },
-                f,
-                indent=1,
-            )
+        # Merge-write: the tpch/events probes own their own sections of
+        # this file — clobbering them here would silently drop their
+        # evidence between runs.
+        path = "/root/repo/SCALE_PROBE.json"
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            doc = {}
+        doc.update(
+            {
+                "base_rows": {"documents": 5000, "embeddings": 2000},
+                "factors": [1] + FACTORS,
+                "queries": results,
+                "skew_join": skew,
+            }
+        )
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1)
 
     # Min-of-N per measurement: host noise on a saturated 32-thread box
     # is ADDITIVE and huge at the tail (the same SRP x10 plan measured
