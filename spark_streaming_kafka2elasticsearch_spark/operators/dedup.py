@@ -1120,3 +1120,55 @@ def fuzzy_levenshtein_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("name_a", "name_b", "dist")
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected pair
+    graph given as ordered edges (``id_a < id_b``): (node,
+    n_triangles), nodes in ≥ 1 triangle only.
+
+    The third graph primitive after components (bfs_hops /
+    connected_components): triangle density distinguishes true
+    duplicate BLOBS (near-cliques — safe to collapse to one doc) from
+    CHAINS of pairwise-similar drift (A~B~C where A~C fails — exactly
+    the case keep-one-per-component over-merges).  Auditing the
+    triangle rate per component is the standard check before trusting
+    transitive-closure dedup.
+
+    Edge-iterator enumeration as two hash joins: wedges (a<b<c from
+    e1=(a,b) ⋈ e2=(b,c)) are closed against the edge set itself
+    (e3=(a,c)).  Every triangle is found exactly once because all
+    three edges are id-ordered.  At 100 TB scale the join shape is
+    unchanged but the ORIENTATION should be by degree, not id
+    (orient each edge low-degree→high-degree; wedge work then bounds
+    at O(E^1.5) regardless of hubs — id orientation can make one hub
+    node generate O(deg²) wedges).  The dedup graphs this audits are
+    census-capped upstream (max_bucket_size), which bounds degree and
+    makes id-orientation safe here; the degree-oriented variant is a
+    pre-sort away if an uncapped graph ever feeds it.
+    """
+    e = (
+        edges.select(F.col(id_a).alias("_a"), F.col(id_b).alias("_b"))
+        .filter(F.col("_a") < F.col("_b"))
+        .distinct()
+        .persist()
+    )
+    e2 = e.select(F.col("_a").alias("_b2"), F.col("_b").alias("_c"))
+    e3 = e.select(F.col("_a").alias("_a3"), F.col("_b").alias("_c3"))
+    tris = (
+        e.join(e2, F.col("_b") == F.col("_b2"))
+        .join(
+            e3,
+            (F.col("_a") == F.col("_a3")) & (F.col("_c") == F.col("_c3")),
+        )
+        .select("_a", "_b", "_c")
+    )
+    return (
+        tris.select(F.explode(F.array("_a", "_b", "_c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

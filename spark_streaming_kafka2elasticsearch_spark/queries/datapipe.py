@@ -2821,3 +2821,61 @@ def doc_length_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w_rank).alias("length_pct"),
         F.ntile(10).over(w_tile).alias("decile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: triangle census over the embedding near-dup graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dup_graph_triangle_counts",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b
+    ON a.vec_id < b.vec_id AND a.label = b.label
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.2
+),
+tris AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.id_b = e2.id_a
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+)
+SELECT node, count(*) AS n_triangles
+FROM (
+  SELECT a AS node FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+)
+GROUP BY node
+""",
+)
+def dup_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the intra-label embedding similarity graph
+    (cos ≥ 0.2): how clique-like is each node's neighborhood?  High
+    triangle counts mark true duplicate blobs; triangle-free chains
+    mark pairwise drift that transitive-closure dedup would
+    over-merge — the audit to run before trusting keep-one-per-
+    component.  Edge set is the oracle-stable id-pair projection of
+    blocked_cosine_pairs_fast (threshold margins ≫ float accumulation
+    noise); triangle counts are integers, so the check is exact.
+    Plan: two hash joins close wedges against the edge set
+    (operators/dedup.triangle_counts), with the degree-orientation
+    note for uncapped graphs."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        triangle_counts,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        blocked_cosine_pairs_fast,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = blocked_cosine_pairs_fast(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.2
+    ).select("id_a", "id_b")
+    return triangle_counts(pairs).select(
+        F.col("node"), F.col("n_triangles").cast("long").alias("n_triangles")
+    )

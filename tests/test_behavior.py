@@ -292,3 +292,43 @@ def test_fuzzy_pairs_plan_is_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# triangle counts — literal graph semantics + plan shape
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_counts_literal_graph(spark):
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        triangle_counts,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a chain 5-6-7
+    # (triangle-free) and a dangling edge 4-5 bridging them.
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(5, 6), (6, 7), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    # chain/bridge nodes are absent (no triangle), K4 nodes count 3 each
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_unordered_and_dup_edges_are_canonicalized(spark):
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        triangle_counts,
+    )
+
+    # same triangle given with mixed orientation + duplicates: the
+    # operator filters to a<b and dedups, so exactly one triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    out = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_query_plan_no_cartesian(spark):
+    plan = _plan(spark, "dup_graph_triangle_counts")
+    assert "CartesianProduct" not in plan
