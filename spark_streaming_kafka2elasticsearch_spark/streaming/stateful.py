@@ -249,3 +249,97 @@ def streaming_zscore_anomalies(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+#: per-key funnel state: furthest stage reached + its event times.
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.IntegerType(), False),  # 0 none, 1 viewed, 2 clicked
+        T.StructField("v_us", T.LongType(), True),
+        T.StructField("c_us", T.LongType(), True),
+        T.StructField("converted", T.BooleanType(), False),
+    ]
+)
+
+
+def streaming_funnel_conversions(
+    df: DataFrame,
+    key_col: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    stages: Sequence[str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming strict-order funnel: per key, emit ONE row the moment
+    the three-stage sequence ``stages`` completes in event-time order
+    (view < click < purchase) — the streaming twin of the batch
+    ``purchase_funnel`` query, re-expressed as an O(1)-state machine.
+
+    State per key is 3 ints + a flag: the furthest stage reached and
+    the event times that got there.  Each micro-batch's rows are
+    processed in event-time order WITHIN the group (sorted per Arrow
+    batch); the machine only advances forward, so duplicate deliveries
+    are idempotent and a regressed event (a second view after a click)
+    is a no-op rather than a reset.  Cross-batch late data: an event
+    older than the state it would have advanced is dropped — the same
+    bounded-disorder trade every watermark-based operator makes; run
+    the batch funnel over the at-rest table for the exact
+    retrospective answer.
+
+    Output (append mode): key, view/click/purchase timestamps (µs) and
+    the total ms from first view to conversion.  Emitted at most once
+    per key — ``converted`` latches, so redelivered purchases don't
+    double-count conversions downstream.
+    """
+    out_schema = T.StructType(
+        [
+            df.schema[key_col],
+            T.StructField("view_us", T.LongType(), False),
+            T.StructField("click_us", T.LongType(), False),
+            T.StructField("purchase_us", T.LongType(), False),
+            T.StructField("ms_to_convert", T.LongType(), False),
+        ]
+    )
+    s_view, s_click, s_buy = stages
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd_
+
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        stage, v_us, c_us, converted = (
+            state.get if state.exists else (0, None, None, False)
+        )
+        hits = []
+        for pdf in pdfs:
+            if converted:
+                break
+            pdf = pdf.sort_values(ts_col)
+            for et, ts in zip(pdf[type_col], pdf[ts_col]):
+                us = int(ts.value // 1_000) if hasattr(ts, "value") else int(ts)
+                if stage == 0 and et == s_view:
+                    stage, v_us = 1, us
+                elif stage == 1 and et == s_click and us > v_us:
+                    stage, c_us = 2, us
+                elif stage == 2 and et == s_buy and us > c_us:
+                    hits.append((key[0], v_us, c_us, us, (us - v_us) // 1_000))
+                    converted = True
+                    break
+        state.update((stage, v_us, c_us, converted))
+        if hits:
+            yield pd_.DataFrame(
+                hits,
+                columns=[
+                    key_col, "view_us", "click_us", "purchase_us", "ms_to_convert"
+                ],
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        out_schema,
+        _FUNNEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

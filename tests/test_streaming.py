@@ -1456,3 +1456,79 @@ def test_streaming_zscore_anomalies_welford(spark, tmp_path):
         q.stop()
     assert [(r["k"], r["eid"]) for r in rows] == [("u", 21)]
     assert rows[0]["zscore"] > 3.0 and rows[0]["baseline_n"] >= 12
+
+
+def test_streaming_funnel_conversion_state_machine(spark, tmp_path):
+    """applyInPandasWithState funnel: the view→click→purchase machine
+    advances across micro-batches, emits exactly ONE conversion per
+    user at the purchase that completes the in-order sequence, latches
+    afterward (redelivered purchases don't double-count), and never
+    converts a user whose purchase predates the view/click chain."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from spark_streaming_kafka2elasticsearch_spark.streaming.stateful import (
+        streaming_funnel_conversions,
+    )
+
+    src_dir = tmp_path / "ev"
+    src_dir.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(src_dir))
+    out = streaming_funnel_conversions(stream, key_col="user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_conv")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+
+    def ev(user, et, hhmm):
+        return _json.dumps(
+            {"user_id": user, "event_type": et, "ts": f"2024-01-01T{hhmm}:00.000Z"}
+        )
+
+    try:
+        # batch 0: user 1 reaches 'clicked'; user 2's purchase has no
+        # prior view — must not convert
+        write_batch_file(
+            str(src_dir),
+            "b0.json",
+            [ev(1, "view", "10:00"), ev(1, "click", "10:01"), ev(2, "purchase", "10:00")],
+        )
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM funnel_conv").count() == 0
+
+        # batch 1: user 1 purchases (converts, 120s after the view);
+        # user 2 starts its chain
+        write_batch_file(
+            str(src_dir), "b1.json", [ev(1, "purchase", "10:02"), ev(2, "view", "10:03")]
+        )
+        q.processAllAvailable()
+        rows = {r.user_id: r for r in spark.sql("SELECT * FROM funnel_conv").collect()}
+        assert set(rows) == {1}
+        assert rows[1].ms_to_convert == 120_000
+
+        # batch 2: user 1 redelivers a purchase (latched — no second
+        # emission); user 2 completes click→purchase in order
+        write_batch_file(
+            str(src_dir),
+            "b2.json",
+            [ev(1, "purchase", "10:05"), ev(2, "click", "10:04"), ev(2, "purchase", "10:05")],
+        )
+        q.processAllAvailable()
+        rows = [
+            (r.user_id, r.ms_to_convert)
+            for r in spark.sql("SELECT * FROM funnel_conv ORDER BY user_id").collect()
+        ]
+        assert rows == [(1, 120_000), (2, 120_000)]
+    finally:
+        q.stop()
