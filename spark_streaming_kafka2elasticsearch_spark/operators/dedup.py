@@ -1172,3 +1172,90 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def delta_corpus_jaccard_pairs(
+    delta: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    block_cols: Sequence[str],
+    text_col: str = "text",
+    k_shingle: int = 3,
+    min_jaccard: float = 0.05,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """Incremental (delta-vs-corpus) near-dup check: for each NEW
+    document, every EXISTING corpus document with k-gram Jaccard ≥
+    threshold — (delta_id, corpus_id, jaccard).  The production shape
+    self-dedup doesn't cover: a daily ingest batch must be screened
+    against the full at-rest corpus WITHOUT re-pairing the corpus with
+    itself.
+
+    Asymmetry is the whole design:
+
+    * the inverted-index join is delta-shingles × corpus-postings
+      only — cost Σ_sh df_delta·df_corpus, never the corpus self-join's
+      Σ df², so a 1-in-10⁶ delta costs ~10⁻⁶ of a full re-dedup;
+    * the ``max_doc_freq`` stop-shingle cap is computed on the CORPUS
+      side alone (at scale those document frequencies are maintained
+      statistics, not a per-batch scan) and applied to BOTH sides, so
+      the metric stays a true Jaccard of identically-reduced sets and
+      — unlike capping on the combined frame — is stable as deltas
+      stream in: a shingle's cap status cannot flap because of what
+      today's batch contains;
+    * set sizes are recounted post-cap per side.
+
+    Blocked like :func:`blocked_ngram_jaccard_pairs`; rows present in
+    both frames pair with themselves at Jaccard 1, so callers feeding
+    overlapping frames should pre-filter ids.
+    """
+    if min_jaccard <= 0:
+        raise ValueError("min_jaccard must be > 0 (zero-overlap pairs never materialize)")
+
+    def _shingled(df: DataFrame) -> DataFrame:
+        blocked = df.withColumn(
+            "_block", F.concat_ws("", *[F.col(c) for c in block_cols])
+        )
+        return shingle_relation(
+            blocked, id_col, text_col, k_shingle, extra_cols=("_block",)
+        )
+
+    new_tok = _shingled(delta)
+    old_tok = _shingled(corpus)
+    if max_doc_freq is not None:
+        ok = (
+            old_tok.groupBy("_block", "_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("_block", "_sh")
+        )
+        old_tok = old_tok.join(ok, ["_block", "_sh"])
+        new_tok = new_tok.join(ok, ["_block", "_sh"])
+    new_sizes = new_tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz_new"))
+    old_sizes = old_tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz_old"))
+    inter = (
+        new_tok.select("_block", "_sh", F.col("_id").alias("delta_id"))
+        .join(
+            old_tok.select("_block", "_sh", F.col("_id").alias("corpus_id")),
+            ["_block", "_sh"],
+        )
+        .groupBy("delta_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.join(
+            new_sizes.select(F.col("_id").alias("delta_id"), "_sz_new"), "delta_id"
+        )
+        .join(
+            old_sizes.select(F.col("_id").alias("corpus_id"), "_sz_old"), "corpus_id"
+        )
+        .select(
+            "delta_id",
+            "corpus_id",
+            (
+                F.col("_inter")
+                / (F.col("_sz_new") + F.col("_sz_old") - F.col("_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

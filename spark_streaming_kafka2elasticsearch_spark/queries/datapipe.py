@@ -2879,3 +2879,70 @@ def dup_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs).select(
         F.col("node"), F.col("n_triangles").cast("long").alias("n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: incremental ingest screening — delta batch vs at-rest corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "delta_corpus_dedup_check",
+    oracle="""
+WITH
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> toks[i] || ' ' || coalesce(toks[i+1], '') || ' ' || coalesce(toks[i+2], '')
+         )) AS shingles
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+),
+flat AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
+new_f AS (SELECT * FROM flat WHERE doc_id % 10 = 0),
+old_f AS (SELECT * FROM flat WHERE doc_id % 10 <> 0),
+ok AS (SELECT lang, s FROM old_f GROUP BY lang, s HAVING count(*) <= 50),
+new_k AS (SELECT n.doc_id, n.lang, n.s FROM new_f n JOIN ok USING (lang, s)),
+old_k AS (SELECT o.doc_id, o.lang, o.s FROM old_f o JOIN ok USING (lang, s)),
+sz_n AS (SELECT doc_id, count(*) AS n FROM new_k GROUP BY doc_id),
+sz_o AS (SELECT doc_id, count(*) AS n FROM old_k GROUP BY doc_id),
+inter AS (
+  SELECT n.doc_id AS delta_id, o.doc_id AS corpus_id, count(*) AS i
+  FROM new_k n JOIN old_k o ON n.lang = o.lang AND n.s = o.s
+  GROUP BY 1, 2
+)
+SELECT delta_id, corpus_id,
+       CAST(i AS DOUBLE) / (sn.n + so.n - i) AS jaccard
+FROM inter
+JOIN sz_n sn ON sn.doc_id = delta_id
+JOIN sz_o so ON so.doc_id = corpus_id
+WHERE CAST(i AS DOUBLE) / (sn.n + so.n - i) >= 0.12
+""",
+)
+def delta_corpus_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest screening: treat every 10th document as today's
+    delta batch and the rest as the at-rest corpus; emit each delta
+    doc's near-dup matches (Jaccard ≥ 0.12, lang-blocked) against the
+    corpus WITHOUT ever re-pairing the corpus with itself.  The
+    asymmetric inverted-index join + corpus-side stop-shingle cap is
+    what makes incremental dedup ~|delta|/|corpus| of a full re-dedup
+    (operators/dedup.delta_corpus_jaccard_pairs); Jaccard is an exact
+    integer rational, so the cross-engine hash check is exact."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        delta_corpus_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return delta_corpus_jaccard_pairs(
+        delta,
+        corpus,
+        id_col="doc_id",
+        block_cols=["lang"],
+        k_shingle=3,
+        min_jaccard=0.12,
+        max_doc_freq=50,
+    )

@@ -332,3 +332,63 @@ def test_triangle_counts_unordered_and_dup_edges_are_canonicalized(spark):
 def test_triangle_query_plan_no_cartesian(spark):
     plan = _plan(spark, "dup_graph_triangle_counts")
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# delta-vs-corpus incremental dedup — asymmetry + corpus-side cap
+# ---------------------------------------------------------------------------
+
+
+def test_delta_corpus_check_is_asymmetric(spark):
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        delta_corpus_jaccard_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "the quick brown fox jumps over the lazy cat", "en"),  # dup of 1
+            (3, "completely different text about spark engines", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog", "en"),  # dup of 1
+            (11, "nothing like anything in the corpus at all", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        (r.delta_id, r.corpus_id): r.jaccard
+        for r in delta_corpus_jaccard_pairs(
+            delta, corpus, id_col="doc_id", block_cols=["lang"], min_jaccard=0.3
+        ).collect()
+    }
+    # delta 10 matches corpus 1 exactly (jaccard 1.0) and corpus 2 partially;
+    # the corpus-internal dup pair (1,2) must NOT appear, nor delta-delta
+    assert out[(10, 1)] == 1.0
+    assert (10, 2) in out and 0.3 <= out[(10, 2)] < 1.0
+    assert all(k[0] == 10 for k in out), out
+
+
+def test_delta_corpus_cap_is_corpus_side(spark):
+    """A shingle capped by CORPUS document frequency is dropped from
+    both sides; delta-batch content cannot flip a shingle's status."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        delta_corpus_jaccard_pairs,
+    )
+
+    # shingle "a b c" appears in 3 corpus docs -> capped at max_doc_freq=2
+    corpus = spark.createDataFrame(
+        [(i, "a b c", "en") for i in (1, 2, 3)],
+        "doc_id long, text string, lang string",
+    )
+    delta = spark.createDataFrame(
+        [(10, "a b c", "en")], "doc_id long, text string, lang string"
+    )
+    out = delta_corpus_jaccard_pairs(
+        delta, corpus, id_col="doc_id", block_cols=["lang"],
+        min_jaccard=0.1, max_doc_freq=2,
+    ).collect()
+    assert out == []  # the only shared shingle is a corpus stop-shingle
