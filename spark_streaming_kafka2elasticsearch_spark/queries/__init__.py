@@ -82,6 +82,13 @@ _PRIORITY: list[str] = [
     "user_daily_gapfill",
     "purchase_error_correlation",
     "semdedup_keep_decisions",
+    "semdedup_keep_decisions_auto",
+    "dup_graph_bfs_hops",
+    "part_name_fuzzy_pairs",
+    "dup_graph_triangle_counts",
+    "delta_corpus_dedup_check",
+    "leakage_safe_split",
+    "doc_length_quantiles_by_lang",
     "gopher_quality_flags",
     "countmin_token_frequencies",
     "document_chunks_udtf",

@@ -2946,3 +2946,118 @@ def delta_corpus_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_jaccard=0.12,
         max_doc_freq=50,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: leakage-safe split — assign by near-dup COMPONENT, not by document
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "leakage_safe_split",
+    oracle="""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> toks[i] || ' ' || coalesce(toks[i+1], '') || ' ' || coalesce(toks[i+2], '')
+         )) AS shingles
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+),
+flat AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
+ok AS (SELECT lang, s FROM flat GROUP BY lang, s HAVING count(*) <= 50),
+kept AS (SELECT f.doc_id, f.lang, f.s FROM flat f JOIN ok USING (lang, s)),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.12
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a
+),
+cc AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node),
+rep AS (
+  SELECT cc.doc_id, cc.component,
+         (strpos('0123456789abcdef', substr(md5(d.text), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(d.text), 2, 1)) - 1) AS bucket
+  FROM cc JOIN documents d ON d.doc_id = cc.component
+)
+SELECT doc_id, component,
+       CASE WHEN bucket < 204 THEN 'train'
+            WHEN bucket < 230 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(bucket AS BIGINT) AS bucket
+FROM rep
+""",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment with GROUP integrity: every document
+    in a near-dup component gets the same split, so a near-duplicate
+    of a training doc can never land in test — the leak
+    ``train_val_test_split`` (content-hash, exact-dup-proof only)
+    cannot prevent, and the reason eval numbers inflate when dedup
+    and splitting are run independently.
+
+    Rule: component = transitive closure of the near-dup pair graph
+    (min reachable doc_id, so the component id IS its canonical
+    member); bucket = first md5 byte of the CANONICAL member's text,
+    same 204/230 thresholds as the content-hash split.  Keying the
+    hash on the canonical text keeps re-ingestion stability (ids may
+    change; the cluster's content anchor decides), and singleton docs
+    degrade exactly to the content-hash rule applied to themselves.
+
+    Scale shape: the expensive part is the CC pass the dedup pipeline
+    already runs — splitting rides it with one broadcast-join back to
+    the canonical texts and a map-side bucket projection."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = blocked_ngram_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        block_cols=["lang"],
+        k_shingle=3,
+        min_jaccard=0.12,
+        max_doc_freq=50,
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, docs.select("doc_id"), node_col="doc_id")
+    rep = docs.select(
+        F.col("doc_id").alias("component"), F.md5("text").alias("_h")
+    )
+
+    def nib(i: int) -> F.Column:
+        return F.instr(F.lit("0123456789abcdef"), F.substring(F.col("_h"), i, 1)) - 1
+
+    bucket = nib(1) * 16 + nib(2)
+    return (
+        cc.join(rep, "component")
+        .select(
+            "doc_id",
+            "component",
+            F.when(bucket < 204, "train")
+            .when(bucket < 230, "val")
+            .otherwise("test")
+            .alias("split"),
+            bucket.cast("long").alias("bucket"),
+        )
+    )

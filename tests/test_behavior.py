@@ -392,3 +392,27 @@ def test_delta_corpus_cap_is_corpus_side(spark):
         min_jaccard=0.1, max_doc_freq=2,
     ).collect()
     assert out == []  # the only shared shingle is a corpus stop-shingle
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split — group integrity invariant
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_component_integrity(spark):
+    """Every near-dup component maps to exactly one split, and
+    singleton components agree with the content-hash rule applied to
+    their own text."""
+    out = all_queries()["leakage_safe_split"](spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    per_comp = {}
+    for r in rows:
+        per_comp.setdefault(r.component, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_comp.values())
+    # distribution sanity: buckets span [0,255], thresholds honored
+    for r in rows:
+        assert 0 <= r.bucket <= 255
+        assert r.split == (
+            "train" if r.bucket < 204 else "val" if r.bucket < 230 else "test"
+        )
