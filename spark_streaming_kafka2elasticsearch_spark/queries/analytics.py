@@ -773,3 +773,49 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("frequency", "f").alias("f_score"),
         score("monetary", "m").alias("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: join-size audit — predicted join cardinality WITHOUT running the join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_size_audit",
+    oracle="""
+WITH o AS (SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1),
+l AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1)
+SELECT
+  CAST(sum(o.n * l.n) AS BIGINT) AS predicted_rows,
+  CAST(count(*) AS BIGINT) AS matched_keys,
+  CAST(max(o.n * l.n) AS BIGINT) AS max_key_fanout
+FROM o JOIN l USING (k)
+""",
+)
+def join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality for orders ⋈ lineitem on the
+    order key, computed WITHOUT executing the join: |A ⋈ B| =
+    Σ_k cnt_A(k)·cnt_B(k) over the two per-key count tables.  The
+    statistics pass a planner (or a capacity review before a 100 TB
+    backfill) runs first — the per-key count tables are partial-agg
+    reductions of each side (the shuffle carries one row per DISTINCT
+    key, not per row), their join is distinct-key-sized, and
+    ``max_key_fanout`` is the skew red flag: one key whose product
+    dominates predicted_rows is exactly the key that will strand the
+    real join's longest task (see salted_equi_join for the cure).
+    The prediction is exact for inner equi-joins, making it
+    test-verifiable against the materialized join count."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    o = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_o")
+    )
+    li = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    prod = F.col("n_o") * F.col("n_l")
+    return o.join(li, "k").agg(
+        F.sum(prod).cast("long").alias("predicted_rows"),
+        F.count(F.lit(1)).cast("long").alias("matched_keys"),
+        F.max(prod).cast("long").alias("max_key_fanout"),
+    )

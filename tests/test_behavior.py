@@ -416,3 +416,21 @@ def test_leakage_safe_split_component_integrity(spark):
         assert r.split == (
             "train" if r.bucket < 204 else "val" if r.bucket < 230 else "test"
         )
+
+
+# ---------------------------------------------------------------------------
+# join-size audit — the prediction must equal the real join's count
+# ---------------------------------------------------------------------------
+
+
+def test_join_size_audit_prediction_is_exact(spark):
+    from spark_streaming_kafka2elasticsearch_spark.queries import load_table
+
+    pred = all_queries()["join_size_audit"](spark, SF_DIR).first()
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    actual = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).count()
+    assert pred.predicted_rows == actual
+    assert pred.max_key_fanout >= 1
