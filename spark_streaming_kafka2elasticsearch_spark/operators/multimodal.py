@@ -676,3 +676,82 @@ def synth_wav_table(df: DataFrame, id_col: str, wave_kind: str = "sine") -> Data
     return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         gen, schema=_MEDIA_TABLE_SCHEMA
     )
+
+
+#: Schema of a perceptual-hash fingerprint row.
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("ahash_hi", T.LongType(), True),
+        T.StructField("ahash_lo", T.LongType(), True),
+    ]
+)
+
+
+def _ahash64(px: np.ndarray) -> tuple[int, int]:
+    """64-bit average-hash of a decoded image, in EXACT integer
+    arithmetic: integer luma (299R+587G+114B — the BT.601 weights
+    scaled by 1000, so no float enters), 8×8 block sums via the cell
+    rule ``i = x·8 // w``, and each bit decided by the cross-
+    multiplied comparison ``cell_sum · n_pixels > total_sum ·
+    cell_npx`` — algebraically "cell mean > global mean" with zero
+    float-boundary risk (the property that makes the fingerprint
+    reproducible bit-for-bit in ANY engine, including the SQL
+    oracle).  Bit b = cell (y-block · 8 + x-block); returned as two
+    32-bit halves in int64s (sign-safe, band-friendly)."""
+    h, w, c = px.shape
+    p = px.astype(np.int64)
+    if c >= 3:
+        luma = 299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]
+    else:
+        luma = 1000 * p[..., 0]
+    ys, xs = np.indices((h, w))
+    cell = (ys * 8) // h * 8 + (xs * 8) // w
+    # float64 weights hold int sums < 2^53 exactly — order-independent
+    sums = np.bincount(cell.ravel(), weights=luma.ravel(), minlength=64).astype(
+        np.int64
+    )
+    npx = np.bincount(cell.ravel(), minlength=64)
+    total = int(luma.sum(dtype=np.int64))
+    n = w * h
+    bits = sums * n > total * npx
+    hi = sum(1 << (b - 32) for b in range(32, 64) if bits[b])
+    lo = sum(1 << b for b in range(32) if bits[b])
+    return hi, lo
+
+
+def image_ahash(
+    df: DataFrame, id_col: str = "media_id", binary_col: str = "content"
+) -> DataFrame:
+    """Perceptual (average-hash) fingerprints of PNG payloads:
+    (media_id, width, height, ahash_hi, ahash_lo) via Arrow-batched
+    ``mapInPandas`` over the real pure-numpy decoder.
+
+    The image-side analogue of SimHash for text: resize-to-8×8-blocks
+    + threshold-at-mean makes the 64-bit signature robust to uniform
+    brightness shifts and small local edits, so near-identical images
+    collide at low Hamming distance and the SAME banded bucketing
+    machinery used for text near-dup applies downstream (16-bit bands
+    over hi/lo halves).  Two media rows per fingerprint bytes — no
+    image ever shuffles."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "width": [], "height": [],
+                "ahash_hi": [], "ahash_lo": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                px = png_decode(bytes(payload))
+                hgt, wid = px.shape[0], px.shape[1]
+                hi, lo = _ahash64(px)
+                out["media_id"].append(int(mid))
+                out["width"].append(wid)
+                out["height"].append(hgt)
+                out["ahash_hi"].append(hi)
+                out["ahash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col).mapInPandas(kernel, schema=AHASH_SCHEMA)

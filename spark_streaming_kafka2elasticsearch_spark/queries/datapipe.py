@@ -3061,3 +3061,73 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket.cast("long").alias("bucket"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: perceptual image fingerprints (aHash) — image-side SimHash
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "image_ahash_fingerprints",
+    # DuckDB can't decode PNG, but the synthetic gradient's pixels are
+    # modular-integer functions of (doc_id, x, y) and the aHash kernel
+    # is ALL-INTEGER (scaled luma, cross-multiplied mean comparison),
+    # so the oracle re-derives every bit exactly — a hash match proves
+    # decode + blocking + thresholding end-to-end with no float
+    # tolerance anywhere.
+    oracle="""
+WITH dims AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         16 + (doc_id * 7) % 48 AS w,
+         16 + (doc_id * 13) % 32 AS h
+  FROM documents
+),
+px AS (
+  SELECT media_id, w, h,
+         299 * ((x + media_id) % 256)
+       + 587 * ((3 * y + 5 * media_id) % 256)
+       + 114 * ((x + 2 * y) % 256) AS luma,
+         (y * 8) // h * 8 + (x * 8) // w AS cell
+  FROM dims,
+       unnest(generate_series(0, w - 1)) AS tx(x),
+       unnest(generate_series(0, h - 1)) AS ty(y)
+),
+cells AS (
+  SELECT media_id, w, h, cell, sum(luma) AS s, count(*) AS n
+  FROM px GROUP BY 1, 2, 3, 4
+),
+tot AS (
+  SELECT media_id, sum(luma) AS ts, count(*) AS tn FROM px GROUP BY 1
+),
+bits AS (
+  SELECT c.media_id, c.w, c.h, c.cell, (c.s * t.tn > t.ts * c.n) AS b
+  FROM cells c JOIN tot t USING (media_id)
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(sum(CASE WHEN b AND cell >= 32 THEN CAST(1 AS BIGINT) << (cell - 32)
+                     ELSE 0 END) AS BIGINT) AS ahash_hi,
+       CAST(sum(CASE WHEN b AND cell < 32 THEN CAST(1 AS BIGINT) << cell
+                     ELSE 0 END) AS BIGINT) AS ahash_lo
+FROM bits GROUP BY 1, 2, 3
+""",
+)
+def image_ahash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup fingerprints: real PNG decode (pure-numpy zlib +
+    unfilter) → 64-bit average hash in exact integer arithmetic
+    (operators/multimodal.image_ahash).  The image-side SimHash: low
+    Hamming distance ⇒ visually near-identical, and the text
+    machinery's 16-bit banding applies unchanged to (ahash_hi,
+    ahash_lo).  Every bit is value-checked against an analytic SQL
+    re-derivation of the gradient corpus — no float tolerance in the
+    whole path."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        image_ahash,
+        synth_png_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_png_table(docs, id_col="doc_id")
+    return image_ahash(media)

@@ -434,3 +434,50 @@ def test_join_size_audit_prediction_is_exact(spark):
     ).count()
     assert pred.predicted_rows == actual
     assert pred.max_key_fanout >= 1
+
+
+# ---------------------------------------------------------------------------
+# image aHash — perceptual robustness properties
+# ---------------------------------------------------------------------------
+
+
+def test_image_ahash_perceptual_properties(spark):
+    import numpy as np
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        image_ahash,
+        png_encode,
+    )
+
+    rng_img = np.zeros((32, 32, 3), dtype=np.uint8)
+    xs = np.arange(32)
+    rng_img[..., 0] = xs[None, :] * 8          # horizontal ramp
+    rng_img[..., 1] = xs[:, None] * 8          # vertical ramp
+    rng_img[..., 2] = 128
+
+    edited = rng_img.copy()
+    edited[0:2, 0:2, :] = 255                  # tiny local edit (4 px)
+
+    brighter = np.clip(rng_img.astype(np.int32) + 40, 0, 255).astype(np.uint8)
+
+    inverted = 255 - rng_img                   # structurally different
+
+    rows = [
+        (1, bytearray(png_encode(rng_img))),
+        (2, bytearray(png_encode(rng_img))),   # exact duplicate
+        (3, bytearray(png_encode(edited))),
+        (4, bytearray(png_encode(brighter))),  # uniform brightness shift
+        (5, bytearray(png_encode(inverted))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: (r.ahash_hi, r.ahash_lo) for r in image_ahash(df).collect()}
+
+    def hamming(a, b):
+        return bin((a[0] ^ b[0]) & 0xFFFFFFFF).count("1") + bin(
+            (a[1] ^ b[1]) & 0xFFFFFFFF
+        ).count("1")
+
+    assert out[1] == out[2]                      # exact dup → identical hash
+    assert hamming(out[1], out[3]) <= 4          # tiny edit → tiny distance
+    assert hamming(out[1], out[4]) <= 4          # brightness shift → robust
+    assert hamming(out[1], out[5]) >= 20         # inversion → far away
