@@ -89,6 +89,9 @@ _PRIORITY: list[str] = [
     "delta_corpus_dedup_check",
     "leakage_safe_split",
     "doc_length_quantiles_by_lang",
+    "join_size_audit",
+    "image_ahash_fingerprints",
+    "doc_containment_pairs",
     "gopher_quality_flags",
     "countmin_token_frequencies",
     "document_chunks_udtf",

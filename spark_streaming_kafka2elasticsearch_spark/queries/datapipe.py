@@ -3131,3 +3131,88 @@ def image_ahash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synth_png_table(docs, id_col="doc_id")
     return image_ahash(media)
+
+
+# ---------------------------------------------------------------------------
+# Q: directed containment pairs — the near-dup semantics Jaccard misses
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_containment_pairs",
+    oracle="""
+WITH
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> toks[i] || ' ' || coalesce(toks[i+1], '') || ' ' || coalesce(toks[i+2], '')
+         )) AS shingles
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+),
+flat AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
+ok AS (SELECT lang, s FROM flat GROUP BY lang, s HAVING count(*) <= 50),
+kept AS (SELECT f.doc_id, f.lang, f.s FROM flat f JOIN ok USING (lang, s)),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a AS sub_id, id_b AS super_id,
+       CAST(i AS DOUBLE) / sa.n AS containment
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+WHERE CAST(i AS DOUBLE) / sa.n >= 0.5
+""",
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.5:
+    "most of A's shingles appear in B" — the quote/subset/excerpt
+    relation symmetric Jaccard structurally misses (a paragraph inside
+    a book has Jaccard ≈ |A|/|B| ≈ 0 but containment ≈ 1), and the
+    second screen a decontamination pass needs after near-dup.
+
+    Same inverted-index silhouette as blocked_ngram_jaccard_pairs
+    (shared-shingle equi-join with the stop-shingle cap bounding
+    Σ df², set sizes recounted post-cap) — the only deltas are keeping
+    BOTH pair orientations (containment is asymmetric) and dividing by
+    the subset side's size alone.  Containment is an exact integer
+    rational, so the cross-engine hash check is exact."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        shingle_relation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    blocked = docs.withColumn("_block", F.col("lang"))
+    tok = shingle_relation(blocked, "doc_id", "text", 3, extra_cols=("_block",))
+    ok = (
+        tok.groupBy("_block", "_sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= 50)
+        .select("_block", "_sh")
+    )
+    tok = tok.join(ok, ["_block", "_sh"])
+    sizes = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = tok.select("_block", "_sh", F.col("_id").alias("sub_id"))
+    b = tok.select("_block", "_sh", F.col("_id").alias("super_id"))
+    inter = (
+        a.join(b, ["_block", "_sh"])
+        .filter(F.col("sub_id") != F.col("super_id"))
+        .groupBy("sub_id", "super_id")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("_id").alias("sub_id"), "_sz"), "sub_id"
+        )
+        .select(
+            "sub_id",
+            "super_id",
+            (F.col("_inter") / F.col("_sz")).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.5)
+    )

@@ -481,3 +481,48 @@ def test_image_ahash_perceptual_properties(spark):
     assert hamming(out[1], out[3]) <= 4          # tiny edit → tiny distance
     assert hamming(out[1], out[4]) <= 4          # brightness shift → robust
     assert hamming(out[1], out[5]) >= 20         # inversion → far away
+
+
+# ---------------------------------------------------------------------------
+# containment — directed semantics on literal docs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_is_directed_where_jaccard_fails(spark):
+    """A short doc fully inside a long one: containment(sub→super)=1.0
+    while Jaccard is small, and the reverse direction doesn't fire."""
+    sub_text = "alpha beta gamma delta epsilon"  # 3 shingles
+    super_text = sub_text + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, sub_text, "en"), (2, super_text, "en")],
+        "doc_id long, text string, lang string",
+    )
+    from pyspark.sql import functions as F2
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        shingle_relation,
+    )
+
+    tok = shingle_relation(
+        docs.withColumn("_block", F2.col("lang")), "doc_id", "text", 3,
+        extra_cols=("_block",),
+    )
+    sizes = tok.groupBy("_id").agg(F2.count(F2.lit(1)).alias("_sz"))
+    a = tok.select("_block", "_sh", F2.col("_id").alias("sub_id"))
+    b = tok.select("_block", "_sh", F2.col("_id").alias("super_id"))
+    inter = (
+        a.join(b, ["_block", "_sh"])
+        .filter(F2.col("sub_id") != F2.col("super_id"))
+        .groupBy("sub_id", "super_id")
+        .agg(F2.count(F2.lit(1)).alias("_i"))
+    )
+    out = {
+        (r.sub_id, r.super_id): r.c
+        for r in inter.join(
+            sizes.select(F2.col("_id").alias("sub_id"), "_sz"), "sub_id"
+        )
+        .select("sub_id", "super_id", (F2.col("_i") / F2.col("_sz")).alias("c"))
+        .collect()
+    }
+    assert out[(1, 2)] == 1.0          # sub fully contained in super
+    assert out[(2, 1)] < 0.1           # reverse direction is tiny
