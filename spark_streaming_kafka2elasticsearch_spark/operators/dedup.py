@@ -1020,17 +1020,21 @@ def bfs_hops(
 
     Level-synchronous frontier expansion: round h joins ONLY the
     frontier discovered at h-1 (not the whole visited set) against the
-    symmetrized edge list, anti-joins out already-visited nodes, and
-    stops early the first round the frontier empties.  Each round is
-    one shuffle join keyed on node id; the same cache hygiene as CC
-    applies — the edge relation is localCheckpoint'ed once before the
-    loop, per-round frontiers are materialized eagerly and superseded
-    ones unpersisted, so at no point do more than the visited set, one
-    frontier, and the edges occupy cache.  Work per round is
-    O(edges incident to the frontier), total O(E) for the full sweep —
-    the bound ``max_hops`` caps rounds, not correctness (every emitted
-    hop count is exact; nodes further than the cap are simply absent,
-    which is the point of a radius audit).
+    symmetrized edge list, and stops early the first round the
+    frontier empties.  The visited check exploits undirectedness:
+    a neighbor of a distance-(h-1) node can only sit at distance h-2,
+    h-1, or h, so anti-joining against just the PREVIOUS TWO frontiers
+    (not the whole visited set) suffices — per-round work stays
+    O(edges incident to the frontier) with CONSTANT-size anti-join
+    sides, instead of re-materializing an ever-growing visited union
+    every round (measured 9.5 s → ~edge-pipeline cost at sf0.1; a
+    directed graph would need the full visited set back).  Frontiers
+    are localCheckpoint'ed eagerly (each is read by the next round's
+    expansion, the round-after-next's anti-join, and the final union);
+    the edge relation is checkpointed once before the loop.  The bound
+    ``max_hops`` caps rounds, not correctness (every emitted hop count
+    is exact; nodes further than the cap are simply absent, which is
+    the point of a radius audit).
     """
     e = (
         edges.select(
@@ -1045,29 +1049,32 @@ def bfs_hops(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    visited = (
+    frontier = (
         seeds.select(F.col(seed_col).alias("_n"))
         .distinct()
         .withColumn("hops", F.lit(0))
         .localCheckpoint(eager=True)
     )
-    frontier = visited
+    frontiers = [frontier]
+    prev2: DataFrame | None = None
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(e, frontier["_n"] == e["_src"])
             .select(F.col("_dst").alias("_n"))
             .distinct()
-            .join(visited.select("_n"), "_n", "left_anti")
-            .withColumn("hops", F.lit(h))
-            .localCheckpoint(eager=True)
+            .join(frontier.select("_n"), "_n", "left_anti")
         )
+        if prev2 is not None:
+            nxt = nxt.join(prev2.select("_n"), "_n", "left_anti")
+        nxt = nxt.withColumn("hops", F.lit(h)).localCheckpoint(eager=True)
         if nxt.limit(1).count() == 0:
             break
-        new_visited = visited.unionAll(nxt).localCheckpoint(eager=True)
-        visited.unpersist()
-        frontier.unpersist()
-        visited, frontier = new_visited, nxt
-    return visited.select(F.col("_n"), F.col("hops"))
+        frontiers.append(nxt)
+        prev2, frontier = frontier, nxt
+    out = frontiers[0]
+    for f in frontiers[1:]:
+        out = out.unionAll(f)
+    return out.select(F.col("_n"), F.col("hops"))
 
 
 def fuzzy_levenshtein_pairs(
