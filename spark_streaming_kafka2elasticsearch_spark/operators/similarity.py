@@ -629,21 +629,28 @@ def semdedup_assignments(
     hash-join on ``cluster_id``.  The plan here is three joins, all
     scale-safe:
 
-    1. assignment — posexplode the vectors and BROADCAST the centroid
-       component table (c·dim rows), hash-join on the component index,
-       partial-agg the per-(vector, centroid) dot products, then argmax
-       per vector via an (id)-partitioned row_number.  This is a
-       codegen'd BroadcastHashJoin + map-side combine — NOT an
-       unconditioned nested-loop cross join (the plan audit rightly
-       flags those), and it stays the right shape when c = √n is 10⁵:
-       the shuffle carries n·c partial dots, never n·c full vectors.
-       The shuffled partial sum makes the dot's LOW FLOAT BITS
-       partition-order-dependent, which is safe here because the sum
-       feeds only the argmax and tie-break (sim DESC, centroid_id
-       ASC): assignment flips only if two centroids tie within ~1e-15,
-       and the probed top1−top2 margin on this corpus is ≥ 2.3e-4 —
+    1. assignment — an Arrow ``mapInPandas`` matmul: the centroid
+       matrix (c×dim — small BY CONTRACT: even c = √n = 31 623 at
+       n = 10⁹ is 8 MB of float64, the same "collect the small side"
+       contract brute_force_topk_pandas makes) ships in the task
+       closure, each Arrow batch scores its vectors against ALL
+       centroids in one BLAS matmul and emits (id, cluster_id) — the
+       corpus is scanned ONCE with no join and no shuffle at all.
+       Two Catalyst shapes were measured and rejected at the 10×
+       probe: an unconditioned broadcast cross join (plan-audit
+       cartesian, interpreted fold per pair) and a posexplode +
+       broadcast hash join on the component index (materializes
+       n·dim·c join rows — 181 M at n=20 k, c=142; α=1.57).  BLAS
+       pairwise summation reorders float adds vs the sequential fold,
+       which is safe here because the sims feed ONLY the argmax and
+       tie-break (sim DESC, centroid_id ASC — numpy argmax on the
+       cid-sorted matrix picks the smallest cid among exact ties):
+       assignment flips only if two centroids tie within ~1e-15, and
+       the probed top1−top2 margin on this corpus is ≥ 2.3e-4 —
        eleven orders above the noise.  No similarity VALUE from this
-       stage is emitted.
+       stage is emitted.  Zero-norm vectors assign to the smallest
+       centroid id (sims undefined), matching the Catalyst/SQL
+       null-ordering rule.
     2. intra-cluster pair scan — self-join on cluster_id with
        ``id_a < id_b``; norms hoisted per vector so each pair costs
        one fused fold.
@@ -664,52 +671,45 @@ def semdedup_assignments(
         l2_norm,
     )
 
-    # Referenced three times (component explode, norm join, post-
-    # assignment vector join) — materialize once.
+    import numpy as np
+    import pandas as pd
+
+    # Referenced twice (assignment scan, pair-scan sides) —
+    # materialize once.
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         l2_norm(vec_col).alias("_nrm"),
     ).persist()
-    cent = centroids.select(
-        F.col(centroid_id).alias("_cid"),
-        F.col(centroid_vec).alias("_cv"),
-        l2_norm(centroid_vec).alias("_cnrm"),
+    crows = (
+        centroids.select(centroid_id, centroid_vec)
+        .orderBy(centroid_id)  # cid-ascending ⇒ argmax tie-break = min cid
+        .collect()
     )
-    vec_comps = base.select(
-        "_id",
-        F.posexplode(F.col("_v").cast("array<double>")).alias("_j", "_x"),
-    )
-    cent_comps = cent.select(
-        "_cid",
-        F.posexplode(F.col("_cv").cast("array<double>")).alias("_j", "_cx"),
-    )
-    dots = (
-        vec_comps.join(F.broadcast(cent_comps), "_j")
-        .groupBy("_id", "_cid")
-        .agg(F.sum(F.col("_x") * F.col("_cx")).alias("_dot"))
-    )
-    cdenom = F.col("_nrm") * F.col("_cnrm")
-    scored = (
-        dots.join(base.select("_id", "_nrm"), "_id")
-        .join(F.broadcast(cent.select("_cid", "_cnrm")), "_cid")
-        .select(
-            "_id",
-            "_cid",
-            F.when(cdenom == 0, F.lit(None))
-            .otherwise(F.col("_dot") / cdenom)
-            .alias("_csim"),
-        )
-    )
-    w = Window.partitionBy("_id").orderBy(
-        F.desc_nulls_last("_csim"), F.asc("_cid")
-    )
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("_id", F.col("_cid").alias("cluster_id"))
-        .join(base, "_id")
-    )
+    if not crows:
+        raise ValueError("semdedup_assignments needs >= 1 centroid")
+    c_ids = np.array([int(r[0]) for r in crows], dtype=np.int64)
+    C = np.array([[float(x) for x in r[1]] for r in crows], dtype=np.float64)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    cnorm_safe = np.where(cnorm == 0.0, 1.0, cnorm)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            vnorm = np.sqrt((V * V).sum(axis=1))
+            denom = np.where(vnorm == 0.0, 1.0, vnorm)[:, None] * cnorm_safe[None, :]
+            sims = (V @ C.T) / denom
+            # zero-norm rows: all sims 0 → argmax picks index 0 = min cid
+            sims = np.where((vnorm[:, None] == 0.0) | (cnorm[None, :] == 0.0), 0.0, sims)
+            best = sims.argmax(axis=1)  # first max = smallest cid on ties
+            yield pd.DataFrame({"_id": ids, "cluster_id": c_ids[best]})
+
+    assigned = base.select("_id", "_v").mapInPandas(
+        assign_batches, schema="_id long, cluster_id long"
+    ).join(base, "_id")
     a = assigned.select(
         F.col("cluster_id"),
         F.col("_id").alias("_ida"),

@@ -92,6 +92,8 @@ _PRIORITY: list[str] = [
     "join_size_audit",
     "image_ahash_fingerprints",
     "doc_containment_pairs",
+    "user_running_distinct_types",
+    "event_transition_matrix",
     "gopher_quality_flags",
     "countmin_token_frequencies",
     "document_chunks_udtf",

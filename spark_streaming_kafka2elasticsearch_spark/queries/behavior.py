@@ -311,3 +311,110 @@ def purchase_error_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("_n", F.lit(0)).alias("n_errors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: running distinct event types per user (cumulative-distinct window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_running_distinct_types",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) = 1 THEN 1 ELSE 0 END AS first_of_type
+  FROM events
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(sum(first_of_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS distinct_types_so_far
+FROM marked
+""",
+)
+def user_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distinct window: at every event, how many DISTINCT
+    event types has this user produced so far?  (The engagement-
+    breadth curve; count(DISTINCT) isn't a supported running
+    aggregate in any engine, so the canonical rewrite is first-
+    occurrence marking + running sum — two windows over the SAME
+    (user_id, ts) partitioning.)
+
+    Scale shape: both windows hash-partition on user_id (the second
+    adds event_type to the partition key — a subpartition of the
+    first, no extra exchange needed after AQE reuses the sort);
+    running state is one counter per user.  Ordering is tie-broken by
+    event_id so the running sum is a total order — without it, tied
+    timestamps would make the cumulative value engine-dependent."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.withColumn(
+        "first_of_type",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    return marked.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.sum("first_of_type").over(w_run).cast("long").alias("distinct_types_so_far"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: event-type transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS nxt
+  FROM events
+)
+SELECT cur, nxt, count(*) AS n,
+       CAST(count(*) AS DOUBLE)
+         / sum(count(*)) OVER (PARTITION BY cur) AS p
+FROM seq WHERE nxt IS NOT NULL
+GROUP BY cur, nxt
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts and probabilities over
+    per-user event sequences: P(next = b | current = a).  The
+    behavioral fingerprint behind session-flow dashboards and
+    anomaly-vs-baseline comparisons (a bot's transition rows look
+    nothing like a human's).
+
+    Scale shape: ``lead`` is one window per user partition (state =
+    one row lookahead); the count aggregation reduces to the
+    |types|² transition vocabulary before the final tiny window
+    normalizes each row into probabilities — an exact integer ratio,
+    so the double is bit-identical cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    w_norm = Window.partitionBy("cur")
+    return counts.select(
+        "cur",
+        "nxt",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_norm)).alias("p"),
+    )

@@ -174,10 +174,14 @@ def test_cohort_retention_shape(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_semdedup_centroid_join_is_broadcast(spark):
+def test_semdedup_plan_has_no_cross_join(spark):
+    """Assignment is an Arrow matmul scan (no join at all); the
+    remaining joins (vector re-attach, intra-cluster pair scan) must
+    be hash joins — never a cartesian or an unconditioned BNLJ."""
     plan = _plan(spark, "semdedup_keep_decisions")
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
 
 
 def test_semdedup_greedy_prune_on_literal_vectors(spark):
@@ -526,3 +530,31 @@ def test_containment_is_directed_where_jaccard_fails(spark):
     }
     assert out[(1, 2)] == 1.0          # sub fully contained in super
     assert out[(2, 1)] < 0.1           # reverse direction is tiny
+
+
+# ---------------------------------------------------------------------------
+# running distinct + transition matrix
+# ---------------------------------------------------------------------------
+
+
+def test_running_distinct_types_monotone_and_bounded(spark):
+    out = all_queries()["user_running_distinct_types"](spark, SF_DIR)
+    one_user = out.first().user_id
+    vals = [
+        r.distinct_types_so_far
+        for r in out.filter(F.col("user_id") == one_user)
+        .orderBy("ts", "event_id")
+        .collect()
+    ]
+    assert vals[0] == 1
+    assert all(b - a in (0, 1) for a, b in zip(vals, vals[1:]))  # monotone +0/+1
+    assert max(vals) <= 5  # five event types exist
+
+
+def test_transition_matrix_rows_are_distributions(spark):
+    rows = all_queries()["event_transition_matrix"](spark, SF_DIR).collect()
+    by_cur = {}
+    for r in rows:
+        by_cur.setdefault(r.cur, []).append(r.p)
+    for cur, ps in by_cur.items():
+        assert abs(sum(ps) - 1.0) < 1e-12, cur
