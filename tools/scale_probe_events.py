@@ -45,6 +45,8 @@ PROBE_QUERIES = [
     "purchase_error_correlation",
     "user_sessionization",
     "latest_event_per_user",
+    "user_running_distinct_types",
+    "event_transition_matrix",
 ]
 
 
