@@ -297,7 +297,6 @@ def minhash_lsh_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket_size: int = 256,
-    verify_max_doc_freq: int | None = 1000,
     hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified with exact
@@ -326,9 +325,18 @@ def minhash_lsh_candidate_pairs(
       4. shuffle groupBy (band_id, band_hash): docs sharing a
          surviving band bucket become candidates — intra-bucket pairs
          only, never a global self-join;
-      5. distinct pairs, then exact-Jaccard verification via an
-         inverted-index count join restricted to candidate documents
-         (codegen hash join + agg, no per-pair array scans).
+      5. distinct pairs, then exact-Jaccard verification restricted to
+         EXACTLY the candidate pairs: expand each pair by id_a's
+         shingles, equi-join on (id_b, shingle) → |A∩B| per pair
+         (codegen hash joins + agg, no per-pair array scans).  Verify
+         cost is Σ over candidate pairs of |A's shingle set| — LINEAR
+         in the (census-bounded) pair count.  The earlier shape that
+         verified all co-shingle pairs *among candidate documents* was
+         measured 200× super-linear on a 10× corpus with planted
+         near-dup groups (33.6k banding candidates exploding to 6.7M
+         verified pairs): once most documents have ≥1 near-dup, the
+         candidate-doc set is the corpus and doc-superset verification
+         degenerates into the all-pairs job LSH exists to avoid.
 
     Materialization boundaries: ``banded`` and the candidate shingle
     relation are each consumed by more than one downstream subtree;
@@ -391,45 +399,35 @@ def minhash_lsh_candidate_pairs(
         .distinct()
     )
 
-    # Exact verify, candidate-restricted.  Lineage discipline matters:
-    # `pairs` (the whole banding pipeline) is consumed exactly ONCE —
-    # a single explode to candidate ids — because every additional
-    # consumer would re-execute the signature job.  Shingles are then
-    # built only for candidate documents (semi-join BEFORE the window,
-    # so the shingle shuffle is over the candidate set, not the
-    # corpus), and every exact Jaccard among candidate docs is
-    # returned — a superset of the bucket-colliding pairs, which only
-    # helps recall and costs df² over the (bounded) candidate set.
+    # Exact verify, PAIR-restricted.  `pairs` (the whole banding
+    # pipeline) now has two consumers — the candidate-id semi-join and
+    # the pair expansion — so it's persist()-ed (it is tiny:
+    # census-bounded fixed-width id pairs); without the boundary each
+    # consumer would re-execute the signature job.  Shingles are built
+    # only for candidate documents (semi-join BEFORE the shingle
+    # explode, so the shingle shuffle is over the candidate set, not
+    # the corpus).  No stop-shingle df-cap is needed here: the old
+    # doc-superset verify paid Σ df² over candidate-doc shingle
+    # frequencies (hence the cap); the pair expansion pays |A| per
+    # pair no matter how common a shingle is, so the output is the
+    # TRUE Jaccard of the full shingle sets.
+    pairs = pairs.persist()
     cand_ids = (
         pairs.select(
             F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
         ).distinct()
     )
     docs_c = df.join(cand_ids, id_col, "left_semi")
-    relc = shingle_relation(docs_c, id_col, text_col, k_shingle)
-    if verify_max_doc_freq is not None:
-        # The verify self-join costs Σ df² over candidate-doc shingle
-        # frequencies: one stop-shingle shared by most candidates
-        # would reintroduce exactly the quadratic blowup the bucket
-        # census gate exists to prevent.  Cap mirrors
-        # blocked_ngram_jaccard_pairs: drop over-frequent shingles
-        # from every candidate set consistently, recount sizes below,
-        # so the output stays a true Jaccard of the reduced sets.
-        # Default 1000 only bites on degenerate boilerplate shingles.
-        ok_sh = (
-            relc.groupBy("_sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= verify_max_doc_freq)
-            .select("_sh")
-        )
-        relc = relc.join(ok_sh, "_sh")
-    relc = relc.persist()
+    relc = shingle_relation(docs_c, id_col, text_col, k_shingle).persist()
     sizes = relc.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    a = relc.select(F.col("_id").alias("id_a"), "_sh")
-    b = relc.select(F.col("_id").alias("id_b"), "_sh")
+    a_sh = pairs.join(
+        relc.select(F.col("_id").alias("id_a"), "_sh"), "id_a"
+    )
     inter = (
-        a.join(b, ["_sh"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        a_sh.join(
+            relc.select(F.col("_id").alias("id_b"), "_sh"),
+            ["id_b", "_sh"],
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )

@@ -132,11 +132,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # makes every signature value cross-engine (g_i = (h1 + i·h2) mod
     # 2^32, Kirsch–Mitzenmacher over md5 halves), so DuckDB re-runs the
     # ENTIRE LSH dataflow — signatures, 16-band slices, the 2..256
-    # bucket census gate, candidate extraction, and the df-capped exact
-    # Jaccard verify.  Buckets group on the slice VALUES (Spark's
-    # xxhash64 band key is just a fixed-width rendering of the same
-    # equality).  Shingle construction mirrors ngram_jaccard_pairs'
-    # proven-green padding trick.
+    # bucket census gate, candidate-PAIR extraction, and the exact
+    # Jaccard verify over exactly those pairs.  Buckets group on the
+    # slice VALUES (Spark's xxhash64 band key is just a fixed-width
+    # rendering of the same equality).  Shingle construction mirrors
+    # ngram_jaccard_pairs' proven-green padding trick.
     oracle="""
 WITH toks AS (
   SELECT doc_id,
@@ -176,20 +176,25 @@ in_bucket AS (
   SELECT b.doc_id, b.band_id, b.slice
   FROM bands b JOIN census USING (band_id, slice)
 ),
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM in_bucket a
+  JOIN in_bucket b
+    ON a.band_id = b.band_id AND a.slice = b.slice
+   AND a.doc_id < b.doc_id
+),
 cand_ids AS (
-  SELECT DISTINCT a.doc_id AS id FROM in_bucket a
+  SELECT id_a AS id FROM cand_pairs UNION SELECT id_b FROM cand_pairs
 ),
 kept AS (
   SELECT s.doc_id, s.s FROM sh_all s JOIN cand_ids c ON s.doc_id = c.id
 ),
-ok_sh AS (
-  SELECT s FROM kept GROUP BY s HAVING count(*) <= 1000
-),
-capped AS (SELECT k.doc_id, k.s FROM kept k JOIN ok_sh USING (s)),
-sz AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+  SELECT p.id_a, p.id_b, count(*) AS i
+  FROM cand_pairs p
+  JOIN kept a ON a.doc_id = p.id_a
+  JOIN kept b ON b.doc_id = p.id_b AND b.s = a.s
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -202,13 +207,15 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
 )
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 hashes) + 16-band LSH candidate pairs with exact
-    Jaccard verification ≥ 0.1 — the scale path for near-dup dedup
-    (banding keeps it out of O(n²)); ngram_jaccard_pairs above is the
-    exact flavor on the same corpus.  Registered with the md5
+    Jaccard verification ≥ 0.1, restricted to exactly the banding
+    candidate pairs — the scale path for near-dup dedup (banding keeps
+    candidate generation out of O(n²), pair-restricted verify keeps
+    verification linear in the candidate count even when most of the
+    corpus has near-dups); ngram_jaccard_pairs above is the exact
+    flavor on the same corpus.  Registered with the md5
     (Kirsch–Mitzenmacher) hash family so the full LSH pipeline —
     probabilistic banding included — is value-checked by the DuckDB
-    oracle; production callers keep the faster xxhash64 default
-    (deduped_corpus, near_dup_clusters use it)."""
+    oracle; production callers keep the faster xxhash64 default."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidate_pairs(
         docs, id_col="doc_id", text_col="text", k_shingle=3, num_hashes=64,
