@@ -77,6 +77,9 @@ _PRIORITY: list[str] = [
     # driver-checked), then the 6 queries whose newest driver row is r2,
     # then the 50 last checked in r4; the 50 just re-greened in r5 drop
     # to the tail.  Computed from the union of CORRECTNESS_r01-r05.
+    # minhash_near_dup_pairs leads: its verify semantics changed late in
+    # r6 (pair-restricted exact Jaccard) so prior driver rows are stale.
+    "minhash_near_dup_pairs",
     "user_cohort_retention",
     "purchase_funnel",
     "user_daily_gapfill",
@@ -215,7 +218,6 @@ _PRIORITY: list[str] = [
     "dedup_exact_documents",
     "document_fingerprints",
     "ngram_jaccard_pairs",
-    "minhash_near_dup_pairs",
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
     "text_quality_scores",
