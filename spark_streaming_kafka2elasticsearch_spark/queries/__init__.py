@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     # minhash_near_dup_pairs leads: its verify semantics changed late in
     # r6 (pair-restricted exact Jaccard) so prior driver rows are stale.
     "minhash_near_dup_pairs",
+    "near_dup_pagerank",
     "user_cohort_retention",
     "purchase_funnel",
     "user_daily_gapfill",

@@ -3223,3 +3223,107 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= 0.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: PageRank over the near-dup graph (canonical-doc selection)
+# ---------------------------------------------------------------------------
+
+# The same lang-blocked exact-Jaccard pair graph the CC/cluster queries
+# are proven green on (threshold 0.12, stop-shingle cap 50).
+_PAGERANK_PAIRS_SQL = """
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> toks[i] || ' ' || coalesce(toks[i+1], '') || ' ' || coalesce(toks[i+2], '')
+         )) AS shingles
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+),
+flat AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
+ok AS (SELECT lang, s FROM flat GROUP BY lang, s HAVING count(*) <= 50),
+kept AS (SELECT f.doc_id, f.lang, f.s FROM flat f JOIN ok USING (lang, s)),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.12
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+deg AS (SELECT a, count(*) AS d FROM edges GROUP BY a),
+inv AS (SELECT a, CAST(round(1.0 / d, 14) AS DECIMAL(16,14)) AS invd FROM deg),
+c AS (SELECT CAST(round(0.15 / count(*), 14) AS DECIMAL(16,14)) AS base,
+             CAST(round(1.0  / count(*), 14) AS DECIMAL(18,16)) AS rinit
+      FROM documents)"""
+
+
+def _pagerank_oracle(iterations: int = 8) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs — a recursive
+    CTE can't aggregate in its recursive term, so each round is its own
+    CTE; the decimal staging mirrors operators/dedup.pagerank step for
+    step (exact DECIMAL arithmetic → hash equality, not closeness)."""
+    rounds = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        rounds.append(f"""
+r{k} AS (
+  SELECT s.node,
+         CAST(round((SELECT base FROM c) + CAST('0.85' AS DECIMAL(3,2)) *
+              CAST(round(coalesce(m.s, 0), 16) AS DECIMAL(18,16)), 16)
+              AS DECIMAL(18,16)) AS r
+  FROM r0 s LEFT JOIN (
+    SELECT e.b AS node, sum(p.r * i.invd) AS s
+    FROM {prev} p JOIN edges e ON e.a = p.node JOIN inv i ON i.a = p.node
+    GROUP BY e.b
+  ) m ON m.node = s.node
+)""")
+        prev = f"r{k}"
+    return (
+        "WITH "
+        + _PAGERANK_PAIRS_SQL
+        + """,
+r0 AS (SELECT doc_id AS node, (SELECT rinit FROM c) AS r FROM documents),"""
+        + ",".join(rounds)
+        + f"""
+SELECT node AS doc_id, CAST(r AS VARCHAR) AS pr_score FROM {prev}
+"""
+    )
+
+
+@register("near_dup_pagerank", oracle=_pagerank_oracle(8))
+def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document scoring: 8-round decimal-exact PageRank over
+    the near-dup pair graph (same lang-blocked Jaccard ≥ 0.12 edges as
+    near_dup_clusters).  Rank concentrates on the hub a duplicate
+    cluster drifts around — the template/boilerplate ancestor — giving
+    keep-one dedup a principled canonical pick where min-id is
+    arbitrary and quality scores tie.  Isolated docs hold the teleport
+    floor.  The oracle unrolls the identical decimal dataflow round by
+    round, so the driver hash-checks every intermediate implicitly."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = blocked_ngram_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        block_cols=["lang"],
+        k_shingle=3,
+        min_jaccard=0.12,
+        max_doc_freq=50,
+    ).select("id_a", "id_b")
+    return pagerank(
+        pairs, docs.select("doc_id"), node_col="doc_id", iterations=8
+    )

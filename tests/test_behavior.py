@@ -558,3 +558,56 @@ def test_transition_matrix_rows_are_distributions(spark):
         by_cur.setdefault(r.cur, []).append(r.p)
     for cur, ps in by_cur.items():
         assert abs(sum(ps) - 1.0) < 1e-12, cur
+
+
+# ---------------------------------------------------------------------------
+# PageRank — exact decimal recurrence on a literal star graph
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_star_graph_matches_pure_decimal_simulation(spark):
+    """The operator's documented recurrence, replicated in pure Python
+    Decimal, must match the Spark output STRING-exactly — proving the
+    decimal staging (14/16-dp rounds, exact ×/+) is what actually runs,
+    not an IEEE approximation of it."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import pagerank
+
+    # star: hub 1 — leaves 2..5; node 9 isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 9)], "_id long")
+    out = {r._id: r.pr_score for r in pagerank(edges, nodes, iterations=8).collect()}
+
+    q14, q16 = Decimal("1e-14"), Decimal("1e-16")
+    n = 6
+    base = Decimal(0.15 / n).quantize(q14, ROUND_HALF_UP)
+    inv = {1: Decimal(1.0 / 4).quantize(q14, ROUND_HALF_UP)}
+    for v in (2, 3, 4, 5):
+        inv[v] = Decimal(1.0).quantize(q14, ROUND_HALF_UP)
+    r = {v: Decimal(1.0 / n).quantize(q14, ROUND_HALF_UP) for v in (1, 2, 3, 4, 5, 9)}
+    nbrs = {1: [2, 3, 4, 5], 2: [1], 3: [1], 4: [1], 5: [1], 9: []}
+    d = Decimal("0.85")
+    for _ in range(8):
+        nxt = {}
+        for v, ns in nbrs.items():
+            s = sum((r[u] * inv[u] for u in ns), Decimal(0))
+            s16 = s.quantize(q16, ROUND_HALF_UP)
+            nxt[v] = (base + d * s16).quantize(q16, ROUND_HALF_UP)
+        r = nxt
+    expected = {v: str(x.quantize(q16)) for v, x in r.items()}
+    assert out == expected
+    # structure: hub outranks leaves; isolated sits on the teleport floor
+    assert Decimal(out[1]) > Decimal(out[2]) > Decimal(out[9])
+    assert Decimal(out[9]) == base
+
+
+def test_pagerank_symmetric_pair_equal_ranks(spark):
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(1,), (2,)], "_id long")
+    out = {r._id: r.pr_score for r in pagerank(edges, nodes, iterations=6).collect()}
+    assert out[1] == out[2]
