@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     # r6 (pair-restricted exact Jaccard) so prior driver rows are stale.
     "minhash_near_dup_pairs",
     "near_dup_pagerank",
+    "dedup_cluster_weights",
     "user_cohort_retention",
     "purchase_funnel",
     "user_daily_gapfill",

@@ -3327,3 +3327,92 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         pairs, docs.select("doc_id"), node_col="doc_id", iterations=8
     )
+
+
+@register(
+    "dedup_cluster_weights",
+    oracle="""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> toks[i] || ' ' || coalesce(toks[i+1], '') || ' ' || coalesce(toks[i+2], '')
+         )) AS shingles
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+),
+flat AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
+ok AS (SELECT lang, s FROM flat GROUP BY lang, s HAVING count(*) <= 50),
+kept AS (SELECT f.doc_id, f.lang, f.s FROM flat f JOIN ok USING (lang, s)),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.12
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT ed.b, r.label FROM reach r JOIN edges ed ON r.node = ed.a
+),
+comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node),
+csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT c.doc_id, c.component, s.cluster_size,
+       CAST(CAST(round(1.0 / s.cluster_size, 14) AS DECIMAL(16,14)) AS VARCHAR)
+         AS sample_weight
+FROM comp c JOIN csize s USING (component)
+""",
+)
+def dedup_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-aware reweighting — the keep-everything alternative
+    to keep-one dedup (RefinedWeb/D4 style): every document carries its
+    near-dup cluster size and the inverse-frequency sample weight
+    1/cluster_size, so a training mixture can down-weight duplicated
+    content instead of discarding it (deduped_corpus drops; this
+    reweights).  Composition of proven parts: the near_dup_clusters
+    component labels + one partial-agg count per component + a
+    broadcastable size join.  Weight follows the engine's cross-engine
+    float protocol (IEEE divide rounded HALF_UP to 14 dp, rendered as
+    DECIMAL(16,14) text) — hash-equal across engines, and exact enough
+    that Σ weight recovers the distinct-cluster count exactly for
+    sizes without repeating decimal expansions."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = blocked_ngram_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        block_cols=["lang"],
+        k_shingle=3,
+        min_jaccard=0.12,
+        max_doc_freq=50,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, docs.select("doc_id"), node_col="doc_id")
+    csize = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(F.broadcast(csize), "component").select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 14)
+        .cast("decimal(16,14)")
+        .cast("string")
+        .alias("sample_weight"),
+    )
