@@ -1342,6 +1342,12 @@ def pagerank(
         )
         .select("_e._src", "_e._dst")
         .distinct()
+        # Materialize BEFORE deriving deg/inv: both the edge side and
+        # the degree side of ej reference this relation, and without
+        # the boundary the (expensive) upstream pair pipeline executes
+        # once per reference inside the ej job — measured as the whole
+        # x10 scale-probe regression (alpha 1.26) before this line.
+        .localCheckpoint(eager=True)
     )
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_d"))
     inv = deg.select(
@@ -1352,6 +1358,7 @@ def pagerank(
     # against (src, dst, invd) — re-deriving deg/inv per round would
     # re-run the whole upstream pair pipeline each iteration.
     ej = e.join(inv, "_src").localCheckpoint(eager=True)
+    e.unpersist()
 
     base_lit = F.lit(str(base)).cast("decimal(16,14)")
     d_lit = F.lit(damping).cast("decimal(3,2)")

@@ -91,6 +91,10 @@ PROBE_QUERIES = [
     "semdedup_keep_decisions",
     "semdedup_keep_decisions_auto",
     "dup_graph_bfs_hops",
+    # r6 graph additions: fixed-round decimal PageRank and the
+    # keep-everything reweighting (CC + size join)
+    "near_dup_pagerank",
+    "dedup_cluster_weights",
 ]
 
 
