@@ -102,7 +102,15 @@ def test_int8_quantization_error_bound(spark, vecs):
         scale = r["scale"]
         assert all(abs(qc) <= 127 for qc in r["q"])
         if scale == 0:
-            assert all(x == 0 for x in r["v"])
+            # amax/127 underflows to exactly 0.0 for subnormal-tiny
+            # inputs (hypothesis found [5e-324]), not only for the
+            # all-zero vector.  The kernel's scale==0 guard maps BOTH
+            # to q=0 — which is also what keeps the x/scale division
+            # from producing Inf → int-cast overflow — so the contract
+            # here is: quantized all-zero, and the inputs were at most
+            # the underflow threshold (127 · 2^-1075 < 1.6e-321).
+            assert all(qc == 0 for qc in r["q"])
+            assert all(abs(x) < 1.6e-321 for x in r["v"])
             continue
         slack = scale * (0.5 + 1e-9)
         for x, qc in zip(r["v"], r["q"]):
