@@ -33,7 +33,10 @@ def main() -> None:
     sf = float(sf_match.group(1)) if sf_match else None
 
     from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
-    from spark_streaming_kafka2elasticsearch_spark.session import build_session
+    from spark_streaming_kafka2elasticsearch_spark.session import (
+        build_session,
+        release_cached_state,
+    )
 
     spark = build_session(master=f"local[{cpus}]", app_name="bench")
 
@@ -118,9 +121,12 @@ def main() -> None:
                 runs.setdefault(name, []).append(-1.0)
                 print(f"bench error in {name}: {exc}", file=sys.stderr)
             # Queries are independent; drop persisted intermediates (dedup
-            # materialization boundaries) so cache pressure from one query
-            # can't skew the next one's timing.
-            spark.catalog.clearCache()
+            # materialization boundaries) AND orphaned localCheckpoint
+            # RDD blocks — clearCache alone leaves the latter, and the
+            # accumulated zombies were measured doubling the heavy graph
+            # queries by the third pass (spread 22-39s on the iterative
+            # plans before this cleanup).
+            release_cached_state(spark)
         passes_done += 1
         # Persist after EVERY pass: if the driver's (unknown) timeout
         # kills a later pass, the artifact still carries the last

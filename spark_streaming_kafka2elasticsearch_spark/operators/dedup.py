@@ -1403,3 +1403,81 @@ def pagerank(
         F.col("_n").alias(node_col),
         F.col("_r").cast("string").alias("pr_score"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    rounds: int = 8,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected pair graph:
+    (node, core_degree) for every node still alive after ``rounds``
+    peels — each peel removes all nodes of current degree < k, then
+    restricts the edge set to survivors.
+
+    The fifth graph primitive (components / BFS / triangles /
+    PageRank / k-core): the k-core is the dense sub-graph where every
+    member has ≥ k surviving near-dup partners — boilerplate and
+    template families that pairwise thresholds under-report, and the
+    part of the graph where transitive-closure dedup is SAFE (a 3-core
+    member's duplicates corroborate each other; a chain's don't — the
+    triangle census gives the local view, the k-core the global one).
+
+    Fixed ``rounds`` (not peel-until-stable) for the same reason as
+    :func:`pagerank`: the SQL oracle unrolls the identical peel
+    sequence, so both engines run EXACTLY the same dataflow and the
+    output is deterministic whether or not peeling has converged.
+    Peeling is idempotent at the fixed point, so extra rounds are
+    no-ops; dedup blob graphs converge in 2–3.  All-integer arithmetic
+    — no float discipline needed at all.
+
+    Scale shape: every round is one partial-agg degree count + two
+    semi-joins on a monotonically SHRINKING edge relation; rounds chain
+    lazily with a localCheckpoint every ``checkpoint_every`` to bound
+    lineage (the shrink means later rounds are nearly free).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")),
+                    F.struct(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e._src", "_e._dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = e
+    for it in range(rounds):
+        # alive is referenced THREE times downstream (both semi-join
+        # sides this round, plus everything later); materializing it —
+        # it is a tiny node-id list — keeps each round's plan a single
+        # linear join chain.  Left lazy, every reference would re-nest
+        # the whole prior round (3^rounds subtrees).
+        alive = (
+            cur.groupBy("_src")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("_src")
+            .localCheckpoint(eager=True)
+        )
+        cur = cur.join(alive, "_src", "left_semi").join(
+            alive.select(F.col("_src").alias("_dst")), "_dst", "left_semi"
+        )
+        if (it + 1) % checkpoint_every == 0 and (it + 1) < rounds:
+            cur = cur.localCheckpoint(eager=True)
+    out = (
+        cur.groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("_src").alias("node"), "core_degree")
+    )
+    final = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return final

@@ -82,6 +82,7 @@ _PRIORITY: list[str] = [
     "minhash_near_dup_pairs",
     "near_dup_pagerank",
     "dedup_cluster_weights",
+    "embedding_dup_kcore",
     "user_cohort_retention",
     "purchase_funnel",
     "user_daily_gapfill",

@@ -3230,8 +3230,9 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The same lang-blocked exact-Jaccard pair graph the CC/cluster queries
-# are proven green on (threshold 0.12, stop-shingle cap 50).
-_PAGERANK_PAIRS_SQL = """
+# are proven green on (threshold 0.12, stop-shingle cap 50), through the
+# symmetrized edge relation — shared by the PageRank and k-core oracles.
+_NEAR_DUP_EDGES_SQL = """
 sh AS (
   SELECT doc_id, lang,
          list_distinct(list_transform(
@@ -3263,7 +3264,9 @@ edges AS (
   UNION ALL
   SELECT id_b AS a, id_a AS b FROM pairs
 ),
-deg AS (SELECT a, count(*) AS d FROM edges GROUP BY a),
+deg AS (SELECT a, count(*) AS d FROM edges GROUP BY a)"""
+
+_PAGERANK_PAIRS_SQL = _NEAR_DUP_EDGES_SQL + """,
 inv AS (SELECT a, CAST(round(1.0 / d, 14) AS DECIMAL(16,14)) AS invd FROM deg),
 c AS (SELECT CAST(round(0.15 / count(*), 14) AS DECIMAL(16,14)) AS base,
              CAST(round(1.0  / count(*), 14) AS DECIMAL(18,16)) AS rinit
@@ -3416,3 +3419,107 @@ def dedup_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("sample_weight"),
     )
+
+
+def _kcore_oracle(k: int, rounds: int, edges_cte: str) -> str:
+    """Unrolled fixed-round k-core peel over ``edges_cte`` (CTE text
+    ending in an ``edges(a, b)`` relation, already symmetrized) —
+    integer-only, so unlike the PageRank oracle there is no decimal
+    staging at all; each round is a HAVING-filtered degree census + two
+    semi-joins, the literal SQL twin of operators/dedup.kcore."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # e{i} references e{i-1} three times (the census + both semi-join
+    # sides) — inlined, the unroll expands 3^rounds scans of the base
+    # table ("too many open files" at rounds=8).  Materializing each
+    # round makes the oracle the same linear peel the Spark side runs.
+    parts = ["e0 AS MATERIALIZED (SELECT a AS _src, b AS _dst FROM edges)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT _src FROM e{i-1} GROUP BY _src"
+            f" HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT x._src, x._dst FROM e{i-1} x"
+            f" JOIN a{i} s ON x._src = s._src"
+            f" JOIN a{i} t ON x._dst = t._src)"
+        )
+    return (
+        "WITH "
+        + edges_cte
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT _src AS node, count(*) AS core_degree FROM e{rounds} GROUP BY _src
+"""
+    )
+
+
+_EMB_KCORE_EDGES_SQL = """
+aug AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, label,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01 + 0.002)
+  FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 200000, label,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.02 + 0.001)
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id AND a.label = b.label
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+)"""
+
+
+@register("embedding_dup_kcore", oracle=_kcore_oracle(2, 8, _EMB_KCORE_EDGES_SQL))
+def embedding_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-core of the embedding near-dup graph: members whose
+    duplicate relations are cyclically corroborated (every survivor has
+    ≥ 2 surviving partners after 8 peels) — the sub-graph where
+    transitive-closure dedup is safest, with pendant one-off matches
+    and drift chains peeled away.  The corpus is augmented with TWO
+    deterministic near-copies of every 10th vector (the
+    embedding_near_dup_srp planting idiom, extended so planted
+    families form triangles rather than bare pairs — this corpus's
+    natural near-dups are pairwise only, and a k-core query needs
+    cyclic structure to have a non-trivial answer).  Edges are the
+    exact intra-label cosine ≥ 0.9 pairs (blocked_cosine_pairs_fast,
+    the proven embedding_near_dup_clusters shape); peeling is
+    all-integer, and the oracle unrolls the identical 8-round peel
+    with MATERIALIZED per-round CTEs (inlined, each round would expand
+    3^rounds scans)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import kcore
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        blocked_cosine_pairs_fast,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    tenth = emb.filter(F.col("vec_id") % 10 == 0)
+    copy1 = tenth.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.transform(v, lambda x: x * F.lit(1.01) + F.lit(0.002)).alias("embedding"),
+    )
+    copy2 = tenth.select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        "label",
+        F.transform(v, lambda x: x * F.lit(1.02) + F.lit(0.001)).alias("embedding"),
+    )
+    aug = (
+        emb.select("vec_id", "label", v.alias("embedding"))
+        .unionByName(copy1)
+        .unionByName(copy2)
+    )
+    pairs = blocked_cosine_pairs_fast(
+        aug, id_col="vec_id", vec_col="embedding", block_col="label",
+        threshold=0.9,
+    ).select("id_a", "id_b")
+    return kcore(pairs, k=2, rounds=8)

@@ -94,3 +94,31 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_cached_state(spark) -> int:
+    """Release EVERYTHING the session holds in the block manager:
+    SQL-cached relations (``catalog.clearCache``) AND persistent RDDs —
+    which includes ``localCheckpoint`` blocks that ``clearCache`` does
+    NOT touch (they are RDD-level persists, invisible to the SQL cache
+    manager, and otherwise linger until the driver garbage-collects
+    the last reference).  Returns the number of RDDs unpersisted.
+
+    Why this exists: the iterative operators (connected components,
+    PageRank, k-core, BFS) truncate lineage with eager
+    ``localCheckpoint`` — correct per query, but in a long-lived
+    session running hundreds of queries (bench, the oracle gate, a
+    query service) the orphaned checkpoint blocks accumulate into GC
+    pressure that was measured DOUBLING the heavy graph queries by the
+    third bench pass.  Callers must only invoke this BETWEEN
+    independent queries: unpersisting a checkpointed RDD makes it
+    unrecomputable (its lineage was truncated), so any still-live
+    DataFrame built on one dies with it.
+    """
+    spark.catalog.clearCache()
+    # py4j surfaces the JavaSparkContext's Map<Integer, JavaRDD> as a
+    # Python mapping; snapshot the values before unpersisting mutates it.
+    rdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
+    for rdd in rdds:
+        rdd.unpersist(False)
+    return len(rdds)

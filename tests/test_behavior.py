@@ -611,3 +611,40 @@ def test_pagerank_symmetric_pair_equal_ranks(spark):
     nodes = spark.createDataFrame([(1,), (2,)], "_id long")
     out = {r._id: r.pr_score for r in pagerank(edges, nodes, iterations=6).collect()}
     assert out[1] == out[2]
+
+
+# ---------------------------------------------------------------------------
+# k-core — literal graph: pendant chain peels away, cycle+chord survives
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peels_pendant_chain_keeps_cycle(spark):
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import kcore
+
+    # triangle 1-2-3 with a pendant chain 3-4-5 and an isolated edge 8-9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (8, 9)],
+        "id_a long, id_b long",
+    )
+    out = {r.node: r.core_degree for r in kcore(edges, k=2).collect()}
+    # 5 peels (deg 1), then 4 (deg drops to 1), 8/9 peel immediately;
+    # the triangle is the 2-core, every member at degree 2
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_k3_requires_dense_blob(spark):
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import kcore
+
+    # K4 minus one edge has two deg-2 nodes -> empty 3-core;
+    # full K4 survives with every node at degree 3
+    k4_minus = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    out = kcore(
+        spark.createDataFrame(k4_minus, "id_a long, id_b long"), k=3
+    ).collect()
+    assert out == []
+    k4 = k4_minus + [(3, 4)]
+    out2 = {
+        r.node: r.core_degree
+        for r in kcore(spark.createDataFrame(k4, "id_a long, id_b long"), k=3).collect()
+    }
+    assert out2 == {1: 3, 2: 3, 3: 3, 4: 3}

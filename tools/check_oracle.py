@@ -73,7 +73,10 @@ def canon_types(scols, sdtypes, ocols, otypes):
 
 def main() -> int:
     import __spark_entry__ as entrymod
-    from spark_streaming_kafka2elasticsearch_spark.session import build_session
+    from spark_streaming_kafka2elasticsearch_spark.session import (
+        build_session,
+        release_cached_state,
+    )
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -98,6 +101,9 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
+            # free SQL caches AND orphaned localCheckpoint blocks the
+            # iterative operators leave behind (clearCache misses them)
+            release_cached_state(spark)
         except Exception as exc:
             failures.append(name)
             print(f"  {name}: SPARK ERROR {type(exc).__name__}: {str(exc)[:300]}")

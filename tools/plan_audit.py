@@ -32,7 +32,7 @@ def main() -> int:
             out[name] = plan_metrics(fn(spark, sf_dir))
         except Exception as exc:  # pragma: no cover - audit tool resilience
             out[name] = {"error": str(exc)[:200]}
-        spark.catalog.clearCache()
+        release_cached_state(spark)
     n_cart = [n for n, m in out.items() if m.get("has_cartesian")]
     summary = {
         "n_queries": len(out),

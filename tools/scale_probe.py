@@ -224,7 +224,10 @@ def main() -> None:
         dirs[f] = d
 
     from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
-    from spark_streaming_kafka2elasticsearch_spark.session import build_session
+    from spark_streaming_kafka2elasticsearch_spark.session import (
+    build_session,
+    release_cached_state,
+)
 
     qs = all_queries()
     spark = build_session(master="local[32]", app_name="scale_probe")
@@ -240,7 +243,7 @@ def main() -> None:
             qs[q](spark, BASE).write.format("noop").mode("overwrite").save()
         except Exception:  # noqa: BLE001
             pass
-        spark.catalog.clearCache()
+        release_cached_state(spark)
     print("warm-up pass done", file=sys.stderr)
 
     skew: dict = {}
@@ -289,7 +292,7 @@ def main() -> None:
                     print(f"x{factor} {q} FAILED: {exc}", file=sys.stderr)
                     break
                 finally:
-                    spark.catalog.clearCache()
+                    release_cached_state(spark)
             results[q][f"x{factor}"] = best
             print(f"x{factor} {q}: {best}s (min of {passes})", file=sys.stderr)
             flush(results)

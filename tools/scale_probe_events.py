@@ -83,7 +83,10 @@ def main() -> None:
         build_scaled(xdir)
 
     from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
-    from spark_streaming_kafka2elasticsearch_spark.session import build_session
+    from spark_streaming_kafka2elasticsearch_spark.session import (
+    build_session,
+    release_cached_state,
+)
 
     qs = all_queries()
     spark = build_session(master="local[32]", app_name="scale_probe_events")
@@ -98,7 +101,7 @@ def main() -> None:
             qs[q](spark, BASE).write.format("noop").mode("overwrite").save()
         except Exception:  # noqa: BLE001
             pass
-        spark.catalog.clearCache()
+        release_cached_state(spark)
     print("warm-up pass done", file=sys.stderr)
 
     passes = int(os.environ.get("SCALE_PROBE_PASSES", "2"))
@@ -118,7 +121,7 @@ def main() -> None:
                     print(f"x{factor} {q} FAILED: {exc}", file=sys.stderr)
                     break
                 finally:
-                    spark.catalog.clearCache()
+                    release_cached_state(spark)
             results[q][f"x{factor}"] = best
             print(f"x{factor} {q}: {best}s (min of {passes})", file=sys.stderr)
 
