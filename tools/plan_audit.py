@@ -20,7 +20,10 @@ sys.path.insert(0, "/root/repo")
 
 from spark_streaming_kafka2elasticsearch_spark.plans.inspect import plan_metrics  # noqa: E402
 from spark_streaming_kafka2elasticsearch_spark.queries import all_queries  # noqa: E402
-from spark_streaming_kafka2elasticsearch_spark.session import build_session  # noqa: E402
+from spark_streaming_kafka2elasticsearch_spark.session import (  # noqa: E402
+    build_session,
+    release_cached_state,
+)
 
 
 def main() -> int:
