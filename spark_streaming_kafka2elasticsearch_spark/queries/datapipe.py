@@ -3490,14 +3490,20 @@ def embedding_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     families form triangles rather than bare pairs — this corpus's
     natural near-dups are pairwise only, and a k-core query needs
     cyclic structure to have a non-trivial answer).  Edges are the
-    exact intra-label cosine ≥ 0.9 pairs (blocked_cosine_pairs_fast,
-    the proven embedding_near_dup_clusters shape); peeling is
-    all-integer, and the oracle unrolls the identical 8-round peel
-    with MATERIALIZED per-round CTEs (inlined, each round would expand
+    SRP-bucketed cos ≥ 0.9 pairs (srp_near_dup_pairs, auto-sized
+    planes — the production candidate path, NOT the quadratic exact
+    scan, which a probe measured at α≈1.55 by 3×); the oracle's
+    brute-force intra-label pair CTE therefore also re-proves the
+    bucketed path's recall on this corpus, exactly the
+    embedding_near_dup_srp doctrine (planted pairs sit at
+    cos ≥ 0.999, per-pair miss probability ~1e-8; no natural pair
+    reaches 0.9 in- or cross-label, probed).  Peeling is all-integer,
+    and the oracle unrolls the identical 8-round peel with
+    MATERIALIZED per-round CTEs (inlined, each round would expand
     3^rounds scans)."""
     from spark_streaming_kafka2elasticsearch_spark.operators.dedup import kcore
     from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
-        blocked_cosine_pairs_fast,
+        srp_near_dup_pairs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3518,8 +3524,7 @@ def embedding_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(copy1)
         .unionByName(copy2)
     )
-    pairs = blocked_cosine_pairs_fast(
-        aug, id_col="vec_id", vec_col="embedding", block_col="label",
-        threshold=0.9,
+    pairs = srp_near_dup_pairs(
+        aug, dim=64, id_col="vec_id", vec_col="embedding", threshold=0.9
     ).select("id_a", "id_b")
     return kcore(pairs, k=2, rounds=8)
