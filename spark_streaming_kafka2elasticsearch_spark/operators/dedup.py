@@ -433,7 +433,7 @@ def minhash_lsh_candidate_pairs(
     )
     sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
     sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b"))
-    return (
+    result = (
         inter.join(sz_a, "id_a")
         .join(sz_b, "id_b")
         .select(
@@ -445,6 +445,16 @@ def minhash_lsh_candidate_pairs(
             ).alias("jaccard"),
         )
     )
+    # Materialize the (census-bounded, fixed-width) pair result and
+    # release the three staged intermediates — library callers that
+    # never invoke release_cached_state must not accumulate
+    # block-manager state per call (r6 advisory).  One checkpointed
+    # final replaces three leaked persists; the same final-checkpoint
+    # contract as connected_components/pagerank.
+    final = result.localCheckpoint(eager=True)
+    for staged in (banded, pairs, relc):
+        staged.unpersist()
+    return final
 
 
 def jaccard_by_inverted_index(shingled: DataFrame) -> DataFrame:
@@ -757,7 +767,7 @@ def simhash_near_dup_pairs(
     )
     sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash64").alias("_sa"))
     sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash64").alias("_sb"))
-    return (
+    result = (
         pairs.join(sig_a, "id_a")
         .join(sig_b, "id_b")
         .select(
@@ -767,6 +777,11 @@ def simhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    # Release the persisted signature table (r6 advisory): one
+    # checkpointed census-bounded pair result, no leaked blocks.
+    final = result.localCheckpoint(eager=True)
+    sig.unpersist()
+    return final
 
 
 def connected_components(
@@ -1172,11 +1187,16 @@ def triangle_counts(
         )
         .select("_a", "_b", "_c")
     )
-    return (
+    result = (
         tris.select(F.explode(F.array("_a", "_b", "_c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    # Release the persisted edge relation (r6 advisory): the per-node
+    # census is tiny; one checkpoint block replaces the leaked persist.
+    final = result.localCheckpoint(eager=True)
+    e.unpersist()
+    return final
 
 
 def delta_corpus_jaccard_pairs(
@@ -1203,11 +1223,15 @@ def delta_corpus_jaccard_pairs(
       Σ df², so a 1-in-10⁶ delta costs ~10⁻⁶ of a full re-dedup;
     * the ``max_doc_freq`` stop-shingle cap is computed on the CORPUS
       side alone (at scale those document frequencies are maintained
-      statistics, not a per-batch scan) and applied to BOTH sides, so
-      the metric stays a true Jaccard of identically-reduced sets and
-      — unlike capping on the combined frame — is stable as deltas
-      stream in: a shingle's cap status cannot flap because of what
-      today's batch contains;
+      statistics, not a per-batch scan).  The corpus side keeps only
+      shingles with df ≤ cap (inner join); the delta side drops only
+      shingles the corpus marks OVER-frequent (anti-join against the
+      df > cap set) — delta shingles the corpus has never seen are
+      KEPT, so a mostly-novel delta document retains its novel mass in
+      the denominator and cannot be inflated into a false near-dup
+      (inner-joining the delta against the df ≤ cap set would silently
+      discard every corpus-unknown shingle and recount sizes without
+      them).  Cap status still cannot flap with the day's batch;
     * set sizes are recounted post-cap per side.
 
     Blocked like :func:`blocked_ngram_jaccard_pairs`; rows present in
@@ -1228,14 +1252,20 @@ def delta_corpus_jaccard_pairs(
     new_tok = _shingled(delta)
     old_tok = _shingled(corpus)
     if max_doc_freq is not None:
-        ok = (
-            old_tok.groupBy("_block", "_sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_doc_freq)
-            .select("_block", "_sh")
+        dfreq = old_tok.groupBy("_block", "_sh").agg(
+            F.count(F.lit(1)).alias("_df")
         )
-        old_tok = old_tok.join(ok, ["_block", "_sh"])
-        new_tok = new_tok.join(ok, ["_block", "_sh"])
+        old_tok = old_tok.join(
+            dfreq.filter(F.col("_df") <= max_doc_freq).select("_block", "_sh"),
+            ["_block", "_sh"],
+        )
+        # Delta keeps corpus-novel shingles: only the OVER-frequent
+        # corpus set is removed (left_anti), never the unseen ones.
+        new_tok = new_tok.join(
+            dfreq.filter(F.col("_df") > max_doc_freq).select("_block", "_sh"),
+            ["_block", "_sh"],
+            "left_anti",
+        )
     new_sizes = new_tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz_new"))
     old_sizes = old_tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz_old"))
     inter = (
@@ -1327,8 +1357,13 @@ def pagerank(
         )
     q14 = Decimal("1e-14")
     # Decimal(float) is the EXACT binary expansion — the same value
-    # DuckDB's round(0.15/n, 14) sees — not the shortest repr.
-    base = Decimal((1 - Decimal(damping)) / n).quantize(q14, ROUND_HALF_UP)
+    # DuckDB's round(0.15/n, 14) sees — not the shortest repr.  Both
+    # literals follow the same IEEE-divide-then-HALF_UP protocol: the
+    # division happens in double (as DuckDB's 0.15/n does — DOUBLE
+    # promotion), THEN the exact binary expansion is quantized.  An
+    # exact Decimal division here could land on the other side of a
+    # 14-dp half-way boundary than the double the oracle rounds.
+    base = Decimal(float(1 - Decimal(damping)) / n).quantize(q14, ROUND_HALF_UP)
     r_init = Decimal(1.0 / n).quantize(q14, ROUND_HALF_UP)
 
     e = (

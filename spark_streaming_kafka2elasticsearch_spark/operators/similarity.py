@@ -593,7 +593,7 @@ def srp_near_dup_pairs(
         F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb")
     )
     denom = F.col("_na") * F.col("_nb")
-    return (
+    result = (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -605,6 +605,13 @@ def srp_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+    # Release both staged intermediates (r6 advisory): the verified
+    # pair set is census-bounded; one checkpoint block, no leaked
+    # persists for callers that never run release_cached_state.
+    final = result.localCheckpoint(eager=True)
+    base.unpersist()
+    banded.unpersist()
+    return final
 
 
 def semdedup_assignments(
@@ -736,7 +743,7 @@ def semdedup_assignments(
         .groupBy("_id")
         .agg(F.max("_sim").alias("max_intra_sim"))
     )
-    return assigned.join(best_prior, "_id", "left").select(
+    result = assigned.join(best_prior, "_id", "left").select(
         F.col("_id").alias(id_col),
         "cluster_id",
         "max_intra_sim",
@@ -745,3 +752,10 @@ def semdedup_assignments(
             | (F.col("max_intra_sim") < F.lit(threshold))
         ).alias("keep"),
     )
+    # Release the persisted (id, vector, norm) base (r6 advisory).
+    # The keep-decision table is 4 narrow columns — at corpus scale a
+    # production run stages exactly this relation anyway, so the
+    # checkpoint is the natural materialization boundary.
+    final = result.localCheckpoint(eager=True)
+    base.unpersist()
+    return final

@@ -73,78 +73,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: rest.  Dicts preserve insertion order; rotate this list each round
 #: so every query gets a driver row within two rounds.
 _PRIORITY: list[str] = [
-    # round-6 rotation (VERDICT r5 item 2): new-this-round first (never
-    # driver-checked), then the 6 queries whose newest driver row is r2,
-    # then the 50 last checked in r4; the 50 just re-greened in r5 drop
-    # to the tail.  Computed from the union of CORRECTNESS_r01-r05.
-    # minhash_near_dup_pairs leads: its verify semantics changed late in
-    # r6 (pair-restricted exact Jaccard) so prior driver rows are stale.
-    "minhash_near_dup_pairs",
-    "near_dup_pagerank",
-    "dedup_cluster_weights",
-    "embedding_dup_kcore",
-    "user_cohort_retention",
-    "purchase_funnel",
-    "user_daily_gapfill",
-    "purchase_error_correlation",
-    "semdedup_keep_decisions",
-    "semdedup_keep_decisions_auto",
-    "dup_graph_bfs_hops",
-    "part_name_fuzzy_pairs",
-    "dup_graph_triangle_counts",
-    "delta_corpus_dedup_check",
-    "leakage_safe_split",
-    "doc_length_quantiles_by_lang",
-    "join_size_audit",
-    "image_ahash_fingerprints",
-    "doc_containment_pairs",
-    "user_running_distinct_types",
-    "event_transition_matrix",
-    "gopher_quality_flags",
-    "countmin_token_frequencies",
-    "document_chunks_udtf",
-    "events_variant_props",
-    "dominant_part_suppliers",
-    "bigram_logprob_scores",
-    "bpe_merge_candidates",
-    "tokenizer_vocab_ids",
-    "documents_token_ids",
-    "deduped_corpus_best_quality",
-    "embedding_near_dup_clusters",
-    "embedding_label_centroids",
-    "event_value_histogram",
-    "corpus_summary_report",
-    "customer_rfm_scores",
-    "nation_trailing_7day_revenue",
-    "bigram_counts",
-    "train_val_test_split",
-    "unigram_logprob_scores",
-    "weighted_avg_price_pandas",
-    "returnflag_priority_mix",
-    "product_type_profit",
-    "top_supplier_per_part",
-    "important_part_share",
-    "embedding_near_dup_srp_auto",
-    "chunk_level_dedup",
-    "source_mixing_weights",
-    "decontaminate_bloom_prefilter",
-    "mixed_corpus_sample",
+    # round-7 rotation (VERDICT r6 items 1+6): head = the 7 queries the
+    # driver has never value-checked (2 never sampled at all; 5 whose
+    # oracles were added after their newest driver row), then queries
+    # new in r7, then the 4 remaining r2-vintage rows, then the 48
+    # remaining r4-vintage rows, then r5-vintage, then the 50 just
+    # re-greened in r6 at the tail.  Computed from the union of
+    # CORRECTNESS_r01-r06 (latest row per query).
     "lang_token_stats_pandas",
     "nation_revenue_reconciliation",
+    "ann_cosine_topk_lsh",
     "multimodal_video_frames",
     "multimodal_audio_features",
+    "multimodal_image_decode_real",
+    "multimodal_audio_decode_real",
+    # -- new or semantics-changed in r7 (prior driver rows stale) --
+    "exact_substring_dup_spans",
+    "delta_corpus_dedup_check",
+    "near_dup_pagerank",
+    "embedding_dup_kcore",
+    # -- r2-vintage --
     "asof_purchase_prior_click",
     "daily_event_type_pivot",
     "string_functions_showcase",
     "date_functions_showcase",
+    # -- r4-vintage --
     "events_last_error_asof",
     "token_rarity_scores",
     "deduped_corpus",
     "near_dup_clusters_star",
     "decontaminate_train_docs",
     "ann_cosine_topk_pandas",
-    "multimodal_image_decode_real",
-    "multimodal_audio_decode_real",
     "document_repetition_ratios",
     "document_chunks",
     "hashed_bow_embeddings",
@@ -187,6 +146,7 @@ _PRIORITY: list[str] = [
     "discounted_revenue",
     "global_sales_opportunity",
     "suppliers_kept_waiting",
+    # -- r5-vintage --
     "user_sessionization",
     "multimodal_video_decode_real",
     "embedding_int8_quantized",

@@ -2911,7 +2911,9 @@ flat AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
 new_f AS (SELECT * FROM flat WHERE doc_id % 10 = 0),
 old_f AS (SELECT * FROM flat WHERE doc_id % 10 <> 0),
 ok AS (SELECT lang, s FROM old_f GROUP BY lang, s HAVING count(*) <= 50),
-new_k AS (SELECT n.doc_id, n.lang, n.s FROM new_f n JOIN ok USING (lang, s)),
+hot AS (SELECT lang, s FROM old_f GROUP BY lang, s HAVING count(*) > 50),
+new_k AS (SELECT n.doc_id, n.lang, n.s FROM new_f n
+          WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.lang = n.lang AND h.s = n.s)),
 old_k AS (SELECT o.doc_id, o.lang, o.s FROM old_f o JOIN ok USING (lang, s)),
 sz_n AS (SELECT doc_id, count(*) AS n FROM new_k GROUP BY doc_id),
 sz_o AS (SELECT doc_id, count(*) AS n FROM old_k GROUP BY doc_id),
@@ -3524,7 +3526,32 @@ def embedding_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(copy1)
         .unionByName(copy2)
     )
-    pairs = srp_near_dup_pairs(
-        aug, dim=64, id_col="vec_id", vec_col="embedding", threshold=0.9
-    ).select("id_a", "id_b")
+    # Post-filter candidates to SAME-LABEL pairs so the Spark edge set
+    # matches the oracle's intra-label pair definition STRUCTURALLY
+    # (r6 advisory): without this, parity rested on a probed data
+    # property (no cross-label pair reaches cos 0.9) that a rescaled
+    # corpus could silently violate.  The only remaining divergence
+    # risk is the documented SRP recall bound.  The id→label
+    # projection is thin (2 narrow columns off the same scan); AQE
+    # broadcasts it at test scale, and at corpus scale the two id-keyed
+    # hash joins stay shuffle-bounded by the (sparse) pair relation.
+    labels = aug.select("vec_id", "label")
+    pairs = (
+        srp_near_dup_pairs(
+            aug, dim=64, id_col="vec_id", vec_col="embedding", threshold=0.9
+        )
+        .select("id_a", "id_b")
+        .join(
+            labels.select(F.col("vec_id").alias("id_a"),
+                          F.col("label").alias("_la")),
+            "id_a",
+        )
+        .join(
+            labels.select(F.col("vec_id").alias("id_b"),
+                          F.col("label").alias("_lb")),
+            "id_b",
+        )
+        .filter(F.col("_la") == F.col("_lb"))
+        .select("id_a", "id_b")
+    )
     return kcore(pairs, k=2, rounds=8)

@@ -313,11 +313,21 @@ def streaming_funnel_conversions(
             state.get if state.exists else (0, None, None, False)
         )
         hits = []
-        for pdf in pdfs:
-            if converted:
-                break
-            pdf = pdf.sort_values(ts_col)
-            for et, ts in zip(pdf[type_col], pdf[ts_col]):
+        # Concatenate the group's Arrow chunks and sort ONCE across
+        # the whole micro-batch (r6 advisory): sorting per chunk let a
+        # purchase delivered in an earlier chunk than its click be
+        # processed first, and the forward-only machine then missed
+        # the conversion permanently.  Group volume per micro-batch is
+        # bounded by the trigger, so the concat is small by contract.
+        chunks = [] if converted else list(pdfs)
+        if chunks:
+            batch = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd_.concat(chunks, ignore_index=True)
+            )
+            batch = batch.sort_values(ts_col)
+            for et, ts in zip(batch[type_col], batch[ts_col]):
                 us = int(ts.value // 1_000) if hasattr(ts, "value") else int(ts)
                 if stage == 0 and et == s_view:
                     stage, v_us = 1, us

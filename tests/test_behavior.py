@@ -398,6 +398,37 @@ def test_delta_corpus_cap_is_corpus_side(spark):
     assert out == []  # the only shared shingle is a corpus stop-shingle
 
 
+def test_delta_corpus_novel_shingles_stay_in_denominator(spark):
+    """A mostly-novel delta doc sharing a few corpus-known shingles
+    must score LOW: its corpus-unseen shingles stay in the Jaccard
+    denominator (they are not over-frequent, merely unseen).  Guards
+    the r6 advisory bug where the delta side was inner-joined against
+    the df<=cap corpus set, silently dropping every novel shingle and
+    inflating jaccard toward 1."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        delta_corpus_jaccard_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en")],
+        "doc_id long, text string, lang string",
+    )
+    # delta doc = corpus doc's one shingle + 9 novel shingles
+    novel = " ".join(f"w{i}" for i in range(11))  # 9 trigram shingles
+    delta = spark.createDataFrame(
+        [(10, f"alpha beta gamma {novel}", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = delta_corpus_jaccard_pairs(
+        delta, corpus, id_col="doc_id", block_cols=["lang"],
+        min_jaccard=0.01, max_doc_freq=50,
+    ).collect()
+    assert len(out) == 1
+    # intersection=1 ("alpha beta gamma"); sizes: delta 12 shingles,
+    # corpus 1 -> jaccard = 1/12.  The buggy reduction scored 1/1 = 1.0.
+    assert abs(out[0].jaccard - 1 / 12) < 1e-12, out
+
+
 # ---------------------------------------------------------------------------
 # leakage-safe split — group integrity invariant
 # ---------------------------------------------------------------------------
