@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_streaming_kafka2elasticsearch_spark.functions.text import md5_hash64, tokens
@@ -1296,6 +1296,120 @@ def delta_corpus_jaccard_pairs(
     )
 
 
+def exact_substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 15,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring (suffix-window) duplicate spans, the Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" family (arXiv:2107.06499): for every document, the MAXIMAL
+    token spans covered by fixed-width ``window``-token substrings
+    whose exact content occurs at least ``min_count`` times in the
+    whole corpus (within- or cross-document — the suffix-array
+    definition counts both).  Output one row per merged span:
+    ``(id_col, span_start, span_end, span_tokens, n_windows)``, token
+    positions 1-based inclusive.  These are the byte ranges a
+    train-data pipeline deletes (all-but-one occurrence) — verbatim
+    boilerplate, licenses, templates — which shingle/embedding
+    near-dup families systematically under-report because a long
+    shared substring inside an otherwise-unique document never lifts
+    whole-document Jaccard over any threshold.
+
+    Spark re-expression of the suffix-array algorithm (the paper
+    builds one giant suffix array; a distributed engine neither can
+    nor needs to): a length-``window`` substring repeats iff its
+    window-hash repeats, so the corpus-wide repeat relation is a
+    hash-groupBy — no suffixes ever sort globally.
+
+    Plan shape, stage by stage:
+
+    1. window relation — the :func:`shingle_relation` codegen idiom
+       (posexplode + null-safe ``get`` lookups + ``concat_ws``; no
+       shuffle, no interpreted higher-order functions), with md5 taken
+       per window so the shuffle moves a fixed-width digest, never
+       window text.  Docs shorter than ``window`` emit nothing (a
+       window must be full width — unlike shingles there is no
+       whole-doc fallback).
+    2. repeat census — partial-agg ``groupBy(hash)`` keeping hashes
+       with total count ≥ ``min_count``; the join back is a semi-join
+       on the digest.  No df-cap is needed: stage 3 is per-document
+       and a window can contribute at most once per position.
+    3. interval merge — per-document window functions (``lag`` →
+       break flag → running-sum group id): windows at positions p, q
+       merge iff q ≤ p + window (overlap or exact adjacency), which is
+       the standard sorted-interval merge since span ends are
+       monotonic in starts.  Partitioned by document id — there is no
+       global window anywhere, so the stage scales with the widest
+       single document, not the corpus.
+
+    100 TB notes: stage 1 is scan-linear (Σ tokens rows, 16-byte
+    digests); stage 2 is the same shuffle envelope as the
+    decontamination inverted index; stage 3 shuffles only positions of
+    REPEATED windows.  md5 is the oracle-parity hash family (DuckDB
+    computes the identical digest); production callers on a trusted
+    single engine can swap ``xxhash64`` for ~2× stage-1 throughput,
+    exactly the minhash fast-path trade.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    t = tokens(F.col(text_col))
+    toks = (
+        df.select(F.col(id_col).alias("_id"), t.alias("_toks"))
+        .filter(F.size("_toks") >= window)
+        .select("_id", "_toks", F.posexplode("_toks").alias("_i", "_tok"))
+        .filter(F.col("_i") <= F.size("_toks") - window)
+    )
+    parts = [F.col("_tok")] + [
+        F.get(F.col("_toks"), F.col("_i") + j) for j in range(1, window)
+    ]
+    win = toks.select(
+        "_id",
+        (F.col("_i") + 1).alias("_pos"),  # 1-based, matches SQL oracles
+        F.md5(F.concat_ws(" ", *parts)).alias("_h"),
+    )
+    hot = (
+        win.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_h")
+    )
+    dup = win.join(hot, "_h", "left_semi")
+    doc_w = Window.partitionBy("_id").orderBy("_pos")
+    flagged = dup.select(
+        "_id",
+        "_pos",
+        F.when(
+            F.col("_pos") > F.lag("_pos").over(doc_w) + window, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("_brk"),
+    )
+    grouped = flagged.select(
+        "_id",
+        "_pos",
+        F.sum("_brk")
+        .over(doc_w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_grp"),
+    )
+    return grouped.groupBy("_id", "_grp").agg(
+        F.min("_pos").alias("span_start"),
+        (F.max("_pos") + window - 1).alias("span_end"),
+        (F.max("_pos") + window - F.min("_pos")).alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select(
+        F.col("_id").alias(id_col),
+        "span_start",
+        "span_end",
+        "span_tokens",
+        "n_windows",
+    )
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,
@@ -1469,13 +1583,24 @@ def kcore(
     no-ops; dedup blob graphs converge in 2–3.  All-integer arithmetic
     — no float discipline needed at all.
 
-    Scale shape: every round is one partial-agg degree count + two
-    semi-joins on a monotonically SHRINKING edge relation; rounds chain
-    lazily with a localCheckpoint every ``checkpoint_every`` to bound
-    lineage (the shrink means later rounds are nearly free).
+    Scale shape (reworked in r7 after the 10× probe flagged α 1.2 on
+    the old alive-semi-join peel): each round is ONE eager
+    materialization — a partial-agg degree census feeding two
+    **anti-joins against the DEAD set** (nodes with 0 < degree < k).
+    Peeling by the dead set instead of semi-joining the alive set is
+    the asymmetry that makes fixed extra rounds cheap: the alive set
+    is O(nodes) every round, but the dead set shrinks to EMPTY at the
+    fixed point, so converged rounds degenerate to broadcast
+    anti-joins that stream the edge relation with no shuffle (AQE
+    picks the broadcast automatically from the census's runtime
+    size).  The old shape paid two alive-sized shuffle semi-joins per
+    round forever, plus a separate eager job per census whose lazy
+    semi-join chain re-executed up to ``checkpoint_every`` prior
+    rounds — measured as the whole α 1.2.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    del checkpoint_every  # every round materializes exactly once now
     e = (
         edges.select(
             F.explode(
@@ -1490,29 +1615,33 @@ def kcore(
         .localCheckpoint(eager=True)
     )
     cur = e
-    for it in range(rounds):
-        # alive is referenced THREE times downstream (both semi-join
-        # sides this round, plus everything later); materializing it —
-        # it is a tiny node-id list — keeps each round's plan a single
-        # linear join chain.  Left lazy, every reference would re-nest
-        # the whole prior round (3^rounds subtrees).
-        alive = (
+    prev = None
+    for _ in range(rounds):
+        dead = (
             cur.groupBy("_src")
             .agg(F.count(F.lit(1)).alias("_d"))
-            .filter(F.col("_d") >= k)
+            .filter(F.col("_d") < k)
             .select("_src")
+        )
+        # One job per round: the census subtree appears on both anti
+        # sides but reads a checkpointed RDD, and converged rounds cost
+        # two empty-build broadcast anti-joins (no edge shuffle).
+        nxt = (
+            cur.join(dead, "_src", "left_anti")
+            .join(dead.select(F.col("_src").alias("_dst")), "_dst", "left_anti")
             .localCheckpoint(eager=True)
         )
-        cur = cur.join(alive, "_src", "left_semi").join(
-            alive.select(F.col("_src").alias("_dst")), "_dst", "left_semi"
-        )
-        if (it + 1) % checkpoint_every == 0 and (it + 1) < rounds:
-            cur = cur.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        prev, cur = cur, nxt
     out = (
         cur.groupBy("_src")
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .select(F.col("_src").alias("node"), "core_degree")
     )
     final = out.localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
+    cur.unpersist()
     e.unpersist()
     return final

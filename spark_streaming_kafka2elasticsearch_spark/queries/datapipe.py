@@ -2958,6 +2958,57 @@ def delta_corpus_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q: exact-substring (suffix-window) duplicate spans — Lee et al. 2022
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_substring_dup_spans",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+w AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(toks[i : i + 14], ' ')) AS h
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 14)) AS i) s
+  WHERE len(toks) >= 15),
+hot AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+d AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM hot)),
+m AS (SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 15
+                  THEN 1 ELSE 0 END AS brk
+      FROM d),
+g AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 14 AS span_end,
+       max(pos) + 15 - min(pos) AS span_tokens, count(*) AS n_windows
+FROM g GROUP BY doc_id, grp
+""",
+)
+def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al.-style exact-substring dedup over the documents
+    corpus: every maximal token span covered by 15-token windows whose
+    exact content repeats anywhere in the corpus — the verbatim-
+    boilerplate detector that shingle/embedding near-dup families
+    under-report (a shared license block inside an otherwise-unique
+    doc never moves whole-doc Jaccard).  The suffix array the paper
+    builds is re-expressed as a window-hash repeat census + per-doc
+    interval merge (operators/dedup.exact_substring_dup_spans): no
+    global sort, no all-pairs, per-doc window functions only.  All
+    output columns are integers and the window hash is md5 on both
+    engines, so the cross-engine check is exact."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        exact_substring_dup_spans as op,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return op(docs, id_col="doc_id", text_col="text", window=15, min_count=2)
+
+
+# ---------------------------------------------------------------------------
 # Q: leakage-safe split — assign by near-dup COMPONENT, not by document
 # ---------------------------------------------------------------------------
 

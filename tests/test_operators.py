@@ -1222,3 +1222,49 @@ def test_chunk_udtf_matches_catalyst_chunker_on_edges(spark):
     for d, c, _, _ in got_udtf:
         by_doc[d] = by_doc.get(d, 0) + 1
     assert by_doc == {2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_exact_substring_dup_spans_merge_semantics(spark):
+    """Pin the Lee et al. suffix-window semantics: cross-doc repeats,
+    WITHIN-doc repeats, interval merge of overlapping windows, the
+    adjacency boundary (gap == window merges, gap == window+1 splits),
+    and short-doc exclusion."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        exact_substring_dup_spans,
+    )
+
+    W = 3
+    docs = [
+        # docs 1+2 share the 4-token run "a b c d" -> windows "a b c"
+        # (pos 2/1) and "b c d" (pos 3/2) both repeat; each doc merges
+        # them into ONE span.
+        (1, "u1 a b c d u2 u3"),
+        (2, "a b c d v1 v2"),
+        # doc 3: within-doc repeat of "z1 z2 z3" at pos 1 and 5 ->
+        # gap 4 == W+1 -> TWO spans [1,3] and [5,7].
+        (3, "z1 z2 z3 m z1 z2 z3"),
+        # doc 4: within-doc repeat at pos 1 and 4 -> gap 3 == W ->
+        # adjacent spans [1,3]+[4,6] merge into ONE [1,6].
+        (4, "y1 y2 y3 y1 y2 y3"),
+        # doc 5: shorter than the window -> contributes nothing even
+        # though its whole text repeats doc 6's prefix.
+        (5, "a b"),
+        (6, "q1 q2 q3 q4"),  # no repeated windows -> no rows
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        (r.doc_id, r.span_start): r
+        for r in exact_substring_dup_spans(
+            df, id_col="doc_id", window=W, min_count=2
+        ).collect()
+    }
+    assert set(out) == {(1, 2), (2, 1), (3, 1), (3, 5), (4, 1)}
+    assert (out[(1, 2)].span_end, out[(1, 2)].n_windows) == (5, 2)
+    assert (out[(2, 1)].span_end, out[(2, 1)].n_windows) == (4, 2)
+    assert (out[(3, 1)].span_end, out[(3, 5)].span_end) == (3, 7)
+    # doc 4: positions 1..4 all duplicated ("y1 y2 y3" twice, and the
+    # wrap windows "y2 y3 y1"/"y3 y1 y2" only once each -> only pos 1
+    # and 4 survive the census; they merge at the gap==W boundary.
+    assert (out[(4, 1)].span_end, out[(4, 1)].span_tokens, out[(4, 1)].n_windows) == (6, 6, 2)
+    for r in out.values():
+        assert r.span_tokens == r.span_end - r.span_start + 1

@@ -89,6 +89,21 @@ def main() -> None:
     print(f"oracle gate: {'GREEN' if out['oracle']['green'] else 'RED'} "
           f"({out['oracle']['checked']} checked, {out['oracle']['failed']} failed)")
     out["green"] = all(v["green"] for k, v in out.items() if isinstance(v, dict))
+    # Regenerate the registry index so QUERIES.md can never drift from
+    # the code (VERDICT r6 item 8); a generator failure is a red flag
+    # but must not mask the test/oracle result.
+    gen = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "gen_queries_md.py")],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    out["queries_md"] = {
+        "green": gen.returncode == 0,
+        "note": (gen.stdout or gen.stderr).strip()[-200:],
+    }
+    print(f"QUERIES.md: {'regenerated' if gen.returncode == 0 else 'FAILED'}")
     with open(os.path.join(REPO, "PREFLIGHT.json"), "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")

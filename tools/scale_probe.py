@@ -95,6 +95,15 @@ PROBE_QUERIES = [
     # keep-everything reweighting (CC + size join)
     "near_dup_pagerank",
     "dedup_cluster_weights",
+    # r7: the kcore peel reworked to dead-set broadcast anti-joins
+    # (one materialization per round) after its r6 row measured α 1.2;
+    # the r6 row was ALSO missing this tool's warm-up protocol (its
+    # first x10 execution carried ~70s of cold compile, measured
+    # 108s cold vs 37s warm on identical code), so it now runs under
+    # the standard warm-up + min-of-2 discipline like every entry.
+    "embedding_dup_kcore",
+    # r7: suffix-window exact-substring dedup (Lee et al. style)
+    "exact_substring_dup_spans",
 ]
 
 
@@ -215,6 +224,12 @@ def skew_join_probe(spark) -> dict:
 
 def main() -> None:
     rebuild = "--rebuild" in sys.argv
+    # --only a,b,c: probe just those queries (merge-written into the
+    # existing JSON), skipping the skew section — for re-measuring a
+    # reworked operator without paying the full 30-query sweep.
+    only: list[str] | None = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
     dirs = {1: BASE}
     for f in FACTORS:
         d = os.path.join(OUT, f"x{f}")
@@ -230,6 +245,7 @@ def main() -> None:
 )
 
     qs = all_queries()
+    probe_list = only or PROBE_QUERIES
     spark = build_session(master="local[32]", app_name="scale_probe")
     spark.range(1_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
@@ -238,7 +254,7 @@ def main() -> None:
     # the wide dedup plans) and would otherwise inflate exactly the x1
     # measurements the growth exponent divides by (measured: x1 >
     # x3 wall-clock on three queries before this pass existed).
-    for q in PROBE_QUERIES:
+    for q in probe_list:
         try:
             qs[q](spark, BASE).write.format("noop").mode("overwrite").save()
         except Exception:  # noqa: BLE001
@@ -258,14 +274,17 @@ def main() -> None:
                 doc = json.load(f)
         except (FileNotFoundError, json.JSONDecodeError):
             doc = {}
+        merged_q = dict(doc.get("queries", {}))
+        merged_q.update(results)
         doc.update(
             {
                 "base_rows": {"documents": 5000, "embeddings": 2000},
                 "factors": [1] + FACTORS,
-                "queries": results,
-                "skew_join": skew,
+                "queries": merged_q,
             }
         )
+        if skew or not only:
+            doc["skew_join"] = skew or doc.get("skew_join", {})
         with open(path, "w") as f:
             json.dump(doc, f, indent=1)
 
@@ -276,9 +295,9 @@ def main() -> None:
     # alphas were swinging ±0.5 on exactly the entries the probe
     # exists to judge.
     passes = int(os.environ.get("SCALE_PROBE_PASSES", "2"))
-    results: dict[str, dict[str, float]] = {q: {} for q in PROBE_QUERIES}
+    results: dict[str, dict[str, float]] = {q: {} for q in probe_list}
     for factor, sf_dir in dirs.items():
-        for q in PROBE_QUERIES:
+        for q in probe_list:
             best = -1.0
             for _ in range(passes):
                 t0 = time.time()
@@ -304,8 +323,9 @@ def main() -> None:
                 math.log(max(r["x10"], 0.01) / max(r["x1"], 0.01)) / math.log(10), 2
             )
     flush(results)
-    skew.update(skew_join_probe(spark))
-    flush(results)
+    if not only:
+        skew.update(skew_join_probe(spark))
+        flush(results)
     print(json.dumps({"queries": results, "skew_join": skew}, indent=1))
 
 
