@@ -1296,6 +1296,39 @@ def delta_corpus_jaccard_pairs(
     )
 
 
+def substring_window_relation(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 15,
+) -> DataFrame:
+    """Narrow ``(_id, _pos, _h)`` relation of every full-width
+    ``window``-token substring: 1-based start position and the md5 of
+    the space-joined window text.  The :func:`shingle_relation` codegen
+    idiom (posexplode + null-safe ``get`` + ``concat_ws``, no shuffle,
+    no interpreted higher-order functions), except docs shorter than
+    ``window`` emit NOTHING — an exact-substring window must be full
+    width, there is no whole-doc fallback.  md5 so the downstream
+    shuffle moves a fixed-width cross-engine digest, never window
+    text.  Shared by :func:`exact_substring_dup_spans` and
+    :func:`exact_substring_dedup_corpus`."""
+    t = tokens(F.col(text_col))
+    toks = (
+        df.select(F.col(id_col).alias("_id"), t.alias("_toks"))
+        .filter(F.size("_toks") >= window)
+        .select("_id", "_toks", F.posexplode("_toks").alias("_i", "_tok"))
+        .filter(F.col("_i") <= F.size("_toks") - window)
+    )
+    parts = [F.col("_tok")] + [
+        F.get(F.col("_toks"), F.col("_i") + j) for j in range(1, window)
+    ]
+    return toks.select(
+        "_id",
+        (F.col("_i") + 1).alias("_pos"),  # 1-based, matches SQL oracles
+        F.md5(F.concat_ws(" ", *parts)).alias("_h"),
+    )
+
+
 def exact_substring_dup_spans(
     df: DataFrame,
     id_col: str,
@@ -1357,21 +1390,7 @@ def exact_substring_dup_spans(
         raise ValueError(f"window must be >= 2 tokens, got {window}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    t = tokens(F.col(text_col))
-    toks = (
-        df.select(F.col(id_col).alias("_id"), t.alias("_toks"))
-        .filter(F.size("_toks") >= window)
-        .select("_id", "_toks", F.posexplode("_toks").alias("_i", "_tok"))
-        .filter(F.col("_i") <= F.size("_toks") - window)
-    )
-    parts = [F.col("_tok")] + [
-        F.get(F.col("_toks"), F.col("_i") + j) for j in range(1, window)
-    ]
-    win = toks.select(
-        "_id",
-        (F.col("_i") + 1).alias("_pos"),  # 1-based, matches SQL oracles
-        F.md5(F.concat_ws(" ", *parts)).alias("_h"),
-    )
+    win = substring_window_relation(df, id_col, text_col, window)
     hot = (
         win.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -1407,6 +1426,106 @@ def exact_substring_dup_spans(
         "span_end",
         "span_tokens",
         "n_windows",
+    )
+
+
+def exact_substring_dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 15,
+    min_count: int = 2,
+) -> DataFrame:
+    """The APPLIED form of :func:`exact_substring_dup_spans` — Lee et
+    al.'s actual pipeline output: the corpus REWRITTEN with every
+    non-canonical occurrence of a repeated ``window``-token substring
+    deleted.  One row per input document:
+    ``(id_col, n_tokens, n_tokens_kept, n_tokens_removed,
+    cleaned_text)``, where ``cleaned_text`` is the surviving tokens
+    re-joined with single spaces (whitespace is normalized — the same
+    canonicalization both engines' tokenizers apply).
+
+    Keep rule: for each repeated window content, the occurrence with
+    the lexicographically smallest ``(doc_id, pos)`` is canonical and
+    stays; every other occurrence's token range is deleted.  The rule
+    is a partial-aggregable ``min(struct(doc_id, pos))`` — no
+    per-content window function, so one boilerplate string repeated
+    10⁶ times costs a mergeable agg, not a 10⁶-row sort partition
+    (both engines order structs lexicographically, so the canonical
+    pick is cross-engine exact).  As in the paper's byte-range
+    deletion, a canonical occurrence can still lose tokens to an
+    OVERLAPPING removed range of a different repeated substring —
+    removal is the per-token union of removed ranges.
+
+    Plan: window census (same envelope as the spans operator) →
+    removed ranges exploded to token positions (``sequence`` +
+    ``explode``, distinct per doc) → per-token anti-join → per-doc
+    re-assembly via ``array_sort(collect_list(struct(pos, tok)))``
+    (sort is per-document and bounded by the longest doc, never
+    global).  Docs with nothing removed — including docs shorter than
+    the window — pass through with their normalized text intact; a
+    fully-deleted doc yields an empty ``cleaned_text`` rather than
+    vanishing, so the output is always corpus-complete (the follow-on
+    training-prep stages key on it).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    win = substring_window_relation(df, id_col, text_col, window)
+    keyed = (
+        win.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_keep"),
+        )
+        .filter(F.col("_n") >= min_count)
+        .select("_h", "_keep")
+    )
+    removed_pos = (
+        win.join(keyed, "_h")
+        .filter(
+            ~(
+                (F.col("_id") == F.col("_keep._id"))
+                & (F.col("_pos") == F.col("_keep._pos"))
+            )
+        )
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + window - 1)
+            ).alias("_tp"),
+        )
+        .distinct()
+    )
+    t = tokens(F.col(text_col))
+    tok_pos = (
+        df.select(F.col(id_col).alias("_id"), t.alias("_toks"))
+        .select("_id", F.posexplode("_toks").alias("_i", "_tok"))
+        .select("_id", (F.col("_i") + 1).alias("_tp"), "_tok")
+    )
+    kept = tok_pos.join(removed_pos, ["_id", "_tp"], "left_anti")
+    agg = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_tp", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias("_cleaned"),
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), F.size(t).alias("n_tokens")
+    )
+    return base.join(agg, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.coalesce(F.col("_kept"), F.lit(0)).cast("long").alias("n_tokens_kept"),
+        (F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_removed"),
+        F.coalesce(F.col("_cleaned"), F.lit("")).alias("cleaned_text"),
     )
 
 

@@ -315,6 +315,92 @@ def ivf_topk(
     )
 
 
+def ivf_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """The ORACLE-CHECKABLE twin of :func:`ivf_topk`: identical IVF
+    structure (coarse quantize → single-probe cell scan → local
+    top-k), but the coarse quantizer is a caller-supplied FIXED
+    centroid table instead of a seeded iterative KMeans fit, and every
+    cosine is the bit-deterministic sequential fold
+    (functions/vectors.cosine_similarity — the same left-to-right
+    double accumulation DuckDB's list_cosine_similarity performs), so
+    cell assignment, ranking, and tie-breaks are all cross-engine
+    EXACT and an external SQL engine can replay the whole query.
+    Output: (query_id, cell, neighbor_id) — emitting the cell makes
+    the assignment itself value-checked, not just the ranking.
+
+    Assignment is argmax cosine over the centroid table with
+    min-centroid-id tie-break, computed as ``greatest`` over
+    per-centroid ``struct(sim, -cid)`` literal-fold expressions — the
+    centroid table is collected to the driver (small BY CONTRACT, the
+    same "collect the small side" rule as brute_force_topk_pandas;
+    c·dim doubles even at c = 4096, dim = 1024 is 32 MB) and inlined
+    as literal arrays, so the corpus is scanned ONCE with no join for
+    assignment.  The per-centroid interpreted folds are ~3× slower
+    per row than a BLAS matmul (semdedup_assignments' shape) — the
+    price of bit-exactness; production IVF at scale uses
+    :func:`ivf_topk` (sampled KMeans + vectorized assignment +
+    cell-partitioned storage) and this twin pins its semantics.
+    """
+    crows = (
+        centroids.select(centroid_id, centroid_vec)
+        .orderBy(centroid_id)
+        .collect()
+    )
+    if not crows:
+        raise ValueError("ivf_topk_fixed needs >= 1 centroid")
+
+    def cell_expr(vec_col: str):
+        v = F.col(vec_col).cast("array<double>")
+        structs = []
+        for r in crows:
+            lit_vec = F.array(*[F.lit(float(x)).cast("double") for x in r[1]])
+            structs.append(
+                F.struct(
+                    cosine_similarity(v, lit_vec).alias("_s"),
+                    F.lit(-int(r[0])).cast("long").alias("_nc"),
+                )
+            )
+        best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+        return -best["_nc"]
+
+    assigned = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("_nvec"),
+        cell_expr(corpus_vec).alias("cell"),
+    )
+    q_assigned = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qvec"),
+        cell_expr(query_vec).alias("cell"),
+    )
+    pairs = assigned.join(F.broadcast(q_assigned), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sims = pairs.select(
+        "query_id",
+        "cell",
+        "neighbor_id",
+        cosine_similarity(F.col("_qvec"), F.col("_nvec")).alias("_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "cell", "neighbor_id")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -89,6 +89,8 @@ _PRIORITY: list[str] = [
     "multimodal_audio_decode_real",
     # -- new or semantics-changed in r7 (prior driver rows stale) --
     "exact_substring_dup_spans",
+    "exact_substring_dedup_corpus",
+    "ann_cosine_topk_ivf_fixed",
     "delta_corpus_dedup_check",
     "near_dup_pagerank",
     "embedding_dup_kcore",

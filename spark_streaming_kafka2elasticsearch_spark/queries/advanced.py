@@ -241,6 +241,50 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_topk_ivf_fixed",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+asn AS (
+  SELECT e.vec_id, c.cid AS cell, e.v
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, cell FROM asn WHERE vec_id < 8)
+SELECT q.query_id, q.cell, a.vec_id AS neighbor_id
+FROM q JOIN asn a USING (cell)
+WHERE a.vec_id <> q.query_id
+QUALIFY row_number() OVER (
+  PARTITION BY q.query_id
+  ORDER BY list_cosine_similarity(q.qv, a.v) DESC, a.vec_id ASC) <= 10
+""",
+)
+def ann_cosine_topk_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-oracle-checked IVF twin (closes the gap that kept
+    ann_cosine_topk_ivf rows-only): same coarse-quantize → single-
+    probe → cell-local top-10 structure, but the quantizer is the 8
+    lowest-id vectors as fixed centroids (the semdedup_keep_decisions
+    literal-centroid idiom) and every cosine is the sequential
+    bit-exact fold, so DuckDB replays cell assignment AND ranking
+    exactly — the emitted cell column value-checks the quantizer
+    itself.  Production keeps the seeded-KMeans ivf_topk; this twin
+    pins its semantics (operators/similarity.ivf_topk_fixed)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_topk_fixed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    return ivf_topk_fixed(emb, queries, cents, k=10)
+
+
+@register(
     "lang_token_stats_pandas",
     # Exact cross-engine medians WITHOUT rounding: token counts are
     # integers, so every median is k or k+0.5 and every |x−med| is a

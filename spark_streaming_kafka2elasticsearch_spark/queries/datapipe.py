@@ -3009,6 +3009,66 @@ def exact_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q: exact-substring dedup APPLIED — the rewritten corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_substring_dedup_corpus",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+w AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(toks[i : i + 14], ' ')) AS h
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 14)) AS i) s
+  WHERE len(toks) >= 15),
+k AS (
+  SELECT h, min(struct_pack(d := doc_id, p := pos)) AS keep
+  FROM w GROUP BY h HAVING count(*) >= 2),
+rp AS (
+  SELECT DISTINCT w.doc_id, w.pos + o.off AS tp
+  FROM w JOIN k USING (h),
+       LATERAL (SELECT unnest(generate_series(0, 14)) AS off) o
+  WHERE NOT (w.doc_id = k.keep.d AND w.pos = k.keep.p)),
+tok AS (
+  SELECT doc_id, i AS tp, toks[i] AS tok
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s),
+kept AS (
+  SELECT tok.doc_id, tok.tp, tok.tok FROM tok
+  WHERE NOT EXISTS (SELECT 1 FROM rp
+                    WHERE rp.doc_id = tok.doc_id AND rp.tp = tok.tp)),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY tp) AS cleaned
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       len(t.toks) AS n_tokens,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+       coalesce(a.cleaned, '') AS cleaned_text
+FROM t LEFT JOIN agg a USING (doc_id)
+""",
+)
+def exact_substring_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applied counterpart of exact_substring_dup_spans: the
+    documents corpus rewritten with every non-canonical occurrence of
+    a repeated 15-token substring deleted (canonical = lexicographic
+    min (doc_id, pos) per repeated content — a partial-aggregable
+    struct-min on both engines, no per-content sort partition).  The
+    value hash covers the full cleaned TEXT of every document plus the
+    kept/removed token counts, so the cross-engine check pins the
+    rewrite byte-for-byte (operators/dedup.exact_substring_dedup_corpus)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        exact_substring_dedup_corpus as op,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return op(docs, id_col="doc_id", text_col="text", window=15, min_count=2)
+
+
+# ---------------------------------------------------------------------------
 # Q: leakage-safe split — assign by near-dup COMPONENT, not by document
 # ---------------------------------------------------------------------------
 

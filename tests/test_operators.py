@@ -1268,3 +1268,42 @@ def test_exact_substring_dup_spans_merge_semantics(spark):
     assert (out[(4, 1)].span_end, out[(4, 1)].span_tokens, out[(4, 1)].n_windows) == (6, 6, 2)
     for r in out.values():
         assert r.span_tokens == r.span_end - r.span_start + 1
+
+
+def test_exact_substring_dedup_corpus_rewrite(spark):
+    """Pin the applied rewrite: canonical (min doc_id,pos) occurrence
+    survives, later occurrences are deleted, removal is the per-token
+    UNION of removed ranges, short docs pass through normalized, and
+    the output stays corpus-complete."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        exact_substring_dedup_corpus,
+    )
+
+    W = 3
+    docs = [
+        (1, "u1 a b c d u2 u3"),          # canonical holder of "a b c"/"b c d"
+        (2, "a b c d v1 v2"),             # both windows repeat doc 1 -> deleted
+        (3, "z1  z2\tz3"),                # short doc: whitespace normalized only
+        (4, "y1 y2 y3 y1 y2 y3"),         # tandem repeat: pos-4 occurrence deleted
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in exact_substring_dedup_corpus(
+            df, id_col="doc_id", window=W, min_count=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1 holds the canonical occurrences -> untouched
+    assert out[1].cleaned_text == "u1 a b c d u2 u3"
+    assert (out[1].n_tokens, out[1].n_tokens_removed) == (7, 0)
+    # doc 2: windows at pos 1 ("a b c") and 2 ("b c d") both deleted ->
+    # token union [1,4] removed
+    assert out[2].cleaned_text == "v1 v2"
+    assert (out[2].n_tokens_kept, out[2].n_tokens_removed) == (2, 4)
+    # doc 3: shorter than the window -> normalized passthrough
+    assert out[3].cleaned_text == "z1 z2 z3"
+    assert out[3].n_tokens_removed == 0
+    # doc 4: within-doc repeat, pos-1 occurrence canonical, pos-4 deleted
+    assert out[4].cleaned_text == "y1 y2 y3"
+    assert (out[4].n_tokens_kept, out[4].n_tokens_removed) == (3, 3)

@@ -81,6 +81,32 @@ def test_lsh_recall_beats_random(emb, queries, exact_topk):
     assert _recall(got, exact_topk) > 0.3
 
 
+def test_ivf_fixed_recall_and_structure(emb, queries, exact_topk):
+    """The oracle-checkable fixed-centroid IVF twin: same recall bar
+    as the KMeans path, PLUS structural invariants the oracle also
+    pins — each query's rows share one cell, nobody is their own
+    neighbor, ≤ k rows per query."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_topk_fixed,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    rows = ivf_topk_fixed(emb, queries, cents, k=10).collect()
+    assert _recall(rows, exact_topk) > 0.3
+    per_q: dict[int, set] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], set()).add(r["cell"])
+        assert r["neighbor_id"] != r["query_id"]
+    assert all(len(cells) == 1 for cells in per_q.values())
+    from collections import Counter
+
+    counts = Counter(r["query_id"] for r in rows)
+    assert all(c <= 10 for c in counts.values())
+
+
 def test_video_frame_sampling_stub(spark):
     docs = spark.createDataFrame([(1, "abc"), (2, "defg")], ["doc_id", "text"])
     media = synth_media_table(docs, "doc_id", "text")

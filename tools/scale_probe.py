@@ -102,8 +102,10 @@ PROBE_QUERIES = [
     # 108s cold vs 37s warm on identical code), so it now runs under
     # the standard warm-up + min-of-2 discipline like every entry.
     "embedding_dup_kcore",
-    # r7: suffix-window exact-substring dedup (Lee et al. style)
+    # r7: suffix-window exact-substring dedup (Lee et al. style) and
+    # its applied corpus-rewrite twin
     "exact_substring_dup_spans",
+    "exact_substring_dedup_corpus",
 ]
 
 
