@@ -708,6 +708,7 @@ def semdedup_assignments(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic
     deduplication: cluster the embedding space, then prune — inside
@@ -842,6 +843,11 @@ def semdedup_assignments(
     # The keep-decision table is 4 narrow columns — at corpus scale a
     # production run stages exactly this relation anyway, so the
     # checkpoint is the natural materialization boundary.
+    # ``materialize=False`` returns the LAZY relation instead (plan
+    # inspection, further composition); the caller then owns cache
+    # release (release_cached_state between queries).
+    if not materialize:
+        return result
     final = result.localCheckpoint(eager=True)
     base.unpersist()
     return final

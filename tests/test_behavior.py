@@ -177,8 +177,25 @@ def test_cohort_retention_shape(spark):
 def test_semdedup_plan_has_no_cross_join(spark):
     """Assignment is an Arrow matmul scan (no join at all); the
     remaining joins (vector re-attach, intra-cluster pair scan) must
-    be hash joins — never a cartesian or an unconditioned BNLJ."""
-    plan = _plan(spark, "semdedup_keep_decisions")
+    be hash joins — never a cartesian or an unconditioned BNLJ.
+    Since r7 the operator materializes its result by default (cache
+    hygiene), which collapses the registered query's final plan to an
+    RDD scan — so inspect the LAZY form the operator exposes for
+    exactly this purpose."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        semdedup_assignments,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    df = semdedup_assignments(
+        emb, cents, threshold=0.40, id_col="vec_id", vec_col="embedding",
+        materialize=False,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" in plan
