@@ -1532,3 +1532,66 @@ def test_streaming_funnel_conversion_state_machine(spark, tmp_path):
         assert rows == [(1, 120_000), (2, 120_000)]
     finally:
         q.stop()
+
+
+def test_streaming_funnel_sorts_across_arrow_chunks(spark, tmp_path):
+    """Regression for the r6 advisory: with Arrow batches forced to a
+    single row, one micro-batch delivers each group as MULTIPLE
+    chunks.  Events arriving chunk-ordered purchase→view→click (the
+    reverse of event time) must still convert — the machine has to
+    sort the WHOLE group's micro-batch, not each chunk."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from spark_streaming_kafka2elasticsearch_spark.streaming.stateful import (
+        streaming_funnel_conversions,
+    )
+
+    saved = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    src_dir = tmp_path / "ev"
+    src_dir.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "10")  # one micro-batch, all files
+        .json(str(src_dir))
+        # single partition so all three events share one Arrow stream
+        .repartition(1)
+    )
+    out = streaming_funnel_conversions(stream, key_col="user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_chunks")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+
+    def ev(user, et, hhmm):
+        return _json.dumps(
+            {"user_id": user, "event_type": et, "ts": f"2024-01-01T{hhmm}:00.000Z"}
+        )
+
+    try:
+        # arrival order is purchase, view, click — event time is
+        # view(10:00) < click(10:01) < purchase(10:02)
+        write_batch_file(
+            str(src_dir),
+            "b0.json",
+            [ev(7, "purchase", "10:02"), ev(7, "view", "10:00"), ev(7, "click", "10:01")],
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM funnel_chunks").collect()
+        assert len(rows) == 1 and rows[0].user_id == 7
+        assert rows[0].ms_to_convert == 120_000
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", saved)
