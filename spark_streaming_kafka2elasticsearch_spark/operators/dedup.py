@@ -298,11 +298,18 @@ def minhash_lsh_candidate_pairs(
     bands: int = 16,
     max_bucket_size: int = 256,
     hash_family: str = "xxhash64",
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified with exact
     shingle Jaccard.  Output: (id_a, id_b, jaccard) with id_a < id_b;
     candidate pairs sharing zero shingles are omitted (their Jaccard
     is 0 — useless for dedup and they'd dominate the output).
+
+    ``materialize=False`` returns the LAZY relation (plan inspection,
+    composing a filter/limit without paying full materialization); the
+    staged persists then stay registered and the caller owns cache
+    release (``release_cached_state`` between queries) — same contract
+    as semdedup_assignments.
 
     Plan shape (the 100 TB story):
       1. explode + 64 codegen'd hash columns + min-agg → signatures
@@ -451,6 +458,8 @@ def minhash_lsh_candidate_pairs(
     # block-manager state per call (r6 advisory).  One checkpointed
     # final replaces three leaked persists; the same final-checkpoint
     # contract as connected_components/pagerank.
+    if not materialize:
+        return result
     final = result.localCheckpoint(eager=True)
     for staged in (banded, pairs, relc):
         staged.unpersist()
@@ -693,10 +702,13 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket_size: int = 256,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via SimHash Hamming banding: (id_a, id_b,
     hamming) with id_a < id_b and popcount(sig_a XOR sig_b) ≤
-    ``max_hamming``.
+    ``max_hamming``.  ``materialize=False`` returns the LAZY relation
+    (plan inspection / composition); the caller then owns cache
+    release — same contract as semdedup_assignments.
 
     The 64-bit signature splits into disjoint bands; by pigeonhole, a
     pair within Hamming distance d agrees exactly on at least one band
@@ -779,6 +791,8 @@ def simhash_near_dup_pairs(
     )
     # Release the persisted signature table (r6 advisory): one
     # checkpointed census-bounded pair result, no leaked blocks.
+    if not materialize:
+        return result
     final = result.localCheckpoint(eager=True)
     sig.unpersist()
     return final
@@ -1146,6 +1160,7 @@ def triangle_counts(
     edges: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected pair
     graph given as ordered edges (``id_a < id_b``): (node,
@@ -1194,6 +1209,11 @@ def triangle_counts(
     )
     # Release the persisted edge relation (r6 advisory): the per-node
     # census is tiny; one checkpoint block replaces the leaked persist.
+    # ``materialize=False`` keeps the lazy wedge-join plan inspectable
+    # (the no-cartesian plan test reads it) and composable; the caller
+    # then owns cache release — same contract as semdedup_assignments.
+    if not materialize:
+        return result
     final = result.localCheckpoint(eager=True)
     e.unpersist()
     return final

@@ -315,6 +315,31 @@ def ivf_topk(
     )
 
 
+def _fixed_cell_expr(crows, vec_col: str) -> Column:
+    """Bit-exact coarse-quantizer assignment over a collected centroid
+    table (``crows``: ordered (centroid_id, centroid_vec) rows):
+    argmax cosine with min-centroid-id tie-break, computed as
+    ``greatest`` over per-centroid ``struct(sim, -cid)`` literal-fold
+    expressions.  The centroid table is small BY CONTRACT (the same
+    "collect the small side" rule as brute_force_topk_pandas), so the
+    corpus is scanned ONCE with no join for assignment.  Shared by
+    :func:`ivf_topk_fixed` and :func:`ivf_persisted_topk` so the
+    in-flight and at-rest IVF paths can never drift in assignment
+    semantics."""
+    v = F.col(vec_col).cast("array<double>")
+    structs = []
+    for r in crows:
+        lit_vec = F.array(*[F.lit(float(x)).cast("double") for x in r[1]])
+        structs.append(
+            F.struct(
+                cosine_similarity(v, lit_vec).alias("_s"),
+                F.lit(-int(r[0])).cast("long").alias("_nc"),
+            )
+        )
+    best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+    return -best["_nc"]
+
+
 def ivf_topk_fixed(
     corpus: DataFrame,
     queries: DataFrame,
@@ -361,18 +386,7 @@ def ivf_topk_fixed(
         raise ValueError("ivf_topk_fixed needs >= 1 centroid")
 
     def cell_expr(vec_col: str):
-        v = F.col(vec_col).cast("array<double>")
-        structs = []
-        for r in crows:
-            lit_vec = F.array(*[F.lit(float(x)).cast("double") for x in r[1]])
-            structs.append(
-                F.struct(
-                    cosine_similarity(v, lit_vec).alias("_s"),
-                    F.lit(-int(r[0])).cast("long").alias("_nc"),
-                )
-            )
-        best = structs[0] if len(structs) == 1 else F.greatest(*structs)
-        return -best["_nc"]
+        return _fixed_cell_expr(crows, vec_col)
 
     assigned = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
@@ -398,6 +412,96 @@ def ivf_topk_fixed(
         sims.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select("query_id", "cell", "neighbor_id")
+    )
+
+
+def ivf_persisted_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    rebuild: bool = True,
+) -> DataFrame:
+    """IVF with the index PERSISTED as a cell-partitioned parquet
+    layout — the serving half of the ANN story that :func:`ivf_topk`'s
+    docstring promises ("at rest the cell id should be the storage
+    partition key").  Two phases, both scale-shaped:
+
+    1. **index build** (``rebuild=True``): one corpus scan assigns each
+       vector to its nearest centroid (:func:`_fixed_cell_expr` — the
+       bit-exact quantizer, so an external engine can replay the
+       layout) and lays the table down ``partitionBy(cell)`` — at
+       100 TB this is the one-off index-build job, amortized over
+       every later query.
+    2. **serve**: the query set's cells are computed the same way, the
+       DISTINCT probed cells are collected (queries are small by
+       contract — this is the same driver-side reduction the broadcast
+       join performs) and pushed as a STATIC ``cell IN (...)``
+       predicate on the read — the scan touches ONLY the probed cells'
+       directories (PartitionFilters, asserted in tests), i.e. cost is
+       |probed cells| / |cells| of the corpus, not a full pass.  The
+       broadcast join back to the query vectors and the per-query
+       top-k window are the same plan tail as :func:`ivf_topk_fixed`,
+       so results are identical to the in-flight twin and the same
+       DuckDB oracle value-checks them.
+
+    Single probe per query here; multi-probe = assign each query its p
+    nearest cells before the distinct-collect (the predicate and the
+    join key are per-(query, cell) rows either way).
+    """
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import write_table
+
+    crows = (
+        centroids.select(centroid_id, centroid_vec)
+        .orderBy(centroid_id)
+        .collect()
+    )
+    if not crows:
+        raise ValueError("ivf_persisted_topk needs >= 1 centroid")
+
+    spark = corpus.sparkSession
+    if rebuild:
+        assigned = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("_nvec"),
+            _fixed_cell_expr(crows, corpus_vec).alias("cell"),
+        )
+        write_table(assigned, path, partition_by=["cell"])
+
+    q_assigned = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qvec"),
+        _fixed_cell_expr(crows, query_vec).alias("cell"),
+    )
+    probe_cells = sorted(
+        int(r["cell"]) for r in q_assigned.select("cell").distinct().collect()
+    )
+    # Static partition predicate: directory-level pruning at the scan,
+    # visible as PartitionFilters — no full-corpus pass per query.
+    index = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    pairs = index.join(F.broadcast(q_assigned), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sims = pairs.select(
+        "query_id",
+        "cell",
+        "neighbor_id",
+        cosine_similarity(F.col("_qvec"), F.col("_nvec")).alias("_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        # partition-directory values read back as int; the in-flight
+        # twin (and the oracle) type the cell id long
+        .select("query_id", F.col("cell").cast("long").alias("cell"), "neighbor_id")
     )
 
 
@@ -469,6 +573,7 @@ def blocked_cosine_pairs_fast(
     vec_col: str = "embedding",
     block_col: str = "label",
     threshold: float = 0.35,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Intra-block cosine pairs >= threshold via the explode/codegen
     shape: (id_a, id_b, cos_sim), id_a < id_b.
@@ -492,12 +597,31 @@ def blocked_cosine_pairs_fast(
     reproducible — callers that need an oracle-stable projection
     should emit the id pairs only (threshold margins in real data sit
     far above the 1e-15 accumulation noise).
+
+    ``max_block_size`` is the same guardrail ``max_bucket_size`` is on
+    the LSH paths: the exact intra-block scan is intrinsically
+    O(|block|²), so ONE degenerate block (a dominant label) owns the
+    whole job's cost and, at scale, a single task's memory.  A cheap
+    block census (partial-agg count per block) drops oversized blocks
+    BEFORE the pair join; at 100 TB those blocks must be routed
+    through the bucketed path instead (srp_near_dup_pairs — its
+    auto-sized variant holds α ≈ 1 where this exact scan cannot).
+    Callers mirror the census rule in their oracle (HAVING count ≤
+    cap), keeping the result fully value-checkable.
     """
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
+    if max_block_size is not None:
+        ok_blocks = (
+            base.groupBy("_blk")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .filter(F.col("_m") <= max_block_size)
+            .select("_blk")
+        )
+        base = base.join(F.broadcast(ok_blocks), "_blk")
     comps = base.select(
         "_id", "_blk", F.posexplode("_v").alias("_j", "_x")
     )
@@ -544,6 +668,7 @@ def srp_near_dup_pairs(
     planes_per_table: int | None = None,
     max_bucket_size: int = 1024,
     target_occupancy: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs at genuine near-dup thresholds
     (cos ≥ ~0.8) via multi-table SRP bucketing + exact verify:
@@ -694,6 +819,11 @@ def srp_near_dup_pairs(
     # Release both staged intermediates (r6 advisory): the verified
     # pair set is census-bounded; one checkpoint block, no leaked
     # persists for callers that never run release_cached_state.
+    # ``materialize=False`` returns the LAZY relation (plan inspection,
+    # composition); the caller then owns cache release — same contract
+    # as semdedup_assignments.
+    if not materialize:
+        return result
     final = result.localCheckpoint(eager=True)
     base.unpersist()
     banded.unpersist()

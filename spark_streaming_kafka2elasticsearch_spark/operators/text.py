@@ -408,6 +408,106 @@ def hashed_bow_embedding(
     )
 
 
+def logistic_quality_scores(
+    df: DataFrame,
+    weights: list[float],
+    bias: float,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learned-model quality gate (the fastText-style classifier every
+    curation pipeline runs after the heuristic filters): a logistic
+    model over hashed-BoW features, scored ENTIRELY JVM-side.  Output:
+    (id_col, logit, keep) with ``keep = logit >= 0`` — the p ≥ 0.5
+    decision.
+
+    Model shape and scale story:
+    * features = :func:`hashed_bow_embedding` counts, normalized to
+      token frequencies (c_i / max(n_tokens, 1)) — the mean-of-token-
+      embeddings form fastText uses, so a document's score is
+      length-invariant;
+    * the weight vector ships as a PLAN LITERAL (broadcast by
+      construction — it is dim doubles; a real trained model at
+      dim = 2²⁰ would broadcast a small table or close over a numpy
+      array in a Pandas UDF, same contract as semdedup's centroids);
+    * the dot product is the engine's sequential left-fold idiom
+      (zip_with + aggregate) — the bit-exact path DuckDB's
+      ``list_dot_product`` reproduces, so the score is value-checkable
+      across engines, unlike anything containing exp/log (libm
+      differs).  The sigmoid is MONOTONE in the logit, so emitting the
+      logit + the boundary decision loses nothing: ranking, gating,
+      and calibration thresholds all translate to logit space.
+
+    ``weights``/``bias`` are caller-supplied — production feeds trained
+    coefficients; the registry query pins a fixed literal model so the
+    oracle replays it exactly.
+    """
+    dim = len(weights)
+    feats = hashed_bow_embedding(df, id_col, text_col, dim=dim)
+    n_tok = F.aggregate(
+        F.col("emb"), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    n_safe = F.greatest(n_tok, F.lit(1)).cast("double")
+    x = F.transform(F.col("emb"), lambda c: c.cast("double") / n_safe)
+    w = F.array(*[F.lit(float(wi)).cast("double") for wi in weights])
+    logit = F.lit(float(bias)) + F.aggregate(
+        F.zip_with(x, w, lambda xi, wi: xi * wi),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return feats.select(
+        F.col(id_col),
+        logit.alias("logit"),
+        (logit >= 0.0).alias("keep"),
+    )
+
+
+def logistic_quality_oracle_sql(
+    weights: list[float],
+    bias: float,
+    id_col: str,
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`logistic_quality_scores`, generated from
+    the same weight literals so model and oracle cannot drift.  Relies
+    on the probe-verified fact that ``list_dot_product`` over DOUBLE[]
+    equals Spark's sequential left fold bit-for-bit (same contract as
+    the SRP oracles)."""
+    dim = len(weights)
+    w_arr = ", ".join(repr(float(wi)) for wi in weights)
+    comps = ", ".join(
+        f"CAST(count(*) FILTER (b = {i}) AS BIGINT)" for i in range(dim)
+    )
+    zeros = ", ".join("CAST(0 AS BIGINT)" for _ in range(dim))
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         unnest(list_filter(string_split_regex({text_col}, '\\s+'), x -> x <> '')) AS tok
+  FROM {table}
+),
+bk AS (
+  SELECT {id_col},
+         (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) % {dim} AS b
+  FROM toks
+),
+emb AS (SELECT {id_col}, [{comps}] AS emb FROM bk GROUP BY {id_col}),
+feat AS (
+  SELECT d.{id_col}, coalesce(emb.emb, [{zeros}]) AS c
+  FROM {table} d LEFT JOIN emb ON d.{id_col} = emb.{id_col}
+),
+scored AS (
+  SELECT {id_col},
+         {float(bias)!r} + list_dot_product(
+           list_transform(c, x -> CAST(x AS DOUBLE)
+             / CAST(greatest(list_aggregate(c, 'sum'), 1) AS DOUBLE)),
+           [{w_arr}]) AS logit
+  FROM feat
+)
+SELECT {id_col}, logit, logit >= 0.0 AS keep FROM scored
+"""
+
+
 def hashed_bow_oracle_sql(
     id_col: str, text_col: str = "text", dim: int = 16, table: str = "documents"
 ) -> str:

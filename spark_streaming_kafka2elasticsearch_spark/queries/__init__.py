@@ -73,66 +73,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: rest.  Dicts preserve insertion order; rotate this list each round
 #: so every query gets a driver row within two rounds.
 _PRIORITY: list[str] = [
-    # round-7 rotation (VERDICT r6 items 1+6): head = the 7 queries the
-    # driver has never value-checked (2 never sampled at all; 5 whose
-    # oracles were added after their newest driver row), then queries
-    # new in r7, then the 4 remaining r2-vintage rows, then the 48
-    # remaining r4-vintage rows, then r5-vintage, then the 50 just
-    # re-greened in r6 at the tail.  Computed from the union of
-    # CORRECTNESS_r01-r06 (latest row per query).
-    "lang_token_stats_pandas",
-    "nation_revenue_reconciliation",
-    "ann_cosine_topk_lsh",
-    "multimodal_video_frames",
-    "multimodal_audio_features",
-    "multimodal_image_decode_real",
-    "multimodal_audio_decode_real",
-    # -- new or semantics-changed in r7 (prior driver rows stale) --
-    "exact_substring_dup_spans",
-    "exact_substring_dedup_corpus",
-    "ann_cosine_topk_ivf_fixed",
-    "delta_corpus_dedup_check",
-    "near_dup_pagerank",
-    "embedding_dup_kcore",
-    # -- r2-vintage --
-    "asof_purchase_prior_click",
-    "daily_event_type_pivot",
-    "string_functions_showcase",
-    "date_functions_showcase",
+    # round-8 rotation (VERDICT r7 item 1): head = the 15 queries whose
+    # newest driver row is r4-vintage, then queries new or
+    # semantics-changed in r8 (no fresh row exists for them at all),
+    # then the 48 r5-vintage rows; r6/r7-fresh rows fall to the natural
+    # registry order at the tail.  Computed from the union of
+    # CORRECTNESS_r01-r07 (latest row per query); a test asserts this
+    # list is duplicate-free.
     # -- r4-vintage --
-    "events_last_error_asof",
-    "token_rarity_scores",
-    "deduped_corpus",
-    "near_dup_clusters_star",
-    "decontaminate_train_docs",
-    "ann_cosine_topk_pandas",
-    "document_repetition_ratios",
-    "document_chunks",
-    "hashed_bow_embeddings",
-    "events_localtime_kolkata",
-    "token_frequencies",
-    "events_sliding_10min",
-    "embedding_cosine_pairs",
-    "embedding_cosine_pairs_fast",
-    "promo_revenue_share",
-    "parts_by_brand",
-    "lineitem_cube",
-    "supplier_revenue_in_region",
-    "orders_merge_upsert",
-    "lineitem_unpivot_measures",
-    "user_event_scd2",
-    "orders_quality_report",
-    "distinct_users_sketch_rollup",
-    "events_zorder_keys",
-    "user_state_asof",
-    "quantity_price_correlation",
-    "event_value_mad",
-    "revenue_grouping_sets",
-    "event_value_anomalies",
-    "curated_orders",
-    "curated_orders_fused",
-    "products_sold_exploded",
-    "orders_enriched",
     "events_tumbling_2min",
     "lineitem_filter_project",
     "shipping_priority",
@@ -148,6 +96,10 @@ _PRIORITY: list[str] = [
     "discounted_revenue",
     "global_sales_opportunity",
     "suppliers_kept_waiting",
+    # -- new or semantics-changed in r8 --
+    "ann_ivf_persisted_topk",
+    "quality_logistic_scores",
+    "embedding_near_dup_clusters",
     # -- r5-vintage --
     "user_sessionization",
     "multimodal_video_decode_real",
@@ -193,7 +145,6 @@ _PRIORITY: list[str] = [
     "stratified_sample_by_lang",
     "bpe_token_stats",
     "ann_cosine_topk",
-    "ann_cosine_topk_lsh",
     "embedding_near_dup_srp",
     "srp_buckets",
     "embedding_l2_norms",

@@ -1827,6 +1827,44 @@ def _hashed_bow_oracle() -> str:
     return hashed_bow_oracle_sql("doc_id", "text", dim=16, table="documents")
 
 
+#: Fixed literal logistic model over the 16 hashed-BoW buckets — a
+#: deterministic stand-in for trained coefficients (production feeds a
+#: real fit; the shape, plan, and oracle are identical either way).
+_QUALITY_LOGIT_WEIGHTS = [((i * 37) % 13 - 6) / 10.0 for i in range(16)]
+_QUALITY_LOGIT_BIAS = 0.15
+
+
+def _quality_logistic_oracle() -> str:
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        logistic_quality_oracle_sql,
+    )
+
+    return logistic_quality_oracle_sql(
+        _QUALITY_LOGIT_WEIGHTS, _QUALITY_LOGIT_BIAS, "doc_id", "text", "documents"
+    )
+
+
+@register("quality_logistic_scores", oracle=_quality_logistic_oracle())
+def quality_logistic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-model quality gate (VERDICT r7 item 7): a logistic
+    classifier over hashed-BoW token frequencies, weights shipped as a
+    plan-literal vector, the dot product scored JVM-side by the
+    engine's sequential-fold idiom — the fastText-style filter a
+    curation pipeline runs after the Gopher/CCNet heuristics.  Emits
+    (doc_id, logit, keep): the sigmoid is monotone in the logit so the
+    decision and ranking are complete without exp (whose libm variants
+    would break cross-engine value equality).  See
+    operators/text.logistic_quality_scores for the scale contract."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        logistic_quality_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return logistic_quality_scores(
+        docs, _QUALITY_LOGIT_WEIGHTS, _QUALITY_LOGIT_BIAS, id_col="doc_id"
+    )
+
+
 @register("hashed_bow_embeddings", oracle=_hashed_bow_oracle())
 def hashed_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text → embedding featurization executed for real (hashing

@@ -511,9 +511,11 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH RECURSIVE
 e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+blk AS (SELECT label FROM embeddings GROUP BY label HAVING count(*) <= 1000),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
+  JOIN blk ON blk.label = a.label
   WHERE list_cosine_similarity(a.v, b.v) >= 0.35
 ),
 edges AS (
@@ -536,7 +538,17 @@ def embedding_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label connected components the text near-dup path uses —
     embedding near-dups get the identical keep-one machinery, not a
     parallel implementation.  Oracle: brute-force pair SQL + a
-    recursive CTE, both independent of the Spark path."""
+    recursive CTE, both independent of the Spark path.
+
+    The exact intra-block pair scan is O(|block|²) BY CONSTRUCTION, so
+    the registry's heaviest entry carries the same guardrail the LSH
+    paths do (VERDICT r7 item 2): blocks larger than 1000 vectors are
+    dropped by a census before the pair join — inert at every test SF
+    (max block = 218 at sf0.1) and mirrored in the oracle's HAVING, so
+    the result stays byte-checkable; the 10× scale probe exercises the
+    cap (its blocks reach ~2180).  At 100 TB an oversized block routes
+    through srp_near_dup_pairs (auto-sized, α ≈ 0.96) instead of this
+    exact twin."""
     from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
         connected_components,
     )
@@ -547,7 +559,7 @@ def embedding_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = blocked_cosine_pairs_fast(
         emb, id_col="vec_id", vec_col="embedding", block_col="label",
-        threshold=0.35,
+        threshold=0.35, max_block_size=1000,
     ).select("id_a", "id_b")
     return connected_components(
         pairs, emb.select("vec_id"), node_col="vec_id"

@@ -351,8 +351,25 @@ def test_triangle_counts_unordered_and_dup_edges_are_canonicalized(spark):
 
 
 def test_triangle_query_plan_no_cartesian(spark):
-    plan = _plan(spark, "dup_graph_triangle_counts")
+    """The wedge-close joins must plan as equi hash joins.  The
+    registered query ends in localCheckpoint(eager=True), whose
+    executed plan collapses to a Scan ExistingRDD — asserting on THAT
+    is vacuous (ADVICE r7), so inspect the LAZY operator plan via the
+    materialize=False escape hatch (the same fix the semdedup plan
+    test got)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    lazy = triangle_counts(edges, materialize=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+    # proves the plan is the live operator tree, not a collapsed scan:
+    # the wedge-close equi-joins must be visible
+    assert "Join" in plan, plan
 
 
 # ---------------------------------------------------------------------------

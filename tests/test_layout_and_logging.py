@@ -355,3 +355,20 @@ def test_observed_quality_metrics_ride_the_write(spark, tmp_path):
     assert got["n_null_k"] == 0
     # and the written data is unaffected by the observation
     assert spark.read.parquet(str(tmp_path / "out")).count() == 4
+
+
+def test_priority_rotation_list_is_duplicate_free_and_resolves():
+    """The driver-cap rotation list must stay honest bookkeeping
+    (ADVICE r7): a duplicate entry silently shifts every later query's
+    rotation slot, and a stale name that no longer resolves to a
+    registered query wastes a slot in the ~50-query driver sample."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import (
+        _PRIORITY,
+        all_queries,
+    )
+
+    assert len(set(_PRIORITY)) == len(_PRIORITY), sorted(
+        x for x in set(_PRIORITY) if _PRIORITY.count(x) > 1
+    )
+    unknown = [q for q in _PRIORITY if q not in all_queries()]
+    assert not unknown, unknown

@@ -1307,3 +1307,73 @@ def test_exact_substring_dedup_corpus_rewrite(spark):
     # doc 4: within-doc repeat, pos-1 occurrence canonical, pos-4 deleted
     assert out[4].cleaned_text == "y1 y2 y3"
     assert (out[4].n_tokens_kept, out[4].n_tokens_removed) == (3, 3)
+
+
+def test_logistic_quality_scores_semantics(spark):
+    """The learned-model gate: logit = bias + w·(counts/n), keep at
+    the p ≥ 0.5 boundary (logit ≥ 0), zero-token docs score exactly
+    the bias.  Weights chosen so each doc's bucket is known (md5 of
+    the token decides the bucket — recomputed here, not assumed)."""
+    import hashlib
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        logistic_quality_scores,
+    )
+
+    def bucket(tok: str, dim: int = 4) -> int:
+        return "0123456789abcdef".index(hashlib.md5(tok.encode()).hexdigest()[0]) % dim
+
+    # one-token docs: the feature vector is a one-hot on the token's
+    # bucket (count 1 / n_tokens 1), so logit = bias + w[bucket]
+    weights = [-1.0, 0.5, 2.0, -0.25]
+    bias = 0.1
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo"), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["logit"], r["keep"])
+        for r in logistic_quality_scores(
+            docs, weights, bias, id_col="doc_id"
+        ).collect()
+    }
+    assert got[1] == (bias + weights[bucket("alpha")], bias + weights[bucket("alpha")] >= 0)
+    assert got[2] == (bias + weights[bucket("bravo")], bias + weights[bucket("bravo")] >= 0)
+    assert got[3] == (bias, True)  # empty doc: all-zero features
+
+
+def test_pair_operators_materialize_flag_keeps_plan_lazy(spark):
+    """ADVICE r7: every pair/graph operator that eagerly
+    localCheckpoints at construction must offer materialize=False for
+    lazy composition — the returned plan is the live operator tree
+    (joins visible), not a collapsed checkpoint scan."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        triangle_counts,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        srp_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w q")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "id_a long, id_b long")
+    lazies = [
+        minhash_lsh_candidate_pairs(docs, "doc_id", materialize=False),
+        simhash_near_dup_pairs(docs, "doc_id", materialize=False),
+        srp_near_dup_pairs(
+            emb, dim=2, planes_per_table=2, materialize=False
+        ),
+        triangle_counts(edges, materialize=False),
+    ]
+    for lazy in lazies:
+        plan = lazy._jdf.queryExecution().executedPlan().toString()
+        assert "Join" in plan, plan
+    # and the lazy results still compute correctly when acted on
+    assert {tuple(r) for r in lazies[3].collect()} == {(1, 1), (2, 1), (3, 1)}
+    spark.catalog.clearCache()

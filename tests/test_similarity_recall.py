@@ -201,3 +201,93 @@ def test_registered_srp_auto_query_recall(spark):
     found = {(r["id_a"], r["id_b"]) for r in got}
     assert expected <= found, f"missed {sorted(expected - found)[:5]}"
     assert all(r["cos_sim"] >= 0.9 for r in got)
+
+
+def test_ivf_persisted_matches_inflight_twin_and_prunes(emb, queries, tmp_path):
+    """The at-rest IVF leg (cell-partitioned parquet layout) must
+    answer byte-identically to the in-flight fixed twin — the storage
+    layout changes the plan, never the result — and its serving scan
+    must be partition-PRUNED: the probed cells arrive as a static
+    predicate in PartitionFilters, the way lineitem_filter_project's
+    predicates arrive in PushedFilters."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_topk,
+        ivf_topk_fixed,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    inflight = {
+        (r["query_id"], r["cell"], r["neighbor_id"])
+        for r in ivf_topk_fixed(emb, queries, cents, k=10).collect()
+    }
+    served = ivf_persisted_topk(
+        emb, queries, cents, str(tmp_path / "ivf_index"), k=10
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:250]
+    assert "cell" in pf and ("IN" in pf or "in(" in pf.lower()), pf
+    got = {
+        (r["query_id"], r["cell"], r["neighbor_id"]) for r in served.collect()
+    }
+    assert got == inflight
+
+
+def test_ivf_persisted_serves_without_rebuild(emb, queries, tmp_path):
+    """Build-once-serve-many: a second call with rebuild=False must
+    answer from the existing layout without rewriting it."""
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_topk,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    path = str(tmp_path / "ivf_index")
+    first = {
+        tuple(r) for r in ivf_persisted_topk(emb, queries, cents, path, k=10).collect()
+    }
+    mtimes = {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    }
+    second = {
+        tuple(r)
+        for r in ivf_persisted_topk(
+            emb, queries, cents, path, k=10, rebuild=False
+        ).collect()
+    }
+    assert second == first
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    }
+
+
+def test_blocked_cosine_max_block_size_drops_only_oversized(spark):
+    """The exact pair scan's O(block²) guardrail: pairs inside a block
+    over the cap vanish; every other block is untouched."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        blocked_cosine_pairs_fast,
+    )
+
+    rows = [
+        # block "big": 4 identical vectors (all pairwise cos 1.0)
+        (1, "big", [1.0, 0.0]),
+        (2, "big", [1.0, 0.0]),
+        (3, "big", [1.0, 0.0]),
+        (4, "big", [1.0, 0.0]),
+        # block "ok": 2 identical vectors
+        (10, "ok", [0.0, 1.0]),
+        (11, "ok", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    uncapped = blocked_cosine_pairs_fast(df, threshold=0.9)
+    assert uncapped.count() == 6 + 1  # C(4,2) big + 1 ok
+    capped = blocked_cosine_pairs_fast(df, threshold=0.9, max_block_size=3)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(10, 11)}

@@ -79,8 +79,36 @@ def run_oracles() -> dict:
     }
 
 
+def probe_transform_with_state() -> dict:
+    """Record the transformWithStateInPandas environment boundary
+    (VERDICT r6 item 7 / r7 item 5) as a PREFLIGHT field instead of
+    only a pytest skip line: Spark 4's TWS Python state server needs
+    ``protobuf``, which this sandbox does not ship, so the engine pins
+    the ``applyInPandasWithState`` form (streaming/stateful.py).  The
+    probe is the exact importability condition the skipping test
+    (tests/test_streaming.py::test_transform_with_state_env_probe)
+    gates on — the moment the environment gains protobuf, both light
+    up together."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return {
+            "available": True,
+            "reason": "protobuf importable; the TWS pytest probe runs a real "
+            "transformWithStateInPandas query",
+        }
+    except ImportError:
+        return {
+            "available": False,
+            "reason": "transformWithStateInPandas state server needs protobuf, "
+            "absent in this sandbox; operator semantics expressed via "
+            "applyInPandasWithState (streaming/stateful.py)",
+        }
+
+
 def main() -> None:
     out: dict = {"ts_note": "written by tools/preflight.py at round end"}
+    out["transform_with_state"] = probe_transform_with_state()
     if "--no-pytest" not in sys.argv:
         out["pytest"] = run_pytest()
         print(f"pytest: {'GREEN' if out['pytest']['green'] else 'RED'} "
@@ -88,7 +116,9 @@ def main() -> None:
     out["oracle"] = run_oracles()
     print(f"oracle gate: {'GREEN' if out['oracle']['green'] else 'RED'} "
           f"({out['oracle']['checked']} checked, {out['oracle']['failed']} failed)")
-    out["green"] = all(v["green"] for k, v in out.items() if isinstance(v, dict))
+    out["green"] = all(
+        v["green"] for v in out.values() if isinstance(v, dict) and "green" in v
+    )
     # Regenerate the registry index so QUERIES.md can never drift from
     # the code (VERDICT r6 item 8); a generator failure is a red flag
     # but must not mask the test/oracle result.

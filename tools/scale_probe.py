@@ -47,6 +47,9 @@ os.environ.setdefault(
 
 BASE = "/root/testdata/sf0.1"
 OUT = "/root/repo/tmp_scale"
+#: default probe ladder; override with --factors 30 (comma-sep) for
+#: e.g. the 30x stretch point (VERDICT r7 item 8) — merged per-query
+#: into the existing JSON, so a 30x run extends earlier 1/3/10 rows.
 FACTORS = [3, 10]
 
 #: The heavy dedup/similarity tail (plus the two broadcast-side text
@@ -106,6 +109,18 @@ PROBE_QUERIES = [
     # its applied corpus-rewrite twin
     "exact_substring_dup_spans",
     "exact_substring_dedup_corpus",
+    # r8 (VERDICT r7 items 2+3): the two heaviest registry entries
+    # that had no α row.  embedding_near_dup_clusters now carries a
+    # 1000-vector block cap (its blocks reach ~2180 at 10×, so the x10
+    # point exercises the guardrail — by design, that IS the scale
+    # behavior); doc_containment_pairs claims the stop-shingle df-cap
+    # bounds its inverted-index join.
+    "embedding_near_dup_clusters",
+    "doc_containment_pairs",
+    # r8: the new at-rest IVF leg (build+serve timed together) and the
+    # logistic gate (claims the hashed-BoW explode+agg silhouette)
+    "ann_ivf_persisted_topk",
+    "quality_logistic_scores",
 ]
 
 
@@ -232,8 +247,13 @@ def main() -> None:
     only: list[str] | None = None
     if "--only" in sys.argv:
         only = sys.argv[sys.argv.index("--only") + 1].split(",")
+    factors = FACTORS
+    if "--factors" in sys.argv:
+        factors = [
+            int(x) for x in sys.argv[sys.argv.index("--factors") + 1].split(",")
+        ]
     dirs = {1: BASE}
-    for f in FACTORS:
+    for f in factors:
         d = os.path.join(OUT, f"x{f}")
         if rebuild or not os.path.exists(os.path.join(d, "documents.parquet")):
             print(f"building {f}x corpus at {d} ...", file=sys.stderr)
@@ -276,12 +296,32 @@ def main() -> None:
                 doc = json.load(f)
         except (FileNotFoundError, json.JSONDecodeError):
             doc = {}
+        # Per-query DEEP merge + alpha recompute: an --only/--factors
+        # run must extend a query's existing row (e.g. add x30 next to
+        # its x1/x3/x10), not clobber it.
         merged_q = dict(doc.get("queries", {}))
-        merged_q.update(results)
+        for q, vals in results.items():
+            row = dict(merged_q.get(q, {}))
+            row.update(vals)
+            if row.get("x1", -1) > 0 and row.get("x10", -1) > 0:
+                row["alpha"] = round(
+                    math.log(max(row["x10"], 0.01) / max(row["x1"], 0.01))
+                    / math.log(10),
+                    2,
+                )
+            if row.get("x10", -1) > 0 and row.get("x30", -1) > 0:
+                # growth exponent on the 10x→30x leg; ≤ the 1x→10x
+                # alpha means fixed costs are amortizing, not hiding
+                row["alpha_10_30"] = round(
+                    math.log(max(row["x30"], 0.01) / max(row["x10"], 0.01))
+                    / math.log(3),
+                    2,
+                )
+            merged_q[q] = row
         doc.update(
             {
                 "base_rows": {"documents": 5000, "embeddings": 2000},
-                "factors": [1] + FACTORS,
+                "factors": sorted({1, *doc.get("factors", []), *factors}),
                 "queries": merged_q,
             }
         )
@@ -318,13 +358,7 @@ def main() -> None:
             print(f"x{factor} {q}: {best}s (min of {passes})", file=sys.stderr)
             flush(results)
 
-    for q, r in results.items():
-        if r.get("x1", -1) > 0 and r.get("x10", -1) > 0:
-            # growth exponent 1x→10x; alpha=1 linear, 2 quadratic
-            r["alpha"] = round(
-                math.log(max(r["x10"], 0.01) / max(r["x1"], 0.01)) / math.log(10), 2
-            )
-    flush(results)
+    flush(results)  # final merge recomputes alphas from merged rows
     if not only:
         skew.update(skew_join_probe(spark))
         flush(results)
