@@ -444,21 +444,29 @@ def logistic_quality_scores(
     """
     dim = len(weights)
     feats = hashed_bow_embedding(df, id_col, text_col, dim=dim)
+    # logit = bias + (w·c)/n, NOT bias + w·(c/n): hoisting the single
+    # division out of the fold does one divide per row instead of one
+    # per component — higher-order-function lambdas evaluate
+    # interpreted, so work inside them is the per-row cost driver (a
+    # per-element normalize re-ran the token-count fold 16× per row).
+    # The oracle spells the identical hoisted form, so the float ops
+    # still match bit-for-bit.
     n_tok = F.aggregate(
         F.col("emb"), F.lit(0).cast("long"), lambda acc, v: acc + v
     )
     n_safe = F.greatest(n_tok, F.lit(1)).cast("double")
-    x = F.transform(F.col("emb"), lambda c: c.cast("double") / n_safe)
     w = F.array(*[F.lit(float(wi)).cast("double") for wi in weights])
-    logit = F.lit(float(bias)) + F.aggregate(
-        F.zip_with(x, w, lambda xi, wi: xi * wi),
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), w, lambda ci, wi: ci.cast("double") * wi),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return feats.select(
-        F.col(id_col),
-        logit.alias("logit"),
-        (logit >= 0.0).alias("keep"),
+    logit = F.lit(float(bias)) + dot / n_safe
+    # Two-step select: `keep` reads the MATERIALIZED logit column —
+    # inlining the expression twice would evaluate the folds twice.
+    scored = feats.select(F.col(id_col), logit.alias("logit"))
+    return scored.select(
+        F.col(id_col), "logit", (F.col("logit") >= 0.0).alias("keep")
     )
 
 
@@ -499,9 +507,8 @@ feat AS (
 scored AS (
   SELECT {id_col},
          {float(bias)!r} + list_dot_product(
-           list_transform(c, x -> CAST(x AS DOUBLE)
-             / CAST(greatest(list_aggregate(c, 'sum'), 1) AS DOUBLE)),
-           [{w_arr}]) AS logit
+             list_transform(c, x -> CAST(x AS DOUBLE)), [{w_arr}])
+           / CAST(greatest(list_aggregate(c, 'sum'), 1) AS DOUBLE) AS logit
   FROM feat
 )
 SELECT {id_col}, logit, logit >= 0.0 AS keep FROM scored

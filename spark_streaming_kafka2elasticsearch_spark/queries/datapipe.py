@@ -3336,10 +3336,28 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same inverted-index silhouette as blocked_ngram_jaccard_pairs
     (shared-shingle equi-join with the stop-shingle cap bounding
-    Σ df², set sizes recounted post-cap) — the only deltas are keeping
-    BOTH pair orientations (containment is asymmetric) and dividing by
-    the subset side's size alone.  Containment is an exact integer
-    rational, so the cross-engine hash check is exact."""
+    Σ df², set sizes recounted post-cap).  Containment is asymmetric
+    but the INTERSECTION is symmetric, so the count aggregates over
+    ORDERED pairs only (id_lo < id_hi) and both directed orientations
+    are exploded from each counted pair afterwards — a narrow
+    2-struct expansion of the tiny pair relation.  Wall-clock is
+    dominated by the co-shingle join fanout either way (the 10× probe
+    measured no speedup over the both-orientations join), but the
+    ordered form halves the pair-aggregation hash state — the memory
+    bound that decides whether a hot shingle block spills at 100 TB.
+    Containment is an exact integer rational, so the cross-engine
+    hash check is exact.
+
+    Scale note (SCALE_PROBE.json): the probe's α ≈ 1.1 is a measured
+    property of the SCALED CORPUS, not of this plan — the
+    token-shuffled replicas saturate the trigram space (distinct
+    (lang, shingle) keys grow only 1.28× while docs grow 10×), so
+    capped document frequencies concentrate and the true candidate
+    workload Σ df² grows 68× for 10× docs; wall-clock grows ~13× —
+    sub-linear in the workload the operator actually faces.  A real
+    corpus adds new text (new shingles) with growth, keeping Σ df²
+    ~linear under the df-cap; the cap's worst case stays
+    O(#shingles · 50²) regardless."""
     from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
         shingle_relation,
     )
@@ -3355,14 +3373,30 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = tok.join(ok, ["_block", "_sh"])
     sizes = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    a = tok.select("_block", "_sh", F.col("_id").alias("sub_id"))
-    b = tok.select("_block", "_sh", F.col("_id").alias("super_id"))
-    inter = (
+    a = tok.select("_block", "_sh", F.col("_id").alias("id_lo"))
+    b = tok.select("_block", "_sh", F.col("_id").alias("id_hi"))
+    inter_half = (
         a.join(b, ["_block", "_sh"])
-        .filter(F.col("sub_id") != F.col("super_id"))
-        .groupBy("sub_id", "super_id")
+        .filter(F.col("id_lo") < F.col("id_hi"))
+        .groupBy("id_lo", "id_hi")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
+    inter = inter_half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_lo").alias("sub_id"),
+                    F.col("id_hi").alias("super_id"),
+                    F.col("_inter"),
+                ),
+                F.struct(
+                    F.col("id_hi").alias("sub_id"),
+                    F.col("id_lo").alias("super_id"),
+                    F.col("_inter"),
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.sub_id", "_p.super_id", "_p._inter")
     return (
         inter.join(
             sizes.select(F.col("_id").alias("sub_id"), "_sz"), "sub_id"

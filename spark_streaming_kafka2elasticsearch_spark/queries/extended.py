@@ -540,6 +540,14 @@ def embedding_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel implementation.  Oracle: brute-force pair SQL + a
     recursive CTE, both independent of the Spark path.
 
+    Closure runs on the STAR-contraction CC (O(log² n) rounds): at
+    cos ≥ 0.35 the intra-label graph is a dense drift mesh whose
+    diameter GROWS with block size — the 3× probe corpus pushed
+    min-label propagation past its 25-round budget (converge-or-raise
+    fired, exactly as designed), while star contraction's round count
+    is diameter-independent.  Min-label stays the right tool for the
+    shallow text near-dup graphs (near_dup_clusters measures both).
+
     The exact intra-block pair scan is O(|block|²) BY CONSTRUCTION, so
     the registry's heaviest entry carries the same guardrail the LSH
     paths do (VERDICT r7 item 2): blocks larger than 1000 vectors are
@@ -550,7 +558,7 @@ def embedding_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     through srp_near_dup_pairs (auto-sized, α ≈ 0.96) instead of this
     exact twin."""
     from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
-        connected_components,
+        connected_components_star,
     )
     from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
         blocked_cosine_pairs_fast,
@@ -561,7 +569,7 @@ def embedding_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding", block_col="label",
         threshold=0.35, max_block_size=1000,
     ).select("id_a", "id_b")
-    return connected_components(
+    return connected_components_star(
         pairs, emb.select("vec_id"), node_col="vec_id"
     )
 
