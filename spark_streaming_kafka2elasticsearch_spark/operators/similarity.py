@@ -315,17 +315,13 @@ def ivf_topk(
     )
 
 
-def _fixed_cell_expr(crows, vec_col: str) -> Column:
-    """Bit-exact coarse-quantizer assignment over a collected centroid
-    table (``crows``: ordered (centroid_id, centroid_vec) rows):
-    argmax cosine with min-centroid-id tie-break, computed as
-    ``greatest`` over per-centroid ``struct(sim, -cid)`` literal-fold
-    expressions.  The centroid table is small BY CONTRACT (the same
-    "collect the small side" rule as brute_force_topk_pandas), so the
-    corpus is scanned ONCE with no join for assignment.  Shared by
-    :func:`ivf_topk_fixed` and :func:`ivf_persisted_topk` so the
-    in-flight and at-rest IVF paths can never drift in assignment
-    semantics."""
+def _fixed_cell_structs(crows, vec_col: str) -> list[Column]:
+    """Per-centroid ``struct(sim, -cid)`` literal-fold expressions over
+    a collected centroid table (``crows``: ordered (centroid_id,
+    centroid_vec) rows) — the building block both the argmax
+    single-cell assignment and the ranked multi-probe assignment sort.
+    Encoding the tiebreak as ``-cid`` makes plain struct ordering do
+    the right thing: descending on (sim, -cid) = sim DESC, cid ASC."""
     v = F.col(vec_col).cast("array<double>")
     structs = []
     for r in crows:
@@ -336,8 +332,35 @@ def _fixed_cell_expr(crows, vec_col: str) -> Column:
                 F.lit(-int(r[0])).cast("long").alias("_nc"),
             )
         )
+    return structs
+
+
+def _fixed_cell_expr(crows, vec_col: str) -> Column:
+    """Bit-exact coarse-quantizer assignment over a collected centroid
+    table: argmax cosine with min-centroid-id tie-break, computed as
+    ``greatest`` over the per-centroid ``struct(sim, -cid)``
+    literal-fold expressions.  The centroid table is small BY CONTRACT
+    (the same "collect the small side" rule as
+    brute_force_topk_pandas), so the corpus is scanned ONCE with no
+    join for assignment.  Shared by :func:`ivf_topk_fixed` and
+    :func:`ivf_persisted_topk` so the in-flight and at-rest IVF paths
+    can never drift in assignment semantics."""
+    structs = _fixed_cell_structs(crows, vec_col)
     best = structs[0] if len(structs) == 1 else F.greatest(*structs)
     return -best["_nc"]
+
+
+def _fixed_probe_cells_expr(crows, vec_col: str, n_probe: int) -> Column:
+    """The query's ``n_probe`` NEAREST cells, ranked — multi-probe's
+    assignment step, still bit-exact: sort the per-centroid structs
+    ascending (struct order: sim ASC, -cid ASC), reverse (= sim DESC,
+    cid ASC — the exact argmax tie-break), slice the head.  An
+    external engine replays it as a rank-over-cells QUALIFY."""
+    structs = _fixed_cell_structs(crows, vec_col)
+    ranked = F.reverse(F.array_sort(F.array(*structs)))
+    return F.transform(
+        F.slice(ranked, 1, n_probe), lambda s: -s["_nc"]
+    )
 
 
 def ivf_topk_fixed(
@@ -428,6 +451,7 @@ def ivf_persisted_topk(
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
     rebuild: bool = True,
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF with the index PERSISTED as a cell-partitioned parquet
     layout — the serving half of the ANN story that :func:`ivf_topk`'s
@@ -452,9 +476,14 @@ def ivf_persisted_topk(
        so results are identical to the in-flight twin and the same
        DuckDB oracle value-checks them.
 
-    Single probe per query here; multi-probe = assign each query its p
-    nearest cells before the distinct-collect (the predicate and the
-    join key are per-(query, cell) rows either way).
+    ``n_probe`` > 1 is multi-probe: each query is assigned its
+    ``n_probe`` NEAREST cells (ranked, bit-exact —
+    :func:`_fixed_probe_cells_expr`) and exploded to (query, cell)
+    rows; the rest of the plan is UNCHANGED — the static IN predicate
+    simply covers more directories, the broadcast join key is still
+    the cell, and the per-query top-k window already ranks across the
+    union of probed cells.  The standard recall/scan-cost dial: cost
+    is n_probe/|cells| of the corpus per query batch.
     """
     from spark_streaming_kafka2elasticsearch_spark.sources.writer import write_table
 
@@ -475,11 +504,20 @@ def ivf_persisted_topk(
         )
         write_table(assigned, path, partition_by=["cell"])
 
-    q_assigned = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(query_vec).alias("_qvec"),
-        _fixed_cell_expr(crows, query_vec).alias("cell"),
-    )
+    if n_probe <= 1:
+        q_assigned = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("_qvec"),
+            _fixed_cell_expr(crows, query_vec).alias("cell"),
+        )
+    else:
+        q_assigned = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("_qvec"),
+            F.explode(
+                _fixed_probe_cells_expr(crows, query_vec, n_probe)
+            ).alias("cell"),
+        )
     probe_cells = sorted(
         int(r["cell"]) for r in q_assigned.select("cell").distinct().collect()
     )

@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     "suppliers_kept_waiting",
     # -- new or semantics-changed in r8 --
     "ann_ivf_persisted_topk",
+    "ann_ivf_persisted_topk_multiprobe",
     "quality_logistic_scores",
     "embedding_near_dup_clusters",
     # -- r5-vintage --

@@ -336,6 +336,63 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_persisted_topk_multiprobe",
+    # Multi-probe over the SAME persisted layout: each query unions its
+    # 2 nearest cells' members before the top-10.  Assignment ranking
+    # and cosines are the bit-exact fold, so DuckDB replays the probed
+    # cell set and the final ranking exactly.
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+asn AS (
+  SELECT e.vec_id, c.cid AS cell, e.v
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+qc AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, c.cid AS cell
+  FROM e CROSS JOIN c
+  WHERE e.vec_id < 8
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) <= 2)
+SELECT q.query_id, a.cell, a.vec_id AS neighbor_id
+FROM qc q JOIN asn a USING (cell)
+WHERE a.vec_id <> q.query_id
+QUALIFY row_number() OVER (
+  PARTITION BY q.query_id
+  ORDER BY list_cosine_similarity(q.qv, a.v) DESC, a.vec_id ASC) <= 10
+""",
+)
+def ann_ivf_persisted_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe serving over the persisted IVF layout: each query's
+    2 NEAREST cells (ranked bit-exactly, so the oracle replays the
+    probe set) widen the static partition predicate, and the per-query
+    top-10 ranks across the union — the standard recall dial
+    single-probe IVF lacks, at 2/|cells| of the corpus per query.  The
+    emitted cell is the NEIGHBOR's cell, value-checking which probe
+    each answer came from."""
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    path = os.path.join(
+        "/root/repo/tmp_ivf", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    return ivf_persisted_topk(emb, queries, cents, path, k=10, n_probe=2)
+
+
+@register(
     "lang_token_stats_pandas",
     # Exact cross-engine medians WITHOUT rounding: token counts are
     # integers, so every median is k or k+0.5 and every |x−med| is a

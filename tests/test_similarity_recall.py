@@ -291,3 +291,34 @@ def test_blocked_cosine_max_block_size_drops_only_oversized(spark):
     capped = blocked_cosine_pairs_fast(df, threshold=0.9, max_block_size=3)
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got == {(10, 11)}
+
+
+def test_ivf_persisted_multiprobe_improves_on_single_probe(
+    emb, queries, exact_topk, tmp_path
+):
+    """Multi-probe is the recall dial: probing each query's 2 nearest
+    cells must return a superset-or-equal recall vs single probe, it
+    must actually probe beyond the home cell for at least one query,
+    and every returned neighbor must belong to one of the query's two
+    nearest cells (the oracle's QUALIFY <= 2 contract)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_topk,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    path = str(tmp_path / "ivf_index")
+    single = ivf_persisted_topk(emb, queries, cents, path, k=10).collect()
+    multi = ivf_persisted_topk(
+        emb, queries, cents, path, k=10, rebuild=False, n_probe=2
+    ).collect()
+    r1, r2 = _recall(single, exact_topk), _recall(multi, exact_topk)
+    assert r2 >= r1, (r1, r2)
+    home_cell = {r["query_id"]: r["cell"] for r in single}
+    assert any(r["cell"] != home_cell[r["query_id"]] for r in multi)
+    per_q_cells: dict[int, set] = {}
+    for r in multi:
+        per_q_cells.setdefault(r["query_id"], set()).add(r["cell"])
+    assert all(len(cells) <= 2 for cells in per_q_cells.values())
