@@ -100,6 +100,7 @@ _PRIORITY: list[str] = [
     "ann_ivf_persisted_topk",
     "ann_ivf_persisted_topk_multiprobe",
     "quality_logistic_scores",
+    "url_dedup_canonical",
     "embedding_near_dup_clusters",
     # -- r5-vintage --
     "user_sessionization",

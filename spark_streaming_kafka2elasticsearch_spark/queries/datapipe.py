@@ -1827,6 +1827,116 @@ def _hashed_bow_oracle() -> str:
     return hashed_bow_oracle_sql("doc_id", "text", dim=16, table="documents")
 
 
+#: Deterministic messy-URL synth (the synth_png_table idiom: the
+#: testdata has no URL column, so one is DERIVED from doc_id/source
+#: identically in both engines): five orthogonal variant axes —
+#: scheme case, host case, explicit default port, trailing slash +
+#: tracking params, fragment — all collapsing under canonicalization
+#: to https://www.{source}.com/docs/{source}?id={doc_id % 25}, so
+#: docs 100 apart (lcm of the 20-source cycle and the 25-id cycle)
+#: are canonical duplicates.
+_SYNTH_URL_SQL = """
+CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'https' END || '://'
+|| CASE WHEN doc_id % 2 = 1 THEN upper('www.' || source || '.com')
+        ELSE 'www.' || source || '.com' END
+|| CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+|| '/docs/' || source || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+|| '?' || CASE WHEN doc_id % 2 = 0
+               THEN 'utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR)
+                    || '&utm_campaign=x'
+               ELSE 'id=' || CAST(doc_id % 25 AS VARCHAR)
+                    || '&fbclid=abc' || CAST(doc_id % 7 AS VARCHAR) END
+|| CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END
+"""
+
+
+def _synth_url_col() -> "F.Column":
+    d, src = F.col("doc_id"), F.col("source")
+    base_host = F.concat(F.lit("www."), src, F.lit(".com"))
+    return F.concat(
+        F.when(d % 4 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 2 == 1, F.upper(base_host)).otherwise(base_host),
+        F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        src,
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("utm_source=feed&id="),
+                (d % 25).cast("string"),
+                F.lit("&utm_campaign=x"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("id="),
+                (d % 25).cast("string"),
+                F.lit("&fbclid=abc"),
+                (d % 7).cast("string"),
+            )
+        ),
+        F.when(d % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+
+
+def _url_dedup_oracle() -> str:
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import (
+        canonical_url_sql,
+    )
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id, ({_SYNTH_URL_SQL}) AS url FROM documents
+),
+canon AS (
+  SELECT doc_id, url, {canonical_url_sql('url')} AS canonical_url FROM raw
+)
+SELECT canonical_url,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_variants,
+       count(DISTINCT url) AS n_raw_forms
+FROM canon
+GROUP BY canonical_url
+"""
+
+
+@register("url_dedup_canonical", oracle=_url_dedup_oracle())
+def url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the FIRST dedup pass of a web-crawl curation
+    pipeline (the same page arrives under scheme-case / host-case /
+    default-port / tracking-param / param-order / fragment /
+    trailing-slash variants; collapsing by canonical URL is orders of
+    magnitude cheaper than content MinHash and removes the bulk of
+    refetch duplicates before any text is shingled).  The canonical
+    key (functions/text.canonical_url) is ONE codegen'd projection —
+    regex component extraction + an array filter/sort for the query
+    string, no UDF, no parser object — so at 100 TB this is a
+    map-side key derivation + one hash aggregate, shuffling only
+    (canonical_url, partial counts).  Emits per canonical URL: the
+    keep-one winner (min doc_id — same keep rule as exact text
+    dedup), the variant count, and how many distinct raw spellings
+    collapsed.  URLs here are synthesized deterministically from
+    doc_id (testdata has none); the oracle re-derives synth AND
+    canonicalization from shared spellings, so the whole operator is
+    value-checked byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import (
+        canonical_url,
+    )
+
+    raw = docs.select("doc_id", _synth_url_col().alias("url"))
+    canon = raw.select(
+        "doc_id", "url", canonical_url("url").alias("canonical_url")
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_variants"),
+        F.countDistinct("url").alias("n_raw_forms"),
+    )
+
+
 #: Fixed literal logistic model over the 16 hashed-BoW buckets — a
 #: deterministic stand-in for trained coefficients (production feeds a
 #: real fit; the shape, plan, and oracle are identical either way).

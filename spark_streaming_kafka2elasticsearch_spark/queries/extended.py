@@ -1108,10 +1108,20 @@ GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority), 
 def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices):
     revenue by nation, by priority, by both, and the grand total in
-    ONE pass — Spark's Expand node replicates each row once per set,
-    so the scan count stays 1 regardless of how many sets are asked
-    for.  grouping() flags disambiguate real NULLs from subtotal rows.
-    Dimension chain broadcasts; only lineitem⋈orders shuffles."""
+    ONE pass.  grouping() flags disambiguate real NULLs from subtotal
+    rows.  Dimension chain broadcasts; only lineitem⋈orders shuffles.
+
+    Scale shape: Spark's Expand node replicates its INPUT once per
+    grouping set, and partial aggregation only runs above the Expand —
+    naively that multiplies the fact stream ×|sets| before any
+    reduction (measured 5.3 s at sf0.1, 2.4 M expanded decimal rows).
+    So the fact stream is pre-aggregated to the FINEST set
+    (n_name × o_orderpriority — the lattice's bottom, every other set
+    is a rollup of it) and the grouping sets run over those ~125
+    partials: at 100 TB the Expand input drops from the joined fact
+    table to |dim-cross| rows.  DECIMAL sums are exact and
+    associative, so re-aggregating partials is bit-identical to the
+    one-shot aggregate (the oracle is unchanged)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -1122,15 +1132,18 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     )
-    rev = F.sum(
-        F.col("l_extendedprice").cast(dec) * (1 - F.col("l_discount").cast(dec))
+    partial = joined.groupBy("n_name", "o_orderpriority").agg(
+        F.sum(
+            F.col("l_extendedprice").cast(dec)
+            * (1 - F.col("l_discount").cast(dec))
+        ).alias("_rev")
     )
-    return joined.groupingSets(
+    return partial.groupingSets(
         [["n_name"], ["o_orderpriority"], ["n_name", "o_orderpriority"], []],
         "n_name",
         "o_orderpriority",
     ).agg(
-        rev.cast("string").cast("double").alias("revenue"),
+        F.sum("_rev").cast("string").cast("double").alias("revenue"),
         F.grouping("n_name").cast("long").alias("g_nation"),
         F.grouping("o_orderpriority").cast("long").alias("g_priority"),
     )

@@ -1377,3 +1377,34 @@ def test_pair_operators_materialize_flag_keeps_plan_lazy(spark):
     # and the lazy results still compute correctly when acted on
     assert {tuple(r) for r in lazies[3].collect()} == {(1, 1), (2, 1), (3, 1)}
     spark.catalog.clearCache()
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule on handcrafted variants: case,
+    default ports (stripped) vs real ports (kept), fragments,
+    tracking params, param order, trailing slashes."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import canonical_url
+
+    variants_same = [
+        "https://www.example.com/a/b?x=1&y=2",
+        "HTTPS://WWW.Example.COM/a/b?y=2&x=1",
+        "https://www.example.com:443/a/b/?x=1&y=2#frag",
+        "https://www.example.com/a/b?utm_source=s&x=1&utm_campaign=c&y=2&fbclid=z",
+    ]
+    distinct = [
+        "https://www.example.com:8443/a/b?x=1&y=2",  # non-default port kept
+        "http://www.example.com/a/b?x=1&y=2",        # scheme differs
+        "https://www.example.com/a/b?x=2&y=2",       # param value differs
+        "https://www.example.com/a/b",               # no query at all
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(variants_same + distinct)], "i long, u string"
+    )
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url("u").alias("c")).collect()}
+    canon = got[0]
+    assert canon == "https://www.example.com/a/b?x=1&y=2"
+    assert all(got[i] == canon for i in range(len(variants_same))), got
+    vals = [got[len(variants_same) + j] for j in range(len(distinct))]
+    assert canon not in vals and len(set(vals)) == len(vals), vals
+    assert got[len(variants_same)] == "https://www.example.com:8443/a/b?x=1&y=2"
+    assert got[len(variants_same) + 3] == "https://www.example.com/a/b"

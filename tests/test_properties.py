@@ -212,3 +212,58 @@ def test_countmin_never_undercounts_and_merges(spark, toks, cut):
         for r in exact.join(est, "tok").collect()
     }
     assert all(cm >= n for n, cm in got.values())
+
+
+doc_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab cd efg hi jkl mn"),
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(doc_texts)
+def test_logistic_scores_match_python_model(spark, texts):
+    """The JVM-side logistic gate against an independent pure-Python
+    re-derivation (md5 bucketing, token frequencies, dot, bias) on
+    arbitrary whitespace-soup texts — exact equality, the same bar the
+    DuckDB oracle holds on real data.  The Python model accumulates in
+    the identical left-fold order, so floats must agree bit-for-bit."""
+    import hashlib
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        logistic_quality_scores,
+    )
+
+    weights = [((i * 7) % 5 - 2) / 4.0 for i in range(8)]
+    bias = -0.125
+
+    def py_model(text: str) -> float:
+        counts = [0] * 8
+        toks = [t for t in text.split() if t]
+        for t in toks:
+            nib = "0123456789abcdef".index(
+                hashlib.md5(t.encode()).hexdigest()[0]
+            )
+            counts[nib % 8] += 1
+        dot = 0.0
+        for c, w in zip(counts, weights):
+            dot = dot + float(c) * w
+        return bias + dot / float(max(len(toks), 1))
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["logit"], r["keep"])
+        for r in logistic_quality_scores(
+            docs, weights, bias, id_col="doc_id"
+        ).collect()
+    }
+    for i, text in enumerate(texts):
+        expect = py_model(text)
+        assert got[i] == (expect, expect >= 0.0), (i, text, got[i], expect)

@@ -121,6 +121,9 @@ PROBE_QUERIES = [
     # logistic gate (claims the hashed-BoW explode+agg silhouette)
     "ann_ivf_persisted_topk",
     "quality_logistic_scores",
+    # r8: URL canonicalization dedup — map-side key derivation + one
+    # hash aggregate; must hold alpha ~ 1
+    "url_dedup_canonical",
 ]
 
 

@@ -104,7 +104,10 @@ def main() -> None:
         build_scaled(FACTOR, xdir)
 
     from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
-    from spark_streaming_kafka2elasticsearch_spark.session import build_session
+    from spark_streaming_kafka2elasticsearch_spark.session import (
+        build_session,
+        release_cached_state,
+    )
 
     qs = all_queries()
     spark = build_session(master="local[32]", app_name="scale_probe_tpch")
@@ -120,7 +123,7 @@ def main() -> None:
             qs[q](spark, BASE).write.format("noop").mode("overwrite").save()
         except Exception:  # noqa: BLE001
             pass
-        spark.catalog.clearCache()
+        release_cached_state(spark)
     print("warm-up done", file=sys.stderr)
 
     results: dict[str, dict[str, float]] = {q: {} for q in PROBE_QUERIES}
@@ -138,8 +141,14 @@ def main() -> None:
             json.dump(doc, f, indent=1)
 
     # Min-of-N per measurement — same additive-noise rationale as
-    # tools/scale_probe.py (single-pass tails swung 2-3x on this box).
-    passes = int(os.environ.get("SCALE_PROBE_PASSES", "2"))
+    # tools/scale_probe.py, but with N=4: the x10 warehouse sweep's
+    # shuffle files leave multi-second OS writeback debt that lands on
+    # whichever query runs next and persists across TWO consecutive
+    # passes (measured: the same queries probed 22.7s/29.1s min-of-2 in
+    # one sweep and 1.5s/2.4s in isolation, with the spike WANDERING
+    # between entries run-to-run).  Four passes straddle the transient;
+    # min-of-4 recovers the isolated numbers for every entry.
+    passes = int(os.environ.get("SCALE_PROBE_PASSES", "4"))
     for factor, sf_dir in ((1, BASE), (FACTOR, xdir)):
         for q in PROBE_QUERIES:
             best = -1.0
@@ -155,7 +164,7 @@ def main() -> None:
                     print(f"x{factor} {q} FAILED: {exc}", file=sys.stderr)
                     break
                 finally:
-                    spark.catalog.clearCache()
+                    release_cached_state(spark)
             results[q][f"x{factor}"] = best
             print(f"x{factor} {q}: {best}s (min of {passes})", file=sys.stderr)
             flush()
