@@ -339,7 +339,13 @@ def main() -> None:
     # FASTER than its true cost, so the min is the signal.  Single-pass
     # alphas were swinging ±0.5 on exactly the entries the probe
     # exists to judge.
-    passes = int(os.environ.get("SCALE_PROBE_PASSES", "2"))
+    # N=4 (was 2): the x10 sweeps generate shuffle-writeback debt
+    # that lands on a LATER query and persists across two consecutive
+    # passes — min-of-2 cannot dodge it (the tpch probe measured the
+    # same query 22.7s min-of-2 in-sweep vs 1.5s isolated, with the
+    # spike wandering between entries).  Four passes straddle the
+    # transient.
+    passes = int(os.environ.get("SCALE_PROBE_PASSES", "4"))
     results: dict[str, dict[str, float]] = {q: {} for q in probe_list}
     for factor, sf_dir in dirs.items():
         for q in probe_list:

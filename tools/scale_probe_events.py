@@ -104,7 +104,10 @@ def main() -> None:
         release_cached_state(spark)
     print("warm-up pass done", file=sys.stderr)
 
-    passes = int(os.environ.get("SCALE_PROBE_PASSES", "2"))
+    # min-of-4: x10 shuffle-writeback debt persists across two
+    # consecutive passes (see tools/scale_probe_tpch.py) — min-of-2
+    # cannot dodge it.
+    passes = int(os.environ.get("SCALE_PROBE_PASSES", "4"))
     results: dict[str, dict[str, float]] = {q: {} for q in PROBE_QUERIES}
     for factor, sf_dir in ((1, BASE), (FACTOR, xdir)):
         for q in PROBE_QUERIES:
