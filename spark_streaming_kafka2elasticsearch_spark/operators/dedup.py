@@ -1349,6 +1349,87 @@ def substring_window_relation(
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): slide a ``window`` of
+    consecutive k-gram hashes over each document and keep, per
+    window, the MINIMUM hash (rightmost occurrence on ties); the
+    distinct selected (hash, position) pairs are the document's
+    fingerprint set.  Output: ``(id_col, fingerprint, fp_pos)``,
+    positions 1-based.
+
+    Why this exists next to MinHash/SimHash: winnowing gives a LOCAL
+    guarantee the sketch families lack — any shared substring of at
+    least ``window + k - 1`` tokens between two documents is
+    guaranteed to share at least one selected fingerprint, while only
+    ~2/(window+1) of all k-gram hashes are kept.  That makes it the
+    standard index for partial-overlap detection (plagiarism, quoted
+    boilerplate, code clones) where document-level Jaccard is diluted
+    and exact-substring census (exact_substring_dup_spans) is the
+    verify step, not the index.
+
+    Plan shape: positional k-gram hashes via the shingle_relation
+    codegen idiom (posexplode + null-safe ``get`` + md5 — the
+    digest, not the text, is what everything downstream touches);
+    the window-minimum runs as ONE per-document analytic window
+    (``min`` over ``struct(hash, -pos)`` — struct ordering makes the
+    rightmost-tie rule a plain min; frame = CURRENT ROW .. window-1
+    FOLLOWING), so the only exchange is the per-document sort, which
+    scales with the widest single document, not the corpus.  Docs
+    with fewer than ``window`` k-grams keep their global minimum
+    (one fingerprint); docs shorter than ``k`` tokens emit nothing
+    (full-width k-grams only — tiny docs belong to exact dedup).
+    DuckDB replays every step (md5, struct-min window) exactly.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    t = tokens(F.col(text_col))
+    toks = (
+        df.select(F.col(id_col).alias("_id"), t.alias("_toks"))
+        .filter(F.size("_toks") >= k)
+        .select(
+            "_id",
+            "_toks",
+            (F.size("_toks") - k + 1).alias("_S"),
+            F.posexplode("_toks").alias("_i", "_tok"),
+        )
+        .filter(F.col("_i") <= F.col("_S") - 1)
+    )
+    parts = [F.col("_tok")] + [
+        F.get(F.col("_toks"), F.col("_i") + j) for j in range(1, k)
+    ]
+    rel = toks.select(
+        "_id",
+        "_S",
+        (F.col("_i") + 1).alias("_pos"),
+        F.md5(F.concat_ws(" ", *parts)).alias("_h"),
+    )
+    wspec = (
+        Window.partitionBy("_id").orderBy("_pos").rowsBetween(0, window - 1)
+    )
+    fp = F.min(
+        F.struct(F.col("_h").alias("h"), (-F.col("_pos")).alias("np"))
+    ).over(wspec)
+    return (
+        rel.withColumn("_fp", fp)
+        .filter(F.col("_pos") <= F.greatest(F.col("_S") - window + 1, F.lit(1)))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_fp.h").alias("fingerprint"),
+            (-F.col("_fp.np")).alias("fp_pos"),
+        )
+        .distinct()
+    )
+
+
 def exact_substring_dup_spans(
     df: DataFrame,
     id_col: str,

@@ -101,6 +101,7 @@ _PRIORITY: list[str] = [
     "ann_ivf_persisted_topk_multiprobe",
     "quality_logistic_scores",
     "url_dedup_canonical",
+    "winnowing_fingerprints",
     "embedding_near_dup_clusters",
     # -- r5-vintage --
     "user_sessionization",

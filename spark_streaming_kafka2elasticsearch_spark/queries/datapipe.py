@@ -1827,6 +1827,49 @@ def _hashed_bow_oracle() -> str:
     return hashed_bow_oracle_sql("doc_id", "text", dim=16, table="documents")
 
 
+@register(
+    "winnowing_fingerprints",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+d AS (SELECT doc_id, t, len(t) - 2 AS S FROM tk WHERE len(t) >= 3),
+h AS (
+  SELECT doc_id, S, i AS pos,
+         md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS hh
+  FROM d, unnest(generate_series(1, S)) AS u(i)
+),
+w AS (
+  SELECT doc_id, pos, S,
+         min(struct_pack(h := hh, np := -pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM h
+)
+SELECT DISTINCT doc_id, fp.h AS fingerprint, CAST(-fp.np AS BIGINT) AS fp_pos
+FROM w
+WHERE pos <= greatest(S - 3, 1)
+""",
+)
+def winnowing_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection over the corpus — see
+    operators/dedup.winnowing_fingerprints for the algorithm, the
+    local guarantee (any shared ≥ window+k−1 token substring shares a
+    fingerprint), and the plan shape (positional k-gram digests + ONE
+    per-document struct-min analytic window).  k=3 tokens, guarantee
+    window 4 ⇒ ~40 % of k-grams selected with every ≥ 6-token overlap
+    guaranteed caught.  Every step (md5, struct ordering, window
+    frame) is replayed exactly by the DuckDB oracle."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, id_col="doc_id", k=3, window=4)
+
+
 #: Deterministic messy-URL synth (the synth_png_table idiom: the
 #: testdata has no URL column, so one is DERIVED from doc_id/source
 #: identically in both engines): five orthogonal variant axes —

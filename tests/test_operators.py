@@ -1408,3 +1408,35 @@ def test_canonical_url_rules(spark):
     assert canon not in vals and len(set(vals)) == len(vals), vals
     assert got[len(variants_same)] == "https://www.example.com:8443/a/b?x=1&y=2"
     assert got[len(variants_same) + 3] == "https://www.example.com/a/b"
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The two defining properties of winnowing (Schleimer et al.):
+    (1) LOCAL GUARANTEE — two documents sharing a substring of at
+    least window+k-1 tokens (here 4+3-1 = 6) share at least one
+    selected fingerprint, wherever the substring lands; (2) the
+    selection is sparse (well under all k-grams) yet never empty for
+    docs with >= k tokens."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot"  # 6 tokens
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"{shared} seven eight nine ten eleven twelve"),
+        (3, "completely different words with no overlap at all here"),
+        (4, "tiny doc"),  # 2 tokens < k: emits nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnowing_fingerprints(df, id_col="doc_id", k=3, window=4).collect()
+    fps: dict[int, set] = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[1] & fps[2], "guaranteed shared fingerprint missing"
+    assert not (fps[1] & fps.get(3, set()))
+    assert 4 not in fps
+    # density: selected unique positions strictly fewer than all k-grams,
+    # and every doc with >= k tokens has >= 1 fingerprint
+    n_kgrams_1 = len(rows[0][1].split()) - 2
+    assert 1 <= len({(r["fingerprint"], r["fp_pos"]) for r in out if r["doc_id"] == 1}) < n_kgrams_1

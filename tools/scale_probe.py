@@ -124,6 +124,9 @@ PROBE_QUERIES = [
     # r8: URL canonicalization dedup — map-side key derivation + one
     # hash aggregate; must hold alpha ~ 1
     "url_dedup_canonical",
+    # r8: winnowing — per-doc analytic window over positional digests;
+    # the exchange is the per-doc sort, must hold alpha ~ 1
+    "winnowing_fingerprints",
 ]
 
 
