@@ -1430,6 +1430,76 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """Partial-overlap document pairs via the winnowing fingerprint
+    index: ``(id_a, id_b, n_shared, containment)`` for every pair
+    sharing at least ``min_shared`` selected fingerprints, where
+    ``containment = n_shared / min(|fp_a|, |fp_b|)`` over the post-cap
+    fingerprint SETS.  This is what MOSS actually serves: winnowing's
+    local guarantee makes shared fingerprints a certificate of shared
+    substrings, so a high containment on a SMALL document flags a
+    quote/excerpt relation that document-level Jaccard dilutes away.
+
+    Scale shape mirrors :func:`blocked_ngram_jaccard_pairs` — inverted
+    index on the fingerprint (never an all-pairs scan), so the cost is
+    sum over fingerprints of df², with ``max_doc_freq`` dropping
+    corpus-scale stop-fingerprints (boilerplate selected by every
+    doc's windows) consistently from both the pair counts and the
+    per-doc set sizes; winnowing itself pre-thins the index to
+    ~2/(window+1) of all k-grams, so the join input is a fraction of
+    the Jaccard operator's at identical guarantees on ≥ window+k−1
+    token overlaps.  DuckDB replays the whole pipeline exactly
+    (md5 digests, struct-min windows, integer counts; the one double
+    — containment — is a single IEEE division both engines agree on).
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fps = winnowing_fingerprints(df, id_col, text_col, k=k, window=window).select(
+        F.col(id_col).alias("_id"), "fingerprint"
+    ).distinct()
+    if max_doc_freq is not None:
+        ok = (
+            fps.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("fingerprint")
+        )
+        fps = fps.join(ok, "fingerprint")
+    sizes = fps.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = fps.select("fingerprint", F.col("_id").alias("id_a"))
+    b = fps.select("fingerprint", F.col("_id").alias("id_b"))
+    inter = (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("_sz_a", "_sz_b").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
 def exact_substring_dup_spans(
     df: DataFrame,
     id_col: str,

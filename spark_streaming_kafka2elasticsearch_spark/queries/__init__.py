@@ -102,6 +102,8 @@ _PRIORITY: list[str] = [
     "quality_logistic_scores",
     "url_dedup_canonical",
     "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    "passage_retrieval_topk",
     "embedding_near_dup_clusters",
     # -- r5-vintage --
     "user_sessionization",

@@ -1299,6 +1299,141 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "passage_retrieval_topk",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id, t,
+         unnest(generate_series(
+           0,
+           greatest(CAST(ceil((len(t) - 8) / 24.0) AS INT) - 1, 0)
+         )) AS chunk_id
+  FROM d WHERE len(t) > 0
+),
+p AS (
+  SELECT doc_id, chunk_id, doc_id * 100000 + chunk_id AS passage_id,
+         t[chunk_id*24 + 1 : chunk_id*24 + 32] AS ptoks
+  FROM c
+),
+ptb AS (
+  SELECT passage_id, doc_id, chunk_id,
+         (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) % 16 AS b
+  FROM p, unnest(ptoks) AS u(tok)
+),
+pv AS (
+  SELECT passage_id, any_value(doc_id) AS doc_id,
+         any_value(chunk_id) AS chunk_id, [{comps}] AS pe
+  FROM ptb GROUP BY passage_id
+),
+qtb AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) % 16 AS b
+  FROM d, unnest(t) AS u(tok)
+  WHERE doc_id < 5
+),
+qv AS (
+  SELECT doc_id AS query_doc_id, [{comps}] AS qe FROM qtb GROUP BY doc_id
+),
+s AS (
+  SELECT q.query_doc_id, p.doc_id, p.chunk_id, p.passage_id,
+         list_dot_product(p.pe, q.qe)
+           / (sqrt(list_dot_product(q.qe, q.qe))
+              * sqrt(list_dot_product(p.pe, p.pe))) AS sim
+  FROM pv p, qv q
+  WHERE p.doc_id <> q.query_doc_id
+)
+SELECT query_doc_id, doc_id, chunk_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_doc_id ORDER BY sim DESC, passage_id
+       ) AS INT) AS rank
+FROM s
+QUALIFY rank <= 5
+""".replace(
+        "{comps}",
+        ", ".join(f"CAST(count(*) FILTER (b = {i}) AS DOUBLE)" for i in range(16)),
+    ),
+)
+def passage_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval pipeline composed from the oracled
+    primitives: chunk every document into 32-token passages (stride
+    24), featurize passages AND query documents (doc_id < 5) with the
+    hashed-BoW encoder, and serve exact cosine top-5 passages per
+    query with same-document passages excluded — (query_doc_id,
+    doc_id, chunk_id, rank), no floats in the output.
+
+    Scale shape: chunking + featurization are pure codegen (zero
+    shuffles to the aggregate); the 5-row query matrix is broadcast;
+    the passage corpus is scanned ONCE with the local-pre-rank idiom
+    of brute_force_topk (top-5 per partition before the per-query
+    global rank), so the only corpus-sized exchange is the hashed-BoW
+    count aggregate.  Cross-engine exactness: BoW vectors are
+    integer-valued, so dot/norm² are EXACT in any summation order;
+    both engines then compute dot/(√q·√p) in the same three-op shape,
+    making sims bit-identical and the deterministic (sim DESC,
+    passage_id) rank oracle-stable."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.vectors import (
+        cosine_similarity,
+        l2_norm,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        chunk_documents,
+        hashed_bow_embedding,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    passages = chunk_documents(
+        docs, id_col="doc_id", chunk_tokens=32, overlap=8
+    ).select(
+        (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("passage_id"),
+        "chunk_text",
+    )
+    pfeat = hashed_bow_embedding(
+        passages, "passage_id", text_col="chunk_text", dim=16
+    )
+    qfeat = (
+        hashed_bow_embedding(
+            docs.filter(F.col("doc_id") < 5), "doc_id", text_col="text", dim=16
+        )
+        .filter(l2_norm(F.col("emb")) > 0)
+        .select(F.col("doc_id").alias("query_doc_id"), F.col("emb").alias("_qe"))
+    )
+    sims = (
+        pfeat.join(F.broadcast(qfeat), how="cross")
+        .filter(
+            F.expr("passage_id div 100000") != F.col("query_doc_id")
+        )
+        .select(
+            "query_doc_id",
+            "passage_id",
+            cosine_similarity(F.col("_qe"), F.col("emb")).alias("sim"),
+        )
+    )
+    part_w = Window.partitionBy(
+        F.spark_partition_id(), "query_doc_id"
+    ).orderBy(F.desc("sim"), F.asc("passage_id"))
+    local = sims.withColumn("_lr", F.row_number().over(part_w)).filter(
+        F.col("_lr") <= 5
+    )
+    w = Window.partitionBy("query_doc_id").orderBy(
+        F.desc("sim"), F.asc("passage_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_doc_id",
+            F.expr("passage_id div 100000").alias("doc_id"),
+            F.expr("CAST(passage_id % 100000 AS INT)").alias("chunk_id"),
+            "rank",
+        )
+    )
+
+
+@register(
     "ann_cosine_topk_pandas",
     oracle="""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8),
@@ -1868,6 +2003,67 @@ def winnowing_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return winnowing_fingerprints(docs, id_col="doc_id", k=3, window=4)
+
+
+@register(
+    "winnowing_overlap_pairs",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+d AS (SELECT doc_id, t, len(t) - 2 AS S FROM tk WHERE len(t) >= 3),
+h AS (
+  SELECT doc_id, S, i AS pos,
+         md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS hh
+  FROM d, unnest(generate_series(1, S)) AS u(i)
+),
+w AS (
+  SELECT doc_id, pos, S,
+         min(struct_pack(h := hh, np := -pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM h
+),
+fps0 AS (
+  SELECT DISTINCT doc_id, fp.h AS fingerprint
+  FROM w WHERE pos <= greatest(S - 3, 1)
+),
+ok AS (
+  SELECT fingerprint FROM fps0 GROUP BY fingerprint HAVING count(*) <= 20
+),
+fps AS (SELECT f.* FROM fps0 f JOIN ok USING (fingerprint)),
+sz AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM fps a JOIN fps b USING (fingerprint)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT i.id_a, i.id_b, i.n_shared,
+       CAST(i.n_shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.id_a
+JOIN sz sb ON sb.doc_id = i.id_b
+""",
+)
+def winnowing_overlap_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap pairs served from the winnowing index — the
+    MOSS use case (quotes, excerpts, shared boilerplate spans that
+    whole-document Jaccard dilutes).  Inverted index on the
+    fingerprint (sum-df² cost, never all-pairs), stop-fingerprint
+    df-cap 20 applied consistently to counts AND set sizes,
+    containment = shared / smaller set.  See
+    operators/dedup.winnowing_overlap_pairs for the scale analysis."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        winnowing_overlap_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_overlap_pairs(
+        docs, id_col="doc_id", k=3, window=4, min_shared=2, max_doc_freq=20
+    )
 
 
 #: Deterministic messy-URL synth (the synth_png_table idiom: the

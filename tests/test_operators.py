@@ -1440,3 +1440,48 @@ def test_winnowing_guarantee_and_density(spark):
     # and every doc with >= k tokens has >= 1 fingerprint
     n_kgrams_1 = len(rows[0][1].split()) - 2
     assert 1 <= len({(r["fingerprint"], r["fp_pos"]) for r in out if r["doc_id"] == 1}) < n_kgrams_1
+
+
+def test_winnowing_overlap_pairs(spark):
+    """Pair semantics over the fingerprint index: exact dups reach
+    containment 1.0; a doc quoting a long span of another is caught
+    with containment measured against the SMALLER set; disjoint docs
+    never pair; a corpus-wide stop-fingerprint (df-cap) drops a
+    boilerplate-only pairing."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        winnowing_overlap_pairs,
+    )
+
+    quoted = "lorem ipsum dolor sit amet consectetur adipiscing elit sed"
+    boiler = "terms of service apply to all content hosted on this website"
+    rows = [
+        (1, f"{quoted} unique alpha beta gamma delta epsilon zeta eta"),
+        (2, f"intro words then {quoted}"),  # quotes all of doc 1's span
+        (3, f"{quoted} unique alpha beta gamma delta epsilon zeta eta"),  # exact dup of 1
+        (4, "nothing in common with anything else at all whatsoever truly"),
+        (5, f"{boiler} plus own content one two three four five"),
+        (6, f"{boiler} plus different content six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in winnowing_overlap_pairs(
+            df, id_col="doc_id", min_shared=2
+        ).collect()
+    }
+    assert out[(1, 3)]["containment"] == 1.0  # exact dup
+    assert (1, 2) in out and out[(1, 2)]["containment"] >= 0.5  # quote
+    assert not any(4 in pair for pair in out)
+    # boilerplate pair exists at default cap; at max_doc_freq=2 the
+    # quoted span (df=3) is stop-capped away, killing (1,2), while
+    # df<=2 fingerprints survive: (5,6) via boiler, (1,3) via their
+    # shared unique tail — the cap must hit counts and sizes together
+    assert (5, 6) in out
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in winnowing_overlap_pairs(
+            df, id_col="doc_id", min_shared=2, max_doc_freq=2
+        ).collect()
+    }
+    assert (1, 2) not in capped
+    assert (5, 6) in capped and (1, 3) in capped

@@ -127,6 +127,13 @@ PROBE_QUERIES = [
     # r8: winnowing — per-doc analytic window over positional digests;
     # the exchange is the per-doc sort, must hold alpha ~ 1
     "winnowing_fingerprints",
+    # r8: the pair index served from those fingerprints — sum-df²
+    # inverted-index join under the df-cap, like the jaccard family
+    "winnowing_overlap_pairs",
+    # r8: composed RAG pipeline (chunk → hashed-BoW → broadcast-query
+    # cosine top-5 with local pre-rank) — one corpus scan, must hold
+    # alpha ~ 1
+    "passage_retrieval_topk",
 ]
 
 
