@@ -727,6 +727,32 @@ def simhash_near_dup_pairs(
     ``simhash_table`` (1 row/doc) is persisted: it feeds the banding
     and both sides of the verify join.
     """
+    sig = simhash_table(df, id_col, text_col)
+    return hamming64_band_pairs(
+        sig,
+        id_col,
+        sig_col="simhash64",
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+        materialize=materialize,
+    )
+
+
+def hamming64_band_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str = "simhash64",
+    max_hamming: int = 3,
+    max_bucket_size: int = 256,
+    materialize: bool = True,
+) -> DataFrame:
+    """The banded-Hamming pair core shared by :func:`simhash_near_dup_pairs`
+    (text) and the image aHash near-dup query: signature-AGNOSTIC over
+    any 64-bit ``sig_col`` (SimHash, aHash hi‖lo, any future packed
+    fingerprint).  Semantics, band derivation, census gate, and the
+    16-bytes-per-doc verify join are exactly as documented on the
+    SimHash operator; band extraction masks after the arithmetic
+    shiftright, so negative longs (bit 63 set) band correctly."""
     if not 0 <= max_hamming <= 31:
         raise ValueError(
             "max_hamming must be in [0, 31] (recall needs max_hamming+1 "
@@ -734,7 +760,7 @@ def simhash_near_dup_pairs(
         )
     bands = next(b for b in (1, 2, 4, 8, 16, 32) if b >= max_hamming + 1)
     width = 64 // bands
-    sig = simhash_table(df, id_col, text_col).persist()
+    sig = sig.select(F.col(id_col), F.col(sig_col).alias("simhash64")).persist()
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),

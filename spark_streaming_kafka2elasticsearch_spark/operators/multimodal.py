@@ -654,6 +654,83 @@ def synth_png_table(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+#: id offset separating variant media rows from their base row in
+#: synth_png_pair_table — far above any testdata doc_id, and small
+#: enough that id arithmetic stays in exact-long territory.
+PNG_VARIANT_ID_OFFSET = 10_000_000
+
+
+def _synth_png_pair(base_id: int, variant: bool) -> bytes:
+    """Base/variant image pair for perceptual near-dup detection.
+
+    Base: the ``_synth_png`` gradient PLUS a bright red block over an
+    id-keyed pseudo-random subset of ~half the 64 aHash cells
+    (``((id % 9973)·(cell·131 + 7)) % 97 < 32`` — small-factor
+    integer arithmetic that stays exact in both engines even for the
+    scale-probe's 3·10⁸-range replica ids).  The cell pattern is
+    load-bearing: aHash is (by design, and by exact algebra — the
+    cross-multiplied mean comparison cancels any uniform luma offset)
+    invariant to brightness AND to the dimension rescaling that are
+    the only differences between two plain gradients, so a
+    pattern-free corpus collapses into one giant identical-signature
+    clique (measured: 106k Hamming-≤3 pairs over 2k images; a single
+    id-positioned block still left 78k, two block bits apart) — a
+    dedup-degenerate workload.  A ~32-cell random pattern puts
+    distinct ids ~32 bits apart the way real photos are, leaving
+    only true variants inside the Hamming threshold.
+
+    Variant: the base plus a clamped +160 red patch over the top-left
+    cell — one cell's luma moves hard while every other cell's sum is
+    untouched (only bits at the global-mean boundary can flip), so
+    the variant lands within small Hamming distance of its base:
+    exactly the edit class (logo stamp, corner watermark) perceptual
+    dedup exists to catch.  All-integer arithmetic (uint8 clamp), so
+    the SQL oracle re-derives every pixel, bit, and pair exactly."""
+    w = 16 + (base_id * 7) % 48
+    h = 16 + (base_id * 13) % 32
+    xs = np.arange(w, dtype=np.uint32)
+    ys = np.arange(h, dtype=np.uint32)[:, None]
+    r = ((xs + base_id) % 256).astype(np.int64) * np.ones((h, 1), np.int64)
+    g = ((ys * 3 + base_id * 5) % 256).astype(np.int64) * np.ones((1, w), np.int64)
+    b = ((xs[None, :] + ys * 2) % 256).astype(np.int64)
+    cellmap = ((ys * 8) // h) * 8 + (xs[None, :] * 8) // w
+    bright = ((base_id % 9973) * (cellmap * 131 + 7)) % 97 < 32
+    r = np.where(bright, np.minimum(r + 120, 255), r)
+    if variant:
+        patch = (xs[None, :] * 8 < w) & (ys * 8 < h)
+        r = np.where(patch, np.minimum(r + 160, 255), r)
+    return png_encode(
+        np.stack([r.astype(np.uint8), g.astype(np.uint8), b.astype(np.uint8)], axis=-1)
+    )
+
+
+def synth_png_pair_table(df: DataFrame, id_col: str) -> DataFrame:
+    """Near-dup image corpus: per input id, the id-blocked base PNG
+    (media_id = id) plus its corner-patched variant (media_id = id +
+    PNG_VARIANT_ID_OFFSET) — the deterministic stand-in for a crawl
+    that re-ingests the same image with a stamped watermark.  See
+    :func:`_synth_png_pair` for why the base differs from
+    ``_synth_png`` (aHash brightness-invariance makes plain gradients
+    collide into degenerate cliques)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            rows = {"media_id": [], "content": [], "mime": []}
+            for i in ids:
+                i = int(i)
+                rows["media_id"].append(i)
+                rows["content"].append(_synth_png_pair(i, variant=False))
+                rows["media_id"].append(i + PNG_VARIANT_ID_OFFSET)
+                rows["content"].append(_synth_png_pair(i, variant=True))
+            rows["mime"] = ["image/png"] * len(rows["media_id"])
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        gen, schema=_MEDIA_TABLE_SCHEMA
+    )
+
+
 def synth_wav_table(df: DataFrame, id_col: str, wave_kind: str = "sine") -> DataFrame:
     """Real-WAV media table: one deterministic tone per input id.
     ``wave_kind``: "sine" (libm-shaped PCM) or "square" (exact-RMS —

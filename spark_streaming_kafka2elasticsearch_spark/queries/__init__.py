@@ -104,6 +104,7 @@ _PRIORITY: list[str] = [
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
     "passage_retrieval_topk",
+    "image_near_dup_pairs",
     "embedding_near_dup_clusters",
     # -- r5-vintage --
     "user_sessionization",

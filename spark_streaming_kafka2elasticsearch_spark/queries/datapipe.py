@@ -3640,6 +3640,121 @@ def image_ahash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_ahash(media)
 
 
+@register(
+    "image_near_dup_pairs",
+    # Base + corner-patched-variant corpus (the watermark/logo-stamp
+    # edit class); every pixel, aHash bit, band, census decision, and
+    # Hamming distance is re-derived in exact integer SQL — banding is
+    # recall-complete for Hamming <= 3 and the census cap is mirrored
+    # in the oracle's HAVING, so the match proves the operator's real
+    # contract including which degenerate buckets it refuses.
+    oracle="""
+WITH dims AS (
+  SELECT CAST(doc_id AS BIGINT) AS base_id,
+         16 + (doc_id * 7) % 48 AS w,
+         16 + (doc_id * 13) % 32 AS h
+  FROM documents
+),
+bv AS (SELECT base_id, w, h, v FROM dims, unnest([0, 1]) AS t(v)),
+px AS (
+  -- red channel: gradient, then the id-keyed bright-cell pattern
+  -- (+120 clamp), then on the variant the top-left corner patch
+  -- (+160 clamp) — exactly _synth_png_pair's nesting order
+  SELECT base_id + v * 10000000 AS media_id, w, h,
+         299 * (CASE WHEN v = 1 AND x*8 < w AND y*8 < h
+                     THEN least(
+                       CASE WHEN ((base_id % 9973) * ((((y*8) // h) * 8 + (x*8) // w) * 131 + 7)) % 97 < 32
+                            THEN least((x + base_id) % 256 + 120, 255)
+                            ELSE (x + base_id) % 256 END + 160, 255)
+                     ELSE
+                       CASE WHEN ((base_id % 9973) * ((((y*8) // h) * 8 + (x*8) // w) * 131 + 7)) % 97 < 32
+                            THEN least((x + base_id) % 256 + 120, 255)
+                            ELSE (x + base_id) % 256 END
+                END)
+       + 587 * ((3 * y + 5 * base_id) % 256)
+       + 114 * ((x + 2 * y) % 256) AS luma,
+         (y * 8) // h * 8 + (x * 8) // w AS cell
+  FROM bv,
+       unnest(generate_series(0, w - 1)) AS tx(x),
+       unnest(generate_series(0, h - 1)) AS ty(y)
+),
+cells AS (SELECT media_id, cell, sum(luma) AS s, count(*) AS n FROM px GROUP BY 1, 2),
+tot AS (SELECT media_id, sum(luma) AS ts, count(*) AS tn FROM px GROUP BY 1),
+bits AS (
+  SELECT c.media_id, c.cell, (c.s * t.tn > t.ts * c.n) AS b
+  FROM cells c JOIN tot t USING (media_id)
+),
+sig AS (
+  -- bit 63 spelled as the signed min-long: BIGINT << 63 is a checked
+  -- overflow in DuckDB, but the two's-complement bit pattern is exact
+  SELECT media_id,
+         CAST(sum(CASE WHEN b AND cell = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                       WHEN b THEN CAST(1 AS BIGINT) << cell
+                       ELSE CAST(0 AS BIGINT) END)
+              AS BIGINT) AS sig64
+  FROM bits GROUP BY 1
+),
+bands AS (
+  SELECT media_id, band_id, (sig64 >> (band_id * 16)) & 65535 AS band_bits
+  FROM sig, unnest([0, 1, 2, 3]) AS t(band_id)
+),
+-- census gate mirrored from the operator (same contract as the
+-- block-size guardrail oracles): only buckets with 2..256 members
+-- generate candidates, so an oversized degenerate bucket drops its
+-- pairs in BOTH engines
+ok_b AS (
+  SELECT band_id, band_bits FROM bands
+  GROUP BY 1, 2 HAVING count(*) > 1 AND count(*) <= 256
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM bands a
+  JOIN ok_b USING (band_id, band_bits)
+  JOIN bands b USING (band_id, band_bits)
+  WHERE a.media_id < b.media_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(sa.sig64, sb.sig64)) AS INT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.media_id = c.id_a
+JOIN sig sb ON sb.media_id = c.id_b
+WHERE bit_count(xor(sa.sig64, sb.sig64)) <= 3
+""",
+)
+def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs: the SAME banded-Hamming core
+    that serves SimHash text dedup (operators/dedup.hamming64_band_pairs)
+    run over 64-bit aHash fingerprints of a real-PNG corpus — each
+    document's gradient image plus its corner-watermarked variant
+    (operators/multimodal.synth_png_pair_table).  Decode and hashing
+    are Arrow-batched mapInPandas over the pure-numpy PNG decoder; no
+    image ever shuffles (16 bytes of signature per image after the
+    kernel); banding + census gate + bit_count(xor) verify are all
+    integer-exact, so the DuckDB all-pairs oracle replays the entire
+    decode→hash→pair pipeline bit-for-bit."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        hamming64_band_pairs,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        image_ahash,
+        synth_png_pair_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_png_pair_table(docs, id_col="doc_id")
+    sig = image_ahash(media).select(
+        "media_id",
+        F.shiftleft(F.col("ahash_hi"), 32)
+        .bitwiseOR(F.col("ahash_lo"))
+        .alias("sig64"),
+    )
+    return hamming64_band_pairs(
+        sig, id_col="media_id", sig_col="sig64", max_hamming=3
+    ).select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q: directed containment pairs — the near-dup semantics Jaccard misses
 # ---------------------------------------------------------------------------

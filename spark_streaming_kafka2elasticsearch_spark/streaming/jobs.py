@@ -127,3 +127,72 @@ def documents_ingest_stream(
     return streaming_first_seen(
         printed, key_col="fingerprint", value_cols=["doc_id", "lang", "n_tokens"]
     )
+
+
+def near_dup_gate_stream(
+    spark: SparkSession,
+    source: Any,
+    corpus: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    min_jaccard: float = 0.5,
+    max_doc_freq: int | None = 50,
+):
+    """Streaming NEAR-dup ingestion gate: each arriving micro-batch is
+    screened against the static at-rest ``corpus`` with the batch
+    delta-vs-corpus operator (operators/dedup.delta_corpus_jaccard_pairs
+    — asymmetric inverted index, corpus-side stop-shingle cap), and
+    only documents with NO corpus near-dup at ``min_jaccard`` are
+    appended to ``sink_dir`` as parquet.  The exact-dup gate
+    (documents_ingest_stream) suppresses redeliveries; this one
+    suppresses paraphrased/boilerplate-shifted re-crawls of content
+    the corpus already holds — the other half of a crawl front door.
+
+    Shape: ``foreachBatch`` — the engine's documented pattern for
+    reusing batch relations per micro-batch (the same pattern the
+    keyed-upsert sinks use, streaming/sinks.py).  The corpus side of
+    the screen is re-derived per batch here; at 100 TB the corpus
+    shingle postings and df-statistics are a maintained table the
+    batch operator joins instead (its docstring covers that contract
+    — the stream wiring is identical).  Parquet append in
+    foreachBatch is at-least-once under retry; route survivors
+    through the keyed-upsert sink for exactly-once delivery.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    from pyspark.sql import types as T
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        delta_corpus_jaccard_pairs,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    parsed = (
+        source.load_stream(spark)
+        .select(F.from_json(F.col("value").cast("string"), doc_schema).alias("d"))
+        .select("d.*")
+    )
+
+    def screen(batch: DataFrame, batch_id: int) -> None:
+        hits = delta_corpus_jaccard_pairs(
+            batch,
+            corpus,
+            id_col="doc_id",
+            block_cols=["lang"],
+            min_jaccard=min_jaccard,
+            max_doc_freq=max_doc_freq,
+        ).select(F.col("delta_id").alias("doc_id")).distinct()
+        survivors = batch.join(hits, "doc_id", "left_anti")
+        survivors.write.mode("append").parquet(sink_dir)
+
+    return (
+        parsed.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

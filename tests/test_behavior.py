@@ -552,6 +552,60 @@ def test_image_ahash_perceptual_properties(spark):
     assert hamming(out[1], out[5]) >= 20         # inversion → far away
 
 
+def test_hamming64_band_pairs_generic_bit63(spark):
+    """The signature-agnostic banded-Hamming core handles negative
+    longs (bit 63 set): band extraction masks after the arithmetic
+    shiftright, and the verify popcount spans all 64 bits."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        hamming64_band_pairs,
+    )
+
+    rows = [(1, -(2**63)), (2, -(2**63) + 1), (3, 0x0F0F0F0F0F0F0F0F)]
+    sig = spark.createDataFrame(rows, "id long, sig64 long")
+    out = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming64_band_pairs(
+            sig, "id", "sig64", max_hamming=3
+        ).collect()
+    }
+    assert out == {(1, 2): 1}
+
+
+def test_image_near_dup_pairs_variant_recall(spark):
+    """End-to-end image dedup: decode → aHash → banded Hamming pairs.
+    Each base image's corner-watermarked variant lands within Hamming
+    3 for the overwhelming majority of ids (the measured distribution
+    is ~98% ≤ 3), and the id-keyed bright-cell pattern keeps distinct
+    base images far apart so cross-id pairs stay rare."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        hamming64_band_pairs,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.multimodal import (
+        PNG_VARIANT_ID_OFFSET,
+        image_ahash,
+        synth_png_pair_table,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    sig = image_ahash(synth_png_pair_table(ids, "doc_id")).select(
+        "media_id",
+        F.shiftleft("ahash_hi", 32).bitwiseOR(F.col("ahash_lo")).alias("sig64"),
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming64_band_pairs(
+            sig, "media_id", "sig64", max_hamming=3
+        ).collect()
+    }
+    assert all(h <= 3 for h in got.values())
+    n_variant = sum(
+        (i, i + PNG_VARIANT_ID_OFFSET) in got for i in range(40)
+    )
+    assert n_variant >= 30
+    cross = [p for p in got if p[1] - p[0] != PNG_VARIANT_ID_OFFSET]
+    assert len(cross) <= 10, cross
+
+
 # ---------------------------------------------------------------------------
 # containment — directed semantics on literal docs
 # ---------------------------------------------------------------------------

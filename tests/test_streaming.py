@@ -614,6 +614,67 @@ def test_documents_ingest_stream_dedups_across_batches(spark, tmp_path):
         q.stop()
 
 
+def test_near_dup_gate_stream_screens_against_corpus(spark, tmp_path):
+    """Streaming near-dup gate: micro-batches screened against a
+    static corpus with the delta-vs-corpus Jaccard operator inside
+    foreachBatch — near-dups of at-rest content are dropped, novel
+    documents (and near-dups of OTHER STREAM docs, which this gate
+    deliberately does not compare) survive to the parquet sink,
+    across multiple micro-batches."""
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        near_dup_gate_stream,
+    )
+
+    def doc(doc_id, lang, text):
+        return json.dumps({"doc_id": doc_id, "lang": lang, "text": text})
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "en", "the quick brown fox jumps over the lazy dog today"),
+            (101, "en", "training corpora need careful deduplication before use"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    sink_dir = str(tmp_path / "sink")
+    q = near_dup_gate_stream(
+        spark,
+        JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        corpus,
+        sink_dir,
+        str(tmp_path / "chk"),
+        min_jaccard=0.4,
+    )
+    try:
+        write_batch_file(
+            str(src_dir),
+            "b0.json",
+            [
+                # near-dup of corpus 100 (one word changed)
+                doc(1, "en", "the quick brown fox jumps over the lazy cat today"),
+                doc(2, "en", "a completely novel document with fresh content here"),
+            ],
+        )
+        q.processAllAvailable()
+        write_batch_file(
+            str(src_dir),
+            "b1.json",
+            [
+                # near-dup of corpus 101
+                doc(3, "en", "training corpora need careful deduplication before release"),
+                doc(4, "en", "second batch brings more original material entirely"),
+            ],
+        )
+        q.processAllAvailable()
+        got = sorted(
+            r["doc_id"] for r in spark.read.parquet(sink_dir).collect()
+        )
+        assert got == [2, 4]
+    finally:
+        q.stop()
+
+
 def test_drop_duplicates_within_watermark(spark, tmp_path):
     """The BUILT-IN bounded-memory dedup, contrasted with
     streaming_first_seen: dropDuplicatesWithinWatermark dedups only

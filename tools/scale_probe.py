@@ -134,6 +134,10 @@ PROBE_QUERIES = [
     # cosine top-5 with local pre-rank) — one corpus scan, must hold
     # alpha ~ 1
     "passage_retrieval_topk",
+    # r8: image dedup end-to-end (mapInPandas decode+aHash, banded
+    # Hamming with census cap) — the kernel dominates, must hold
+    # alpha ~ 1
+    "image_near_dup_pairs",
 ]
 
 
