@@ -1870,6 +1870,84 @@ def pagerank(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "_id",
+    rounds: int = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Fixed-round synchronous label propagation (Raghavan et al. 2007)
+    over an undirected pair graph — ``(node_col, community)``.  The
+    sixth graph primitive: where connected components glue everything
+    a single bridge edge touches into one cluster, LPA's majority vote
+    keeps DENSE regions together and lets weak bridges dissolve — the
+    right granularity when a near-dup "component" is really two
+    template families joined by one chance collision (the pytest pins
+    exactly that: two triangles plus a bridge edge → two communities,
+    where CC reports one).
+
+    Deterministic and integer-exact, hence fully oracle-checkable:
+    labels start as node ids; each round every node adopts the most
+    frequent label among its neighbors with ties broken by SMALLEST
+    label — the argmax is a single ``max(struct(count, -label))``
+    partial-aggregable struct ordering (the same trick the SimHash
+    majority vote and keep-longest policies use), no window, no
+    nondeterministic ``first()``.  Isolated nodes keep their own id.
+    Synchronous updates + fixed round count = the unrolled-CTE oracle
+    replays every round exactly (async/convergence-probed variants are
+    not cross-engine checkable; 4 rounds settles census-capped dedup
+    graphs — the pytest graph converges in 3).
+
+    Scale shape: identical per-round envelope to :func:`pagerank` —
+    the symmetrized edge list is materialized ONCE before the loop,
+    each round is one shuffle join (labels × edges) + two partial
+    aggregations, rounds chain lazily with a lineage checkpoint every
+    ``checkpoint_every`` rounds, and the loop ends in one eager
+    materialization that releases the edge blocks.
+    """
+    e = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")),
+                    F.struct(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e._src", "_e._dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spine = nodes.select(F.col(node_col).alias("_n")).localCheckpoint(eager=True)
+    lab = spine.select("_n", F.col("_n").alias("_l"))
+    for it in range(rounds):
+        m = (
+            lab.join(e, lab["_n"] == e["_dst"])
+            .groupBy("_src", "_l")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("_src")
+            .agg(
+                F.max(
+                    F.struct(F.col("_c").alias("c"), (-F.col("_l")).alias("nl"))
+                ).alias("_m")
+            )
+            .select(F.col("_src"), (-F.col("_m.nl")).alias("_new"))
+        )
+        lab = spine.join(m, spine["_n"] == m["_src"], "left").select(
+            "_n", F.coalesce(F.col("_new"), F.col("_n")).alias("_l")
+        )
+        if (it + 1) % checkpoint_every == 0 and (it + 1) < rounds:
+            lab = lab.localCheckpoint(eager=True)
+    final = lab.localCheckpoint(eager=True)
+    e.unpersist()
+    return final.select(
+        F.col("_n").alias(node_col), F.col("_l").alias("community")
+    )
+
+
 def kcore(
     edges: DataFrame,
     k: int,

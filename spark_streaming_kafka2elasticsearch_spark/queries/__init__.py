@@ -105,6 +105,7 @@ _PRIORITY: list[str] = [
     "winnowing_overlap_pairs",
     "passage_retrieval_topk",
     "image_near_dup_pairs",
+    "near_dup_lpa_communities",
     "embedding_near_dup_clusters",
     # -- r5-vintage --
     "user_sessionization",

@@ -3981,6 +3981,70 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled fixed-round synchronous label propagation as chained
+    CTEs over the shared near-dup edge relation — each round is a
+    neighbor-label count + a struct-max argmax (ties → smallest
+    label), mirroring operators/dedup.label_propagation step for step
+    in exact integer arithmetic."""
+    parts = []
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+n{k} AS (
+  SELECT e.a AS node, l.label AS lab, count(*) AS c
+  FROM edges e JOIN {prev} l ON l.node = e.b
+  GROUP BY 1, 2
+),
+a{k} AS (
+  SELECT node, max(struct_pack(c := c, nl := -lab)) AS m
+  FROM n{k} GROUP BY 1
+),
+l{k} AS (
+  SELECT s.node, CAST(coalesce(-(a.m.nl), s.node) AS BIGINT) AS label
+  FROM l0 s LEFT JOIN a{k} a USING (node)
+)""")
+        prev = f"l{k}"
+    return (
+        "WITH "
+        + _NEAR_DUP_EDGES_SQL
+        + """,
+l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)"""
+        + "".join(parts)
+        + f"""
+SELECT node AS doc_id, label AS community FROM {prev}
+"""
+    )
+
+
+@register("near_dup_lpa_communities", oracle=_lpa_oracle(4))
+def near_dup_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the near-dup graph: 4-round synchronous
+    label propagation over the SAME lang-blocked Jaccard ≥ 0.12 edges
+    the CC/PageRank/k-core queries share.  Where connected components
+    merge template families across one chance bridge edge, LPA's
+    majority vote keeps the dense duplicate families separate — the
+    finer keep-policy granularity.  Integer-exact (count + struct-min
+    tie-break), so the unrolled-CTE oracle hash-checks every round
+    implicitly.  See operators/dedup.label_propagation."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        label_propagation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = blocked_ngram_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        block_cols=["lang"],
+        k_shingle=3,
+        min_jaccard=0.12,
+        max_doc_freq=50,
+    ).select("id_a", "id_b")
+    return label_propagation(
+        pairs, docs.select("doc_id"), node_col="doc_id", rounds=4
+    )
+
+
 @register(
     "dedup_cluster_weights",
     oracle="""

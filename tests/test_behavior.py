@@ -552,6 +552,31 @@ def test_image_ahash_perceptual_properties(spark):
     assert hamming(out[1], out[5]) >= 20         # inversion → far away
 
 
+def test_label_propagation_splits_bridged_triangles(spark):
+    """LPA vs CC granularity: two triangles {1,2,3} and {4,5,6}
+    joined by one bridge edge 3–4.  Connected components reports ONE
+    cluster; label propagation's majority vote dissolves the bridge
+    and keeps the dense families separate.  Deterministic by the
+    struct-(count, -label) argmax; this graph settles by round 3.
+    Isolated node 7 keeps its own id."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "_id long")
+    out = {
+        r["_id"]: r["community"]
+        for r in label_propagation(edges, nodes, rounds=4).collect()
+    }
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == out[5] == out[6] == 3
+    assert out[7] == 7
+
+
 def test_hamming64_band_pairs_generic_bit63(spark):
     """The signature-agnostic banded-Hamming core handles negative
     longs (bit 63 set): band extraction masks after the arithmetic

@@ -138,6 +138,9 @@ PROBE_QUERIES = [
     # Hamming with census cap) — the kernel dominates, must hold
     # alpha ~ 1
     "image_near_dup_pairs",
+    # r8: synchronous LPA — per-round join + two partial aggs over the
+    # census-capped edge set, same envelope as pagerank
+    "near_dup_lpa_communities",
 ]
 
 
