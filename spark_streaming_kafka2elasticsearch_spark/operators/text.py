@@ -541,3 +541,107 @@ SELECT d.{id_col},
        array_to_string(coalesce(emb.emb, [{zeros}]), ',') AS emb_csv
 FROM {table} d LEFT JOIN emb ON d.{id_col} = emb.{id_col}
 """
+
+
+def bpe_train(
+    word_freq: DataFrame,
+    rounds: int = 6,
+    tok_col: str = "tok",
+    count_col: str = "c",
+) -> DataFrame:
+    """Multi-round BPE tokenizer TRAINING (Sennrich et al. 2016) over a
+    word-frequency table — the full iterative merge loop, not just the
+    one-step pair census ``bpe_merge_candidates`` scores.  Returns the
+    learned merge table ``(merge_rank, left_sym, right_sym,
+    pair_count)``, one row per round: the artifact a tokenizer ships.
+
+    Each word is encoded as bracket-delimited symbols
+    (``low`` → ``<l><o><w>``); a round is (1) adjacent-pair census
+    weighted by word frequency, (2) global argmax with the
+    deterministic tie-break highest count → lexicographically smallest
+    (left, right) via a single ``min(struct(-count, left, right))``
+    partial-aggregable struct ordering (the same trick the SimHash
+    vote and LPA argmax use — no window, no nondeterministic
+    ``first()``), (3) apply the merge to every encoding with a literal
+    ``replace``.  Leftmost non-overlapping literal replacement IS the
+    BPE greedy left-to-right merge scan, and the bracket delimiters
+    make a pair occurrence unambiguous (no token-boundary false
+    matches, no overlapping-match drift), so the loop is string/
+    integer-exact and the unrolled-CTE DuckDB oracle replays every
+    round bit-for-bit.
+
+    The defining scale property is inherited from the word-frequency
+    reduction: training touches |vocab| rows per round (each weighted
+    by its corpus count), never the token stream, so a 100 TB corpus
+    costs one token census plus rounds × vocab-sized passes.  Per
+    round: one explode + two partial aggregations + a 1-row broadcast
+    join; the vocab relation is checkpointed per round (it is
+    vocab-sized, small by contract) so plan depth stays constant —
+    the same envelope as :func:`~spark_streaming_kafka2elasticsearch_spark.operators.dedup.pagerank`.
+
+    Executes eagerly (rounds are inherently sequential: round k's
+    census reads round k-1's merged encodings).  Callers needing the
+    final encodings can re-apply the returned merges in order.
+    """
+    enc = F.expr(
+        f"concat_ws('', transform(sequence(1, length({tok_col})),"
+        f" i -> concat('<', substring({tok_col}, i, 1), '>')))"
+    )
+    words = word_freq.select(
+        F.col(count_col).alias("_c"), enc.alias("_enc")
+    ).localCheckpoint(eager=True)
+    merge_rows = []
+    for k in range(1, rounds + 1):
+        syms = F.expr("split(substring(_enc, 2, length(_enc) - 2), '><')")
+        pair_census = (
+            words.select(syms.alias("_s"), "_c")
+            .filter(F.size("_s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(_s) - 1),"
+                        " i -> struct(_s[i-1] AS a, _s[i] AS b))"
+                    )
+                ).alias("_p"),
+                "_c",
+            )
+            .groupBy("_p.a", "_p.b")
+            .agg(F.sum("_c").alias("cnt"))
+        )
+        best = (
+            pair_census.select(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"), F.col("a"), F.col("b")
+                ).alias("_m")
+            )
+            .agg(F.min("_m").alias("_m"))
+            .select(
+                F.lit(k).alias("merge_rank"),
+                F.col("_m.a").alias("left_sym"),
+                F.col("_m.b").alias("right_sym"),
+                (-F.col("_m.nc")).alias("pair_count"),
+            )
+            .localCheckpoint(eager=True)  # 1 row; forces the round
+        )
+        merge_rows.append(best)
+        nxt = (
+            words.crossJoin(
+                F.broadcast(best.select("left_sym", "right_sym"))
+            )
+            .select(
+                "_c",
+                F.expr(
+                    "replace(_enc,"
+                    " concat('<', left_sym, '><', right_sym, '>'),"
+                    " concat('<', left_sym, right_sym, '>'))"
+                ).alias("_enc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        words.unpersist()
+        words = nxt
+    words.unpersist()
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out

@@ -106,6 +106,7 @@ _PRIORITY: list[str] = [
     "passage_retrieval_topk",
     "image_near_dup_pairs",
     "near_dup_lpa_communities",
+    "bpe_train_merges",
     "embedding_near_dup_clusters",
     # -- r5-vintage --
     "user_sessionization",

@@ -1268,6 +1268,87 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.groupBy("pair").agg(F.sum("c").alias("pair_count"))
 
 
+def _bpe_train_oracle(rounds: int = 6) -> str:
+    """Unrolled fixed-round BPE training as chained CTEs — each round
+    is an adjacent-pair census over the bracket-encoded vocabulary, a
+    struct-min argmax (highest count, ties → lexicographically
+    smallest pair), and a literal ``replace`` merge application,
+    mirroring operators/text.bpe_train step for step in exact string/
+    integer arithmetic (leftmost non-overlapping literal replace ==
+    the BPE greedy merge scan in both engines)."""
+    parts = []
+    prev = "w0"
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+  FROM (SELECT syms, c, unnest(generate_series(1, len(syms) - 1)) AS i
+        FROM (SELECT string_split(substr(enc, 2, length(enc) - 2), '><') AS syms, c
+              FROM {prev}))
+  GROUP BY 1, 2
+),
+b{k} AS (SELECT min(struct_pack(nc := -cnt, a := a, b := b)) AS m FROM p{k}),
+m{k} AS (
+  SELECT {k} AS merge_rank, m.a AS left_sym, m.b AS right_sym,
+         CAST(-(m.nc) AS BIGINT) AS pair_count
+  FROM b{k}
+),
+w{k} AS (
+  SELECT c, replace(enc, '<' || m.a || '><' || m.b || '>',
+                    '<' || m.a || m.b || '>') AS enc
+  FROM {prev}, b{k}
+)""")
+        prev = f"w{k}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM m{k}" for k in range(1, rounds + 1)
+    )
+    return (
+        """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+wf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks
+  WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY tok
+),
+w0 AS (
+  SELECT c, '<' || array_to_string(string_split(tok, ''), '><') || '>' AS enc
+  FROM wf
+)"""
+        + "".join(parts)
+        + "\n"
+        + union
+        + "\n"
+    )
+
+
+@register("bpe_train_merges", oracle=_bpe_train_oracle(6))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL iterative BPE tokenizer-training loop (Sennrich et al.
+    2016) — 6 unrolled merge rounds over the corpus word-frequency
+    table, where ``bpe_merge_candidates`` scores only round 1's
+    census.  Later merges build on earlier merged symbols (the learned
+    subwords grow), which is what makes the loop iterative and the
+    unrolled-CTE oracle a round-by-round replay.  Vocabulary is
+    restricted to ``^[a-z]+$`` tokens (standard pre-tokenization; also
+    keeps the bracket symbol encoding collision-free).  Output is the
+    merge table a tokenizer ships: (merge_rank, left_sym, right_sym,
+    pair_count).  See operators/text.bpe_train for the scale shape
+    (rounds × vocab-sized passes, never the token stream)."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return bpe_train(wf, rounds=6)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -792,3 +792,32 @@ def test_kcore_k3_requires_dense_blob(spark):
         for r in kcore(spark.createDataFrame(k4, "id_a long, id_b long"), k=3).collect()
     }
     assert out2 == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_bpe_train_learns_sennrich_merges(spark):
+    """Pin the full 6-round merge sequence on the classic Sennrich-
+    style corpus low*5 lower*2 newest*6 widest*3, hand-derived:
+    r1 (e,s) 9 — ties with (s,t) 9, smaller left wins;
+    r2 (es,t) 9; r3 (l,o) 7 — ties with (o,w) 7; r4 (lo,w) 7;
+    r5 (e,w) 6 — three-way tie at 6 with (n,e), (w,est);
+    r6 (ew,est) 6 — tie with (n,ew), smaller left wins.
+    Exercises: count argmax, BOTH tie-break fields, and merged
+    symbols compounding across rounds."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import bpe_train
+
+    wf = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "tok string, c long",
+    )
+    out = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(wf, rounds=6).orderBy("merge_rank").collect()
+    ]
+    assert out == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "l", "o", 7),
+        (4, "lo", "w", 7),
+        (5, "e", "w", 6),
+        (6, "ew", "est", 6),
+    ]

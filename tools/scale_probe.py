@@ -141,6 +141,10 @@ PROBE_QUERIES = [
     # r8: synchronous LPA — per-round join + two partial aggs over the
     # census-capped edge set, same envelope as pagerank
     "near_dup_lpa_communities",
+    # r8: iterative BPE training — rounds x vocab-sized passes; vocab
+    # grows sub-linearly with corpus (Heaps' law on shuffled replicas:
+    # near-constant), so alpha should be well under 1
+    "bpe_train_merges",
 ]
 
 
