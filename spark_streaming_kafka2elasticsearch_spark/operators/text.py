@@ -548,12 +548,17 @@ def bpe_train(
     rounds: int = 6,
     tok_col: str = "tok",
     count_col: str = "c",
+    emit: str = "merges",
 ) -> DataFrame:
     """Multi-round BPE tokenizer TRAINING (Sennrich et al. 2016) over a
     word-frequency table — the full iterative merge loop, not just the
     one-step pair census ``bpe_merge_candidates`` scores.  Returns the
     learned merge table ``(merge_rank, left_sym, right_sym,
     pair_count)``, one row per round: the artifact a tokenizer ships.
+    With ``emit="vocab"`` it instead returns the POST-training subword
+    inventory ``(symbol, corpus_count)`` — every symbol of the final
+    encodings, weighted by word frequency: the trained tokenizer
+    applied corpus-wide in the same plan.
 
     Each word is encoded as bracket-delimited symbols
     (``low`` → ``<l><o><w>``); a round is (1) adjacent-pair census
@@ -640,6 +645,19 @@ def bpe_train(
         )
         words.unpersist()
         words = nxt
+    if emit == "vocab":
+        for m in merge_rows:  # 1-row driver artifacts, not the result here
+            m.unpersist()
+        syms = F.expr("split(substring(_enc, 2, length(_enc) - 2), '><')")
+        vocab = (
+            words.select(F.explode(syms).alias("symbol"), "_c")
+            .groupBy("symbol")
+            .agg(F.sum("_c").alias("corpus_count"))
+        )
+        # The final words relation is already materialized (checkpoint
+        # at loop exit); the vocab agg is lazy over it — callers own
+        # release, same contract as the merge path's eager rows.
+        return vocab
     words.unpersist()
     out = merge_rows[0]
     for m in merge_rows[1:]:

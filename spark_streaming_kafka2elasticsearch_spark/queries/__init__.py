@@ -107,6 +107,7 @@ _PRIORITY: list[str] = [
     "image_near_dup_pairs",
     "near_dup_lpa_communities",
     "bpe_train_merges",
+    "bpe_vocab_after_training",
     "embedding_near_dup_clusters",
     # -- r5-vintage --
     "user_sessionization",

@@ -1268,7 +1268,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.groupBy("pair").agg(F.sum("c").alias("pair_count"))
 
 
-def _bpe_train_oracle(rounds: int = 6) -> str:
+def _bpe_train_oracle(rounds: int = 6, emit: str = "merges") -> str:
     """Unrolled fixed-round BPE training as chained CTEs — each round
     is an adjacent-pair census over the bracket-encoded vocabulary, a
     struct-min argmax (highest count, ties → lexicographically
@@ -1299,9 +1299,15 @@ w{k} AS (
   FROM {prev}, b{k}
 )""")
         prev = f"w{k}"
-    union = "\nUNION ALL\n".join(
-        f"SELECT * FROM m{k}" for k in range(1, rounds + 1)
-    )
+    if emit == "vocab":
+        union = f"""SELECT symbol, CAST(sum(c) AS BIGINT) AS corpus_count
+FROM (SELECT unnest(string_split(substr(enc, 2, length(enc) - 2), '><')) AS symbol, c
+      FROM {prev})
+GROUP BY symbol"""
+    else:
+        union = "\nUNION ALL\n".join(
+            f"SELECT * FROM m{k}" for k in range(1, rounds + 1)
+        )
     return (
         """
 WITH toks AS (
@@ -1347,6 +1353,31 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return bpe_train(wf, rounds=6)
+
+
+@register("bpe_vocab_after_training", oracle=_bpe_train_oracle(6, emit="vocab"))
+def bpe_vocab_after_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer APPLIED corpus-wide in the same plan:
+    after the 6 learned merges of ``bpe_train_merges``, the final
+    subword inventory (symbol, corpus_count) — every symbol of the
+    post-merge word encodings weighted by corpus word frequency.  This
+    is the train→apply completion (what vocabulary did training buy,
+    and how much of the corpus does each subword cover); single
+    characters that never merged stay in the inventory, merged
+    subwords appear with the mass they absorbed.  Same unrolled-CTE
+    oracle chain as the merge table, finishing with an explode+agg
+    over the final encodings instead of the merge-row union."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return bpe_train(wf, rounds=6, emit="vocab")
 
 
 # ---------------------------------------------------------------------------

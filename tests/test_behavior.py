@@ -821,3 +821,24 @@ def test_bpe_train_learns_sennrich_merges(spark):
         (5, "e", "w", 6),
         (6, "ew", "est", 6),
     ]
+
+
+def test_bpe_vocab_after_training_sennrich(spark):
+    """The trained tokenizer applied: after the 6 pinned merges, the
+    final encodings are low→[low], lower→[low,e,r], newest→[n,ewest],
+    widest→[w,i,d,est]; the vocab inventory weighted by word freq is
+    hand-derived from those."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import bpe_train
+
+    wf = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "tok string, c long",
+    )
+    out = {
+        r["symbol"]: r["corpus_count"]
+        for r in bpe_train(wf, rounds=6, emit="vocab").collect()
+    }
+    assert out == {
+        "low": 7, "e": 2, "r": 2, "n": 6, "ewest": 6,
+        "w": 3, "i": 3, "d": 3, "est": 3,
+    }

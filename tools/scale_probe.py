@@ -145,6 +145,9 @@ PROBE_QUERIES = [
     # grows sub-linearly with corpus (Heaps' law on shuffled replicas:
     # near-constant), so alpha should be well under 1
     "bpe_train_merges",
+    # r8: train->apply completion — same loop + one explode/agg over
+    # the final encodings
+    "bpe_vocab_after_training",
 ]
 
 
