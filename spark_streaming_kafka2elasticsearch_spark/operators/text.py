@@ -663,3 +663,96 @@ def bpe_train(
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    weight_col: str = "n_tokens",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Budget-constrained corpus selection WITHOUT a global sort: the
+    documents that a greedy fill in ``(score DESC, id)`` order admits
+    before the cumulative ``weight_col`` (inclusive) exceeds
+    ``budget`` — "fill a 1T-token training budget with the best
+    documents", the terminal step of every curation pipeline.
+
+    The naive spelling is a running sum over a GLOBAL window — a
+    single-partition sort of the whole corpus, the one shape that
+    cannot scale.  This operator gets the identical result set in two
+    bounded phases:
+
+    1. **Bucket histogram** — scores are binned into ``n_buckets``
+       monotone buckets (min/max from a 1-row aggregate, broadcast
+       back in-plan); per-bucket weight sums make a ``n_buckets``-row
+       relation whose descending cumulative sum is a window over a
+       small-by-contract table (1024 rows, one partition — the same
+       contract as the RFM percentile cutoffs).
+    2. **Boundary refinement** — every bucket whose inclusive
+       cumulative total fits the budget is admitted whole; exactly ONE
+       bucket straddles the cut, and only ITS members (expected
+       n/n_buckets rows — size ``n_buckets`` so this fits an
+       executor) pay a partitioned running-sum window against the
+       remaining budget.  Buckets past the boundary are dropped by a
+       non-positive remainder, never scanned.
+
+    Equivalence to the global greedy order is exact, not approximate:
+    bucketing is monotone in score, so "higher bucket" implies "higher
+    score"; the within-bucket order is the same ``(score DESC, id)``;
+    and the admit rule composes ``before-bucket + within-bucket``
+    cumulative weight ≤ budget.  Bucket-assignment float rounding is
+    internal only — it moves WHERE the boundary window runs, never the
+    result — so the output is engine-independent and fully
+    oracle-checkable against the naive global-window SQL.
+    """
+    from pyspark.sql.window import Window
+
+    lo_hi = df.agg(
+        F.min(score_col).alias("_lo"), F.max(score_col).alias("_hi")
+    )
+    span = F.col("_hi") - F.col("_lo")
+    b = df.crossJoin(F.broadcast(lo_hi)).withColumn(
+        "_bkt",
+        F.when(span == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (F.col(score_col) - F.col("_lo")) / span * n_buckets
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    hist = b.groupBy("_bkt").agg(F.sum(weight_col).alias("_w"))
+    desc_cum = (
+        Window.orderBy(F.col("_bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    labeled = (
+        hist.withColumn("_cum", F.sum("_w").over(desc_cum))
+        .select(
+            "_bkt",
+            (F.col("_cum") <= budget).alias("_full"),
+            (F.lit(budget) - (F.col("_cum") - F.col("_w"))).alias(
+                "_remaining"
+            ),
+        )
+    )
+    j = b.join(F.broadcast(labeled), "_bkt")
+    admitted_whole = j.filter(F.col("_full"))
+    within = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boundary = (
+        j.filter((~F.col("_full")) & (F.col("_remaining") > 0))
+        .withColumn("_run", F.sum(weight_col).over(within))
+        .filter(F.col("_run") <= F.col("_remaining"))
+    )
+    return admitted_whole.select(id_col, score_col, weight_col).unionByName(
+        boundary.select(id_col, score_col, weight_col)
+    )

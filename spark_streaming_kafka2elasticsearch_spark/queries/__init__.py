@@ -108,6 +108,7 @@ _PRIORITY: list[str] = [
     "near_dup_lpa_communities",
     "bpe_train_merges",
     "bpe_vocab_after_training",
+    "token_budget_corpus_selection",
     "embedding_near_dup_clusters",
     # -- r5-vintage --
     "user_sessionization",

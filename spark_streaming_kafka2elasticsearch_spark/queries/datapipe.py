@@ -932,6 +932,55 @@ def documents_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_budget_corpus_selection",
+    oracle="""
+WITH q AS (
+  SELECT doc_id,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(text)
+                        - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                   AS DOUBLE) / length(text)
+         END AS score,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+),
+sel AS (
+  SELECT doc_id, score, n_tokens,
+         sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q
+)
+SELECT doc_id, score, n_tokens FROM sel WHERE cum <= 20000
+""",
+)
+def token_budget_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection — the terminal curation
+    step "fill the token budget with the best documents": greedy by
+    (alpha-ratio quality DESC, doc_id) until the inclusive cumulative
+    token count exceeds 20 000.  The ORACLE is the naive global
+    running-sum window; the Spark plan is the two-phase bucket-
+    histogram + boundary-refinement operator
+    (operators/text.token_budget_select) that gets the identical set
+    with no global sort — only a 1024-row histogram window and a
+    running sum over the single straddling bucket.  Exact-set
+    equivalence (not approximate) is the point of the oracle check."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        text_quality,
+        token_budget_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = text_quality(docs).select(
+        "doc_id", F.col("alpha_ratio").alias("score"), "n_tokens"
+    )
+    return token_budget_select(
+        q, budget=20_000, id_col="doc_id", score_col="score",
+        weight_col="n_tokens",
+    )
+
+
+@register(
     "decontaminate_train_docs",
     oracle="""
 WITH sh AS (

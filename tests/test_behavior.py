@@ -842,3 +842,65 @@ def test_bpe_vocab_after_training_sennrich(spark):
         "low": 7, "e": 2, "r": 2, "n": 6, "ewest": 6,
         "w": 3, "i": 3, "d": 3, "est": 3,
     }
+
+
+def test_token_budget_select_boundary_semantics(spark):
+    """Hand-built: budget 10; docs (id, score, w): a full-bucket
+    admit, a boundary bucket where the running sum stops mid-bucket
+    (the next doc would overflow), and a doc past the cut that fits
+    the leftover but must NOT be admitted (greedy order, not
+    bin-packing)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        token_budget_select,
+    )
+
+    rows = [(1, 0.9, 4), (2, 0.8, 4), (3, 0.7, 3), (4, 0.6, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    got = sorted(
+        r["doc_id"]
+        for r in token_budget_select(df, budget=10, n_buckets=4).collect()
+    )
+    # greedy: 4 + 4 = 8 ok; +3 = 11 > 10 stops; doc 4 (w=1) would fit
+    # the leftover 2 but is later in greedy order -> excluded.
+    assert got == [1, 2]
+
+
+def test_token_budget_select_matches_global_window(spark):
+    """Property: the two-phase bucket plan equals the naive global
+    (score DESC, id) running-sum selection on a seeded random corpus
+    with score ties, across several budgets and bucket counts
+    (including n_buckets=1 — everything lands in the boundary
+    bucket — and a bucket count far exceeding distinct scores)."""
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        token_budget_select,
+    )
+
+    rng = random.Random(42)
+    rows = [
+        (i, round(rng.choice([0.1, 0.25, 0.25, 0.5, 0.77, 0.9]), 2),
+         rng.randint(1, 20))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    win = W.orderBy(F.desc("score"), "doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    for budget in (0, 37, 500, 10_000):
+        naive = sorted(
+            r["doc_id"]
+            for r in df.withColumn("cum", F.sum("n_tokens").over(win))
+            .filter(F.col("cum") <= budget)
+            .collect()
+        )
+        for n_buckets in (1, 8, 4096):
+            got = sorted(
+                r["doc_id"]
+                for r in token_budget_select(
+                    df, budget=budget, n_buckets=n_buckets
+                ).collect()
+            )
+            assert got == naive, (budget, n_buckets)

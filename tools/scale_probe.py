@@ -148,6 +148,9 @@ PROBE_QUERIES = [
     # r8: train->apply completion — same loop + one explode/agg over
     # the final encodings
     "bpe_vocab_after_training",
+    # r8: two-phase budget selection — histogram + one boundary
+    # bucket; must hold alpha ~ 1 (scan-bound, no global sort)
+    "token_budget_corpus_selection",
 ]
 
 
