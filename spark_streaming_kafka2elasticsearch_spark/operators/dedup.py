@@ -579,6 +579,113 @@ def blocked_ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_cols: Sequence[str],
+    text_col: str = "text",
+    k_shingle: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """AllPairs/PPJoin-style **prefix-filtered** set-similarity self-
+    join (Bayardo et al. 2007; Xiao et al. 2008): every intra-block
+    pair with exact k-gram Jaccard ≥ ``min_jaccard`` — with NO recall
+    tradeoff and NO document-frequency cap.
+
+    The third candidate-generation strategy in this module, filling
+    the gap between the other two: :func:`blocked_ngram_jaccard_pairs`
+    caps stop-shingle df (changes the metric — sets are reduced), and
+    MinHash banding is probabilistic (recall < 1).  Prefix filtering
+    is EXACT and complete: order each document's shingles by global
+    rarity (``(block df, shingle)`` — a total order), index only the
+    first ``n − ⌈t·n⌉ + 1`` of its ``n`` shingles, and join on those
+    prefix shingles.  The theorem (the pytest re-derives it by brute
+    force): if ``J(x,y) ≥ t`` then the smallest common shingle lies in
+    BOTH prefixes — were all common shingles outside x's prefix,
+    ``|x∩y| ≤ ⌈t·|x|⌉ − 1 < t·|x|``, contradicting
+    ``|x∩y| ≥ t/(1+t)·(|x|+|y|) ≥ t·|x|`` (since ``|y| ≥ t·|x|``).
+    Candidates then get the exact intersection count and threshold.
+
+    Scale shape: the corpus-killing stop-shingles the df-cap family
+    drops are handled here by ORDER, not removal — a shingle half the
+    block shares sorts LAST and never enters the index unless a
+    document is so small its prefix reaches it, so the inverted index
+    join runs on rare shingles (tiny df, tiny df² cost) while the
+    metric stays the TRUE uncapped Jaccard.  The rarity ranking is a
+    per-document ``row_number`` (partitioned window, no global sort);
+    the verify stage touches candidate pairs × set size, the textbook
+    post-filter cost.  High thresholds (0.5+) keep prefixes short —
+    prefix length falls linearly as t rises.
+    """
+    blocked = df.withColumn(
+        "_block", F.concat_ws("", *[F.col(c) for c in block_cols])
+    )
+    tok = shingle_relation(
+        blocked, id_col, text_col, k_shingle, extra_cols=("_block",)
+    )
+    dfreq = tok.groupBy("_block", "_sh").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    sizes = (
+        tok.groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumnRenamed("_id", "_sid")
+    )
+    ranked = (
+        tok.join(dfreq, ["_block", "_sh"])
+        .join(sizes, F.col("_id") == F.col("_sid"))
+        .select("_id", "_block", "_sh", "_df", "_n")
+    )
+    plen = F.col("_n") - F.ceil(F.lit(min_jaccard) * F.col("_n")) + 1
+    w = Window.partitionBy("_block", "_id").orderBy("_df", "_sh")
+    pref = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= plen)
+        .select("_block", "_sh", "_id", "_n")
+    )
+    cand = (
+        pref.select(
+            "_block", "_sh",
+            F.col("_id").alias("id_a"), F.col("_n").alias("_n_a"),
+        )
+        .join(
+            pref.select(
+                "_block", "_sh",
+                F.col("_id").alias("id_b"), F.col("_n").alias("_n_b"),
+            ),
+            ["_block", "_sh"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("_block", "id_a", "id_b", "_n_a", "_n_b")
+        .distinct()
+    )
+    fa = tok.select("_block", F.col("_id").alias("id_a"), "_sh")
+    fb = tok.select("_block", F.col("_id").alias("id_b"), "_sh")
+    return (
+        # Expand candidates by a's shingles, then equi-join b's set ON
+        # the shingle — only intersection rows materialize (hash join),
+        # never the |a|x|b| cross of the two sets.
+        cand.join(fa, ["_block", "id_a"])
+        .join(fb, ["_block", "id_b", "_sh"])
+        .groupBy("id_a", "id_b", "_n_a", "_n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.col("_n_a").alias("n_a"),
+            F.col("_n_b").alias("n_b"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("_n_a") + F.col("_n_b") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def simhash_table(
     df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64
 ) -> DataFrame:

@@ -109,6 +109,7 @@ _PRIORITY: list[str] = [
     "bpe_train_merges",
     "bpe_vocab_after_training",
     "token_budget_corpus_selection",
+    "set_similarity_prefix_pairs",
     "embedding_near_dup_clusters",
     # -- r5-vintage --
     "user_sessionization",

@@ -127,6 +127,57 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_similarity_prefix_pairs",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> toks[i] || ' ' || coalesce(toks[i+1], '') || ' ' || coalesce(toks[i+2], '')
+         )) AS shingles
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+),
+flat AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM flat GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM flat a JOIN flat b
+    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, i AS n_common,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+""",
+)
+def set_similarity_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered exact set-similarity self-join
+    at Jaccard ≥ 0.5 — the THIRD candidate-generation strategy beside
+    the df-cap inverted index (metric-changing) and MinHash banding
+    (probabilistic): complete by theorem, TRUE uncapped Jaccard, and
+    the inverted index touches only each document's rarity-ordered
+    prefix so corpus stop-shingles never enter the join.  The oracle
+    is the naive exact uncapped pair scan — equality proves the prefix
+    filter's zero-recall-loss contract on real data, counts included.
+    See operators/dedup.prefix_filter_jaccard_pairs."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        docs, id_col="doc_id", block_cols=["lang"], k_shingle=3,
+        min_jaccard=0.5,
+    )
+
+
+@register(
     "minhash_near_dup_pairs",
     # Full-pipeline oracle (VERDICT r5 item 4): the md5 hash family
     # makes every signature value cross-engine (g_i = (h1 + i·h2) mod

@@ -904,3 +904,51 @@ def test_token_budget_select_matches_global_window(spark):
                 ).collect()
             )
             assert got == naive, (budget, n_buckets)
+
+
+def test_prefix_filter_jaccard_matches_exact_join(spark):
+    """Completeness of AllPairs prefix filtering (no recall tradeoff):
+    on a seeded random corpus with heavy shingle overlap, the
+    prefix-filtered pair set equals the exact uncapped inverted-index
+    join at two thresholds.  Also pins that a universal stop-shingle
+    (present in every doc) does not blow up or change results — it
+    sorts last in the rarity order and stays out of prefixes."""
+    import random
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        blocked_ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(0, 60, 2):
+        n = rng.randint(6, 12)
+        # 'common' appears in every doc -> a df=60 stop-shingle source
+        words = ["common"] + [rng.choice(vocab) for _ in range(n)]
+        lang = "en" if i % 4 else "fr"
+        rows.append((i, lang, " ".join(words)))
+        # near-dup twin: one word substituted mid-stream -> high but
+        # not perfect shingle Jaccard, same block
+        mutated = list(words)
+        mutated[len(mutated) // 2] = "XSUB"
+        rows.append((i + 1, lang, " ".join(mutated)))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    for t in (0.34, 0.5):
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in blocked_ngram_jaccard_pairs(
+                df, id_col="doc_id", block_cols=["lang"], k_shingle=3,
+                min_jaccard=t, max_doc_freq=None,
+            ).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in prefix_filter_jaccard_pairs(
+                df, id_col="doc_id", block_cols=["lang"], k_shingle=3,
+                min_jaccard=t,
+            ).collect()
+        }
+        assert got == exact, t
+        assert exact, t  # non-vacuous: the corpus must produce pairs

@@ -151,6 +151,9 @@ PROBE_QUERIES = [
     # r8: two-phase budget selection — histogram + one boundary
     # bucket; must hold alpha ~ 1 (scan-bound, no global sort)
     "token_budget_corpus_selection",
+    # r8: prefix-filtered exact similarity join — index cost rides
+    # rare-shingle df^2 (stop-shingles sort out of prefixes)
+    "set_similarity_prefix_pairs",
 ]
 
 
