@@ -604,7 +604,9 @@ def prefix_filter_jaccard_pairs(
     BOTH prefixes — were all common shingles outside x's prefix,
     ``|x∩y| ≤ ⌈t·|x|⌉ − 1 < t·|x|``, contradicting
     ``|x∩y| ≥ t/(1+t)·(|x|+|y|) ≥ t·|x|`` (since ``|y| ≥ t·|x|``).
-    Candidates then get the exact intersection count and threshold.
+    Surviving pairs pass PPJoin's POSITIONAL filter (rank-derived
+    overlap upper bound, see inline proof — also zero recall loss)
+    before the exact intersection count and threshold.
 
     Scale shape: the corpus-killing stop-shingles the df-cap family
     drops are handled here by ORDER, not removal — a shingle half the
@@ -641,23 +643,49 @@ def prefix_filter_jaccard_pairs(
     pref = (
         ranked.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= plen)
-        .select("_block", "_sh", "_id", "_n")
+        .select("_block", "_sh", "_id", "_n", "_rn")
+    )
+    # Positional filter (the PPJoin refinement over AllPairs): a
+    # shared prefix shingle at rarity ranks (i, j) bounds the whole
+    # intersection.  The rank order is the SAME total order in every
+    # document, so any other common shingle v splits cleanly around
+    # the shared one w: v < w sits below rank i in a AND below j in b
+    # (≤ min(i−1, j−1) of those); v > w sits above both (≤
+    # min(n_a−i, n_b−j)).  Hence o ≤ min(i−1,j−1) + 1 + min(n_a−i,
+    # n_b−j) — valid for EVERY shared prefix shingle, so the pair's
+    # tightest bound is the MIN over its shared prefix shingles, and a
+    # pair is pruned only when even that optimistic overlap cannot
+    # reach J ≥ t, i.e. (1+t)·bound < t·(n_a+n_b) (exact integer/
+    # rational comparison — no recall loss; the brute-force
+    # equivalence pytest and the naive-scan oracle both pin it).
+    pa = pref.select(
+        "_block", "_sh",
+        F.col("_id").alias("id_a"), F.col("_n").alias("_n_a"),
+        F.col("_rn").alias("_i"),
+    )
+    pb = pref.select(
+        "_block", "_sh",
+        F.col("_id").alias("id_b"), F.col("_n").alias("_n_b"),
+        F.col("_rn").alias("_j"),
+    )
+    bound = (
+        F.least(F.col("_i") - 1, F.col("_j") - 1)
+        + 1
+        + F.least(F.col("_n_a") - F.col("_i"), F.col("_n_b") - F.col("_j"))
     )
     cand = (
-        pref.select(
-            "_block", "_sh",
-            F.col("_id").alias("id_a"), F.col("_n").alias("_n_a"),
-        )
-        .join(
-            pref.select(
-                "_block", "_sh",
-                F.col("_id").alias("id_b"), F.col("_n").alias("_n_b"),
-            ),
-            ["_block", "_sh"],
-        )
+        pa.join(pb, ["_block", "_sh"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("_block", "id_a", "id_b", "_n_a", "_n_b")
+        .agg(F.min(bound).alias("_ub"))
+        .filter(
+            (1.0 + min_jaccard) * F.col("_ub")
+            # 1e-9 slack: prune only when CLEARLY below the overlap
+            # requirement, so a float-rounded exact-equality boundary
+            # can never cost a pair (completeness over tightness).
+            >= min_jaccard * (F.col("_n_a") + F.col("_n_b")) - 1e-9
+        )
         .select("_block", "id_a", "id_b", "_n_a", "_n_b")
-        .distinct()
     )
     fa = tok.select("_block", F.col("_id").alias("id_a"), "_sh")
     fb = tok.select("_block", F.col("_id").alias("id_b"), "_sh")
