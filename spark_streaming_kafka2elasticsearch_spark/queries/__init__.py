@@ -110,6 +110,7 @@ _PRIORITY: list[str] = [
     "bpe_vocab_after_training",
     "token_budget_corpus_selection",
     "set_similarity_prefix_pairs",
+    "dup_component_audit",
     "embedding_near_dup_clusters",
     # -- r5-vintage --
     "user_sessionization",

@@ -713,6 +713,148 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_component_audit",
+    oracle="""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> toks[i] || ' ' || coalesce(toks[i+1], '') || ' ' || coalesce(toks[i+2], '')
+         )) AS shingles
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+),
+flat AS (SELECT doc_id, lang, unnest(shingles) AS s FROM sh),
+ok AS (SELECT lang, s FROM flat GROUP BY lang, s HAVING count(*) <= 50),
+kept AS (SELECT f.doc_id, f.lang, f.s FROM flat f JOIN ok USING (lang, s)),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.12
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node),
+csize AS (SELECT component, count(*) AS n_docs FROM comp GROUP BY 1),
+ce AS (
+  SELECT c.component, count(*) AS n_edges
+  FROM pairs p JOIN comp c ON c.doc_id = p.id_a GROUP BY 1
+),
+tri AS (
+  SELECT c.component, count(*) AS n_triangles
+  FROM pairs p1
+  JOIN pairs p2 ON p1.id_b = p2.id_a
+  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+  JOIN comp c ON c.doc_id = p1.id_a
+  GROUP BY 1
+)
+SELECT s.component, s.n_docs, ce.n_edges,
+       CAST(coalesce(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(ce.n_edges AS DOUBLE)
+         / ((s.n_docs * (s.n_docs - 1)) // 2) AS edge_density,
+       CASE WHEN 2 * ce.n_edges = s.n_docs * (s.n_docs - 1) THEN 'clique'
+            WHEN 10 * ce.n_edges >= 3 * s.n_docs * (s.n_docs - 1)
+              THEN 'near_clique'
+            ELSE 'sparse_chain' END AS shape
+FROM csize s
+JOIN ce USING (component)
+LEFT JOIN tri USING (component)
+WHERE s.n_docs >= 2
+""",
+)
+def dup_component_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-policy DECISION layer over the shared near-dup graph:
+    per duplicate component — size, edge count, triangle count, edge
+    density, and an integer-exact shape classification ('clique' /
+    'near_clique' at density ≥ 0.6 / 'sparse_chain').  This is the
+    audit every transitive-closure dedup should run before collapsing:
+    cliques are safe to keep-one, sparse chains are pairwise-similar
+    DRIFT (A~B~C where A≁C) that keep-one over-merges — route those to
+    keep-longest or chunk-level dedup instead.  Composes three already
+    oracle-checked primitives (CC, triangle census, the pair relation)
+    into one report; the density comparisons are cross-multiplied
+    integers (10·e ≥ 3·n(n−1)), so the classification is engine-exact,
+    and each triangle's 3 member nodes land in one component so the
+    per-node census sums to exactly 3× the component count."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        connected_components,
+        triangle_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        blocked_ngram_jaccard_pairs(
+            docs,
+            id_col="doc_id",
+            block_cols=["lang"],
+            k_shingle=3,
+            min_jaccard=0.12,
+            max_doc_freq=50,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # feeds CC + census + edge counts
+    )
+    comp = connected_components(
+        pairs, docs.select("doc_id"), node_col="doc_id"
+    )
+    tri_nodes = triangle_counts(pairs)
+    csize = (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    ce = (
+        pairs.join(comp.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    ctri = (
+        tri_nodes.join(comp.withColumnRenamed("doc_id", "node"), "node")
+        .groupBy("component")
+        .agg(F.expr("sum(n_triangles) div 3").alias("n_triangles"))
+    )
+    n, e = F.col("n_docs"), F.col("n_edges")
+    return (
+        csize.join(ce, "component")
+        .join(ctri, "component", "left")
+        .select(
+            "component",
+            "n_docs",
+            "n_edges",
+            F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+            (
+                e.cast("double")
+                / F.expr("n_docs * (n_docs - 1) div 2").cast("double")
+            ).alias("edge_density"),
+            F.when(2 * e == n * (n - 1), F.lit("clique"))
+            .when(10 * e >= 3 * n * (n - 1), F.lit("near_clique"))
+            .otherwise(F.lit("sparse_chain"))
+            .alias("shape"),
+        )
+    )
+
+
+@register(
     "deduped_corpus",
     oracle="""
 WITH RECURSIVE

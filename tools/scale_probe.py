@@ -154,6 +154,9 @@ PROBE_QUERIES = [
     # r8: prefix-filtered exact similarity join — index cost rides
     # rare-shingle df^2 (stop-shingles sort out of prefixes)
     "set_similarity_prefix_pairs",
+    # r8: composed component audit — CC + triangle census + edge
+    # counts over the shared pair relation, one checkpoint
+    "dup_component_audit",
 ]
 
 
