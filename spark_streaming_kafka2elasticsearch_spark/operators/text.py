@@ -558,7 +558,11 @@ def bpe_train(
     With ``emit="vocab"`` it instead returns the POST-training subword
     inventory ``(symbol, corpus_count)`` — every symbol of the final
     encodings, weighted by word frequency: the trained tokenizer
-    applied corpus-wide in the same plan.
+    applied corpus-wide in the same plan.  With ``emit="lexicon"`` it
+    returns ``(token, encoding)`` — every vocabulary word with its
+    final bracket-encoded subword segmentation: the SERVING artifact
+    (encode the vocab once, broadcast-join it onto the corpus token
+    stream — how production tokenizers amortize at 100 TB).
 
     Each word is encoded as bracket-delimited symbols
     (``low`` → ``<l><o><w>``); a round is (1) adjacent-pair census
@@ -593,7 +597,9 @@ def bpe_train(
         f" i -> concat('<', substring({tok_col}, i, 1), '>')))"
     )
     words = word_freq.select(
-        F.col(count_col).alias("_c"), enc.alias("_enc")
+        F.col(tok_col).alias("_tok"),
+        F.col(count_col).alias("_c"),
+        enc.alias("_enc"),
     ).localCheckpoint(eager=True)
     merge_rows = []
     for k in range(1, rounds + 1):
@@ -634,6 +640,7 @@ def bpe_train(
                 F.broadcast(best.select("left_sym", "right_sym"))
             )
             .select(
+                "_tok",
                 "_c",
                 F.expr(
                     "replace(_enc,"
@@ -658,6 +665,12 @@ def bpe_train(
         # at loop exit); the vocab agg is lazy over it — callers own
         # release, same contract as the merge path's eager rows.
         return vocab
+    if emit == "lexicon":
+        for m in merge_rows:  # 1-row driver artifacts, not the result here
+            m.unpersist()
+        return words.select(
+            F.col("_tok").alias("token"), F.col("_enc").alias("encoding")
+        )
     words.unpersist()
     out = merge_rows[0]
     for m in merge_rows[1:]:

@@ -108,6 +108,7 @@ _PRIORITY: list[str] = [
     "near_dup_lpa_communities",
     "bpe_train_merges",
     "bpe_vocab_after_training",
+    "bpe_encode_documents",
     "token_budget_corpus_selection",
     "set_similarity_prefix_pairs",
     "dup_component_audit",

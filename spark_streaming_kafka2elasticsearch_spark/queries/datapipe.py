@@ -1536,8 +1536,8 @@ m{k} AS (
   FROM b{k}
 ),
 w{k} AS (
-  SELECT c, replace(enc, '<' || m.a || '><' || m.b || '>',
-                    '<' || m.a || m.b || '>') AS enc
+  SELECT tok, c, replace(enc, '<' || m.a || '><' || m.b || '>',
+                         '<' || m.a || m.b || '>') AS enc
   FROM {prev}, b{k}
 )""")
         prev = f"w{k}"
@@ -1546,6 +1546,30 @@ w{k} AS (
 FROM (SELECT unnest(string_split(substr(enc, 2, length(enc) - 2), '><')) AS symbol, c
       FROM {prev})
 GROUP BY symbol"""
+    elif emit == "encode":
+        # Continues the CTE chain (leading comma), then the final
+        # per-document reassembly SELECT.
+        union = f""",
+d2 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+pos2 AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(generate_series(1, len(t))) AS i
+  FROM d2 WHERE len(t) > 0
+),
+hit AS (SELECT p.doc_id, p.i, w.enc FROM pos2 p JOIN {prev} w USING (tok)),
+sub AS (
+  SELECT doc_id, i, unnest(syms) AS sym,
+         unnest(generate_series(1, len(syms))) AS j
+  FROM (SELECT doc_id, i,
+               string_split(substr(enc, 2, length(enc) - 2), '><') AS syms
+        FROM hit)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_subwords,
+       array_to_string(list(sym ORDER BY i, j), ' ') AS subwords
+FROM sub GROUP BY doc_id"""
     else:
         union = "\nUNION ALL\n".join(
             f"SELECT * FROM m{k}" for k in range(1, rounds + 1)
@@ -1561,7 +1585,8 @@ wf AS (
   WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY tok
 ),
 w0 AS (
-  SELECT c, '<' || array_to_string(string_split(tok, ''), '><') || '>' AS enc
+  SELECT tok, c,
+         '<' || array_to_string(string_split(tok, ''), '><') || '>' AS enc
   FROM wf
 )"""
         + "".join(parts)
@@ -1620,6 +1645,59 @@ def bpe_vocab_after_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return bpe_train(wf, rounds=6, emit="vocab")
+
+
+@register("bpe_encode_documents", oracle=_bpe_train_oracle(6, emit="encode"))
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ENCODING with the trained tokenizer — the serving path:
+    the 6-merge BPE loop emits its LEXICON (vocabulary word → final
+    subword segmentation, vocab-sized), which is broadcast-joined onto
+    the (doc, position, token) stream; each document's subword
+    sequence is reassembled in (token position, subword position)
+    order.  This is how production tokenizers amortize at 100 TB —
+    the iterative training loop runs over the vocabulary only, and
+    the corpus-sized pass is ONE broadcast hash join plus a partial-
+    agg groupBy whose order is restored by array_sort on carried
+    positions, never a global sort.  Tokens outside the trained
+    ``^[a-z]+$`` vocabulary are dropped by the inner join (mirrored in
+    the oracle's USING join).  Emitted as a space-joined CSV (driver
+    hash has no array precedent; lossless for bracket-free symbols)."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lex = bpe_train(wf, rounds=6, emit="lexicon")
+    rel = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "tok")
+    )
+    sub = (
+        rel.join(F.broadcast(lex), rel.tok == lex.token)
+        .select(
+            "doc_id",
+            "i",
+            F.posexplode(
+                F.expr(
+                    "split(substring(encoding, 2, length(encoding) - 2), '><')"
+                )
+            ).alias("j", "sym"),
+        )
+    )
+    return sub.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_subwords"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "j", "sym"))),
+                lambda x: x["sym"],
+            ),
+            " ",
+        ).alias("subwords"),
+    )
 
 
 # ---------------------------------------------------------------------------

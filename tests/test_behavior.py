@@ -952,3 +952,25 @@ def test_prefix_filter_jaccard_matches_exact_join(spark):
         }
         assert got == exact, t
         assert exact, t  # non-vacuous: the corpus must produce pairs
+
+
+def test_bpe_lexicon_final_segmentations(spark):
+    """emit="lexicon": the per-word serving artifact after the 6
+    pinned merges — low→[low], lower→[low,e,r], newest→[n,ewest],
+    widest→[w,i,d,est] (bracket-encoded)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import bpe_train
+
+    wf = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "tok string, c long",
+    )
+    out = {
+        r["token"]: r["encoding"]
+        for r in bpe_train(wf, rounds=6, emit="lexicon").collect()
+    }
+    assert out == {
+        "low": "<low>",
+        "lower": "<low><e><r>",
+        "newest": "<n><ewest>",
+        "widest": "<w><i><d><est>",
+    }

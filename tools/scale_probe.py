@@ -157,6 +157,9 @@ PROBE_QUERIES = [
     # r8: composed component audit — CC + triangle census + edge
     # counts over the shared pair relation, one checkpoint
     "dup_component_audit",
+    # r8: tokenizer serving path — vocab-sized training loop + ONE
+    # broadcast join over the corpus stream; must hold alpha ~ 1
+    "bpe_encode_documents",
 ]
 
 
