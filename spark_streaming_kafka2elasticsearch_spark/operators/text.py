@@ -769,3 +769,47 @@ def token_budget_select(
     return admitted_whole.select(id_col, score_col, weight_col).unionByName(
         boundary.select(id_col, score_col, weight_col)
     )
+
+
+def bpe_encode_with_lexicon(
+    docs: DataFrame,
+    lexicon: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode documents against a PRE-TRAINED BPE lexicon
+    (``(token, encoding)`` from :func:`bpe_train` ``emit="lexicon"``):
+    ``(id, n_subwords, subwords)`` with each document's subword
+    sequence reassembled in (token position, subword position) order.
+    The serving half of the tokenizer split: training is vocab-sized,
+    this pass is ONE broadcast hash join over the (doc, pos, token)
+    stream plus a partial-agg groupBy whose order is restored by
+    array_sort on carried positions — never a global sort.  Tokens
+    absent from the lexicon are dropped by the inner join (they were
+    outside the trained vocabulary).  Shared verbatim by the batch
+    query (``bpe_encode_documents``) and the streaming tokenize gate
+    (streaming/jobs.tokenize_ingest_stream) — streaming = batch,
+    per micro-batch."""
+    rel = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("_i", "_tok"),
+    )
+    sub = rel.join(
+        F.broadcast(lexicon), rel["_tok"] == lexicon["token"]
+    ).select(
+        id_col,
+        "_i",
+        F.posexplode(
+            F.expr("split(substring(encoding, 2, length(encoding) - 2), '><')")
+        ).alias("_j", "_sym"),
+    )
+    return sub.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_subwords"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_j", "_sym"))),
+                lambda x: x["_sym"],
+            ),
+            " ",
+        ).alias("subwords"),
+    )

@@ -1663,7 +1663,10 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's USING join).  Emitted as a space-joined CSV (driver
     hash has no array precedent; lossless for bracket-free symbols)."""
     from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
-    from spark_streaming_kafka2elasticsearch_spark.operators.text import bpe_train
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        bpe_encode_with_lexicon,
+        bpe_train,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     wf = (
@@ -1673,31 +1676,7 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     lex = bpe_train(wf, rounds=6, emit="lexicon")
-    rel = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "tok")
-    )
-    sub = (
-        rel.join(F.broadcast(lex), rel.tok == lex.token)
-        .select(
-            "doc_id",
-            "i",
-            F.posexplode(
-                F.expr(
-                    "split(substring(encoding, 2, length(encoding) - 2), '><')"
-                )
-            ).alias("j", "sym"),
-        )
-    )
-    return sub.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_subwords"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "j", "sym"))),
-                lambda x: x["sym"],
-            ),
-            " ",
-        ).alias("subwords"),
-    )
+    return bpe_encode_with_lexicon(docs, lex)
 
 
 # ---------------------------------------------------------------------------

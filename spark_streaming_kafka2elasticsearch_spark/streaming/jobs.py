@@ -196,3 +196,62 @@ def near_dup_gate_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def tokenize_ingest_stream(
+    spark: SparkSession,
+    source: Any,
+    lexicon: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming TOKENIZE-on-ingest: each arriving micro-batch of
+    documents is encoded against the static pre-trained BPE lexicon
+    (the build-once artifact from operators/text.bpe_train
+    ``emit="lexicon"``) and the subword sequences appended to
+    ``sink_dir`` — the third gate of the crawl front door after
+    exact-dup (documents_ingest_stream) and near-dup
+    (near_dup_gate_stream): content that survives dedup lands already
+    tokenized, so downstream packing/training never re-touches text.
+
+    Shape: ``foreachBatch`` over the SAME batch encode operator the
+    oracle-checked ``bpe_encode_documents`` query uses
+    (operators/text.bpe_encode_with_lexicon) — streaming = batch per
+    micro-batch, and the per-document groupBy is correct because each
+    document arrives whole in one record.  The lexicon is the
+    broadcast-small side by the vocabulary contract; at 100 TB it is a
+    maintained table rebuilt on a training cadence, not per batch.
+    Parquet append is at-least-once under retry; route through the
+    keyed-upsert sink for exactly-once.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    from pyspark.sql import types as T
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        bpe_encode_with_lexicon,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    parsed = (
+        source.load_stream(spark)
+        .select(F.from_json(F.col("value").cast("string"), doc_schema).alias("d"))
+        .select("d.*")
+    )
+
+    def encode(batch: DataFrame, batch_id: int) -> None:
+        bpe_encode_with_lexicon(batch, lexicon).write.mode("append").parquet(
+            sink_dir
+        )
+
+    return (
+        parsed.writeStream.foreachBatch(encode)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1656,3 +1656,63 @@ def test_streaming_funnel_sorts_across_arrow_chunks(spark, tmp_path):
     finally:
         q.stop()
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", saved)
+
+
+def test_tokenize_ingest_stream_encodes_batches(spark, tmp_path):
+    """Streaming tokenize gate: micro-batches encoded against a static
+    pre-trained lexicon inside foreachBatch; across two batches the
+    parquet sink holds exactly the batch operator's output for the
+    union of the batches (streaming = batch per micro-batch), with
+    out-of-vocabulary tokens dropped by the lexicon join."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        bpe_encode_with_lexicon,
+        bpe_train,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        tokenize_ingest_stream,
+    )
+
+    # Train the lexicon once on the Sennrich corpus (pinned merges).
+    wf = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "tok string, c long",
+    )
+    lexicon = bpe_train(wf, rounds=6, emit="lexicon")
+
+    def doc(doc_id, text):
+        return json.dumps({"doc_id": doc_id, "lang": "en", "text": text})
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    sink_dir = str(tmp_path / "sink")
+    q = tokenize_ingest_stream(
+        spark,
+        JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        lexicon,
+        sink_dir,
+        str(tmp_path / "chk"),
+    )
+    rows = [
+        (1, "low lower"),
+        (2, "newest OOV widest"),   # OOV token dropped by the join
+        (3, "widest low newest"),
+    ]
+    try:
+        write_batch_file(str(src_dir), "b0.json", [doc(*rows[0]), doc(*rows[1])])
+        q.processAllAvailable()
+        write_batch_file(str(src_dir), "b1.json", [doc(*rows[2])])
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: (r["n_subwords"], r["subwords"])
+            for r in spark.read.parquet(sink_dir).collect()
+        }
+    finally:
+        q.stop()
+    batch_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        r["doc_id"]: (r["n_subwords"], r["subwords"])
+        for r in bpe_encode_with_lexicon(batch_docs, lexicon).collect()
+    }
+    assert got == want
+    assert got[1] == (4, "low low e r")
+    assert got[2] == (6, "n ewest w i d est")
