@@ -793,9 +793,13 @@ def dup_component_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one report; the density comparisons are cross-multiplied
     integers (10·e ≥ 3·n(n−1)), so the classification is engine-exact,
     and each triangle's 3 member nodes land in one component so the
-    per-node census sums to exactly 3× the component count."""
+    per-node census sums to exactly 3× the component count.  Closure
+    is the large-star/small-star contraction (log²-round), not
+    min-label propagation — the x30 probe's dense drift mesh exceeds
+    the latter's 25-round diameter budget, exactly the deep-graph
+    case the star variant exists for."""
     from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
-        connected_components,
+        connected_components_star,
         triangle_counts,
     )
 
@@ -812,7 +816,7 @@ def dup_component_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)  # feeds CC + census + edge counts
     )
-    comp = connected_components(
+    comp = connected_components_star(
         pairs, docs.select("doc_id"), node_col="doc_id"
     )
     tri_nodes = triangle_counts(pairs)
