@@ -586,11 +586,17 @@ def prefix_filter_jaccard_pairs(
     text_col: str = "text",
     k_shingle: int = 3,
     min_jaccard: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """AllPairs/PPJoin-style **prefix-filtered** set-similarity self-
     join (Bayardo et al. 2007; Xiao et al. 2008): every intra-block
     pair with exact k-gram Jaccard ≥ ``min_jaccard`` — with NO recall
-    tradeoff and NO document-frequency cap.
+    tradeoff and NO document-frequency cap.  The shingle relation
+    feeds four plan branches (df census, rarity ranking, both verify
+    sides), so it is checkpointed once and released after the eager
+    result materializes; ``materialize=False`` returns the LAZY plan
+    (composition / plan inspection) and the caller owns cache release
+    — the same contract as the other pair operators here.
 
     The third candidate-generation strategy in this module, filling
     the gap between the other two: :func:`blocked_ngram_jaccard_pairs`
@@ -625,6 +631,8 @@ def prefix_filter_jaccard_pairs(
     tok = shingle_relation(
         blocked, id_col, text_col, k_shingle, extra_cols=("_block",)
     )
+    if materialize:
+        tok = tok.localCheckpoint(eager=True)
     dfreq = tok.groupBy("_block", "_sh").agg(
         F.count(F.lit(1)).alias("_df")
     )
@@ -689,7 +697,7 @@ def prefix_filter_jaccard_pairs(
     )
     fa = tok.select("_block", F.col("_id").alias("id_a"), "_sh")
     fb = tok.select("_block", F.col("_id").alias("id_b"), "_sh")
-    return (
+    result = (
         # Expand candidates by a's shingles, then equi-join b's set ON
         # the shingle — only intersection rows materialize (hash join),
         # never the |a|x|b| cross of the two sets.
@@ -712,6 +720,11 @@ def prefix_filter_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+    if not materialize:
+        return result
+    final = result.localCheckpoint(eager=True)
+    tok.unpersist()
+    return final
 
 
 def simhash_table(
@@ -1861,6 +1874,32 @@ def exact_substring_dedup_corpus(
     )
 
 
+def _symmetrize_edges(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Undirected pair list → distinct directed ``(_src, _dst)``
+    relation, materialized eagerly (one localCheckpoint) — the shared
+    pre-loop step of every round-based graph primitive here
+    (:func:`pagerank`, :func:`label_propagation`).  Materializing
+    BEFORE any per-round derivation matters: multiple plan branches
+    reference this relation, and without the boundary the (expensive)
+    upstream pair pipeline re-executes per reference — measured as a
+    whole x10 probe regression before pagerank grew this line.
+    Callers own the block release (``.unpersist()`` once their own
+    successor is materialized)."""
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")),
+                    F.struct(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e._src", "_e._dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,
@@ -1931,24 +1970,7 @@ def pagerank(
     base = Decimal(float(1 - Decimal(damping)) / n).quantize(q14, ROUND_HALF_UP)
     r_init = Decimal(1.0 / n).quantize(q14, ROUND_HALF_UP)
 
-    e = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")),
-                    F.struct(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")),
-                )
-            ).alias("_e")
-        )
-        .select("_e._src", "_e._dst")
-        .distinct()
-        # Materialize BEFORE deriving deg/inv: both the edge side and
-        # the degree side of ej reference this relation, and without
-        # the boundary the (expensive) upstream pair pipeline executes
-        # once per reference inside the ej job — measured as the whole
-        # x10 scale-probe regression (alpha 1.26) before this line.
-        .localCheckpoint(eager=True)
-    )
+    e = _symmetrize_edges(edges, id_a, id_b)
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_d"))
     inv = deg.select(
         "_src",
@@ -2043,19 +2065,7 @@ def label_propagation(
     ``checkpoint_every`` rounds, and the loop ends in one eager
     materialization that releases the edge blocks.
     """
-    e = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")),
-                    F.struct(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")),
-                )
-            ).alias("_e")
-        )
-        .select("_e._src", "_e._dst")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _symmetrize_edges(edges, id_a, id_b)
     spine = nodes.select(F.col(node_col).alias("_n")).localCheckpoint(eager=True)
     lab = spine.select("_n", F.col("_n").alias("_l"))
     for it in range(rounds):

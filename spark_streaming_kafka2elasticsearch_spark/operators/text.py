@@ -596,11 +596,19 @@ def bpe_train(
         f"concat_ws('', transform(sequence(1, length({tok_col})),"
         f" i -> concat('<', substring({tok_col}, i, 1), '>')))"
     )
-    words = word_freq.select(
-        F.col(tok_col).alias("_tok"),
-        F.col(count_col).alias("_c"),
-        enc.alias("_enc"),
-    ).localCheckpoint(eager=True)
+    # Guard the operator contract (arbitrary word-frequency input):
+    # for '' Spark's sequence(1, 0) is the DESCENDING [1, 0], which
+    # would fabricate a '<><>' encoding whose empty-symbol pairs can
+    # win a merge round; empty words carry no pairs by definition.
+    words = (
+        word_freq.filter(F.length(tok_col) > 0)
+        .select(
+            F.col(tok_col).alias("_tok"),
+            F.col(count_col).alias("_c"),
+            enc.alias("_enc"),
+        )
+        .localCheckpoint(eager=True)
+    )
     merge_rows = []
     for k in range(1, rounds + 1):
         syms = F.expr("split(substring(_enc, 2, length(_enc) - 2), '><')")
@@ -762,7 +770,11 @@ def token_budget_select(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     boundary = (
-        j.filter((~F.col("_full")) & (F.col("_remaining") > 0))
+        # ``>= 0`` not ``> 0``: when the admitted buckets exhaust the
+        # budget EXACTLY, the straddling bucket's zero-weight greedy
+        # head is still admitted by the naive rule (cum stays == B),
+        # and ``_run <= 0`` admits precisely that zero-weight prefix.
+        j.filter((~F.col("_full")) & (F.col("_remaining") >= 0))
         .withColumn("_run", F.sum(weight_col).over(within))
         .filter(F.col("_run") <= F.col("_remaining"))
     )

@@ -863,6 +863,19 @@ def test_token_budget_select_boundary_semantics(spark):
     # greedy: 4 + 4 = 8 ok; +3 = 11 > 10 stops; doc 4 (w=1) would fit
     # the leftover 2 but is later in greedy order -> excluded.
     assert got == [1, 2]
+    # Exact-budget boundary + zero-weight head: admitted buckets
+    # exhaust the budget exactly (5+5 == 10), and the straddling
+    # bucket's greedy head has weight 0 — the naive rule admits it
+    # (cum stays == 10); pins _remaining >= 0.
+    df2 = spark.createDataFrame(
+        [(1, 0.9, 5), (2, 0.9, 5), (3, 0.5, 0), (4, 0.5, 2)],
+        "doc_id long, score double, n_tokens long",
+    )
+    got2 = sorted(
+        r["doc_id"]
+        for r in token_budget_select(df2, budget=10, n_buckets=4).collect()
+    )
+    assert got2 == [1, 2, 3]
 
 
 def test_token_budget_select_matches_global_window(spark):
@@ -885,6 +898,11 @@ def test_token_budget_select_matches_global_window(spark):
          rng.randint(1, 20))
         for i in range(200)
     ]
+    # Zero-weight docs (empty-text shape: weight 0) sprinkled through
+    # the score range — the naive rule admits them whenever the budget
+    # is not already exceeded, INCLUDING at an exact-budget boundary
+    # (cum stays == B); pins the _remaining >= 0 boundary fix.
+    rows += [(200 + i, s, 0) for i, s in enumerate((0.9, 0.5, 0.25, 0.1))]
     df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
     win = W.orderBy(F.desc("score"), "doc_id").rowsBetween(
         W.unboundedPreceding, 0
