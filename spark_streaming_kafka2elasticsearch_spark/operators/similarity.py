@@ -29,6 +29,9 @@ def brute_force_topk(
     query_id: str = "query_id",
     query_vec: str = "query_embedding",
     exclude_self: bool = True,
+    corpus_label: str | None = None,
+    query_label: str | None = None,
+    exclude_same_label: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank, sim).
 
@@ -38,19 +41,45 @@ def brute_force_topk(
     so for large corpora prefer per-partition pre-ranking: we take the
     top-k within each partition first (cheap, local) and only shuffle
     |partitions|×k×|queries| rows into the global rank.
+
+    ``exclude_same_label=True`` (requires ``corpus_label`` and
+    ``query_label``) turns the ranking into HARD-NEGATIVE MINING for
+    embedding-model training: only corpus rows whose label differs
+    from the query's compete, so the top-k are the most-confusable
+    wrong-class neighbors — the negatives a contrastive trainer wants.
+    The label predicate lands INSIDE the broadcast-join filter, before
+    any ranking state, so the plan shape (one corpus scan, local
+    pre-rank) is unchanged.  ``corpus_label`` alone just carries the
+    neighbor's label into the output as ``neighbor_label``.
     """
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cvec")
-    )
-    q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
-    )
+    csel = [
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("_cvec"),
+    ]
+    if corpus_label is not None:
+        csel.append(F.col(corpus_label).alias("neighbor_label"))
+    c = corpus.select(*csel)
+    qsel = [
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qvec"),
+    ]
+    if query_label is not None:
+        qsel.append(F.col(query_label).alias("_qlabel"))
+    q = queries.select(*qsel)
     pairs = c.join(F.broadcast(q), how="cross")
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    if exclude_same_label:
+        if corpus_label is None or query_label is None:
+            raise ValueError(
+                "exclude_same_label requires corpus_label and query_label"
+            )
+        pairs = pairs.filter(F.col("_qlabel") != F.col("neighbor_label"))
+    carry = ["neighbor_label"] if corpus_label is not None else []
     sims = pairs.select(
         "query_id",
         "neighbor_id",
+        *carry,
         cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("sim"),
     )
     # Local pre-rank: cuts the global-rank shuffle to k rows per
@@ -66,7 +95,7 @@ def brute_force_topk(
     return (
         local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
+        .select("query_id", "neighbor_id", *carry, "rank", "sim")
     )
 
 

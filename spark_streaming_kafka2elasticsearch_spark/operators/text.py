@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_streaming_kafka2elasticsearch_spark.functions.text import (
@@ -825,3 +825,167 @@ def bpe_encode_with_lexicon(
             " ",
         ).alias("subwords"),
     )
+
+
+def dsir_logratio_scores(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every RAW document by how target-like its hashed n-gram
+    profile is, ``log p_target(doc) − log p_raw(doc)`` under two
+    bag-of-hashed-features unigram models.  Output: (id_col, n_feats,
+    dsir_logratio) for documents where ``is_target`` is false — the
+    rows a selection pass would rank and resample from.
+
+    Features are the paper's: unigrams AND bigrams, hashed into
+    ``n_buckets`` buckets (md5 first byte pair — cross-engine, like
+    every fingerprint here), counted WITH multiplicity.  Both models
+    are Laplace-smoothed bucket distributions, fit from the same
+    featurized pass: p_side[b] = (c_side[b] + 1) / (N_side + B).
+
+    Cross-engine float discipline (the unigram_logprob recipe): each
+    bucket's log-ratio is the DIFFERENCE OF TWO DECIMALS, each
+    ``round(ln(count-ratio), 9)`` cast to DECIMAL(28,10) — ln operands
+    are identical single IEEE divisions, Java log vs DuckDB ln probed
+    ≤ 4.5e-16 apart, the 9-dp round absorbs it, and decimal
+    subtraction/summation is exact, so the per-doc sum cannot depend
+    on partition order.  Final mean is one IEEE divide + 6-dp round.
+
+    Scale shape: the fit is ONE explode → 256-row partial aggregate
+    (both sides counted in the same pass via conditional sums); the
+    weight table is B rows — a plan-broadcast join back onto the raw
+    side's feature stream; the per-doc reduce is partial-agg friendly.
+    Two corpus-sized passes total (fit + score), zero global sorts —
+    exactly how DSIR runs over a 100 TB crawl: the model is a tiny
+    artifact, the corpus is only ever streamed."""
+    t = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), is_target.alias("_tgt"), t.alias("_t"))
+    uni = base.select(id_col, "_tgt", F.explode("_t").alias("_feat"))
+    bi = base.filter(F.size("_t") >= 2).select(
+        id_col,
+        "_tgt",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(_t, 1, size(_t) - 1)"),
+                F.expr("slice(_t, 2, size(_t) - 1)"),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("_feat"),
+    )
+    feats = uni.unionByName(bi).select(
+        id_col,
+        "_tgt",
+        (
+            F.conv(F.substring(F.md5("_feat"), 1, 2), 16, 10).cast("int")
+            % n_buckets
+        ).alias("_b"),
+    )
+    # Both models fit in ONE pass: conditional partial-agg sums.
+    counts = feats.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).cast("long").alias("_ct"),
+        F.sum(F.when(~F.col("_tgt"), 1).otherwise(0)).cast("long").alias("_cr"),
+    )
+    spine = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("_b")
+    )
+    # N_target / N_raw as UNPARTITIONED window sums over the (B-row)
+    # bucket table — one global partition of 256 rows is free, and it
+    # keeps the fit subtree with exactly ONE consumer (a separate
+    # `counts.agg()` + crossJoin would re-execute the whole corpus
+    # explode for the scalar).
+    wspec = Window.partitionBy()
+    cs = spine.join(counts, "_b", "left").select(
+        "_b",
+        F.coalesce("_ct", F.lit(0).cast("long")).alias("_ct"),
+        F.coalesce("_cr", F.lit(0).cast("long")).alias("_cr"),
+    )
+
+    def _lp(c: Column, n: Column) -> Column:
+        num = (c + 1).cast("double")
+        den = (n + n_buckets).cast("double")
+        return F.round(F.log(num / den), 9).cast("decimal(28,10)")
+
+    w = cs.select(
+        "_b",
+        (
+            _lp(F.col("_ct"), F.sum("_ct").over(wspec))
+            - _lp(F.col("_cr"), F.sum("_cr").over(wspec))
+        ).alias("_w"),
+    )
+    return (
+        feats.filter(~F.col("_tgt"))
+        .join(F.broadcast(w), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(
+                F.sum("_w").cast("string").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dsir_logratio"),
+        )
+    )
+
+
+def dsir_oracle_sql(
+    is_target_sql: str,
+    id_col: str,
+    text_col: str = "text",
+    n_buckets: int = 256,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dsir_logratio_scores`, generated from the
+    same bucket count and target predicate so model and oracle cannot
+    drift.  Same md5-byte bucketing, same Laplace smoothing, same
+    decimal-difference log-ratio recipe."""
+    b = n_buckets
+    return f"""
+WITH d AS (
+  SELECT {id_col}, ({is_target_sql}) AS tgt,
+         list_filter(string_split_regex({text_col}, '\\s+'), x -> x <> '') AS t
+  FROM {table}
+),
+uni AS (SELECT {id_col}, tgt, unnest(t) AS feat FROM d),
+bi AS (
+  SELECT {id_col}, tgt,
+         unnest(list_transform(
+           generate_series(1, len(t) - 1),
+           i -> concat(t[i], ' ', t[i + 1])
+         )) AS feat
+  FROM d WHERE len(t) >= 2
+),
+feats AS (
+  SELECT {id_col}, tgt,
+         CAST(concat('0x', substr(md5(feat), 1, 2)) AS INTEGER) % {b} AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+counts AS (
+  SELECT b,
+         CAST(count(*) FILTER (tgt) AS BIGINT) AS ct,
+         CAST(count(*) FILTER (NOT tgt) AS BIGINT) AS cr
+  FROM feats GROUP BY b
+),
+spine AS (SELECT unnest(generate_series(0, {b - 1})) AS b),
+cs AS (
+  SELECT spine.b, coalesce(ct, CAST(0 AS BIGINT)) AS ct,
+         coalesce(cr, CAST(0 AS BIGINT)) AS cr
+  FROM spine LEFT JOIN counts ON spine.b = counts.b
+),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM cs),
+w AS (
+  SELECT b,
+         CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + {b} AS DOUBLE)), 9)
+              AS DECIMAL(28,10))
+       - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + {b} AS DOUBLE)), 9)
+              AS DECIMAL(28,10)) AS w
+  FROM cs, tot
+)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_feats,
+       round(CAST(CAST(sum(w) AS VARCHAR) AS DOUBLE) / count(*), 6) AS dsir_logratio
+FROM feats JOIN w USING (b)
+WHERE NOT tgt
+GROUP BY {id_col}
+"""

@@ -113,6 +113,10 @@ _PRIORITY: list[str] = [
     "set_similarity_prefix_pairs",
     "dup_component_audit",
     "embedding_near_dup_clusters",
+    "dsir_importance_weights",
+    "semantic_decontamination",
+    "hard_negative_mining",
+    "source_temperature_mix",
     # -- r5-vintage --
     "user_sessionization",
     "multimodal_video_decode_real",

@@ -31,6 +31,8 @@ from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
 )
 from spark_streaming_kafka2elasticsearch_spark.operators.text import (
     document_fingerprint,
+    dsir_logratio_scores,
+    dsir_oracle_sql,
     gopher_quality,
     language_id,
     language_id_oracle_sql,
@@ -4681,3 +4683,243 @@ def embedding_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return kcore(pairs, k=2, rounds=8)
+
+
+# ---------------------------------------------------------------------------
+# Data selection & mixing (round 8): DSIR importance weights, semantic
+# decontamination, hard-negative mining, temperature sampling.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=dsir_oracle_sql("source = 'src0'", id_col="doc_id"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169) importance weights:
+    every non-target document scored by log p_target − log p_raw under
+    Laplace-smoothed hashed unigram+bigram models (256 md5 buckets),
+    target domain = ``source = 'src0'``.  The selection pass a
+    pretraining pipeline runs to tilt a raw crawl toward a trusted
+    domain; rank-desc on ``dsir_logratio`` + the existing
+    token_budget_corpus_selection completes the paper's resampling.
+    See operators/text.dsir_logratio_scores for the fit/score plan
+    shape and the decimal-exact float discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logratio_scores(
+        docs, F.col("source") == "src0", id_col="doc_id"
+    )
+
+
+@register(
+    "semantic_decontamination",
+    oracle="""
+WITH ev AS (
+  SELECT vec_id AS eid,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01 + 0.002) AS evec
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
+s AS (
+  SELECT c.vec_id, ev.eid, list_cosine_similarity(c.cvec, ev.evec) AS sim
+  FROM c, ev
+),
+g AS (
+  SELECT vec_id,
+         CAST(count(*) FILTER (sim >= 0.99) AS BIGINT) AS n_eval_hits,
+         min(eid) FILTER (sim >= 0.99) AS matched_eval_id
+  FROM s GROUP BY vec_id
+)
+SELECT vec_id, n_eval_hits, matched_eval_id,
+       n_eval_hits > 0 AS is_contaminated
+FROM g
+""",
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space decontamination — the semantic complement of the
+    exact 13-gram pass (decontaminate_train_docs): flag every corpus
+    vector whose cosine to ANY benchmark vector clears 0.99.  The
+    benchmark set is the established plant rule (a deterministic
+    x·1.01 + 0.002 transform of every 10th vector — a paraphrase-like
+    copy at cos ≈ 0.9998, vs a probed < 0.8 ceiling for every natural
+    pair, so the threshold sits in a wide margin and a 1-ulp sim
+    wobble cannot flip a flag).  Scale shape: the benchmark side is
+    small BY NATURE (eval suites are thousands of rows) → broadcast
+    cross join, corpus scanned exactly once, per-vector partial-agg
+    reduce; sims are the bit-exact sequential fold ≡
+    list_cosine_similarity (SRP doctrine)."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    ev = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("_eid"),
+        F.transform(v, lambda x: x * F.lit(1.01) + F.lit(0.002)).alias("_evec"),
+    ).select("_eid", "_evec", l2_norm("_evec").alias("_en"))
+    corpus = emb.select("vec_id", v.alias("_cvec")).select(
+        "vec_id", "_cvec", l2_norm("_cvec").alias("_cn")
+    )
+    # Hoisted-norm cosine (the SRP idiom): each side's ‖·‖ is computed
+    # ONCE per row, not once per pair — the naive cosine_similarity
+    # call re-folds both norms inside every pair and was measured 3×
+    # slower here.  dot/(‖c‖·‖e‖) over identical operands stays
+    # bit-identical to list_cosine_similarity.
+    denom = F.col("_cn") * F.col("_en")
+    sims = corpus.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        "_eid",
+        F.when(denom == 0, F.lit(None))
+        .otherwise(dot_product(F.col("_cvec"), F.col("_evec")) / denom)
+        .alias("_sim"),
+    )
+    hit = F.col("_sim") >= 0.99
+    g = sims.groupBy("vec_id").agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_eval_hits"),
+        F.min(F.when(hit, F.col("_eid"))).alias("matched_eval_id"),
+    )
+    return g.select(
+        "vec_id",
+        "n_eval_hits",
+        "matched_eval_id",
+        (F.col("n_eval_hits") > 0).alias("is_contaminated"),
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < 16
+),
+c AS (
+  SELECT vec_id AS neighbor_id, label AS neighbor_label,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings
+),
+s AS (
+  SELECT query_id, neighbor_id, neighbor_label,
+         list_cosine_similarity(qvec, cvec) AS sim
+  FROM c, q
+  WHERE query_id <> neighbor_id AND qlabel <> neighbor_label
+),
+r AS (
+  SELECT query_id, neighbor_id, neighbor_label,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+         ) AS INTEGER) AS neg_rank
+  FROM s
+)
+SELECT query_id, neighbor_id, neighbor_label, neg_rank
+FROM r WHERE neg_rank <= 5
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding-model training: for each of
+    16 query vectors, the 5 most-similar corpus vectors with a
+    DIFFERENT label — the confusable wrong-class examples a
+    contrastive/triplet trainer pairs against each anchor.  Same
+    broadcast-query single-corpus-scan plan as ann_cosine_topk; the
+    label-mismatch predicate lands inside the broadcast join, before
+    any ranking state (see brute_force_topk's exclude_same_label).
+    Emits ids + the deterministic rank, never the raw float."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+        F.col("label").alias("qlabel"),
+    )
+    topk = brute_force_topk(
+        emb,
+        q,
+        k=5,
+        corpus_label="label",
+        query_label="qlabel",
+        exclude_same_label=True,
+    )
+    return topk.select(
+        "query_id", "neighbor_id", "neighbor_label",
+        F.col("rank").alias("neg_rank"),
+    )
+
+
+@register(
+    "source_temperature_mix",
+    oracle="""
+WITH per_doc AS (
+  SELECT source,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+),
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY source
+),
+s AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 9) AS DECIMAL(28,10)) AS sd
+  FROM per_source
+),
+tot AS (
+  SELECT CAST(CAST(sum(sd) AS VARCHAR) AS DOUBLE) AS tot_s,
+         CAST(sum(n_tokens) AS DOUBLE) AS tot_n
+  FROM s
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(CAST(sd AS VARCHAR) AS DOUBLE) / tot_s, 6) AS temp_share,
+       round((CAST(CAST(sd AS VARCHAR) AS DOUBLE) / tot_s)
+             / (CAST(n_tokens AS DOUBLE) / tot_n), 6) AS upsample_factor
+FROM s, tot
+""",
+)
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual-LM recipe:
+    sample source i with probability ∝ share_i^α): per-source sampling
+    shares at α = 0.5 plus the implied up/down-sampling factor vs the
+    natural token share — the flattening that keeps long-tail sources
+    represented without letting any dominate.  α is pinned to 0.5
+    because sqrt is IEEE correctly-rounded in BOTH engines (pow(x, α)
+    for general α is libm-divergent and would flake the value hash);
+    the share denominator runs in exact DECIMAL (the unigram_logprob
+    recipe), so the 5-row result is bit-stable.  Complements
+    source_mixing_weights (uniform-target down-sampling): same census,
+    different policy.  Scale: a per-source partial-agg census + a
+    1-row broadcast scalar — nothing here grows with the corpus."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", token_count(F.col("text")).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    s = per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 9)
+        .cast("decimal(28,10)")
+        .alias("_sd"),
+    )
+    tot = s.agg(
+        F.sum("_sd").cast("string").cast("double").alias("_tot_s"),
+        F.sum("n_tokens").cast("double").alias("_tot_n"),
+    )
+    sd_d = F.col("_sd").cast("string").cast("double")
+    temp_share = sd_d / F.col("_tot_s")
+    raw_share = F.col("n_tokens").cast("double") / F.col("_tot_n")
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(temp_share / raw_share, 6).alias("upsample_factor"),
+    )

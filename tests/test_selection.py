@@ -1,0 +1,140 @@
+"""Data-selection & mixing queries (round 8): DSIR importance
+weights, semantic decontamination, hard-negative mining, temperature
+sampling.  Value parity with DuckDB is owned by the oracle gate
+(tools/check_oracle.py); these tests pin SEMANTICS on hand-built
+inputs and invariants the oracle equality alone would not explain."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+    brute_force_topk,
+)
+from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+    dsir_logratio_scores,
+)
+from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    # Target domain talks about cats; raw doc 10 is cat-like, raw doc
+    # 11 is dog-like.  DSIR must rank the cat-like raw doc higher.
+    rows = [
+        (0, "cat meow purr cat meow", "t"),
+        (1, "cat purr whiskers cat", "t"),
+        (2, "meow cat purr purr", "t"),
+        (10, "cat meow purr whiskers", "r"),
+        (11, "dog bark woof growl", "r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, side string")
+    out = dsir_logratio_scores(
+        df, F.col("side") == "t", id_col="doc_id"
+    ).collect()
+    scores = {r["doc_id"]: r["dsir_logratio"] for r in out}
+    # Only raw-side docs are scored.
+    assert set(scores) == {10, 11}
+    assert scores[10] > scores[11]
+    # Unigrams + bigrams, counted with multiplicity: 4 tokens → 4 + 3.
+    n_feats = {r["doc_id"]: r["n_feats"] for r in out}
+    assert n_feats[10] == 7 and n_feats[11] == 7
+
+
+def test_dsir_single_token_doc_has_no_bigrams(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta", "t"), (1, "solo", "r")],
+        "doc_id long, text string, side string",
+    )
+    out = dsir_logratio_scores(df, F.col("side") == "t", id_col="doc_id")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["n_feats"] == 1  # unigram only
+
+
+def test_hard_negative_mining_labels_and_ranks(spark):
+    res = all_queries()["hard_negative_mining"](spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    by_q: dict[int, list] = {}
+    for r in res:
+        assert labels[r["query_id"]] != r["neighbor_label"]
+        assert labels[r["neighbor_id"]] == r["neighbor_label"]
+        by_q.setdefault(r["query_id"], []).append(r["neg_rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) == 5
+
+
+def test_hard_negative_planted_cross_label_copy_wins(spark):
+    # Query 0 (label 0).  Vector 1 is a near-copy with a DIFFERENT
+    # label → must be the rank-1 negative.  Vector 2 is an even closer
+    # copy with the SAME label → must not appear at all.
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0], 1),
+        (2, [0.999, 0.01, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+        F.col("label").alias("qlabel"),
+    )
+    out = brute_force_topk(
+        emb, q, k=3,
+        corpus_label="label", query_label="qlabel", exclude_same_label=True,
+    ).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got[0] == (1, 1)
+    assert all(nid != 2 for nid, _ in got)
+    assert {r["neighbor_label"] for r in out} <= {1, 2}
+
+
+def test_brute_force_topk_same_label_requires_label_cols(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    with pytest.raises(ValueError, match="exclude_same_label"):
+        brute_force_topk(emb, q, exclude_same_label=True)
+
+
+def test_semantic_decontamination_flags_exactly_planted_sources(spark):
+    res = all_queries()["semantic_decontamination"](spark, SF_DIR).collect()
+    assert len(res) > 0
+    for r in res:
+        if r["vec_id"] % 10 == 0:
+            # The benchmark copy of this very vector sits at cos≈0.9998.
+            assert r["is_contaminated"] and r["n_eval_hits"] >= 1
+            assert r["matched_eval_id"] == r["vec_id"]
+        else:
+            assert not r["is_contaminated"] and r["n_eval_hits"] == 0
+            assert r["matched_eval_id"] is None
+
+
+def test_source_temperature_mix_flattens_shares(spark):
+    rows = all_queries()["source_temperature_mix"](spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        raw_share = r["n_tokens"] / total_tokens
+        # sqrt-flattening: below-average sources are up-sampled,
+        # above-average down-sampled (factor crosses 1 monotonically).
+        if r["temp_share"] > raw_share:
+            assert r["upsample_factor"] >= 1.0
+        else:
+            assert r["upsample_factor"] <= 1.0 + 1e-9
+    biggest = max(rows, key=lambda r: r["n_tokens"])
+    smallest = min(rows, key=lambda r: r["n_tokens"])
+    if biggest["n_tokens"] != smallest["n_tokens"]:
+        assert biggest["upsample_factor"] < 1.0 < smallest["upsample_factor"]
