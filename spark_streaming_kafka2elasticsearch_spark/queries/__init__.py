@@ -114,6 +114,7 @@ _PRIORITY: list[str] = [
     "dup_component_audit",
     "embedding_near_dup_clusters",
     "dsir_importance_weights",
+    "dsir_budget_selection",
     "semantic_decontamination",
     "hard_negative_mining",
     "source_temperature_mix",

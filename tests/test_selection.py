@@ -112,7 +112,9 @@ def test_semantic_decontamination_flags_exactly_planted_sources(spark):
     res = all_queries()["semantic_decontamination"](spark, SF_DIR).collect()
     assert len(res) > 0
     for r in res:
-        if r["vec_id"] % 10 == 0:
+        if r["vec_id"] % 10 == 0 and r["vec_id"] < 500:
+            # id < 500: the benchmark suite is pinned to a fixed id
+            # range (eval sets don't grow with the corpus).
             # The benchmark copy of this very vector sits at cos≈0.9998.
             assert r["is_contaminated"] and r["n_eval_hits"] >= 1
             assert r["matched_eval_id"] == r["vec_id"]
@@ -138,3 +140,28 @@ def test_source_temperature_mix_flattens_shares(spark):
     smallest = min(rows, key=lambda r: r["n_tokens"])
     if biggest["n_tokens"] != smallest["n_tokens"]:
         assert biggest["upsample_factor"] < 1.0 < smallest["upsample_factor"]
+
+
+def test_dsir_budget_selection_is_greedy_prefix(spark):
+    qs = all_queries()
+    sel = {r["doc_id"]: r for r in qs["dsir_budget_selection"](spark, SF_DIR).collect()}
+    total = sum(r["n_tokens"] for r in sel.values())
+    assert 0 < total <= 20_000
+    # The selected set must be EXACTLY the maximal (score DESC, doc_id)
+    # prefix whose inclusive token cumsum fits the budget — the naive
+    # global greedy the two-phase selector claims to equal.
+    scored = qs["dsir_importance_weights"](spark, SF_DIR).collect()
+    toks = {
+        r["doc_id"]: r["n_tokens"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", r"\s+")).alias("n_tokens"))
+        .collect()
+    }
+    order = sorted(scored, key=lambda r: (-r["dsir_logratio"], r["doc_id"]))
+    cum, expect = 0, set()
+    for r in order:
+        cum += toks[r["doc_id"]]
+        if cum > 20_000:
+            break
+        expect.add(r["doc_id"])
+    assert set(sel) == expect

@@ -160,6 +160,17 @@ PROBE_QUERIES = [
     # r8: tokenizer serving path — vocab-sized training loop + ONE
     # broadcast join over the corpus stream; must hold alpha ~ 1
     "bpe_encode_documents",
+    # r8 selection/mixing family: DSIR (two corpus passes: 256-bucket
+    # fit + broadcast weight join score — must hold alpha ~ 1),
+    # semantic decontamination (one corpus scan x FIXED eval suite —
+    # the id<500 pin is what keeps this linear; without it the
+    # replicated plant rule would grow both sides), hard-negative
+    # mining (broadcast 16-query scan, local pre-rank), temperature
+    # mix (per-source census, scan-bound)
+    "dsir_importance_weights",
+    "semantic_decontamination",
+    "hard_negative_mining",
+    "source_temperature_mix",
 ]
 
 
