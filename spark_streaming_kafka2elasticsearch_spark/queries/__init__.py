@@ -118,6 +118,7 @@ _PRIORITY: list[str] = [
     "semantic_decontamination",
     "hard_negative_mining",
     "source_temperature_mix",
+    "embedding_covariance",
     # -- r5-vintage --
     "user_sessionization",
     "multimodal_video_decode_real",

@@ -4984,3 +4984,112 @@ def dsir_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, budget=20_000, id_col="doc_id", score_col="score",
         weight_col="n_tokens",
     )
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS a FROM embeddings),
+dims AS (
+  SELECT unnest(generate_series(1, (SELECT max(len(a)) FROM e))) AS d
+),
+ij AS (SELECT di.d AS i, dj.d AS j FROM dims di, dims dj WHERE di.d <= dj.d),
+terms AS (
+  SELECT i, j, CAST(round(a[i] * a[j], 9) AS DECIMAL(28,10)) AS t
+  FROM e, ij
+),
+mom AS (
+  SELECT i, j, CAST(CAST(sum(t) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM terms GROUP BY i, j
+),
+mean AS (
+  SELECT d AS i,
+         CAST(CAST(sum(CAST(round(a[d], 9) AS DECIMAL(28,10))) AS VARCHAR)
+              AS DOUBLE) AS sx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e, dims GROUP BY d
+)
+SELECT m.i, m.j, mi.n AS n_vectors,
+       round(m.sxy / mi.n - (mi.sx / mi.n) * (mj.sx / mj.n), 6) + 0.0 AS cov
+FROM mom m
+JOIN mean mi ON m.i = mi.i
+JOIN mean mj ON m.j = mj.i
+""",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding corpus — the
+    statistic under whitening transforms, PCA-style drift diagnostics,
+    and anisotropy checks an embedding-based dedup/retrieval pipeline
+    monitors.  One-pass moment form cov = E[xᵢxⱼ] − μᵢμⱼ.
+
+    Plan shape (why this is linear at 100 TB): each vector explodes to
+    its d(d+1)/2 upper-triangle product terms (dim posexplode + a
+    per-row tail slice — no self-join, no shuffle of vectors), and
+    partial aggregation collapses every task to ≤ 2080 cells BEFORE
+    the exchange, so the shuffle is constant-size regardless of corpus
+    size; the means are a second d-cell aggregate, broadcast back onto
+    the 2080-row moment table.  Float discipline: per-term
+    ``round(xᵢ·xⱼ, 9)`` then exact DECIMAL sums (partition-order-proof,
+    the centroid recipe); the final moment/mean arithmetic is three
+    IEEE ops on identical operands + 6-dp round."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    e = emb.select(v.alias("_a"))
+    ei = e.select("_a", F.posexplode("_a").alias("_i0", "_xi"))
+    # Tail slice from position i (1-based i0+1): pairs (i, j>=i) with
+    # no self-join — each row carries its own array.
+    prods = ei.select(
+        "_i0",
+        "_xi",
+        F.posexplode(
+            F.expr("slice(_a, _i0 + 1, size(_a) - _i0)")
+        ).alias("_dj", "_xj"),
+    )
+    terms = prods.select(
+        (F.col("_i0") + 1).alias("i"),
+        (F.col("_i0") + 1 + F.col("_dj")).alias("j"),
+        F.round(F.col("_xi") * F.col("_xj"), 9)
+        .cast("decimal(28,10)")
+        .alias("_t"),
+    )
+    mom = terms.groupBy("i", "j").agg(
+        F.sum("_t").cast("string").cast("double").alias("_sxy")
+    )
+    mean = (
+        e.select(F.posexplode("_a").alias("_i0", "_x"))
+        .groupBy((F.col("_i0") + 1).alias("i"))
+        .agg(
+            F.sum(F.round(F.col("_x"), 9).cast("decimal(28,10)"))
+            .cast("string")
+            .cast("double")
+            .alias("_sx"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    mi = mean.select(
+        F.col("i"), F.col("_sx").alias("_sxi"), F.col("_n").alias("n_vectors")
+    )
+    mj = mean.select(F.col("i").alias("j"), F.col("_sx").alias("_sxj"))
+    return (
+        mom.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            "n_vectors",
+            (
+                F.round(
+                    F.col("_sxy") / F.col("n_vectors")
+                    - (F.col("_sxi") / F.col("n_vectors"))
+                    * (F.col("_sxj") / F.col("n_vectors")),
+                    6,
+                )
+                # + 0.0 canonicalizes IEEE signed zero: a covariance
+                # that rounds to zero must hash identically whether
+                # the unrounded value approached from below or above
+                # (DuckDB keeps -0.0; mismatch measured on 1068/2080
+                # cells of this very query).
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )

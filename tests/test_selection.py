@@ -165,3 +165,19 @@ def test_dsir_budget_selection_is_greedy_prefix(spark):
             break
         expect.add(r["doc_id"])
     assert set(sel) == expect
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    rows = all_queries()["embedding_covariance"](spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    X = np.array([[float(x) for x in r["embedding"]] for r in emb], dtype=np.float64)
+    n, d = X.shape
+    ref = np.cov(X, rowvar=False, bias=True)  # population covariance
+    assert len(rows) == d * (d + 1) // 2
+    for r in rows:
+        assert r["i"] <= r["j"] and r["n_vectors"] == n
+        assert abs(r["cov"] - ref[r["i"] - 1, r["j"] - 1]) < 5e-6
+        if r["i"] == r["j"]:
+            assert r["cov"] >= 0.0

@@ -171,6 +171,12 @@ PROBE_QUERIES = [
     "semantic_decontamination",
     "hard_negative_mining",
     "source_temperature_mix",
+    # r8: DSIR composed with the budget selector (score pass + 1024-row
+    # histogram + one boundary window — must track dsir's own alpha)
+    "dsir_budget_selection",
+    # r8: covariance moments — per-task partial agg collapses to <=2080
+    # cells before the exchange, so wall must be scan-bound (alpha ~ 1)
+    "embedding_covariance",
 ]
 
 
