@@ -119,6 +119,7 @@ _PRIORITY: list[str] = [
     "hard_negative_mining",
     "source_temperature_mix",
     "embedding_covariance",
+    "embedding_pc_power_iteration",
     # -- r5-vintage --
     "user_sessionization",
     "multimodal_video_decode_real",

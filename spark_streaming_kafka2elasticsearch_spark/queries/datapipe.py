@@ -5093,3 +5093,142 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+# Shared covariance CTE text for the power-iteration oracle: the FULL
+# (symmetrized) matrix with the same rounded, signed-zero-canonical
+# cells the embedding_covariance query emits.
+_COV_FULL_CTES = """
+e AS (SELECT CAST(embedding AS DOUBLE[]) AS a FROM embeddings),
+dims AS (
+  SELECT unnest(generate_series(1, (SELECT max(len(a)) FROM e))) AS d
+),
+ij AS (SELECT di.d AS i, dj.d AS j FROM dims di, dims dj WHERE di.d <= dj.d),
+terms AS (
+  SELECT i, j, CAST(round(a[i] * a[j], 9) AS DECIMAL(28,10)) AS t
+  FROM e, ij
+),
+mom AS (
+  SELECT i, j, CAST(CAST(sum(t) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM terms GROUP BY i, j
+),
+mean AS (
+  SELECT d AS i,
+         CAST(CAST(sum(CAST(round(a[d], 9) AS DECIMAL(28,10))) AS VARCHAR)
+              AS DOUBLE) AS sx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e, dims GROUP BY d
+),
+cut AS (
+  SELECT m.i, m.j,
+         round(m.sxy / mi.n - (mi.sx / mi.n) * (mj.sx / mj.n), 6) + 0.0 AS cov
+  FROM mom m
+  JOIN mean mi ON m.i = mi.i
+  JOIN mean mj ON m.j = mj.i
+),
+cfull AS (
+  SELECT i, j, cov FROM cut
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM cut WHERE i < j
+)"""
+
+
+def _power_iter_oracle(rounds: int = 4) -> str:
+    """Unrolled power-iteration oracle (the pagerank doctrine: one
+    materialized CTE pair per round, decimal-exact matvec sums)."""
+    ctes = [
+        "v0 AS (SELECT d AS i, CASE WHEN d = 1 THEN 1.0 ELSE 0.0 END AS v"
+        " FROM dims)"
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+y{r} AS (
+  SELECT c.i,
+         CAST(CAST(sum(CAST(round(c.cov * p.v, 9) AS DECIMAL(28,10)))
+                   AS VARCHAR) AS DOUBLE) AS y
+  FROM cfull c JOIN v{r - 1} p ON c.j = p.i GROUP BY c.i
+),
+n{r} AS (
+  SELECT sqrt(CAST(CAST(sum(CAST(round(y * y, 9) AS DECIMAL(28,10)))
+                        AS VARCHAR) AS DOUBLE)) AS nrm
+  FROM y{r}
+),
+v{r} AS (SELECT i, y / nrm AS v FROM y{r}, n{r})""")
+    return f"""
+WITH {_COV_FULL_CTES.strip().rstrip()},
+{",".join(ctes)}
+SELECT v{rounds}.i AS dim,
+       round(v{rounds}.v, 6) + 0.0 AS pc1_component,
+       round(n{rounds}.nrm, 6) + 0.0 AS eigenvalue_est
+FROM v{rounds}, n{rounds}
+"""
+
+
+@register("embedding_pc_power_iteration", oracle=_power_iter_oracle(4))
+def embedding_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal-direction estimate by FOUR unrolled power-iteration
+    rounds over the covariance RELATION — the
+    anisotropy/"all-but-the-top" (Mu & Viswanath 2018) diagnostic an
+    embedding pipeline monitors, done with joins instead of a linear-
+    algebra library.  v₀ = e₁; each round is matvec (4096-row
+    broadcast join + d-cell partial agg) then L2 normalize; emits the
+    round-4 direction and ‖Cv₃‖ as the eigenvalue estimate.  Fixed
+    rounds, not convergence-to-tolerance (the pagerank doctrine):
+    round-4 is a PARTIAL estimate on a flat spectrum — this corpus's
+    eigengap is ~7%, so the direction is still mixing; the point is
+    the machinery (relational matvec, decimal-exact iteration, cost
+    independent of corpus size after the one covariance pass), which
+    extends to any round count the spectrum demands.
+
+    Scale: the corpus is touched ONCE (the covariance build, which
+    collapses to ≤ 2080 cells per task pre-exchange and is
+    localCheckpoint-ed — same per-round materialization doctrine as
+    pagerank/kcore); every iteration after that runs on d² = 4096
+    fixed-width rows, so more data changes NOTHING about the
+    iteration cost.  Float discipline: the matvec inputs are the
+    6-dp-rounded signed-zero-canonical covariance cells (identical
+    doubles cross-engine), per-term 9-dp round + exact decimal sums,
+    norm/divide are single IEEE ops — the oracle unrolls the identical
+    rounds as materialized CTE pairs."""
+    cov_ut = embedding_covariance(spark, sf_dir).select("i", "j", "cov")
+    cov_full = cov_ut.unionByName(
+        cov_ut.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    )
+    C = cov_full.localCheckpoint(eager=True)
+    dim_spine = C.select(F.col("i")).distinct()
+    v = dim_spine.select(
+        "i", F.when(F.col("i") == 1, 1.0).otherwise(0.0).alias("v")
+    )
+    nrm = None
+    for _ in range(4):
+        y = (
+            C.join(
+                F.broadcast(v.select(F.col("i").alias("j"), "v")), "j"
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(F.col("cov") * F.col("v"), 9).cast("decimal(28,10)")
+                )
+                .cast("string")
+                .cast("double")
+                .alias("y")
+            )
+        )
+        nrm = y.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("y") * F.col("y"), 9).cast("decimal(28,10)"))
+                .cast("string")
+                .cast("double")
+            ).alias("nrm")
+        )
+        v = y.crossJoin(F.broadcast(nrm)).select(
+            "i", (F.col("y") / F.col("nrm")).alias("v")
+        )
+    return v.crossJoin(F.broadcast(nrm)).select(
+        F.col("i").alias("dim"),
+        (F.round(F.col("v"), 6) + F.lit(0.0)).alias("pc1_component"),
+        (F.round(F.col("nrm"), 6) + F.lit(0.0)).alias("eigenvalue_est"),
+    )

@@ -181,3 +181,29 @@ def test_embedding_covariance_matches_numpy(spark):
         assert abs(r["cov"] - ref[r["i"] - 1, r["j"] - 1]) < 5e-6
         if r["i"] == r["j"]:
             assert r["cov"] >= 0.0
+
+
+def test_embedding_pc_power_iteration_replays_exact_algorithm(spark):
+    import numpy as np
+
+    rows = all_queries()["embedding_pc_power_iteration"](spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    X = np.array([[float(x) for x in r["embedding"]] for r in emb], dtype=np.float64)
+    # Replay the EXACT fixed-round algorithm: 6-dp covariance cells,
+    # 4 matvec+normalize rounds from e1.
+    Cr = np.round(np.cov(X, rowvar=False, bias=True), 6)
+    v = np.zeros(Cr.shape[0])
+    v[0] = 1.0
+    for _ in range(4):
+        y = Cr @ v
+        n = float(np.linalg.norm(y))
+        v = y / n
+    got = {r["dim"]: r["pc1_component"] for r in rows}
+    assert len(got) == Cr.shape[0]
+    for d, comp in got.items():
+        assert abs(comp - v[d - 1]) < 5e-5
+    est = rows[0]["eigenvalue_est"]
+    assert all(abs(r["eigenvalue_est"] - est) < 1e-12 for r in rows)
+    assert abs(est - n) < 5e-5
+    # Unit norm at the emitted precision.
+    assert abs(sum(c * c for c in got.values()) - 1.0) < 1e-3
