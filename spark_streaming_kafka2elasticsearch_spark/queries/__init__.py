@@ -120,6 +120,7 @@ _PRIORITY: list[str] = [
     "source_temperature_mix",
     "embedding_covariance",
     "embedding_pc_power_iteration",
+    "embedding_abtt_postprocess",
     # -- r5-vintage --
     "user_sessionization",
     "multimodal_video_decode_real",

@@ -5232,3 +5232,132 @@ def embedding_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("v"), 6) + F.lit(0.0)).alias("pc1_component"),
         (F.round(F.col("nrm"), 6) + F.lit(0.0)).alias("eigenvalue_est"),
     )
+
+
+@register(
+    "embedding_abtt_postprocess",
+    oracle=f"""
+WITH {_COV_FULL_CTES.strip()},
+v0 AS (SELECT d AS i, CASE WHEN d = 1 THEN 1.0 ELSE 0.0 END AS v FROM dims),
+{",".join(f'''
+y{r} AS (
+  SELECT c.i,
+         CAST(CAST(sum(CAST(round(c.cov * p.v, 9) AS DECIMAL(28,10)))
+                   AS VARCHAR) AS DOUBLE) AS y
+  FROM cfull c JOIN v{r - 1} p ON c.j = p.i GROUP BY c.i
+),
+n{r} AS (
+  SELECT sqrt(CAST(CAST(sum(CAST(round(y * y, 9) AS DECIMAL(28,10)))
+                        AS VARCHAR) AS DOUBLE)) AS nrm
+  FROM y{r}
+),
+v{r} AS (SELECT i, y / nrm AS v FROM y{r}, n{r})''' for r in range(1, 5))},
+fit AS (
+  SELECT v4.i AS dim,
+         round(v4.v, 6) + 0.0 AS vd,
+         round(mn.sx / mn.n, 6) + 0.0 AS mu
+  FROM v4 JOIN mean mn ON v4.i = mn.i
+),
+fit_row AS (
+  SELECT list(vd ORDER BY dim) AS varr, list(mu ORDER BY dim) AS marr
+  FROM fit
+),
+corrected AS (
+  SELECT e2.vec_id,
+         list_transform(
+           list_zip(CAST(e2.embedding AS DOUBLE[]), marr),
+           p -> p[1] - p[2]
+         ) AS centered,
+         varr
+  FROM embeddings e2, fit_row
+),
+proj AS (
+  SELECT vec_id, centered, varr,
+         list_dot_product(varr, centered) AS pr
+  FROM corrected
+)
+SELECT vec_id,
+       round(pr, 6) + 0.0 AS pc1_projection,
+       array_to_string(
+         list_transform(
+           list_zip(centered, varr),
+           p -> CAST(CAST(round(p[1] - p[2] * pr, 6) AS DECIMAL(18,6))
+                     AS VARCHAR)
+         ), ',') AS abtt_csv
+FROM proj
+""",
+)
+def embedding_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-But-The-Top (Mu & Viswanath 2018) embedding postprocessing
+    APPLIED corpus-wide — the fit→apply completion for the PCA family
+    (as bpe_encode_documents is for the tokenizer): subtract the
+    corpus mean, then remove the projection onto the round-4
+    power-iteration direction: x′ = (x − μ) − v·⟨v, x − μ⟩.  Emits the
+    per-vector top-component energy and the corrected vector (6-dp
+    CSV, decimal-canonical so no signed zero survives).
+
+    Scale shape — the apply pass is SHUFFLE-FREE: the fit (μ and v,
+    both 6-dp-rounded so the transform is an identical double vector
+    cross-engine) collapses to ONE broadcast row of two arrays; the
+    correction is zip_with/fold arithmetic inside the corpus scan —
+    project a 100 TB embedding table through it as a map.  The fold
+    ⟨v, x−μ⟩ is the sequential left fold ≡ list_dot_product (SRP
+    doctrine), so every emitted value is value-checkable."""
+    pc = embedding_pc_power_iteration(spark, sf_dir).select(
+        "dim", F.col("pc1_component").alias("_vd")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    mu = (
+        emb.select(F.posexplode(x).alias("_i0", "_x"))
+        .groupBy((F.col("_i0") + 1).alias("dim"))
+        .agg(
+            F.sum(F.round(F.col("_x"), 9).cast("decimal(28,10)"))
+            .cast("string")
+            .cast("double")
+            .alias("_sx"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "dim",
+            (F.round(F.col("_sx") / F.col("_n"), 6) + F.lit(0.0)).alias("_mu"),
+        )
+    )
+    fit_row = (
+        pc.join(mu, "dim")
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "_vd"))),
+                lambda t: t["_vd"],
+            ).alias("_varr"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "_mu"))),
+                lambda t: t["_mu"],
+            ).alias("_marr"),
+        )
+    )
+    centered = F.zip_with(x, F.col("_marr"), lambda xi, mi: xi - mi)
+    rows = emb.select("vec_id", x.alias("embedding")).crossJoin(
+        F.broadcast(fit_row)
+    ).select("vec_id", centered.alias("_c"), "_varr")
+    pr = F.aggregate(
+        F.zip_with(F.col("_varr"), F.col("_c"), lambda vi, ci: vi * ci),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = rows.select("vec_id", "_c", "_varr", pr.alias("_pr"))
+    return scored.select(
+        "vec_id",
+        (F.round(F.col("_pr"), 6) + F.lit(0.0)).alias("pc1_projection"),
+        F.array_join(
+            F.zip_with(
+                F.col("_c"),
+                F.col("_varr"),
+                lambda ci, vi: F.round(ci - vi * F.col("_pr"), 6)
+                .cast("decimal(18,6)")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("abtt_csv"),
+    )

@@ -207,3 +207,32 @@ def test_embedding_pc_power_iteration_replays_exact_algorithm(spark):
     assert abs(est - n) < 5e-5
     # Unit norm at the emitted precision.
     assert abs(sum(c * c for c in got.values()) - 1.0) < 1e-3
+
+
+def test_embedding_abtt_postprocess_removes_top_component(spark):
+    import numpy as np
+
+    rows = all_queries()["embedding_abtt_postprocess"](spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    X = np.array([[float(x) for x in r["embedding"]] for r in emb], dtype=np.float64)
+    ids = [r["vec_id"] for r in emb]
+    # Replay the exact fit: 6-dp covariance, 4 power rounds, 6-dp v/mu.
+    Cr = np.round(np.cov(X, rowvar=False, bias=True), 6)
+    v = np.zeros(Cr.shape[0]); v[0] = 1.0
+    for _ in range(4):
+        y = Cr @ v
+        v = y / np.linalg.norm(y)
+    v = np.round(v, 6) + 0.0
+    mu = np.round(X.mean(axis=0), 6) + 0.0
+    got = {r["vec_id"]: r for r in rows}
+    assert set(got) == set(ids)
+    for vid, xrow in zip(ids, X):
+        c = xrow - mu
+        pr = float(v @ c)
+        corr = c - v * pr
+        r = got[vid]
+        assert abs(r["pc1_projection"] - pr) < 5e-5
+        emitted = [float(t) for t in r["abtt_csv"].split(",")]
+        assert np.max(np.abs(np.array(emitted) - corr)) < 5e-5
+        # The corrected vector has (numerically) no energy left along v.
+        assert abs(float(v @ np.array(emitted))) < 1e-3

@@ -177,6 +177,9 @@ PROBE_QUERIES = [
     # r8: covariance moments — per-task partial agg collapses to <=2080
     # cells before the exchange, so wall must be scan-bound (alpha ~ 1)
     "embedding_covariance",
+    # r8: fit (covariance pass) + shuffle-free broadcast-row apply —
+    # both legs scan-bound, alpha ~ 1
+    "embedding_abtt_postprocess",
 ]
 
 
