@@ -4980,6 +4980,15 @@ def dsir_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = scores.join(tok, "doc_id").select(
         "doc_id", F.col("dsir_logratio").alias("score"), "n_tokens"
     )
+    # Stage the scored relation (fixed-width: id, score, weight)
+    # before the selector: token_budget_select consumes its input
+    # from FOUR subtrees (min/max, histogram, whole-bucket branch,
+    # boundary branch), and without a boundary each one re-executes
+    # the full DSIR scoring pipeline — measured α 1.56 at 10×; with
+    # the checkpoint the selector reads a staged table and the
+    # composition tracks dsir's own α.  Same phase-boundary doctrine
+    # as the minhash candidate/verify split.
+    q = q.localCheckpoint(eager=True)
     return token_budget_select(
         q, budget=20_000, id_col="doc_id", score_col="score",
         weight_col="n_tokens",

@@ -180,6 +180,9 @@ PROBE_QUERIES = [
     # r8: fit (covariance pass) + shuffle-free broadcast-row apply —
     # both legs scan-bound, alpha ~ 1
     "embedding_abtt_postprocess",
+    # r8: one covariance pass + 4 fixed-size matvec rounds — iteration
+    # cost is corpus-independent, so alpha must track the covariance
+    "embedding_pc_power_iteration",
 ]
 
 
