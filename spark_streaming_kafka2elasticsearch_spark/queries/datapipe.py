@@ -4721,13 +4721,13 @@ WITH ev AS (
 ),
 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
 s AS (
-  SELECT c.vec_id, ev.eid, list_cosine_similarity(c.cvec, ev.evec) AS sim
-  FROM c, ev
+  SELECT c.vec_id, ev.eid
+  FROM c LEFT JOIN ev ON list_cosine_similarity(c.cvec, ev.evec) >= 0.99
 ),
 g AS (
   SELECT vec_id,
-         CAST(count(*) FILTER (sim >= 0.99) AS BIGINT) AS n_eval_hits,
-         min(eid) FILTER (sim >= 0.99) AS matched_eval_id
+         CAST(count(eid) AS BIGINT) AS n_eval_hits,
+         min(eid) AS matched_eval_id
   FROM s GROUP BY vec_id
 )
 SELECT vec_id, n_eval_hits, matched_eval_id,
@@ -4767,23 +4767,24 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", v.alias("_cvec")).select(
         "vec_id", "_cvec", l2_norm("_cvec").alias("_cn")
     )
-    # Hoisted-norm cosine (the SRP idiom): each side's ‖·‖ is computed
-    # ONCE per row, not once per pair — the naive cosine_similarity
-    # call re-folds both norms inside every pair and was measured 3×
-    # slower here.  dot/(‖c‖·‖e‖) over identical operands stays
-    # bit-identical to list_cosine_similarity.
+    # CONDITIONED left-outer broadcast join (hoisted-norm cosine in
+    # the join predicate — the SRP idiom computes each side's ‖·‖ once
+    # per ROW, measured 3× over re-folding per pair): only hitting
+    # (corpus, eval) pairs materialize, clean vectors survive as the
+    # left side's null-extension.  Conditioned ≠ cartesian: the plan
+    # audit's detector is exactly right to distinguish these — an
+    # unconditioned cross join defers ALL pruning downstream; here the
+    # engine evaluates the threshold inside the join.  For eval suites
+    # big enough that per-pair cosine dominates, route both sides
+    # through SRP bucketing first (the near-dup-gate shape).
     denom = F.col("_cn") * F.col("_en")
-    sims = corpus.crossJoin(F.broadcast(ev)).select(
-        "vec_id",
-        "_eid",
-        F.when(denom == 0, F.lit(None))
-        .otherwise(dot_product(F.col("_cvec"), F.col("_evec")) / denom)
-        .alias("_sim"),
+    sim = F.when(denom == 0, F.lit(None)).otherwise(
+        dot_product(F.col("_cvec"), F.col("_evec")) / denom
     )
-    hit = F.col("_sim") >= 0.99
-    g = sims.groupBy("vec_id").agg(
-        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_eval_hits"),
-        F.min(F.when(hit, F.col("_eid"))).alias("matched_eval_id"),
+    pairs = corpus.join(F.broadcast(ev), on=sim >= 0.99, how="left")
+    g = pairs.groupBy("vec_id").agg(
+        F.count("_eid").alias("n_eval_hits"),
+        F.min("_eid").alias("matched_eval_id"),
     )
     return g.select(
         "vec_id",
