@@ -827,48 +827,21 @@ def bpe_encode_with_lexicon(
     )
 
 
-def dsir_logratio_scores(
+def _dsir_feature_buckets(
     df: DataFrame,
-    is_target: Column,
-    id_col: str,
-    text_col: str = "text",
-    n_buckets: int = 256,
+    keep: list,
+    text_col: str,
+    n_buckets: int,
 ) -> DataFrame:
-    """DSIR importance weights (Xie et al. 2023, "Data Selection for
-    Language Models via Importance Resampling", arXiv:2302.03169):
-    score every RAW document by how target-like its hashed n-gram
-    profile is, ``log p_target(doc) − log p_raw(doc)`` under two
-    bag-of-hashed-features unigram models.  Output: (id_col, n_feats,
-    dsir_logratio) for documents where ``is_target`` is false — the
-    rows a selection pass would rank and resample from.
-
-    Features are the paper's: unigrams AND bigrams, hashed into
-    ``n_buckets`` buckets (md5 first byte pair — cross-engine, like
-    every fingerprint here), counted WITH multiplicity.  Both models
-    are Laplace-smoothed bucket distributions, fit from the same
-    featurized pass: p_side[b] = (c_side[b] + 1) / (N_side + B).
-
-    Cross-engine float discipline (the unigram_logprob recipe): each
-    bucket's log-ratio is the DIFFERENCE OF TWO DECIMALS, each
-    ``round(ln(count-ratio), 9)`` cast to DECIMAL(28,10) — ln operands
-    are identical single IEEE divisions, Java log vs DuckDB ln probed
-    ≤ 4.5e-16 apart, the 9-dp round absorbs it, and decimal
-    subtraction/summation is exact, so the per-doc sum cannot depend
-    on partition order.  Final mean is one IEEE divide + 6-dp round.
-
-    Scale shape: the fit is ONE explode → 256-row partial aggregate
-    (both sides counted in the same pass via conditional sums); the
-    weight table is B rows — a plan-broadcast join back onto the raw
-    side's feature stream; the per-doc reduce is partial-agg friendly.
-    Two corpus-sized passes total (fit + score), zero global sorts —
-    exactly how DSIR runs over a 100 TB crawl: the model is a tiny
-    artifact, the corpus is only ever streamed."""
+    """Shared DSIR featurizer: hashed unigram+bigram buckets, counted
+    with multiplicity — (keep-cols…, _b).  One explode pass; the
+    md5-byte bucketing is the cross-engine fingerprint idiom."""
     t = tokens(F.col(text_col))
-    base = df.select(F.col(id_col), is_target.alias("_tgt"), t.alias("_t"))
-    uni = base.select(id_col, "_tgt", F.explode("_t").alias("_feat"))
+    base = df.select(*keep, t.alias("_t"))
+    names = base.columns[:-1]
+    uni = base.select(*names, F.explode("_t").alias("_feat"))
     bi = base.filter(F.size("_t") >= 2).select(
-        id_col,
-        "_tgt",
+        *names,
         F.explode(
             F.zip_with(
                 F.expr("slice(_t, 1, size(_t) - 1)"),
@@ -877,13 +850,30 @@ def dsir_logratio_scores(
             )
         ).alias("_feat"),
     )
-    feats = uni.unionByName(bi).select(
-        id_col,
-        "_tgt",
+    return uni.unionByName(bi).select(
+        *names,
         (
             F.conv(F.substring(F.md5("_feat"), 1, 2), 16, 10).cast("int")
             % n_buckets
         ).alias("_b"),
+    )
+
+
+def dsir_fit_weights(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR FIT: the per-bucket log-ratio weight table (_b, _w) —
+    log p_target[b] − log p_raw[b] under Laplace-smoothed hashed
+    unigram+bigram models, fit from one featurized pass with
+    conditional partial-agg sums.  The returned relation is
+    ``n_buckets`` rows — the build-once broadcast artifact a serving
+    or streaming scorer applies (see dsir_score_with_weights and
+    streaming/jobs.dsir_gate_stream)."""
+    feats = _dsir_feature_buckets(
+        df, [is_target.alias("_tgt")], text_col, n_buckets
     )
     # Both models fit in ONE pass: conditional partial-agg sums.
     counts = feats.groupBy("_b").agg(
@@ -910,16 +900,32 @@ def dsir_logratio_scores(
         den = (n + n_buckets).cast("double")
         return F.round(F.log(num / den), 9).cast("decimal(28,10)")
 
-    w = cs.select(
+    return cs.select(
         "_b",
         (
             _lp(F.col("_ct"), F.sum("_ct").over(wspec))
             - _lp(F.col("_cr"), F.sum("_cr").over(wspec))
         ).alias("_w"),
     )
+
+
+def dsir_score_with_weights(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR SCORE: apply a fitted (_b, _w) weight table to any
+    documents relation → (id_col, n_feats, dsir_logratio).  One
+    featurize pass + a broadcast join against the B-row artifact +
+    a partial-agg per-doc reduce; the decimal weight sum is exact, so
+    scores are partition-order-proof.  Used by the batch query AND
+    per micro-batch by the streaming ingestion gate — streaming =
+    batch, by construction."""
+    feats = _dsir_feature_buckets(docs, [F.col(id_col)], text_col, n_buckets)
     return (
-        feats.filter(~F.col("_tgt"))
-        .join(F.broadcast(w), "_b")
+        feats.join(F.broadcast(weights), "_b")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
@@ -927,6 +933,49 @@ def dsir_logratio_scores(
                 F.sum("_w").cast("string").cast("double") / F.count(F.lit(1)), 6
             ).alias("dsir_logratio"),
         )
+    )
+
+
+def dsir_logratio_scores(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every RAW document by how target-like its hashed n-gram
+    profile is, ``log p_target(doc) − log p_raw(doc)`` under two
+    bag-of-hashed-features unigram models.  Output: (id_col, n_feats,
+    dsir_logratio) for documents where ``is_target`` is false — the
+    rows a selection pass would rank and resample from.
+
+    Composed fit → score (each independently reusable): the fit is
+    :func:`dsir_fit_weights` (a B-row broadcast artifact), the scorer
+    is :func:`dsir_score_with_weights`.  Features are the paper's:
+    unigrams AND bigrams, hashed into ``n_buckets`` buckets (md5 first
+    byte pair — cross-engine), counted WITH multiplicity; both models
+    are Laplace-smoothed bucket distributions.
+
+    Cross-engine float discipline (the unigram_logprob recipe): each
+    bucket's log-ratio is the DIFFERENCE OF TWO DECIMALS, each
+    ``round(ln(count-ratio), 9)`` cast to DECIMAL(28,10) — ln operands
+    are identical single IEEE divisions, Java log vs DuckDB ln probed
+    ≤ 4.5e-16 apart, the 9-dp round absorbs it, and decimal
+    subtraction/summation is exact, so the per-doc sum cannot depend
+    on partition order.  Final mean is one IEEE divide + 6-dp round.
+
+    Scale shape: the fit is ONE explode → 256-row partial aggregate
+    (both sides counted in the same pass via conditional sums); the
+    weight table is B rows — a plan-broadcast join back onto the raw
+    side's feature stream; the per-doc reduce is partial-agg friendly.
+    Two corpus-sized passes total (fit + score), zero global sorts —
+    exactly how DSIR runs over a 100 TB crawl: the model is a tiny
+    artifact, the corpus is only ever streamed."""
+    w = dsir_fit_weights(df, is_target, text_col, n_buckets)
+    return dsir_score_with_weights(
+        df.filter(~is_target), w, id_col, text_col, n_buckets
     )
 
 

@@ -255,3 +255,66 @@ def tokenize_ingest_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def dsir_gate_stream(
+    spark: SparkSession,
+    source: Any,
+    weights: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    min_logratio: float = 0.0,
+):
+    """Streaming DSIR domain-relevance gate — the fourth gate of the
+    crawl front door after exact-dup (documents_ingest_stream),
+    near-dup (near_dup_gate_stream) and tokenize
+    (tokenize_ingest_stream): each arriving micro-batch of documents
+    is importance-scored against the static fitted weight table
+    (operators/text.dsir_fit_weights — the build-once B-row artifact)
+    and only documents with ``dsir_logratio ≥ min_logratio`` land in
+    ``sink_dir``, carrying their score.
+
+    Shape: ``foreachBatch`` over the SAME batch scorer the
+    oracle-checked ``dsir_importance_weights`` query uses
+    (operators/text.dsir_score_with_weights) — streaming = batch per
+    micro-batch, correct because a document's features never span
+    records.  The weight table broadcasts by construction (256 rows);
+    at 100 TB it is a maintained artifact refit on a curation cadence,
+    not per batch.  Parquet append is at-least-once under retry; route
+    through the keyed-upsert sink for exactly-once.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    from pyspark.sql import types as T
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        dsir_score_with_weights,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    parsed = (
+        source.load_stream(spark)
+        .select(F.from_json(F.col("value").cast("string"), doc_schema).alias("d"))
+        .select("d.*")
+    )
+
+    def score_and_gate(batch: DataFrame, batch_id: int) -> None:
+        scored = dsir_score_with_weights(batch, weights, id_col="doc_id")
+        kept = batch.join(
+            scored.filter(F.col("dsir_logratio") >= min_logratio), "doc_id"
+        )
+        kept.select(
+            "doc_id", "lang", "text", "n_feats", "dsir_logratio"
+        ).write.mode("append").parquet(sink_dir)
+
+    return (
+        parsed.writeStream.foreachBatch(score_and_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1716,3 +1716,73 @@ def test_tokenize_ingest_stream_encodes_batches(spark, tmp_path):
     assert got == want
     assert got[1] == (4, "low low e r")
     assert got[2] == (6, "n ewest w i d est")
+
+
+def test_dsir_gate_stream_filters_by_domain_relevance(spark, tmp_path):
+    """Streaming DSIR gate: micro-batches are scored against the
+    static fitted weight table inside foreachBatch and only docs at or
+    above the threshold land in the sink — and the kept set is exactly
+    what the BATCH scorer says (streaming = batch per micro-batch)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        dsir_fit_weights,
+        dsir_score_with_weights,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        dsir_gate_stream,
+    )
+
+    fit_corpus = spark.createDataFrame(
+        [
+            ("cat meow purr cat meow", True),
+            ("cat purr whiskers cat", True),
+            ("meow cat purr purr", True),
+            ("dog bark woof growl", False),
+            ("lorem ipsum dolor sit", False),
+        ],
+        "text string, tgt boolean",
+    )
+    weights = dsir_fit_weights(fit_corpus, F.col("tgt")).localCheckpoint()
+
+    def doc(doc_id, text):
+        return json.dumps({"doc_id": doc_id, "lang": "en", "text": text})
+
+    rows = [(1, "cat meow purr"), (2, "dog bark growl"), (3, "purr cat whiskers")]
+    batch_docs = spark.createDataFrame(
+        [(i, t) for i, t in rows], "doc_id long, text string"
+    )
+    scores = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in dsir_score_with_weights(batch_docs, weights, "doc_id").collect()
+    }
+    # Sanity of the planted corpus: target-like docs score above the
+    # dog doc; pick a threshold that splits them.
+    assert scores[1] > scores[2] and scores[3] > scores[2]
+    thr = (max(scores[2], 0.0) + min(scores[1], scores[3])) / 2
+    want_kept = {i for i, s in scores.items() if s >= thr}
+    assert want_kept and 2 not in want_kept
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    sink_dir = str(tmp_path / "sink")
+    q = dsir_gate_stream(
+        spark,
+        JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        weights,
+        sink_dir,
+        str(tmp_path / "chk"),
+        min_logratio=thr,
+    )
+    try:
+        write_batch_file(str(src_dir), "b0.json", [doc(*rows[0]), doc(*rows[1])])
+        q.processAllAvailable()
+        write_batch_file(str(src_dir), "b1.json", [doc(*rows[2])])
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r["dsir_logratio"]
+            for r in spark.read.parquet(sink_dir).collect()
+        }
+    finally:
+        q.stop()
+    assert set(got) == want_kept
+    for i in want_kept:
+        assert abs(got[i] - scores[i]) < 1e-12
