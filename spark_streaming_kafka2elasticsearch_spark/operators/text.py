@@ -836,6 +836,8 @@ def _dsir_feature_buckets(
     """Shared DSIR featurizer: hashed unigram+bigram buckets, counted
     with multiplicity — (keep-cols…, _b).  One explode pass; the
     md5-byte bucketing is the cross-engine fingerprint idiom."""
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError("n_buckets must be in [1, 65536] (md5 two-byte bucketing)")
     t = tokens(F.col(text_col))
     base = df.select(*keep, t.alias("_t"))
     names = base.columns[:-1]
@@ -850,10 +852,14 @@ def _dsir_feature_buckets(
             )
         ).alias("_feat"),
     )
+    # Two md5 bytes (4 hex chars → 0..65535) before the modulus, so
+    # every n_buckets ≤ 65536 actually populates its full range — one
+    # byte would silently cap the hash space at 256 and mis-spread the
+    # Laplace mass for anything larger.
     return uni.unionByName(bi).select(
         *names,
         (
-            F.conv(F.substring(F.md5("_feat"), 1, 2), 16, 10).cast("int")
+            F.conv(F.substring(F.md5("_feat"), 1, 4), 16, 10).cast("int")
             % n_buckets
         ).alias("_b"),
     )
@@ -1008,7 +1014,7 @@ bi AS (
 ),
 feats AS (
   SELECT {id_col}, tgt,
-         CAST(concat('0x', substr(md5(feat), 1, 2)) AS INTEGER) % {b} AS b
+         CAST(concat('0x', substr(md5(feat), 1, 4)) AS INTEGER) % {b} AS b
   FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
 ),
 counts AS (

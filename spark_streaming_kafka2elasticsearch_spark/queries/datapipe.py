@@ -4721,8 +4721,14 @@ WITH ev AS (
 ),
 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
 s AS (
+  -- isnan guard: a zero-norm corpus vector makes the cosine NaN, and
+  -- DuckDB's float ordering puts NaN ABOVE every value (NaN >= 0.99 is
+  -- TRUE) — the Spark side's when(denom == 0, NULL) keeps such a
+  -- vector clean, so the oracle must too.
   SELECT c.vec_id, ev.eid
-  FROM c LEFT JOIN ev ON list_cosine_similarity(c.cvec, ev.evec) >= 0.99
+  FROM c LEFT JOIN ev
+    ON CASE WHEN isnan(list_cosine_similarity(c.cvec, ev.evec)) THEN FALSE
+            ELSE list_cosine_similarity(c.cvec, ev.evec) >= 0.99 END
 ),
 g AS (
   SELECT vec_id,
@@ -4996,6 +5002,26 @@ def dsir_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scaled_dim_means(e: DataFrame) -> DataFrame:
+    """Per-dimension means over a relation of ``_a`` double arrays —
+    (i, _sx, _n) with the scaled-long recipe (round(x·1e9) summed as
+    exact longs, rescaled once).  Shared by embedding_covariance's
+    mean leg and embedding_abtt_postprocess's μ so the float
+    discipline cannot drift between them."""
+    return (
+        e.select(F.posexplode("_a").alias("_i0", "_x"))
+        .groupBy((F.col("_i0") + 1).alias("i"))
+        .agg(
+            (
+                F.sum(F.round(F.col("_x") * F.lit(1e9), 0).cast("long"))
+                .cast("double")
+                / F.lit(1e9)
+            ).alias("_sx"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+
+
 @register(
     "embedding_covariance",
     oracle="""
@@ -5070,18 +5096,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = terms.groupBy("i", "j").agg(
         (F.sum("_t").cast("double") / F.lit(1e9)).alias("_sxy")
     )
-    mean = (
-        e.select(F.posexplode("_a").alias("_i0", "_x"))
-        .groupBy((F.col("_i0") + 1).alias("i"))
-        .agg(
-            (
-                F.sum(F.round(F.col("_x") * F.lit(1e9), 0).cast("long"))
-                .cast("double")
-                / F.lit(1e9)
-            ).alias("_sx"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-    )
+    mean = _scaled_dim_means(e)
     mi = mean.select(
         F.col("i"), F.col("_sx").alias("_sxi"), F.col("_n").alias("n_vectors")
     )
@@ -5148,9 +5163,11 @@ cfull AS (
 )"""
 
 
-def _power_iter_oracle(rounds: int = 4) -> str:
-    """Unrolled power-iteration oracle (the pagerank doctrine: one
-    materialized CTE pair per round, decimal-exact matvec sums)."""
+def _power_round_ctes(rounds: int) -> str:
+    """The unrolled power-iteration round template (v0 seed + one
+    y/n/v CTE triple per round) — ONE definition shared by the
+    pc-power and ABTT oracles so a recipe fix cannot silently apply
+    to only one of them."""
     ctes = [
         "v0 AS (SELECT d AS i, CASE WHEN d = 1 THEN 1.0 ELSE 0.0 END AS v"
         " FROM dims)"
@@ -5169,9 +5186,15 @@ n{r} AS (
   FROM y{r}
 ),
 v{r} AS (SELECT i, y / nrm AS v FROM y{r}, n{r})""")
+    return ",".join(ctes)
+
+
+def _power_iter_oracle(rounds: int = 4) -> str:
+    """Unrolled power-iteration oracle (the pagerank doctrine: one
+    materialized CTE pair per round, decimal-exact matvec sums)."""
     return f"""
 WITH {_COV_FULL_CTES.strip().rstrip()},
-{",".join(ctes)}
+{_power_round_ctes(rounds)}
 SELECT v{rounds}.i AS dim,
        round(v{rounds}.v, 6) + 0.0 AS pc1_component,
        round(n{rounds}.nrm, 6) + 0.0 AS eigenvalue_est
@@ -5231,6 +5254,13 @@ def embedding_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("y")
             )
+            # Per-round materialization (the pagerank doctrine, for
+            # real this time): y is consumed by BOTH nrm and the next
+            # v, and v by the next round and the final select — left
+            # lazy, the round-1 matvec subtree re-executes ~2^rounds
+            # times and the plan doubles per round.  One eager 64-row
+            # checkpoint per round bounds both.
+            .localCheckpoint(eager=True)
         )
         nrm = y.agg(
             F.sqrt(
@@ -5253,20 +5283,7 @@ def embedding_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_abtt_postprocess",
     oracle=f"""
 WITH {_COV_FULL_CTES.strip()},
-v0 AS (SELECT d AS i, CASE WHEN d = 1 THEN 1.0 ELSE 0.0 END AS v FROM dims),
-{",".join(f'''
-y{r} AS (
-  SELECT c.i,
-         CAST(CAST(sum(CAST(round(c.cov * p.v, 9) AS DECIMAL(28,10)))
-                   AS VARCHAR) AS DOUBLE) AS y
-  FROM cfull c JOIN v{r - 1} p ON c.j = p.i GROUP BY c.i
-),
-n{r} AS (
-  SELECT sqrt(CAST(CAST(sum(CAST(round(y * y, 9) AS DECIMAL(28,10)))
-                        AS VARCHAR) AS DOUBLE)) AS nrm
-  FROM y{r}
-),
-v{r} AS (SELECT i, y / nrm AS v FROM y{r}, n{r})''' for r in range(1, 5))},
+{_power_round_ctes(4)},
 fit AS (
   SELECT v4.i AS dim,
          round(v4.v, 6) + 0.0 AS vd,
@@ -5323,21 +5340,9 @@ def embedding_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = load_table(spark, sf_dir, "embeddings")
     x = F.col("embedding").cast("array<double>")
-    mu = (
-        emb.select(F.posexplode(x).alias("_i0", "_x"))
-        .groupBy((F.col("_i0") + 1).alias("dim"))
-        .agg(
-            (
-                F.sum(F.round(F.col("_x") * F.lit(1e9), 0).cast("long"))
-                .cast("double")
-                / F.lit(1e9)
-            ).alias("_sx"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        .select(
-            "dim",
-            (F.round(F.col("_sx") / F.col("_n"), 6) + F.lit(0.0)).alias("_mu"),
-        )
+    mu = _scaled_dim_means(emb.select(x.alias("_a"))).select(
+        F.col("i").alias("dim"),
+        (F.round(F.col("_sx") / F.col("_n"), 6) + F.lit(0.0)).alias("_mu"),
     )
     fit_row = (
         pc.join(mu, "dim")

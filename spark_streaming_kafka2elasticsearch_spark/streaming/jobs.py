@@ -278,7 +278,12 @@ def dsir_gate_stream(
     oracle-checked ``dsir_importance_weights`` query uses
     (operators/text.dsir_score_with_weights) — streaming = batch per
     micro-batch, correct because a document's features never span
-    records.  The weight table broadcasts by construction (256 rows);
+    records.  FEATURELESS documents (empty/whitespace-only text) have
+    no defined score and never pass the gate regardless of
+    ``min_logratio`` — by contract, not accident: a doc with zero
+    tokens fails any downstream quality bar anyway, and emitting it
+    with a fabricated score would poison the selection pool
+    (pytest-pinned).  The weight table broadcasts by construction (256 rows);
     at 100 TB it is a maintained artifact refit on a curation cadence,
     not per batch.  Parquet append is at-least-once under retry; route
     through the keyed-upsert sink for exactly-once.

@@ -151,10 +151,18 @@ def test_dsir_budget_selection_is_greedy_prefix(spark):
     # prefix whose inclusive token cumsum fits the budget — the naive
     # global greedy the two-phase selector claims to equal.
     scored = qs["dsir_importance_weights"](spark, SF_DIR).collect()
+    # Token counts must match the query's token_count semantics
+    # (whitespace split with EMPTIES FILTERED) or the replayed greedy
+    # can cross the budget at a different document.
     toks = {
         r["doc_id"]: r["n_tokens"]
         for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        .select("doc_id", F.size(F.split("text", r"\s+")).alias("n_tokens"))
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(F.split("text", r"\s+"), lambda x: x != "")
+            ).alias("n_tokens"),
+        )
         .collect()
     }
     order = sorted(scored, key=lambda r: (-r["dsir_logratio"], r["doc_id"]))

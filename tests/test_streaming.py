@@ -1747,6 +1747,8 @@ def test_dsir_gate_stream_filters_by_domain_relevance(spark, tmp_path):
         return json.dumps({"doc_id": doc_id, "lang": "en", "text": text})
 
     rows = [(1, "cat meow purr"), (2, "dog bark growl"), (3, "purr cat whiskers")]
+    # Featureless doc: never passes the gate, by contract (no score).
+    empty_doc = doc(99, "   ")
     batch_docs = spark.createDataFrame(
         [(i, t) for i, t in rows], "doc_id long, text string"
     )
@@ -1773,7 +1775,9 @@ def test_dsir_gate_stream_filters_by_domain_relevance(spark, tmp_path):
         min_logratio=thr,
     )
     try:
-        write_batch_file(str(src_dir), "b0.json", [doc(*rows[0]), doc(*rows[1])])
+        write_batch_file(
+            str(src_dir), "b0.json", [doc(*rows[0]), doc(*rows[1]), empty_doc]
+        )
         q.processAllAvailable()
         write_batch_file(str(src_dir), "b1.json", [doc(*rows[2])])
         q.processAllAvailable()
@@ -1783,6 +1787,6 @@ def test_dsir_gate_stream_filters_by_domain_relevance(spark, tmp_path):
         }
     finally:
         q.stop()
-    assert set(got) == want_kept
+    assert set(got) == want_kept  # in particular, 99 (featureless) absent
     for i in want_kept:
         assert abs(got[i] - scores[i]) < 1e-12
