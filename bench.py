@@ -202,8 +202,35 @@ def main() -> None:
         passes_done = max(len(xs) for xs in runs.values())
         if not progressed:
             break
+    # Mandatory outlier re-check: a host-noise burst can blow the whole
+    # budget inside pass 1 (measured: 76.8 s on curated_orders_fused,
+    # a 1.6 s query, while a neighbor VM hammered the host), leaving
+    # single-run inflated values and an empty spread.  Re-run the
+    # slowest STILL-SINGLE-RUN entries once, most expensive first,
+    # under a separate hard elapsed cap — min-of-2 then discounts the
+    # burst, which is exactly the artifact the per-query medians exist
+    # to protect.
+    hard_cap = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_CAP_SEC", "600"))
+    singles = sorted(
+        (
+            n
+            for n in qmap
+            if len([x for x in runs.get(n, []) if x >= 0]) == 1
+        ),
+        key=lambda n: -max(runs.get(n, [0.0])),
+    )
+    n_outlier = 0
+    for name in singles[:12]:
+        worst = max((x for x in runs.get(name, []) if x >= 0), default=1.0)
+        if time.time() - t_start + worst * 1.2 > hard_cap:
+            continue
+        run_once(name)
+        n_outlier += 1
+    if n_outlier:
+        passes_done = max(len(xs) for xs in runs.values())
     print(
-        f"re-runs: {n_reruns} in {time.time() - t_start - pass_costs[0]:.1f}s",
+        f"re-runs: {n_reruns} (+{n_outlier} outlier re-checks) in "
+        f"{time.time() - t_start - pass_costs[0]:.1f}s",
         file=sys.stderr,
     )
     with open(bench_local, "w") as f:
