@@ -926,7 +926,11 @@ def dsir_score_with_weights(
     documents relation → (id_col, n_feats, dsir_logratio).  One
     featurize pass + a broadcast join against the B-row artifact +
     a partial-agg per-doc reduce; the decimal weight sum is exact, so
-    scores are partition-order-proof.  Used by the batch query AND
+    scores are partition-order-proof.  ``n_buckets`` MUST equal the
+    value the weight table was fit with: the fit's spine is dense, so
+    a mismatch joins cleanly and silently scores against the wrong
+    model rows (the streaming gate validates ``weights.count() ==
+    n_buckets`` at setup; direct callers own the same check).  Used by the batch query AND
     per micro-batch by the streaming ingestion gate — streaming =
     batch, by construction."""
     feats = _dsir_feature_buckets(docs, [F.col(id_col)], text_col, n_buckets)
@@ -996,6 +1000,11 @@ def dsir_oracle_sql(
     same bucket count and target predicate so model and oracle cannot
     drift.  Same md5-byte bucketing, same Laplace smoothing, same
     decimal-difference log-ratio recipe."""
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError(
+            "n_buckets must be in [1, 65536] (md5 two-byte bucketing) — "
+            "same guard as the Spark featurizer, so the twins cannot drift"
+        )
     b = n_buckets
     return f"""
 WITH d AS (

@@ -81,6 +81,27 @@ def windowed_orders_stats_stream(
     )
 
 
+def _parse_doc_stream(spark: SparkSession, source: Any) -> DataFrame:
+    """Shared front-door parse for the document ingestion gates: the
+    source's ``value`` JSON column → (doc_id, lang, text).  ONE schema
+    definition for all four gates (exact-dup, near-dup, tokenize,
+    DSIR) so a document-envelope change cannot drift between them."""
+    from pyspark.sql import types as T
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return (
+        source.load_stream(spark)
+        .select(F.from_json(F.col("value").cast("string"), doc_schema).alias("d"))
+        .select("d.*")
+    )
+
+
 def documents_ingest_stream(
     spark: SparkSession,
     source: Any,
@@ -100,7 +121,6 @@ def documents_ingest_stream(
     tests).  Downstream: any keyed sink; the fingerprint IS the
     idempotency key.
     """
-    from pyspark.sql import types as T
 
     from spark_streaming_kafka2elasticsearch_spark.operators.text import (
         document_fingerprint,
@@ -110,16 +130,7 @@ def documents_ingest_stream(
         streaming_first_seen,
     )
 
-    doc_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("text", T.StringType()),
-        ]
-    )
-    parsed = source.load_stream(spark).select(
-        F.from_json(F.col("value").cast("string"), doc_schema).alias("d")
-    ).select("d.*")
+    parsed = _parse_doc_stream(spark, source)
     quality = text_quality(parsed).filter(
         (F.col("n_tokens") >= min_tokens) & (F.col("alpha_ratio") >= min_alpha_ratio)
     )
@@ -160,24 +171,12 @@ def near_dup_gate_stream(
 
     Returns the started StreamingQuery (caller stops it).
     """
-    from pyspark.sql import types as T
 
     from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
         delta_corpus_jaccard_pairs,
     )
 
-    doc_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("text", T.StringType()),
-        ]
-    )
-    parsed = (
-        source.load_stream(spark)
-        .select(F.from_json(F.col("value").cast("string"), doc_schema).alias("d"))
-        .select("d.*")
-    )
+    parsed = _parse_doc_stream(spark, source)
 
     def screen(batch: DataFrame, batch_id: int) -> None:
         hits = delta_corpus_jaccard_pairs(
@@ -226,24 +225,12 @@ def tokenize_ingest_stream(
 
     Returns the started StreamingQuery (caller stops it).
     """
-    from pyspark.sql import types as T
 
     from spark_streaming_kafka2elasticsearch_spark.operators.text import (
         bpe_encode_with_lexicon,
     )
 
-    doc_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("text", T.StringType()),
-        ]
-    )
-    parsed = (
-        source.load_stream(spark)
-        .select(F.from_json(F.col("value").cast("string"), doc_schema).alias("d"))
-        .select("d.*")
-    )
+    parsed = _parse_doc_stream(spark, source)
 
     def encode(batch: DataFrame, batch_id: int) -> None:
         bpe_encode_with_lexicon(batch, lexicon).write.mode("append").parquet(
@@ -264,6 +251,7 @@ def dsir_gate_stream(
     sink_dir: str,
     checkpoint_dir: str,
     min_logratio: float = 0.0,
+    n_buckets: int = 256,
 ):
     """Streaming DSIR domain-relevance gate — the fourth gate of the
     crawl front door after exact-dup (documents_ingest_stream),
@@ -283,34 +271,39 @@ def dsir_gate_stream(
     ``min_logratio`` — by contract, not accident: a doc with zero
     tokens fails any downstream quality bar anyway, and emitting it
     with a fabricated score would poison the selection pool
-    (pytest-pinned).  The weight table broadcasts by construction (256 rows);
-    at 100 TB it is a maintained artifact refit on a curation cadence,
-    not per batch.  Parquet append is at-least-once under retry; route
-    through the keyed-upsert sink for exactly-once.
+    (pytest-pinned).  The weight table is MATERIALIZED once at gate
+    setup (a lazy dsir_fit_weights relation would otherwise re-run the
+    corpus-sized fit inside every micro-batch) and its row count must
+    equal ``n_buckets`` — the scorer re-derives buckets from
+    ``n_buckets``, and because the fit's spine is dense, a mismatched
+    table would join cleanly and score every document against the
+    WRONG model rows with no error; the count check turns that silent
+    corruption into a ValueError.  At 100 TB the table is a maintained
+    artifact refit on a curation cadence, not per batch.  Parquet
+    append is at-least-once under retry; route through the
+    keyed-upsert sink for exactly-once.
 
     Returns the started StreamingQuery (caller stops it).
     """
-    from pyspark.sql import types as T
 
     from spark_streaming_kafka2elasticsearch_spark.operators.text import (
         dsir_score_with_weights,
     )
 
-    doc_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("text", T.StringType()),
-        ]
-    )
-    parsed = (
-        source.load_stream(spark)
-        .select(F.from_json(F.col("value").cast("string"), doc_schema).alias("d"))
-        .select("d.*")
-    )
+    weights = weights.localCheckpoint(eager=True)
+    n_w = weights.count()
+    if n_w != n_buckets:
+        raise ValueError(
+            f"weight table has {n_w} rows but n_buckets={n_buckets}; "
+            "the fit and the scorer must agree on the bucket count"
+        )
+
+    parsed = _parse_doc_stream(spark, source)
 
     def score_and_gate(batch: DataFrame, batch_id: int) -> None:
-        scored = dsir_score_with_weights(batch, weights, id_col="doc_id")
+        scored = dsir_score_with_weights(
+            batch, weights, id_col="doc_id", n_buckets=n_buckets
+        )
         kept = batch.join(
             scored.filter(F.col("dsir_logratio") >= min_logratio), "doc_id"
         )
