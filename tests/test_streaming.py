@@ -1790,3 +1790,32 @@ def test_dsir_gate_stream_filters_by_domain_relevance(spark, tmp_path):
     assert set(got) == want_kept  # in particular, 99 (featureless) absent
     for i in want_kept:
         assert abs(got[i] - scores[i]) < 1e-12
+
+
+def test_dsir_gate_stream_rejects_bucket_count_mismatch(spark, tmp_path):
+    """The gate's setup check: a weight table whose row count disagrees
+    with n_buckets must raise — the fit's dense spine would otherwise
+    join cleanly and score every document against the wrong model rows
+    with no error."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        dsir_fit_weights,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        dsir_gate_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [("cat meow", True), ("dog bark", False)], "text string, tgt boolean"
+    )
+    weights_64 = dsir_fit_weights(corpus, F.col("tgt"), n_buckets=64)
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    with pytest.raises(ValueError, match="bucket count"):
+        dsir_gate_stream(
+            spark,
+            JsonDirSource(str(src_dir), as_kafka_envelope=True),
+            weights_64,
+            str(tmp_path / "sink"),
+            str(tmp_path / "chk"),
+            n_buckets=256,
+        )
