@@ -113,12 +113,18 @@ def main() -> None:
 
     def summarize(passes_done: int) -> str:
         timings = {name: median(xs) for name, xs in runs.items()}
+        # Failed runs leave a -1.0 sentinel in the list; both stats are
+        # over SUCCESSFUL runs only — a fail-then-succeed query must not
+        # report a succ+1.0 spread or an inflated run count.
+        ok_runs = {
+            name: [x for x in xs if x >= 0] for name, xs in runs.items()
+        }
         spread = {
             name: round(max(xs) - min(xs), 3)
-            for name, xs in runs.items()
-            if len([x for x in xs if x >= 0]) > 1
+            for name, xs in ok_runs.items()
+            if len(xs) > 1
         }
-        n_runs = {name: len(xs) for name, xs in runs.items() if len(xs) > 1}
+        n_runs = {name: len(xs) for name, xs in ok_runs.items() if len(xs) > 1}
         total = round(sum(t for t in timings.values() if t >= 0), 3)
         # Key order matters for the driver artifact: it keeps only the
         # LAST ~2000 chars of stdout, so the big per-query dicts go

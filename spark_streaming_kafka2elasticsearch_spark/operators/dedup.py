@@ -646,7 +646,20 @@ def prefix_filter_jaccard_pairs(
         .join(sizes, F.col("_id") == F.col("_sid"))
         .select("_id", "_block", "_sh", "_df", "_n")
     )
-    plen = F.col("_n") - F.ceil(F.lit(min_jaccard) * F.col("_n")) + 1
+    # 1e-9 slack INSIDE the ceil: when t·n is mathematically an
+    # integer m but the double product rounds to m+ε (e.g. t=0.68,
+    # n=75 → 51.000000000000007), a bare ceil returns m+1 and the
+    # prefix is one slot too short — a pair sitting exactly at the
+    # threshold could be silently dropped.  Subtracting a slack far
+    # larger than the product's ulp (~1e-10 at n≈1e6) but far smaller
+    # than any true fractional part restores ceil = m; for non-integer
+    # t·n it can only lengthen the prefix by one (completeness-safe,
+    # mirroring the positional filter's slack below).
+    plen = (
+        F.col("_n")
+        - F.ceil(F.lit(min_jaccard) * F.col("_n") - F.lit(1e-9))
+        + 1
+    )
     w = Window.partitionBy("_block", "_id").orderBy("_df", "_sh")
     pref = (
         ranked.withColumn("_rn", F.row_number().over(w))

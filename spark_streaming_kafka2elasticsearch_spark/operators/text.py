@@ -736,7 +736,15 @@ def token_budget_select(
     span = F.col("_hi") - F.col("_lo")
     b = df.crossJoin(F.broadcast(lo_hi)).withColumn(
         "_bkt",
-        F.when(span == 0, F.lit(0))
+        # NULL scores get a dedicated bucket BELOW every real one: the
+        # naive global window's ``score DESC`` orders NULLS LAST
+        # (Spark's default for DESC), so NULL-scored rows are admitted
+        # only after every scored row, budget permitting — without
+        # this branch the bucket expression is NULL and the equi-join
+        # on _bkt silently DROPS them, breaking the documented exact
+        # equivalence.  min/max skip NULLs, so lo/hi stay correct.
+        F.when(F.col(score_col).isNull(), F.lit(-1))
+        .when(span == 0, F.lit(0))
         .otherwise(
             F.least(
                 F.lit(n_buckets - 1),

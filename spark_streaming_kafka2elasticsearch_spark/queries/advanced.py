@@ -16,6 +16,26 @@ from pyspark.sql import functions as F
 
 from spark_streaming_kafka2elasticsearch_spark.queries import load_table, register
 
+
+def _ivf_index_dir(query_name: str, sf_dir: str) -> str:
+    """Scratch directory for a persisted-IVF query's index layout.
+
+    Checkout-relative (or ``$SPARK_GRAFT_TMP_DIR``), never an absolute
+    hard-coded path; each registered query gets its OWN subdirectory so
+    one query's rebuild can never be read through another query's lazy
+    plan, and the sf basename keeps scale factors apart."""
+    import os
+
+    root = os.environ.get("SPARK_GRAFT_TMP_DIR") or os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "tmp_ivf",
+    )
+    return os.path.join(
+        root, query_name, os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+
 # ---------------------------------------------------------------------------
 # Q: exact percentiles
 # ---------------------------------------------------------------------------
@@ -316,8 +336,6 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     build-once-serve-many, and the oracle (identical to
     ann_cosine_topk_ivf_fixed's) proves the layout round-trip changes
     nothing — same quantizer, same ranking, byte-for-byte."""
-    import os
-
     from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
         ivf_persisted_topk,
     )
@@ -329,9 +347,7 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
-    path = os.path.join(
-        "/root/repo/tmp_ivf", os.path.basename(sf_dir.rstrip("/")) or "sf"
-    )
+    path = _ivf_index_dir("ann_ivf_persisted_topk", sf_dir)
     return ivf_persisted_topk(emb, queries, cents, path, k=10)
 
 
@@ -373,8 +389,6 @@ def ann_ivf_persisted_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataF
     single-probe IVF lacks, at 2/|cells| of the corpus per query.  The
     emitted cell is the NEIGHBOR's cell, value-checking which probe
     each answer came from."""
-    import os
-
     from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
         ivf_persisted_topk,
     )
@@ -386,9 +400,7 @@ def ann_ivf_persisted_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataF
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
-    path = os.path.join(
-        "/root/repo/tmp_ivf", os.path.basename(sf_dir.rstrip("/")) or "sf"
-    )
+    path = _ivf_index_dir("ann_ivf_persisted_topk_multiprobe", sf_dir)
     return ivf_persisted_topk(emb, queries, cents, path, k=10, n_probe=2)
 
 

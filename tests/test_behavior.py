@@ -903,6 +903,11 @@ def test_token_budget_select_matches_global_window(spark):
     # is not already exceeded, INCLUDING at an exact-budget boundary
     # (cum stays == B); pins the _remaining >= 0 boundary fix.
     rows += [(200 + i, s, 0) for i, s in enumerate((0.9, 0.5, 0.25, 0.1))]
+    # NULL-scored docs: the naive window's score DESC orders NULLS
+    # LAST, so they are admitted only after every scored doc, budget
+    # permitting — pins the dedicated NULL bucket (they must be
+    # neither dropped nor admitted early).
+    rows += [(300 + i, None, w) for i, w in enumerate((3, 1, 7))]
     df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
     win = W.orderBy(F.desc("score"), "doc_id").rowsBetween(
         W.unboundedPreceding, 0
@@ -970,6 +975,35 @@ def test_prefix_filter_jaccard_matches_exact_join(spark):
         }
         assert got == exact, t
         assert exact, t  # non-vacuous: the corpus must produce pairs
+
+
+def test_prefix_filter_float_ceil_boundary(spark):
+    """Float-ceil prefix-length boundary (adversarial construction):
+    t=0.68 with n=75 makes the double product 51.000000000000007, so a
+    bare ``ceil`` yields 52 and the prefix stops one slot short.  The
+    corpus is built so the SMALLEST common shingle sits exactly at
+    rarity rank 25 of the larger doc (24 unique df=1 tokens ahead of
+    it) and the pair sits exactly at J = 51/75 = 0.68 — under the
+    short prefix the pair is silently dropped; with the slack-ceil it
+    must survive.  k_shingle=1 gives exact set control (shingle ≡
+    token)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    common = [f"c{i:02d}" for i in range(51)]
+    unique = [f"u{i:02d}" for i in range(24)]
+    rows = [
+        (1, "en", " ".join(unique + common)),  # n=75, common at ranks 25..75
+        (2, "en", " ".join(common)),  # n=51, subset of doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = prefix_filter_jaccard_pairs(
+        df, id_col="doc_id", block_cols=["lang"], k_shingle=1,
+        min_jaccard=0.68,
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["n_common"]) for r in got] == [(1, 2, 51)]
+    assert abs(got[0]["jaccard"] - 0.68) < 1e-12
 
 
 def test_bpe_lexicon_final_segmentations(spark):

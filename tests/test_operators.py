@@ -1396,6 +1396,8 @@ def test_canonical_url_rules(spark):
         "http://www.example.com/a/b?x=1&y=2",        # scheme differs
         "https://www.example.com/a/b?x=2&y=2",       # param value differs
         "https://www.example.com/a/b",               # no query at all
+        "http://www.example.com:443/a/b?x=1&y=2",    # :443 NOT default for http
+        "https://www.example.com:80/a/b?x=1&y=2",    # :80 NOT default for https
     ]
     df = spark.createDataFrame(
         [(i, u) for i, u in enumerate(variants_same + distinct)], "i long, u string"
@@ -1408,6 +1410,10 @@ def test_canonical_url_rules(spark):
     assert canon not in vals and len(set(vals)) == len(vals), vals
     assert got[len(variants_same)] == "https://www.example.com:8443/a/b?x=1&y=2"
     assert got[len(variants_same) + 3] == "https://www.example.com/a/b"
+    # port stripping is scheme-conditional: a cross-scheme "default"
+    # port names a distinct resource and must survive
+    assert got[len(variants_same) + 4] == "http://www.example.com:443/a/b?x=1&y=2"
+    assert got[len(variants_same) + 5] == "https://www.example.com:80/a/b?x=1&y=2"
 
 
 def test_winnowing_guarantee_and_density(spark):
