@@ -572,6 +572,64 @@ def ivf_persisted_topk(
     )
 
 
+def semantic_contamination_flags(
+    corpus: DataFrame,
+    evals: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+    eval_vec_col: str = "eval_vec",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-space decontamination flags: one row per corpus
+    vector with ``(n_eval_hits, matched_eval_id, is_contaminated)`` —
+    contaminated iff its cosine to ANY benchmark/eval vector clears
+    ``threshold``.  The shared batch core of the oracle-checked
+    ``semantic_decontamination`` query AND the streaming ingest gate
+    (streaming/jobs.semantic_decon_gate_stream): streaming = this
+    operator per micro-batch, so the kept sets provably agree.
+
+    Scale shape: the eval side is small BY NATURE (benchmark suites
+    are thousands of rows) → broadcast CONDITIONED left-outer join
+    (the cosine-threshold predicate evaluates inside the join; only
+    hitting pairs materialize, clean vectors survive as the left
+    side's null extension), corpus scanned exactly once, per-vector
+    partial-agg reduce.  Norms are hoisted per ROW (computed once,
+    not re-folded per pair — the SRP idiom); a zero-norm vector's
+    cosine is NULL, never NaN, so it can't false-flag.
+    """
+    from spark_streaming_kafka2elasticsearch_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+
+    ev = evals.select(
+        F.col(eval_id_col).alias("_eid"),
+        F.col(eval_vec_col).cast("array<double>").alias("_evec"),
+    ).select("_eid", "_evec", l2_norm("_evec").alias("_en"))
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec")
+    ).select(id_col, "_cvec", l2_norm("_cvec").alias("_cn"))
+    denom = F.col("_cn") * F.col("_en")
+    sim = F.when(denom == 0, F.lit(None)).otherwise(
+        dot_product(F.col("_cvec"), F.col("_evec")) / denom
+    )
+    pairs = c.join(F.broadcast(ev), on=sim >= threshold, how="left")
+    return (
+        pairs.groupBy(id_col)
+        .agg(
+            F.count("_eid").alias("n_eval_hits"),
+            F.min("_eid").alias("matched_eval_id"),
+        )
+        .select(
+            id_col,
+            "n_eval_hits",
+            "matched_eval_id",
+            (F.col("n_eval_hits") > 0).alias("is_contaminated"),
+        )
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -73,103 +73,54 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: rest.  Dicts preserve insertion order; rotate this list each round
 #: so every query gets a driver row within two rounds.
 _PRIORITY: list[str] = [
-    # round-8 rotation (VERDICT r7 item 1): head = the 15 queries whose
-    # newest driver row is r4-vintage, then queries new or
-    # semantics-changed in r8 (no fresh row exists for them at all),
-    # then the 48 r5-vintage rows; r6/r7-fresh rows fall to the natural
-    # registry order at the tail.  Computed from the union of
-    # CORRECTNESS_r01-r07 (latest row per query); a test asserts this
-    # list is duplicate-free.
-    # -- r4-vintage --
-    "events_tumbling_2min",
-    "lineitem_filter_project",
-    "shipping_priority",
-    "order_priority_late_ship",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    "volume_shipping",
-    "national_market_share",
-    "returned_item_reporting",
-    "customer_order_distribution",
-    "top_supplier",
-    "large_volume_customer",
-    "discounted_revenue",
-    "global_sales_opportunity",
-    "suppliers_kept_waiting",
-    # -- new or semantics-changed in r8 --
-    "ann_ivf_persisted_topk",
-    "ann_ivf_persisted_topk_multiprobe",
-    "quality_logistic_scores",
-    "url_dedup_canonical",
-    "winnowing_fingerprints",
-    "winnowing_overlap_pairs",
-    "passage_retrieval_topk",
-    "image_near_dup_pairs",
-    "near_dup_lpa_communities",
-    "bpe_train_merges",
-    "bpe_vocab_after_training",
-    "bpe_encode_documents",
-    "token_budget_corpus_selection",
-    "set_similarity_prefix_pairs",
-    "dup_component_audit",
-    "embedding_near_dup_clusters",
-    "dsir_importance_weights",
-    "dsir_budget_selection",
-    "semantic_decontamination",
-    "hard_negative_mining",
-    "source_temperature_mix",
-    "embedding_covariance",
-    "embedding_pc_power_iteration",
-    "embedding_abtt_postprocess",
-    # -- r5-vintage --
-    "user_sessionization",
-    "multimodal_video_decode_real",
-    "embedding_int8_quantized",
-    "sequence_packing_plan",
-    "training_shard_shuffle",
-    "tfidf_scores",
-    "orders_deterministic_sample",
-    "quantity_percentiles",
-    "quantity_percentiles_approx",
-    "latest_event_per_user",
-    "array_functions_showcase",
+    # round-9 rotation (VERDICT r8 item 1): head = the 37 queries
+    # whose newest driver row is r5-vintage (computed from the union
+    # of CORRECTNESS_r01-r08, latest row per query), so CORRECTNESS_r09
+    # leaves zero registry rows predating r6.  Queries NEW or
+    # semantics-changed in r9 follow (no driver row exists for them
+    # at all); r6-r8-fresh rows fall to the natural registry order at
+    # the tail.  A test asserts this list is duplicate-free.
+    # -- r5-vintage (37) --
     "above_average_customers",
-    "document_scores_pandas",
+    "active_parties_union",
+    "ann_cosine_topk",
     "ann_cosine_topk_ivf",
-    "pricing_summary",
-    "revenue_by_nation",
+    "bpe_token_stats",
     "customers_with_open_orders",
     "customers_without_orders",
-    "top_orders_per_customer",
-    "order_status_distinct_customers",
-    "order_status_distinct_customers_approx",
-    "lineitem_rollup",
-    "events_json_props",
-    "active_parties_union",
-    "nation_party_setops",
-    "pii_scrub_stats",
-    "window_functions_showcase",
-    "events_props_map_keys",
-    "sql_region_revenue",
-    "salted_brand_revenue",
-    "small_qty_order_revenue",
     "dedup_exact_documents",
     "document_fingerprints",
+    "document_scores_pandas",
+    "documents_curation_pipeline",
+    "embedding_l2_norms",
+    "embedding_near_dup_srp",
+    "events_json_props",
+    "events_props_map_keys",
+    "language_id_heuristic",
+    "lineitem_rollup",
+    "multimodal_image_features",
+    "nation_party_setops",
+    "near_dup_clusters",
     "ngram_jaccard_pairs",
+    "order_status_distinct_customers",
+    "order_status_distinct_customers_approx",
+    "pii_scrub_stats",
+    "pricing_summary",
+    "revenue_by_nation",
+    "salted_brand_revenue",
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
+    "small_qty_order_revenue",
+    "sql_region_revenue",
+    "srp_buckets",
+    "stratified_sample_by_lang",
     "text_quality_scores",
     "token_stats_by_lang",
-    "language_id_heuristic",
-    "near_dup_clusters",
-    "documents_curation_pipeline",
-    "stratified_sample_by_lang",
-    "bpe_token_stats",
-    "ann_cosine_topk",
-    "embedding_near_dup_srp",
-    "srp_buckets",
-    "embedding_l2_norms",
-    "multimodal_image_features",
+    "top_orders_per_customer",
+    "window_functions_showcase",
+    # -- new or semantics-changed in r9 --
+    "url_dedup_canonical",  # canonical_url port rule now scheme-conditional
+    "orders_dead_letter_split",
 ]
 
 

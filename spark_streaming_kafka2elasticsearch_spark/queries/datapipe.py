@@ -4754,9 +4754,8 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join, corpus scanned exactly once, per-vector partial-agg
     reduce; sims are the bit-exact sequential fold ≡
     list_cosine_similarity (SRP doctrine)."""
-    from spark_streaming_kafka2elasticsearch_spark.functions.vectors import (
-        dot_product,
-        l2_norm,
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        semantic_contamination_flags,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4765,38 +4764,16 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grow with the corpus, and pinning that here keeps the broadcast
     # side constant-size by contract — the scale probe then measures
     # the real shape (one corpus scan x |eval|), not an artifact of
-    # the replicated plant rule.
+    # the replicated plant rule.  The screen itself is the SHARED
+    # operator (conditioned left-outer broadcast join, hoisted-norm
+    # cosine — see its docstring for the plan shape); the streaming
+    # ingest gate runs the identical operator per micro-batch.
     ev = emb.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 500)).select(
-        F.col("vec_id").alias("_eid"),
-        F.transform(v, lambda x: x * F.lit(1.01) + F.lit(0.002)).alias("_evec"),
-    ).select("_eid", "_evec", l2_norm("_evec").alias("_en"))
-    corpus = emb.select("vec_id", v.alias("_cvec")).select(
-        "vec_id", "_cvec", l2_norm("_cvec").alias("_cn")
+        F.col("vec_id").alias("eval_id"),
+        F.transform(v, lambda x: x * F.lit(1.01) + F.lit(0.002)).alias("eval_vec"),
     )
-    # CONDITIONED left-outer broadcast join (hoisted-norm cosine in
-    # the join predicate — the SRP idiom computes each side's ‖·‖ once
-    # per ROW, measured 3× over re-folding per pair): only hitting
-    # (corpus, eval) pairs materialize, clean vectors survive as the
-    # left side's null-extension.  Conditioned ≠ cartesian: the plan
-    # audit's detector is exactly right to distinguish these — an
-    # unconditioned cross join defers ALL pruning downstream; here the
-    # engine evaluates the threshold inside the join.  For eval suites
-    # big enough that per-pair cosine dominates, route both sides
-    # through SRP bucketing first (the near-dup-gate shape).
-    denom = F.col("_cn") * F.col("_en")
-    sim = F.when(denom == 0, F.lit(None)).otherwise(
-        dot_product(F.col("_cvec"), F.col("_evec")) / denom
-    )
-    pairs = corpus.join(F.broadcast(ev), on=sim >= 0.99, how="left")
-    g = pairs.groupBy("vec_id").agg(
-        F.count("_eid").alias("n_eval_hits"),
-        F.min("_eid").alias("matched_eval_id"),
-    )
-    return g.select(
-        "vec_id",
-        "n_eval_hits",
-        "matched_eval_id",
-        (F.col("n_eval_hits") > 0).alias("is_contaminated"),
+    return semantic_contamination_flags(
+        emb, ev, id_col="vec_id", vec_col="embedding", threshold=0.99
     )
 
 

@@ -10,7 +10,7 @@ plays the cities dimension, ``lineitem`` plays the order basket, and
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_streaming_kafka2elasticsearch_spark.operators.curate import (
@@ -29,6 +29,25 @@ from spark_streaming_kafka2elasticsearch_spark.queries import load_table, regist
 # ---------------------------------------------------------------------------
 
 
+def order_event_json() -> Column:
+    """The ``to_json`` payload expression over orders columns —
+    exposed separately so queries can compose it (e.g. the dead-letter
+    split injects corruption around it with ``when``)."""
+    return F.to_json(
+        F.struct(
+            F.col("o_orderkey").cast("int").alias("order_id"),
+            F.col("o_totalprice").alias("order_total"),
+            (F.col("o_custkey") % 25).cast("int").alias("ship_to_city_id"),
+            F.round(F.col("o_totalprice") * 0.05, 2).alias("freight"),
+            F.col("o_custkey").cast("int").alias("customer_id"),
+            F.col("o_orderpriority").alias("ship_method"),
+            F.lpad(F.col("o_orderkey").cast("string"), 8, "0").alias("order_number"),
+            (F.col("o_orderkey") % 20).cast("double").alias("discount_applied"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_date"),
+        )
+    )
+
+
 def orders_as_json_events(orders: DataFrame) -> DataFrame:
     """Synthesize the Kafka ``value`` payload from the orders table.
 
@@ -38,21 +57,7 @@ def orders_as_json_events(orders: DataFrame) -> DataFrame:
     ``discount_applied`` = orderkey mod 20 (a 0–19 %);
     ``ship_to_city_id`` = custkey mod 25 (joins ``nation`` as cities).
     """
-    return orders.select(
-        F.to_json(
-            F.struct(
-                F.col("o_orderkey").cast("int").alias("order_id"),
-                F.col("o_totalprice").alias("order_total"),
-                (F.col("o_custkey") % 25).cast("int").alias("ship_to_city_id"),
-                F.round(F.col("o_totalprice") * 0.05, 2).alias("freight"),
-                F.col("o_custkey").cast("int").alias("customer_id"),
-                F.col("o_orderpriority").alias("ship_method"),
-                F.lpad(F.col("o_orderkey").cast("string"), 8, "0").alias("order_number"),
-                (F.col("o_orderkey") % 20).cast("double").alias("discount_applied"),
-                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_date"),
-            )
-        ).alias("value")
-    )
+    return orders.select(order_event_json().alias("value"))
 
 
 def cities_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,6 +164,91 @@ def curated_orders_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.order_date").alias("order_date"),
         F.col("e.ship_method").alias("ship_method"),
         fulfilment_type(F.col("e.order_number")).alias("fufilment_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: dead-letter split (P2 dead-letter variant, operators/curate.py
+# parse_with_dead_letter) — VERDICT r8 item 6
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_dead_letter_split",
+    # The injection is deterministic on o_orderkey, so the oracle
+    # replays the CLASSIFICATION CONTRACT directly: NULL payload →
+    # 'unparseable' (from_json gets no input at all), a syntactically
+    # valid JSON whose order_id cannot coerce to int → 'schema_mismatch'
+    # (PERMISSIVE routes the record to the corrupt column), everything
+    # else parses clean.  Bad rows carry the raw payload for replay —
+    # the mismatch payload is built by plain string concat on BOTH
+    # sides so the oracle reproduces it byte-for-byte without
+    # rebuilding Spark's to_json rendering.
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS okey,
+         lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS order_number,
+         o_totalprice AS order_total
+  FROM orders
+)
+SELECT 'good' AS bucket, order_number, order_total,
+       CAST(NULL AS VARCHAR) AS error_kind,
+       CAST(NULL AS VARCHAR) AS raw_payload
+FROM src WHERE okey % 13 NOT IN (0, 5)
+UNION ALL
+SELECT 'bad', NULL, NULL, 'unparseable', NULL
+FROM src WHERE okey % 13 = 0
+UNION ALL
+SELECT 'bad', NULL, NULL, 'schema_mismatch',
+       '{"order_id":"K' || lpad(CAST(okey AS VARCHAR), 8, '0') || '"}'
+FROM src WHERE okey % 13 = 5
+""",
+)
+def orders_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing, value-checked end-to-end: the order-JSON
+    corpus with two deterministic corruption classes injected (NULL
+    payloads and type-mismatched ``order_id``) runs through the REAL
+    ``parse_with_dead_letter`` split, and the union of (good parsed
+    rows, quarantined rows with raw payload + error tag) is
+    hash-compared against the oracle's replay of the contract.  The
+    reference silently null-fills malformed records (PERMISSIVE
+    ``from_json``, ``bexley_spark_stream_msk_es.py:325``); at 100 TB
+    ingest the split is the same single parse pass — no second scan,
+    the two outputs are plan siblings off one projection."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.curate import (
+        parse_with_dead_letter,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    injected = orders.select(
+        F.when(okey % 13 == 0, F.lit(None).cast("string"))
+        .when(
+            okey % 13 == 5,
+            F.concat(
+                F.lit('{"order_id":"K'),
+                F.lpad(okey.cast("string"), 8, "0"),
+                F.lit('"}'),
+            ),
+        )
+        .otherwise(order_event_json())
+        .alias("value")
+    )
+    good, bad = parse_with_dead_letter(injected)
+    return good.select(
+        F.lit("good").alias("bucket"),
+        "order_number",
+        "order_total",
+        F.lit(None).cast("string").alias("error_kind"),
+        F.lit(None).cast("string").alias("raw_payload"),
+    ).unionByName(
+        bad.select(
+            F.lit("bad").alias("bucket"),
+            F.lit(None).cast("string").alias("order_number"),
+            F.lit(None).cast("double").alias("order_total"),
+            "error_kind",
+            "raw_payload",
+        )
     )
 
 

@@ -316,3 +316,80 @@ def dsir_gate_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def _parse_vec_stream(spark: SparkSession, source: Any) -> DataFrame:
+    """Front-door parse for EMBEDDING ingestion gates: the source's
+    ``value`` JSON column → (vec_id, embedding array<double>).  The
+    vector twin of ``_parse_doc_stream`` — one schema definition so an
+    embedding-envelope change cannot drift between gates."""
+    from pyspark.sql import types as T
+
+    vec_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return (
+        source.load_stream(spark)
+        .select(F.from_json(F.col("value").cast("string"), vec_schema).alias("v"))
+        .select("v.*")
+    )
+
+
+def semantic_decon_gate_stream(
+    spark: SparkSession,
+    source: Any,
+    evals: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.99,
+):
+    """Streaming SEMANTIC-decontamination gate — the embedding leg of
+    the crawl front door (VERDICT r8 item 5), completing the gate
+    family after exact-dup (documents_ingest_stream), near-dup
+    (near_dup_gate_stream), tokenize (tokenize_ingest_stream) and
+    DSIR relevance (dsir_gate_stream): each arriving micro-batch of
+    vectors is screened against the static benchmark/eval matrix with
+    the SAME batch operator the oracle-checked
+    ``semantic_decontamination`` query uses
+    (operators/similarity.semantic_contamination_flags), and only
+    vectors contaminated by NO eval vector at ``threshold`` cosine
+    land in ``sink_dir``.
+
+    Shape: ``foreachBatch``; streaming = batch per micro-batch,
+    correct because a vector never spans records and the screen is
+    per-vector (no cross-batch state needed — contamination is
+    against the STATIC eval matrix, not against other stream rows).
+    The eval matrix is MATERIALIZED once at gate setup (a lazy
+    relation would re-derive it inside every micro-batch) and is
+    broadcast-small by the benchmark-suite contract.  Parquet append
+    is at-least-once under retry; route through the keyed-upsert sink
+    for exactly-once.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        semantic_contamination_flags,
+    )
+
+    evals = evals.localCheckpoint(eager=True)
+    parsed = _parse_vec_stream(spark, source)
+
+    def screen(batch: DataFrame, batch_id: int) -> None:
+        clean = (
+            semantic_contamination_flags(batch, evals, threshold=threshold)
+            .filter(~F.col("is_contaminated"))
+            .select("vec_id")
+        )
+        batch.join(clean, "vec_id", "left_semi").write.mode("append").parquet(
+            sink_dir
+        )
+
+    return (
+        parsed.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1819,3 +1819,71 @@ def test_dsir_gate_stream_rejects_bucket_count_mismatch(spark, tmp_path):
             str(tmp_path / "chk"),
             n_buckets=256,
         )
+
+
+def test_semantic_decon_gate_stream_matches_batch_operator(spark, tmp_path):
+    """Streaming semantic-decontamination gate: micro-batches of
+    vectors are screened against the static eval matrix inside
+    foreachBatch with the SAME batch operator the oracle-checked query
+    uses, and the kept set across >= 2 batches equals the batch run
+    over the union (streaming = batch by construction — the screen is
+    per-vector against a static artifact, no cross-batch state)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        semantic_contamination_flags,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        semantic_decon_gate_stream,
+    )
+
+    # Eval suite: two unit-ish vectors.  Stream vectors: near-copies
+    # of eval vectors (contaminated), orthogonal/clean vectors, and a
+    # zero vector (NULL cosine — must pass the gate, never NaN-flag).
+    evals = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "eval_id long, eval_vec array<double>",
+    )
+    stream_rows = [
+        (1, [1.01, 0.002, 0.002]),   # ~copy of eval 100 -> contaminated
+        (2, [0.0, 0.0, 1.0]),        # orthogonal -> clean
+        (3, [0.002, 1.01, 0.002]),   # ~copy of eval 101 -> contaminated
+        (4, [0.5, 0.5, 0.70]),       # mid-angle -> clean at 0.99
+        (5, [0.0, 0.0, 0.0]),        # zero norm -> NULL cosine -> clean
+    ]
+    batch_df = spark.createDataFrame(
+        stream_rows, "vec_id long, embedding array<double>"
+    )
+    flags = {
+        r["vec_id"]: r["is_contaminated"]
+        for r in semantic_contamination_flags(batch_df, evals).collect()
+    }
+    want_kept = {i for i, c in flags.items() if not c}
+    assert want_kept == {2, 4, 5}  # sanity: the construction splits
+
+    def vec(vec_id, emb):
+        return json.dumps({"vec_id": vec_id, "embedding": emb})
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    sink_dir = str(tmp_path / "sink")
+    q = semantic_decon_gate_stream(
+        spark,
+        JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        evals,
+        sink_dir,
+        str(tmp_path / "chk"),
+    )
+    try:
+        write_batch_file(
+            str(src_dir), "b0.json", [vec(*stream_rows[0]), vec(*stream_rows[1])]
+        )
+        q.processAllAvailable()
+        write_batch_file(
+            str(src_dir),
+            "b1.json",
+            [vec(*r) for r in stream_rows[2:]],
+        )
+        q.processAllAvailable()
+        got = {r["vec_id"] for r in spark.read.parquet(sink_dir).collect()}
+    finally:
+        q.stop()
+    assert got == want_kept
