@@ -572,6 +572,104 @@ def ivf_persisted_topk(
     )
 
 
+def spherical_kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means codebook training — the
+    build-the-centroids half the IVF family assumes as given
+    (:func:`ivf_persisted_topk` serves ANY codebook; SCALE_PROBE's
+    ``ivf_recall`` section shows how much recall per probed cell a
+    better codebook buys).  Fully oracle-replayable: no RNG anywhere.
+
+    * **init**: the ``k`` smallest-``id_col`` vectors, centroid ids
+      0..k−1 in that order (deterministic seeding; k-means++ would add
+      RNG for quality this corpus-size doesn't need).
+    * **assign**: argmax COSINE with min-centroid-id tie-break via the
+      shared bit-exact quantizer (:func:`_fixed_cell_expr`) — the SAME
+      expression the IVF serving paths use, so trained codebooks plug
+      straight in.  Spherical (cosine) beats L2 for embedding corpora
+      and is scale-invariant, so centroids never need renormalizing.
+    * **update**: per-(cell, dim) MEAN with the scaled-long recipe
+      (``round(x·1e9)`` summed as exact longs, rescaled once —
+      partition-order-proof, the embedding_covariance discipline), so
+      both engines compute bit-identical new centroids; a cell that
+      loses every member keeps its previous centroid.
+
+    Each round touches the corpus once for assignment and reduces to a
+    ``k×d`` cell table (partial agg before the exchange — the shuffle
+    is constant-size regardless of corpus size); the new centroids are
+    collected to the driver (k×d doubles, small BY CONTRACT — the same
+    collect-the-small-side rule as the IVF quantizer) and folded into
+    the next round's assignment as literals.  After ``iters`` update
+    rounds a final assignment pass counts members.
+
+    Output: ``(centroid_id, i, coord, n_members)`` — the codebook as a
+    flat (cell, 1-based dim, coordinate) relation joined with the
+    final member census.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1 and iters >= 0, got k={k} iters={iters}")
+    spark = corpus.sparkSession
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    seed = base.orderBy(id_col).limit(k).collect()
+    if len(seed) < k:
+        raise ValueError(f"corpus has {len(seed)} vectors, need k={k}")
+    crows = [(cid, list(r["_v"])) for cid, r in enumerate(seed)]
+    dim = len(crows[0][1])
+
+    def assign() -> DataFrame:
+        return base.select(
+            "_v", _fixed_cell_expr(crows, "_v").alias("_cell")
+        )
+
+    for _ in range(iters):
+        means = (
+            assign()
+            .select("_cell", F.posexplode("_v").alias("_i0", "_x"))
+            .groupBy("_cell", (F.col("_i0") + 1).alias("i"))
+            .agg(
+                (
+                    F.sum(F.round(F.col("_x") * F.lit(1e9), 0).cast("long"))
+                    .cast("double")
+                    / F.lit(1e9)
+                    / F.count(F.lit(1))
+                ).alias("_m")
+            )
+            .collect()
+        )
+        got: dict[int, list[float]] = {}
+        for r in means:
+            got.setdefault(int(r["_cell"]), [0.0] * dim)[int(r["i"]) - 1] = r["_m"]
+        # empty cell -> previous centroid survives
+        crows = [(cid, got.get(cid, prev)) for cid, prev in crows]
+
+    counts = (
+        assign()
+        .groupBy(F.col("_cell").alias("centroid_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    coords = spark.createDataFrame(
+        [
+            (cid, i + 1, float(x))
+            for cid, vec in crows
+            for i, x in enumerate(vec)
+        ],
+        "centroid_id int, i int, coord double",
+    )
+    return coords.join(F.broadcast(counts), "centroid_id", "left").select(
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.col("i").cast("long").alias("i"),
+        "coord",
+        F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias("n_members"),
+    )
+
+
 def semantic_contamination_flags(
     corpus: DataFrame,
     evals: DataFrame,

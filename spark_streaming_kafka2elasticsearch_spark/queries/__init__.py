@@ -121,6 +121,9 @@ _PRIORITY: list[str] = [
     # -- new or semantics-changed in r9 --
     "url_dedup_canonical",  # canonical_url port rule now scheme-conditional
     "orders_dead_letter_split",
+    "ivf_kmeans_codebook",
+    "ann_ivf_trained_topk",
+    "semantic_decontamination",  # refactored onto the shared operator in r9
 ]
 
 

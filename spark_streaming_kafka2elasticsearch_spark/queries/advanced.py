@@ -404,6 +404,147 @@ def ann_ivf_persisted_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataF
     return ivf_persisted_topk(emb, queries, cents, path, k=10, n_probe=2)
 
 
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """Shared DuckDB CTE chain replaying spherical_kmeans_fit: the
+    same seed rule, bit-exact cosine argmax assignment
+    (list_cosine_similarity ≡ the Spark sequential fold — SRP
+    doctrine), scaled-long per-(cell,dim) means, and empty-cell
+    coalesce-with-previous, iterated by generating one assign+update
+    CTE pair per round.  Terminates at ``c{iters}`` — the trained
+    codebook relation — so both the codebook query and the
+    trained-serve query append their own final SELECT."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings),",
+        "dims AS (SELECT unnest(generate_series(1, "
+        "(SELECT max(len(v)) FROM e))) AS i),",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+        f"v AS cv FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k}))",
+    ]
+    for t in range(iters):
+        parts.append(
+            f""",
+asn{t} AS (
+  SELECT e.vec_id, e.v, c.cid AS cell
+  FROM e CROSS JOIN c{t} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+m{t} AS (
+  SELECT cell, d.i,
+         CAST(sum(CAST(round(v[d.i] * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+           / count(*) AS m
+  FROM asn{t} CROSS JOIN dims d GROUP BY cell, d.i),
+c{t + 1} AS (
+  SELECT c.cid, list(coalesce(m.m, c.cv[d.i]) ORDER BY d.i) AS cv
+  FROM c{t} c CROSS JOIN dims d
+  LEFT JOIN m{t} m ON m.cell = c.cid AND m.i = d.i
+  GROUP BY c.cid)"""
+        )
+    return "\n".join(parts)
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Codebook oracle: the shared k-means CTE chain plus the flat
+    (centroid_id, dim, coord, n_members) emission with a final
+    assignment census."""
+    return (
+        _kmeans_ctes(k, iters)
+        + f""",
+asn_final AS (
+  SELECT e.vec_id, c.cid AS cell
+  FROM e CROSS JOIN c{iters} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+members AS (SELECT cell, count(*) AS n FROM asn_final GROUP BY cell)
+SELECT c.cid AS centroid_id, CAST(d.i AS BIGINT) AS i, c.cv[d.i] AS coord,
+       CAST(coalesce(mem.n, 0) AS BIGINT) AS n_members
+FROM c{iters} c CROSS JOIN dims d
+LEFT JOIN members mem ON mem.cell = c.cid"""
+    )
+
+
+def _kmeans_serve_oracle(k: int, iters: int, n_queries: int, topk: int) -> str:
+    """Trained-serve oracle: the SAME k-means CTE chain, then the
+    single-probe IVF serve (identical shape to
+    ann_ivf_persisted_topk's oracle) over the TRAINED codebook
+    ``c{iters}`` instead of the fixed first-k centroids."""
+    return (
+        _kmeans_ctes(k, iters)
+        + f""",
+asn_final AS (
+  SELECT e.vec_id, c.cid AS cell, e.v
+  FROM e CROSS JOIN c{iters} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, cell
+      FROM asn_final WHERE vec_id < {n_queries})
+SELECT q.query_id, a.cell, a.vec_id AS neighbor_id
+FROM q JOIN asn_final a USING (cell)
+WHERE a.vec_id <> q.query_id
+QUALIFY row_number() OVER (PARTITION BY q.query_id
+  ORDER BY list_cosine_similarity(q.qv, a.v) DESC, a.vec_id ASC) <= {topk}"""
+    )
+
+
+@register("ivf_kmeans_codebook", oracle=_kmeans_oracle(k=8, iters=2))
+def ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF codebook: 2 rounds of deterministic spherical
+    k-means (operators/similarity.spherical_kmeans_fit) over the
+    embeddings corpus, k=8 — the build-the-centroids step the
+    persisted-IVF serving path consumes, closing the loop the
+    SCALE_PROBE ``ivf_recall`` note points at (a trained codebook
+    shifts the recall-per-probed-cell curve without changing the
+    serving plan).  Emitted as the flat (centroid_id, dim, coord,
+    n_members) codebook relation; every coordinate is value-checked
+    against DuckDB's replay of the full two-round training."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        spherical_kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return spherical_kmeans_fit(emb, k=8, iters=2)
+
+
+@register(
+    "ann_ivf_trained_topk",
+    oracle=_kmeans_serve_oracle(k=8, iters=2, n_queries=8, topk=10),
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE IVF loop, end to end and fully value-checked:
+    train the codebook (2-round deterministic spherical k-means),
+    persist the corpus as a cell-partitioned parquet layout keyed by
+    the TRAINED centroids, and serve single-probe top-10 from the
+    partition-pruned at-rest index — build→layout→serve in one
+    oracle-replayable plan.  The fixed-centroid twins pin the serving
+    semantics; this query proves a trained codebook plugs into the
+    identical serve path (the SCALE_PROBE ``ivf_recall`` note's
+    claim) with DuckDB replaying training AND serving bit-for-bit.
+    At 100 TB the training rounds reduce to a k×d cell table before
+    any exchange, the layout is written once, and each query batch
+    scans 1/|cells| of the corpus."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_topk,
+        spherical_kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    cents = (
+        spherical_kmeans_fit(emb, k=8, iters=2)
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "coord"))),
+                lambda s: s["coord"],
+            ).alias("centroid_vec")
+        )
+    )
+    path = _ivf_index_dir("ann_ivf_trained_topk", sf_dir)
+    return ivf_persisted_topk(emb, queries, cents, path, k=10)
+
+
 @register(
     "lang_token_stats_pandas",
     # Exact cross-engine medians WITHOUT rounding: token counts are

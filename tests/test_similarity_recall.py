@@ -322,3 +322,72 @@ def test_ivf_persisted_multiprobe_improves_on_single_probe(
     for r in multi:
         per_q_cells.setdefault(r["query_id"], set()).add(r["cell"])
     assert all(len(cells) <= 2 for cells in per_q_cells.values())
+
+
+def test_spherical_kmeans_converges_on_planted_clusters(spark):
+    """Two tight planted direction-clusters, k=2: after 2 rounds each
+    trained centroid must sit at the exact scaled-long mean of its
+    cluster's members and every vector must be assigned to its
+    plant's cell (cosine separates the clusters by construction)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        spherical_kmeans_fit,
+    )
+
+    # cluster A hugs e1, cluster B hugs e2; seeds are ids 0 (A) and
+    # 1 (B), so cell 0 = A, cell 1 = B from round one onward
+    rows = [
+        (0, [1.0, 0.01, 0.0]),
+        (1, [0.02, 1.0, 0.0]),
+        (2, [0.9, 0.05, 0.0]),
+        (3, [1.1, -0.03, 0.0]),
+        (4, [0.01, 0.8, 0.0]),
+        (5, [-0.02, 1.2, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = spherical_kmeans_fit(df, k=2, iters=2).collect()
+    assert len(out) == 2 * 3
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["centroid_id"], {})[r["i"]] = (
+            r["coord"], r["n_members"],
+        )
+    assert by_cell[0][1][1] == 3 and by_cell[1][1][1] == 3
+    a = [rows[i][1] for i in (0, 2, 3)]
+    b = [rows[i][1] for i in (1, 4, 5)]
+
+    def mean(vs, j):
+        return sum(round(v[j] * 1e9) for v in vs) / 1e9 / len(vs)
+
+    for j in range(3):
+        assert by_cell[0][j + 1][0] == mean(a, j), j
+        assert by_cell[1][j + 1][0] == mean(b, j), j
+
+
+def test_spherical_kmeans_empty_cell_keeps_previous_centroid(spark):
+    """A cell that never wins a member keeps its (never-updated) seed
+    centroid via the coalesce-with-previous rule, and reports
+    n_members 0 in the final census.  Construction: ALL vectors are
+    collinear, so every assignment is an exact cosine tie (1.0 vs
+    1.0) broken to the lower cid — cell 0 takes everything in every
+    round, and because the members are collinear, cell 0's updated
+    centroid stays on the axis, so the tie (and the orphaning of
+    cell 1) is stable across rounds."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        spherical_kmeans_fit,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [3.0, 0.0]),  # same direction as seed 0 -> tie -> cell 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = spherical_kmeans_fit(df, k=2, iters=2).collect()
+    cells = {}
+    for r in out:
+        cells.setdefault(r["centroid_id"], {})[r["i"]] = (
+            r["coord"], r["n_members"],
+        )
+    # centroid 1 is its (never-updated) seed vector, with zero members
+    assert cells[1][1] == (3.0, 0) and cells[1][2] == (0.0, 0)
+    # centroid 0 converged to the exact mean of both vectors
+    assert cells[0][1] == (2.0, 2) and cells[0][2] == (0.0, 2)
