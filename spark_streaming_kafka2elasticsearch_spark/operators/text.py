@@ -791,6 +791,125 @@ def token_budget_select(
     )
 
 
+def ranked_bucket_labels(
+    df: DataFrame,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    part_col: str | None = None,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Assign every row its CCNet-style rank bucket — ``head`` =
+    best ``n div B`` rows by ``(score DESC, id)``, ``middle`` = the
+    next ``n div B``, tail = the rest (thresholds ``i·(n div B)``,
+    remainder absorbed by the last label) — WITHOUT the global sort
+    the naive ``row_number() OVER (ORDER BY score DESC)`` spelling
+    pays, optionally per ``part_col`` partition (CCNet buckets per
+    language).
+
+    Same two-phase discipline as :func:`token_budget_select`, with a
+    labeling twist: scores bin into ``n_buckets`` monotone buckets;
+    the per-(part, bucket) COUNT histogram (a small-by-contract
+    relation) gets a descending cumulative count, which decides each
+    bucket's label WHOLESALE whenever no rank threshold falls
+    strictly inside its ``(prev_cum, cum)`` rank interval.  Only the
+    ≤ ``B−1`` straddling buckets per partition pay a within-bucket
+    rank window (expected n/n_buckets rows), whose offset global rank
+    ``prev_cum + rank_in_bucket`` feeds the identical threshold CASE.
+
+    Equivalence to the naive global rank is exact: equal scores land
+    in the same bin (so cross-bin score order is strict), the
+    within-bin order is the same ``(score DESC, id)``, and thresholds
+    are pure integer arithmetic.  NULL scores take a dedicated bucket
+    below every real one — the naive window's ``DESC NULLS LAST``
+    order — so they label last, never drop.
+
+    Output: ``(id_col, [part_col,] score_col, bucket)``.
+    """
+    from pyspark.sql.window import Window
+
+    n_labels = len(labels)
+    if n_labels < 2:
+        raise ValueError(f"need >= 2 labels, got {labels!r}")
+    parts = [part_col] if part_col else []
+
+    stats = df.groupBy(*parts).agg(
+        F.min(score_col).alias("_lo"),
+        F.max(score_col).alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    joined = (
+        df.join(F.broadcast(stats), parts)
+        if parts
+        else df.crossJoin(F.broadcast(stats))
+    )
+    span = F.col("_hi") - F.col("_lo")
+    b = joined.withColumn(
+        "_bkt",
+        F.when(F.col(score_col).isNull(), F.lit(-1))
+        .when(span == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col(score_col) - F.col("_lo")) / span * n_buckets),
+            )
+        )
+        .cast("int"),
+    )
+    hist = b.groupBy(*parts, "_bkt", "_n").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    desc_cum = (
+        Window.partitionBy(*parts)
+        .orderBy(F.col("_bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = F.expr(f"_n div {n_labels}")
+    # straddle iff some threshold i*base (i = 1..B-1) lies STRICTLY
+    # inside the bucket's (prev_cum, cum) rank interval
+    labeled = (
+        hist.withColumn("_cum", F.sum("_cnt").over(desc_cum))
+        .withColumn("_prev", F.col("_cum") - F.col("_cnt"))
+        .withColumn(
+            "_straddles",
+            F.exists(
+                F.sequence(F.lit(1), F.lit(n_labels - 1)),
+                lambda i: (i * base > F.col("_prev"))
+                & (i * base < F.col("_cum")),
+            ),
+        )
+    )
+
+    def label_case(rank_col: Column) -> Column:
+        out = F.lit(labels[-1])
+        for i in range(n_labels - 1, 0, -1):
+            out = F.when(rank_col <= i * base, F.lit(labels[i - 1])).otherwise(
+                out
+            )
+        return out
+
+    j = b.join(
+        F.broadcast(labeled.select(*parts, "_bkt", "_prev", "_straddles")),
+        parts + ["_bkt"],
+    )
+    whole = j.filter(~F.col("_straddles")).withColumn(
+        # any rank in the interval labels identically; cum = prev+cnt
+        # is in-interval, but prev+1 is cheaper to carry
+        "bucket",
+        label_case(F.col("_prev") + 1),
+    )
+    within = Window.partitionBy(*parts, "_bkt").orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col)
+    )
+    straddling = (
+        j.filter(F.col("_straddles"))
+        .withColumn("_r", F.col("_prev") + F.row_number().over(within))
+        .withColumn("bucket", label_case(F.col("_r")))
+    )
+    cols = [id_col, *parts, score_col, "bucket"]
+    return whole.select(*cols).unionByName(straddling.select(*cols))
+
+
 def bpe_encode_with_lexicon(
     docs: DataFrame,
     lexicon: DataFrame,

@@ -123,6 +123,7 @@ _PRIORITY: list[str] = [
     "orders_dead_letter_split",
     "ivf_kmeans_codebook",
     "ann_ivf_trained_topk",
+    "ccnet_perplexity_buckets",
     "semantic_decontamination",  # refactored onto the shared operator in r9
 ]
 

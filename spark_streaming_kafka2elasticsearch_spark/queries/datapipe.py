@@ -3276,6 +3276,98 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ccnet_perplexity_buckets",
+    # The bigram-LM CTE chain is bigram_logprob_scores' oracle
+    # verbatim; the bucketing leg is the NAIVE global-rank spelling
+    # (per-lang row_number + integer-thirds CASE) that
+    # operators/text.ranked_bucket_labels reproduces exactly without
+    # the global sort.
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+b AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+  FROM (SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
+        FROM d WHERE len(t) >= 2)
+),
+bgf AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c2 FROM b GROUP BY bg),
+w1f AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(count(*) AS DOUBLE) AS c1
+  FROM b GROUP BY 1
+),
+v AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents)
+),
+terms AS (
+  SELECT b.doc_id,
+         CAST(round(ln((bgf.c2 + 0.5) / (w1f.c1 + 0.5 * v.vocab)), 9)
+              AS DECIMAL(28,10)) AS lp
+  FROM b
+  JOIN bgf USING (bg)
+  JOIN w1f ON w1f.w1 = split_part(b.bg, ' ', 1), v
+),
+scores AS (
+  SELECT doc_id,
+         round(CAST(CAST(sum(lp) AS VARCHAR) AS DOUBLE) / count(*), 6)
+           AS ppl_score
+  FROM terms GROUP BY doc_id
+),
+ranked AS (
+  SELECT s.doc_id, doc.lang, s.ppl_score,
+         row_number() OVER (PARTITION BY doc.lang
+                            ORDER BY s.ppl_score DESC, s.doc_id) AS r,
+         count(*) OVER (PARTITION BY doc.lang) AS n
+  FROM scores s JOIN documents doc USING (doc_id)
+)
+SELECT doc_id, lang, ppl_score,
+       CASE WHEN r <= n // 3 THEN 'head'
+            WHEN r <= 2 * (n // 3) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+""",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail quality split (Wenzek et al. 2020):
+    per LANGUAGE, rank documents by LM score (here the corpus-trained
+    smoothed bigram LM — bigram_logprob_scores' column, float
+    discipline and all) and cut at integer thirds ``n div 3`` /
+    ``2·(n div 3)`` in ``(score DESC, doc_id)`` order — head is the
+    most-fluent third that trains as-is, middle feeds mixing, tail is
+    dropped or down-weighted.
+
+    The ranking leg is operators/text.ranked_bucket_labels: the naive
+    per-lang ``row_number()`` spelling is a per-partition global sort
+    (with few languages, a handful of giant sorted partitions at
+    100 TB); the operator gets the IDENTICAL labels from a 1024-bin
+    monotone score histogram whose cumulative counts label whole bins,
+    leaving only the ≤2 threshold-straddling bins per language to pay
+    a bin-local rank window.  The oracle runs the naive spelling —
+    that equivalence is the point."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        ranked_bucket_labels,
+    )
+
+    scores = bigram_logprob_scores(spark, sf_dir).select(
+        "doc_id", F.col("avg_bigram_logprob").alias("ppl_score")
+    )
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = scores.join(langs, "doc_id")
+    return ranked_bucket_labels(
+        scored,
+        labels=("head", "middle", "tail"),
+        id_col="doc_id",
+        score_col="ppl_score",
+        part_col="lang",
+    )
+
+
+@register(
     "bigram_counts",
     oracle="""
 WITH d AS (

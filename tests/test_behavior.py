@@ -929,6 +929,92 @@ def test_token_budget_select_matches_global_window(spark):
             assert got == naive, (budget, n_buckets)
 
 
+def test_ranked_bucket_labels_matches_naive_rank(spark):
+    """Property: ranked_bucket_labels (histogram + straddle-only
+    windows) equals the naive per-partition row_number + integer
+    thirds CASE on a seeded corpus with score ties across the
+    threshold, NULL scores, a partition smaller than the label count,
+    and a single-partition (part_col=None) run — across bucket counts
+    including n_buckets=1 (everything straddles)."""
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        ranked_bucket_labels,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.choice(["en", "fr", "de"]),
+         round(rng.choice([0.1, 0.25, 0.25, 0.5, 0.77, 0.9]), 2))
+        for i in range(150)
+    ]
+    rows += [(200, "tiny", 0.5), (201, "tiny", 0.4)]  # n=2 < 3 labels
+    rows += [(300 + i, "en", None) for i in range(3)]  # NULLs label last
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+
+    def naive(part):
+        parts = [part] if part else []
+        win = W.partitionBy(*parts).orderBy(F.desc("score"), "doc_id")
+        nwin = W.partitionBy(*parts)
+        base = F.expr("_n div 3")
+        r = F.col("_r")
+        return {
+            (row["doc_id"], row["bucket"])
+            for row in df.withColumn("_r", F.row_number().over(win))
+            .withColumn("_n", F.count(F.lit(1)).over(nwin))
+            .withColumn(
+                "bucket",
+                F.when(r <= base, "head")
+                .when(r <= 2 * base, "middle")
+                .otherwise("tail"),
+            )
+            .collect()
+        }
+
+    for part in ("lang", None):
+        want = naive(part)
+        for n_buckets in (1, 16, 4096):
+            got = {
+                (row["doc_id"], row["bucket"])
+                for row in ranked_bucket_labels(
+                    df, id_col="doc_id", score_col="score",
+                    part_col=part, n_buckets=n_buckets,
+                ).collect()
+            }
+            assert got == want, (part, n_buckets)
+
+
+def test_ranked_bucket_labels_straddle_window_is_bucket_local(spark):
+    """Structural pin against regressing to the naive global rank:
+    the physical plan must keep the two-phase machinery — exactly one
+    ``row_number`` window (the straddle leg), and that window's
+    partition spec must include the score-bin column ``_bkt`` (a
+    bin-local window over filtered rows), never a bare
+    partition-by-lang window over the whole input."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        ranked_bucket_labels,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("lang"),
+        (F.col("id") % 17).cast("double").alias("score"),
+    )
+    plan = (
+        ranked_bucket_labels(
+            df, id_col="doc_id", score_col="score", part_col="lang"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    rn_lines = [ln for ln in plan.splitlines() if "row_number" in ln]
+    assert len(rn_lines) == 1, plan
+    assert "_bkt" in rn_lines[0], rn_lines[0]
+
+
 def test_prefix_filter_jaccard_matches_exact_join(spark):
     """Completeness of AllPairs prefix filtering (no recall tradeoff):
     on a seeded random corpus with heavy shingle overlap, the

@@ -82,38 +82,69 @@ def main() -> None:
     release_cached_state(spark)
 
     passes = int(os.environ.get("IVF_PROBE_PASSES", "3"))
-    curve = []
-    for n_probe in PROBES:
-        got = {
-            (r["query_id"], r["neighbor_id"])
-            for r in ivf_persisted_topk(
-                emb, queries, cents, path, k=K, n_probe=n_probe, rebuild=False
-            ).collect()
-        }
-        recall = len(got & exact) / len(exact)
-        best = -1.0
-        for _ in range(passes):
-            t0 = time.time()
-            ivf_persisted_topk(
-                emb, queries, cents, path, k=K, n_probe=n_probe, rebuild=False
-            ).write.format("noop").mode("overwrite").save()
-            dt = round(time.time() - t0, 2)
-            best = dt if best < 0 else min(best, dt)
-            release_cached_state(spark)
-        row = {
-            "n_probe": n_probe,
-            "cells_scanned_frac": round(n_probe / N_CELLS, 4),
-            "recall_at_10": round(recall, 4),
-            "serve_sec_min_of_n": best,
-        }
-        curve.append(row)
-        print(json.dumps(row), file=sys.stderr)
 
-    assert curve[-1]["recall_at_10"] == 1.0, "full probe must be exact"
-    assert all(
-        a["recall_at_10"] <= b["recall_at_10"] + 1e-12
-        for a, b in zip(curve, curve[1:])
-    ), "recall must be monotone in n_probe"
+    def sweep(cent_df, layout_path):
+        shutil.rmtree(layout_path, ignore_errors=True)
+        # Build the layout once; every sweep point serves from it.
+        ivf_persisted_topk(
+            emb, queries, cent_df, layout_path, k=K, n_probe=1, rebuild=True
+        ).write.format("noop").mode("overwrite").save()
+        release_cached_state(spark)
+        rows = []
+        for n_probe in PROBES:
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_persisted_topk(
+                    emb, queries, cent_df, layout_path,
+                    k=K, n_probe=n_probe, rebuild=False,
+                ).collect()
+            }
+            recall = len(got & exact) / len(exact)
+            best = -1.0
+            for _ in range(passes):
+                t0 = time.time()
+                ivf_persisted_topk(
+                    emb, queries, cent_df, layout_path,
+                    k=K, n_probe=n_probe, rebuild=False,
+                ).write.format("noop").mode("overwrite").save()
+                dt = round(time.time() - t0, 2)
+                best = dt if best < 0 else min(best, dt)
+                release_cached_state(spark)
+            row = {
+                "n_probe": n_probe,
+                "cells_scanned_frac": round(n_probe / N_CELLS, 4),
+                "recall_at_10": round(recall, 4),
+                "serve_sec_min_of_n": best,
+            }
+            rows.append(row)
+            print(json.dumps(row), file=sys.stderr)
+        assert rows[-1]["recall_at_10"] == 1.0, "full probe must be exact"
+        assert all(
+            a["recall_at_10"] <= b["recall_at_10"] + 1e-12
+            for a, b in zip(rows, rows[1:])
+        ), "recall must be monotone in n_probe"
+        return rows
+
+    curve = sweep(cents, path)
+
+    # The same sweep over a TRAINED codebook (spherical_kmeans_fit,
+    # same k) — turns the note's "a trained codebook shifts the curve
+    # up without changing the serving plan" into a measured number.
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        spherical_kmeans_fit,
+    )
+
+    trained_cents = (
+        spherical_kmeans_fit(emb, k=N_CELLS, iters=4)
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "coord"))),
+                lambda s: s["coord"],
+            ).alias("centroid_vec")
+        )
+    )
+    trained_curve = sweep(trained_cents, path + "_trained")
 
     section = {
         "corpus": f"{BASE}/embeddings.parquet",
@@ -132,10 +163,16 @@ def main() -> None:
             "synthetic sphere: quantization is deliberately weak "
             "(recall ~3x the random-baseline cells fraction at 1 "
             "probe), so the curve shows the DIAL, not a tuned "
-            "codebook; k-means centroids on clustered real data shift "
-            "the whole curve up without changing the serving plan"
+            "codebook; trained_curve measures the same sweep over a "
+            "4-round spherical-k-means codebook "
+            "(spherical_kmeans_fit, k=16) through the identical "
+            "serving plan"
         ),
         "curve": curve,
+        "trained_curve": trained_curve,
+        "trained_recall_uplift_at_1_probe": round(
+            trained_curve[0]["recall_at_10"] - curve[0]["recall_at_10"], 4
+        ),
     }
     out = "/root/repo/SCALE_PROBE.json"
     try:
@@ -148,6 +185,7 @@ def main() -> None:
         json.dump(doc, f, indent=1)
     print(json.dumps(section, indent=1))
     shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_trained", ignore_errors=True)
 
 
 if __name__ == "__main__":
