@@ -670,6 +670,140 @@ def spherical_kmeans_fit(
     )
 
 
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Product-quantization ANN with Asymmetric Distance Computation
+    (Jégou et al., PAMI 2011) — the memory-resident-codes serving
+    path: the corpus is stored as ``M`` small integers per vector
+    (here one byte each), queries never touch raw corpus floats, and
+    scoring is ``M`` lookup-table adds per candidate.
+
+    Fully oracle-replayable via two established disciplines:
+
+    * **encode** — each of the ``M`` subspace slices is assigned to
+      its subspace codeword by the bit-exact argmax-cosine quantizer
+      (the same ``struct(sim, -cid)``/``greatest`` fold the IVF
+      family shares), tie → lowest code;
+    * **score** — each LUT entry is the SCALED-LONG dot of the query
+      slice with a codeword (``Σ round(qᵢ·cᵢ·1e9)`` summed as exact
+      longs — the covariance/k-means recipe), so the ADC score
+      ``Σ_m LUT[q, m, code_m]`` is pure integer arithmetic: no float
+      accumulation order exists anywhere after the per-term product,
+      and both engines agree to the last bit.
+
+    ``codebooks`` is a driver-side list of ``(m, code, codeword)``
+    rows (small BY CONTRACT: M·K entries — the collect-the-small-side
+    rule).  Scale shape: the corpus is scanned once to encode (or the
+    codes are the at-rest layout), the LUT (|queries|·M·K rows) is
+    broadcast, the per-(query, vector) reduce is a partial-agg
+    groupBy, and the final rank pays the local pre-rank discipline —
+    only |partitions|·k·|queries| rows reach the global top-k.  ADC's
+    win at 100 TB is the candidate-side payload: M bytes per vector
+    against 4·d for raw floats (32× here), which is what lets a
+    billion-vector shard stay in executor memory.
+
+    Output: ``(query_id, neighbor_id, rank, adc_score_scaled)`` —
+    the score stays in its exact scaled-long form (÷1e9 for the
+    approximate dot product).
+    """
+    m_ids = sorted({m for m, _, _ in codebooks})
+    n_sub = len(m_ids)
+    if m_ids != list(range(n_sub)):
+        raise ValueError(f"subspace ids must be 0..M-1, got {m_ids}")
+    sub_dim = len(codebooks[0][2])
+    if any(len(cw) != sub_dim for _, _, cw in codebooks):
+        raise ValueError("all codewords must share one subspace dim")
+    spark = corpus.sparkSession
+
+    v = F.col(corpus_vec).cast("array<double>")
+    by_m: dict[int, list[tuple[int, list[float]]]] = {}
+    for m, code, cw in codebooks:
+        by_m.setdefault(m, []).append((code, cw))
+
+    def code_expr(m: int) -> Column:
+        structs = []
+        for code, cw in sorted(by_m[m]):
+            lit_cw = F.array(*[F.lit(float(x)).cast("double") for x in cw])
+            structs.append(
+                F.struct(
+                    cosine_similarity(
+                        F.slice(v, m * sub_dim + 1, sub_dim), lit_cw
+                    ).alias("_s"),
+                    F.lit(-int(code)).cast("long").alias("_nc"),
+                )
+            )
+        best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+        return (-best["_nc"]).cast("int")
+
+    codes = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.posexplode(F.array(*[code_expr(m) for m in range(n_sub)])).alias(
+            "m", "code"
+        ),
+    )
+
+    cb_df = spark.createDataFrame(
+        [(m, c, [float(x) for x in cw]) for m, c, cw in codebooks],
+        "m int, code int, codeword array<double>",
+    )
+    qv = F.col(query_vec).cast("array<double>")
+    lut = (
+        queries.select(F.col(query_id).alias("query_id"), qv.alias("_qv"))
+        .crossJoin(F.broadcast(cb_df))
+        .select(
+            "query_id",
+            "m",
+            "code",
+            F.aggregate(
+                F.transform(
+                    F.zip_with(
+                        F.slice(
+                            F.col("_qv"),
+                            F.col("m") * sub_dim + 1,
+                            F.lit(sub_dim),
+                        ),
+                        F.col("codeword"),
+                        lambda x, y: x * y,
+                    ),
+                    lambda p: F.round(p * 1e9, 0).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("_d"),
+        )
+    )
+
+    pairs = codes.join(F.broadcast(lut), ["m", "code"])
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scores = pairs.groupBy("query_id", "neighbor_id").agg(
+        F.sum("_d").alias("adc_score_scaled")
+    )
+    part_w = Window.partitionBy(F.spark_partition_id(), "query_id").orderBy(
+        F.desc("adc_score_scaled"), F.asc("neighbor_id")
+    )
+    local = scores.withColumn("_lr", F.row_number().over(part_w)).filter(
+        F.col("_lr") <= k
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score_scaled"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_score_scaled")
+    )
+
+
 def semantic_contamination_flags(
     corpus: DataFrame,
     evals: DataFrame,

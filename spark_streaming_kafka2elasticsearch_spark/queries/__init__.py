@@ -124,6 +124,7 @@ _PRIORITY: list[str] = [
     "ivf_kmeans_codebook",
     "ann_ivf_trained_topk",
     "ccnet_perplexity_buckets",
+    "ann_pq_adc_topk",
     "semantic_decontamination",  # refactored onto the shared operator in r9
 ]
 

@@ -546,6 +546,76 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_adc_topk",
+    # PQ-ADC replay: per-subspace argmax-cosine encode (the shared
+    # bit-exact quantizer on slices), LUT entries as scaled-long dots
+    # (pure integer sums after the per-term product — no float
+    # accumulation order anywhere), integer ADC score, top-10.
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+cb AS (
+  SELECT ms.m, e.vec_id AS code, e.v[ms.m * 8 + 1 : ms.m * 8 + 8] AS cw
+  FROM e CROSS JOIN ms WHERE e.vec_id < 16),
+enc AS (
+  SELECT e.vec_id, c.m, c.code
+  FROM e CROSS JOIN cb c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id, c.m
+    ORDER BY list_cosine_similarity(e.v[c.m * 8 + 1 : c.m * 8 + 8], c.cw)
+               DESC,
+             c.code ASC) = 1),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 8),
+lut AS (
+  SELECT q.query_id, c.m, c.code,
+         CAST(list_sum(list_transform(generate_series(1, 8),
+           i -> CAST(round(q.v[c.m * 8 + i] * c.cw[i] * 1e9) AS BIGINT)))
+           AS BIGINT) AS d
+  FROM q CROSS JOIN cb c),
+scores AS (
+  SELECT l.query_id, en.vec_id AS neighbor_id,
+         CAST(sum(l.d) AS BIGINT) AS adc_score_scaled
+  FROM enc en JOIN lut l ON l.m = en.m AND l.code = en.code
+  WHERE en.vec_id <> l.query_id
+  GROUP BY l.query_id, en.vec_id)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY adc_score_scaled DESC, neighbor_id ASC) AS INT) AS rank,
+       adc_score_scaled
+FROM scores
+QUALIFY rank <= 10
+""",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN serving (operators/similarity.
+    pq_adc_topk): 8 subspaces × 8 dims, 16 codes per subspace taken
+    from the first-16 vectors' slices (the fixed-centroid oracle-pin
+    idiom), queries = vec_id < 8, ADC top-10.  The corpus is served
+    from 8 one-byte codes per vector — 32× smaller than raw float32 —
+    and every score is exact integer arithmetic after the per-term
+    scaled-long product, so DuckDB replays encode, LUT, score, and
+    rank bit-for-bit."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    seed = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    codebooks = [
+        (m, int(r["vec_id"]), list(r["v"][m * 8 : (m + 1) * 8]))
+        for r in seed
+        for m in range(8)
+    ]
+    return pq_adc_topk(emb, queries, codebooks, k=10)
+
+
+@register(
     "lang_token_stats_pandas",
     # Exact cross-engine medians WITHOUT rounding: token counts are
     # integers, so every median is k or k+0.5 and every |x−med| is a

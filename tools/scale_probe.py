@@ -183,6 +183,16 @@ PROBE_QUERIES = [
     # r8: one covariance pass + 4 fixed-size matvec rounds — iteration
     # cost is corpus-independent, so alpha must track the covariance
     "embedding_pc_power_iteration",
+    # r9: k-means training — per round ONE corpus scan reduces to a
+    # k x d cell table before the exchange (constant-size shuffle), so
+    # wall must be scan-bound (alpha ~ 1, iteration count fixed)
+    "ivf_kmeans_codebook",
+    # r9: the full train->persist->serve IVF loop; training + layout
+    # write are corpus-linear, serve scans 1/|cells| — alpha ~ 1
+    "ann_ivf_trained_topk",
+    # r9: CCNet bucketing — bigram-LM silhouette + 1024-bin histogram
+    # + straddle-only windows; must track bigram_logprob_scores' alpha
+    "ccnet_perplexity_buckets",
 ]
 
 
