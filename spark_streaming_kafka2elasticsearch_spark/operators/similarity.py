@@ -572,12 +572,65 @@ def ivf_persisted_topk(
     )
 
 
+def spherical_kmeans_train(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """The training loop of :func:`spherical_kmeans_fit`, returning the
+    trained codebook as driver-side ``(centroid_id, vector)`` rows —
+    the literal form every fixed-centroid serving path consumes
+    (:func:`ivf_topk_fixed`, :func:`ivf_persisted_topk`).  Split out so
+    a SESSION can train once and serve many times (VERDICT r9 item 3):
+    the rows are small BY CONTRACT (k×d doubles) and fully
+    deterministic, so caching them changes cost, never results.
+
+    Semantics (init/assign/update) are documented on
+    :func:`spherical_kmeans_fit`, which delegates here.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1 and iters >= 0, got k={k} iters={iters}")
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    seed = base.orderBy(id_col).limit(k).collect()
+    if len(seed) < k:
+        raise ValueError(f"corpus has {len(seed)} vectors, need k={k}")
+    crows = [(cid, list(r["_v"])) for cid, r in enumerate(seed)]
+    dim = len(crows[0][1])
+
+    for _ in range(iters):
+        means = (
+            base.select("_v", _fixed_cell_expr(crows, "_v").alias("_cell"))
+            .select("_cell", F.posexplode("_v").alias("_i0", "_x"))
+            .groupBy("_cell", (F.col("_i0") + 1).alias("i"))
+            .agg(
+                (
+                    F.sum(F.round(F.col("_x") * F.lit(1e9), 0).cast("long"))
+                    .cast("double")
+                    / F.lit(1e9)
+                    / F.count(F.lit(1))
+                ).alias("_m")
+            )
+            .collect()
+        )
+        got: dict[int, list[float]] = {}
+        for r in means:
+            got.setdefault(int(r["_cell"]), [0.0] * dim)[int(r["i"]) - 1] = r["_m"]
+        # empty cell -> previous centroid survives
+        crows = [(cid, got.get(cid, prev)) for cid, prev in crows]
+    return crows
+
+
 def spherical_kmeans_fit(
     corpus: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Deterministic spherical k-means codebook training — the
     build-the-centroids half the IVF family assumes as given
@@ -611,43 +664,20 @@ def spherical_kmeans_fit(
     flat (cell, 1-based dim, coordinate) relation joined with the
     final member census.
     """
-    if k < 1 or iters < 0:
-        raise ValueError(f"need k >= 1 and iters >= 0, got k={k} iters={iters}")
+    # ``codebook`` short-circuits training with already-trained rows
+    # (the session-cache path) — identical by determinism.
+    crows = codebook or spherical_kmeans_train(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
     spark = corpus.sparkSession
     base = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    seed = base.orderBy(id_col).limit(k).collect()
-    if len(seed) < k:
-        raise ValueError(f"corpus has {len(seed)} vectors, need k={k}")
-    crows = [(cid, list(r["_v"])) for cid, r in enumerate(seed)]
-    dim = len(crows[0][1])
 
     def assign() -> DataFrame:
         return base.select(
             "_v", _fixed_cell_expr(crows, "_v").alias("_cell")
         )
-
-    for _ in range(iters):
-        means = (
-            assign()
-            .select("_cell", F.posexplode("_v").alias("_i0", "_x"))
-            .groupBy("_cell", (F.col("_i0") + 1).alias("i"))
-            .agg(
-                (
-                    F.sum(F.round(F.col("_x") * F.lit(1e9), 0).cast("long"))
-                    .cast("double")
-                    / F.lit(1e9)
-                    / F.count(F.lit(1))
-                ).alias("_m")
-            )
-            .collect()
-        )
-        got: dict[int, list[float]] = {}
-        for r in means:
-            got.setdefault(int(r["_cell"]), [0.0] * dim)[int(r["i"]) - 1] = r["_m"]
-        # empty cell -> previous centroid survives
-        crows = [(cid, got.get(cid, prev)) for cid, prev in crows]
 
     counts = (
         assign()
@@ -715,6 +745,8 @@ def pq_adc_topk(
     the score stays in its exact scaled-long form (÷1e9 for the
     approximate dot product).
     """
+    if not codebooks:
+        raise ValueError("codebooks must be non-empty")
     m_ids = sorted({m for m, _, _ in codebooks})
     n_sub = len(m_ids)
     if m_ids != list(range(n_sub)):
@@ -723,6 +755,19 @@ def pq_adc_topk(
     if any(len(cw) != sub_dim for _, _, cw in codebooks):
         raise ValueError("all codewords must share one subspace dim")
     spark = corpus.sparkSession
+
+    # Misdimensioned vectors would otherwise SILENTLY encode over
+    # truncated slices (F.slice past the array end yields short/empty
+    # arrays) — fail fast on a sampled row instead (ADVICE r9).  One
+    # tiny limit(1) job per side; empty inputs skip the check.
+    total_dim = n_sub * sub_dim
+    for df, col, side in ((corpus, corpus_vec, "corpus"), (queries, query_vec, "queries")):
+        probe = df.select(F.size(F.col(col)).alias("_n")).limit(1).collect()
+        if probe and probe[0]["_n"] != total_dim:
+            raise ValueError(
+                f"{side} vector length {probe[0]['_n']} != "
+                f"n_sub*sub_dim = {n_sub}*{sub_dim} = {total_dim}"
+            )
 
     v = F.col(corpus_vec).cast("array<double>")
     by_m: dict[int, list[tuple[int, list[float]]]] = {}

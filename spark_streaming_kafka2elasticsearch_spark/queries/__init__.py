@@ -84,7 +84,6 @@ _PRIORITY: list[str] = [
     "above_average_customers",
     "active_parties_union",
     "ann_cosine_topk",
-    "ann_cosine_topk_ivf",
     "bpe_token_stats",
     "customers_with_open_orders",
     "customers_without_orders",

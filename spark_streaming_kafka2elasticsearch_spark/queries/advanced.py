@@ -36,6 +36,42 @@ def _ivf_index_dir(query_name: str, sf_dir: str) -> str:
         root, query_name, os.path.basename(sf_dir.rstrip("/")) or "sf"
     )
 
+
+#: Session-level trained-codebook cache (VERDICT r9 item 3): spherical
+#: k-means training is fully deterministic, so its k×d driver-side
+#: result can be computed once per (corpus, k, iters) and shared —
+#: ``ivf_kmeans_codebook`` then measures TRAINING (it always retrains
+#: and refreshes the cache) while the serving queries
+#: (``ann_ivf_trained_topk``, IVFADC) measure SERVING (they consume the
+#: cache and train only on a cold session).  Caching changes cost,
+#: never results.
+_CODEBOOK_CACHE: dict[tuple, list] = {}
+
+
+def _trained_codebook_rows(
+    spark: SparkSession, sf_dir: str, k: int, iters: int, refresh: bool = False
+) -> list:
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        spherical_kmeans_train,
+    )
+
+    key = (os.path.abspath(sf_dir), k, iters)
+    if refresh or key not in _CODEBOOK_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _CODEBOOK_CACHE[key] = spherical_kmeans_train(emb, k=k, iters=iters)
+    return _CODEBOOK_CACHE[key]
+
+
+def _centroid_df(spark: SparkSession, crows: list) -> DataFrame:
+    """Driver-side codebook rows -> the (centroid_id, centroid_vec)
+    table the IVF serving operators take."""
+    return spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in crows],
+        "centroid_id long, centroid_vec array<double>",
+    )
+
 # ---------------------------------------------------------------------------
 # Q: exact percentiles
 # ---------------------------------------------------------------------------
@@ -244,20 +280,12 @@ def document_scores_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("ann_cosine_topk_ivf")  # no SQL oracle: KMeans assignment is Spark-side
-def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: a seeded KMeans coarse quantizer partitions the corpus
-    into cells; each query ranks only its own cell's members (single
-    probe).  At scale the cell id becomes the table's partition column,
-    so ANN = partition-pruned scan + local top-k — no full-corpus pass
-    per query.  Recall vs the exact oracle is measured in tests."""
-    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import ivf_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
-    )
-    return ivf_topk(emb, queries, k=10, n_cells=8)
+# ``ann_cosine_topk_ivf`` (seeded-sampled-KMeans IVF) was DEREGISTERED
+# in r10 (VERDICT r9 item 8): it was the last ANN entry with no value
+# oracle, fully superseded by three oracled twins
+# (ann_cosine_topk_ivf_fixed, ann_ivf_persisted_topk,
+# ann_ivf_trained_topk).  The operator itself (similarity.ivf_topk)
+# stays, recall-tested in tests/test_similarity_recall.py.
 
 
 @register(
@@ -496,13 +524,19 @@ def ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifts the recall-per-probed-cell curve without changing the
     serving plan).  Emitted as the flat (centroid_id, dim, coord,
     n_members) codebook relation; every coordinate is value-checked
-    against DuckDB's replay of the full two-round training."""
+    against DuckDB's replay of the full two-round training.
+
+    This is the TRAINING entry of the build/serve split (VERDICT r9
+    item 3): it always retrains (refreshing the session codebook
+    cache), so its bench time IS the training cost; the serving twins
+    consume the cache."""
     from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
         spherical_kmeans_fit,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return spherical_kmeans_fit(emb, k=8, iters=2)
+    crows = _trained_codebook_rows(spark, sf_dir, k=8, iters=2, refresh=True)
+    return spherical_kmeans_fit(emb, k=8, iters=2, codebook=crows)
 
 
 @register(
@@ -524,22 +558,18 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans 1/|cells| of the corpus."""
     from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
         ivf_persisted_topk,
-        spherical_kmeans_fit,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
     )
-    cents = (
-        spherical_kmeans_fit(emb, k=8, iters=2)
-        .groupBy("centroid_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "coord"))),
-                lambda s: s["coord"],
-            ).alias("centroid_vec")
-        )
+    # Serving entry: the codebook comes from the session cache (trained
+    # once per (sf_dir, k, iters) — determinism makes the cache
+    # result-invisible), so repeated runs measure layout+serve, not
+    # retraining (VERDICT r9 item 3).
+    cents = _centroid_df(
+        spark, _trained_codebook_rows(spark, sf_dir, k=8, iters=2)
     )
     path = _ivf_index_dir("ann_ivf_trained_topk", sf_dir)
     return ivf_persisted_topk(emb, queries, cents, path, k=10)

@@ -29,9 +29,12 @@ import shutil
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# Checkout-relative, never a hard-coded absolute path (the same
+# portability rule _ivf_index_dir follows).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
-BASE = "/root/testdata/sf0.1"
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_CELLS = 16
 N_QUERIES_MOD = 25  # vec_id % 25 == 0 -> 80 queries over 2,000 vectors
 K = 10
@@ -69,17 +72,12 @@ def main() -> None:
     }
     assert len(exact) == n_queries * K
 
+    # Scratch layout honors $SPARK_GRAFT_TMP_DIR like _ivf_index_dir;
+    # sweep() builds the layout itself, so no pre-build here.
     path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "tmp_ivf",
+        os.environ.get("SPARK_GRAFT_TMP_DIR") or os.path.join(_REPO, "tmp_ivf"),
         "recall_probe",
     )
-    shutil.rmtree(path, ignore_errors=True)
-    # Build the layout once; every sweep point serves from it.
-    ivf_persisted_topk(
-        emb, queries, cents, path, k=K, n_probe=1, rebuild=True
-    ).write.format("noop").mode("overwrite").save()
-    release_cached_state(spark)
 
     passes = int(os.environ.get("IVF_PROBE_PASSES", "3"))
 
@@ -174,7 +172,7 @@ def main() -> None:
             trained_curve[0]["recall_at_10"] - curve[0]["recall_at_10"], 4
         ),
     }
-    out = "/root/repo/SCALE_PROBE.json"
+    out = os.path.join(_REPO, "SCALE_PROBE.json")
     try:
         with open(out) as f:
             doc = json.load(f)

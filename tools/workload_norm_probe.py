@@ -158,20 +158,13 @@ def main() -> None:
     for q, vals in results.items():
         row = dict(doc["queries"].get(q, {}))
         for key, v in vals.items():
-            # Wall columns merge via MIN against prior committed runs
-            # (a query cannot run faster than its true cost — the same
-            # doctrine as the per-run min); drivers/derived columns
-            # overwrite.
-            if (
-                key.startswith("x")
-                and key[1:].isdigit()
-                and isinstance(row.get(key), (int, float))
-                and row[key] > 0
-                and v > 0
-            ):
-                row[key] = min(row[key], v)
-            else:
-                row[key] = v
+            # Every column OVERWRITES the committed value.  Min-of-N
+            # de-noising already happened WITHIN this invocation (the
+            # per-run min above); min-merging against prior committed
+            # runs — measured on older code — would let a published
+            # fast number mask a genuine later regression forever
+            # (ADVICE r9), so cross-commit the newest measurement wins.
+            row[key] = v
         for f in factors:
             w, d = row.get(f"x{f}", -1), row.get(f"x{f}_{specs[q][0]}", 0)
             if w > 0 and d > 0:
