@@ -148,6 +148,22 @@ def main() -> None:
     bench_local = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    # The committed artifact from the last clean run, read BEFORE this
+    # run overwrites it: per-query reference timings let the outlier
+    # phase rank re-runs by SUSPICION (observed / reference) instead of
+    # raw cost — a 50× blow-up on a 1 s query outranks a 1.1× wobble
+    # on a 30 s query, which is exactly the phantom-regression shape
+    # the r9 artifact recorded on untouched code.
+    ref: dict[str, float] = {}
+    try:
+        with open(bench_local) as f:
+            ref = {
+                k: float(v)
+                for k, v in json.load(f).get("queries", {}).items()
+                if isinstance(v, (int, float)) and v > 0
+            }
+    except (FileNotFoundError, json.JSONDecodeError, AttributeError):
+        pass
     qmap = all_queries()
 
     def run_once(name: str) -> None:
@@ -166,6 +182,24 @@ def main() -> None:
         # accumulated zombies were measured doubling the heavy graph
         # queries by the third pass (spread 22-39s on the iterative
         # plans before this cleanup).
+        release_cached_state(spark)
+
+    # Rotation-head warm-up (r9 postmortem): the _PRIORITY rotation
+    # moves a fresh set of queries to the registry head each round, and
+    # whatever sits there absorbs the residual cold-session tax the
+    # generic warm-up misses (janino compile of THEIR plan shapes,
+    # first big parquet scan) — r9 recorded lineitem_rollup, a ~1 s
+    # query, at 52.4 s from the head slot.  Execute the first few head
+    # queries once UNTIMED so pass 1 starts on a warm session; their
+    # timed runs follow in pass 1 like everyone else's.
+    n_head_warm = int(os.environ.get("SPARK_GRAFT_BENCH_HEAD_WARM", "4"))
+    for name in list(qmap)[:n_head_warm]:
+        try:
+            qmap[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:
+            print(f"head warm-up skipped {name}: {exc}", file=sys.stderr)
         release_cached_state(spark)
 
     # Pass 1: every query once.
@@ -220,13 +254,30 @@ def main() -> None:
     # The hard cap must sit ABOVE the soft budget or the budgeted
     # re-run loop consumes the whole window and this phase no-ops.
     hard_cap = max(hard_cap, budget + 120)
+    # GUARANTEED window (r9 postmortem): when a contended pass 1 alone
+    # blows the whole budget (719.8 s vs the 420 s budget in BENCH_r09),
+    # every elapsed-based cap is already exceeded and the artifact ships
+    # single-pass with empty spread — the exact failure the re-run
+    # phases exist to prevent.  So this phase gets a floor measured
+    # from ITS OWN start, not from t_start: however late we arrive,
+    # the most suspicious entries still get their second run.
+    outlier_window = float(
+        os.environ.get("SPARK_GRAFT_BENCH_OUTLIER_WINDOW_SEC", "150")
+    )
+    deadline = max(t_start + hard_cap, time.time() + outlier_window)
+
+    def suspicion(name: str) -> float:
+        worst = max((x for x in runs.get(name, []) if x >= 0), default=0.0)
+        r = ref.get(name)
+        return worst / r if r else 0.0
+
     singles = sorted(
         (
             n
             for n in qmap
             if len([x for x in runs.get(n, []) if x >= 0]) == 1
         ),
-        key=lambda n: -max(runs.get(n, [0.0])),
+        key=lambda n: (-suspicion(n), -max(runs.get(n, [0.0]))),
     )
     # Projection trap: an entry's only observation may BE the noise
     # burst (76.8 s on a 1.6 s query) — gating its re-run on that very
@@ -239,13 +290,16 @@ def main() -> None:
     )
     med_all = all_worsts[len(all_worsts) // 2] if all_worsts else 1.0
     n_outlier = 0
-    for name in singles[:12]:
+    for name in singles[:40]:
         worst = max((x for x in runs.get(name, []) if x >= 0), default=1.0)
         proj = min(worst, max(3.0 * med_all, 10.0))
-        if time.time() - t_start + proj * 1.2 > hard_cap:
+        if time.time() + proj * 1.2 > deadline:
             continue
         run_once(name)
         n_outlier += 1
+        if n_outlier % 20 == 0:
+            with open(bench_local, "w") as f:
+                f.write(summarize(passes_done) + "\n")
     if n_outlier:
         passes_done = max(len(xs) for xs in runs.values())
     print(
