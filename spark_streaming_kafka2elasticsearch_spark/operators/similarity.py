@@ -700,6 +700,120 @@ def spherical_kmeans_fit(
     )
 
 
+def _pq_validate(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    corpus_vec: str,
+    query_vec: str,
+) -> tuple[int, int]:
+    """Shared PQ input validation: contiguous subspace ids, one
+    codeword dim, and a fail-fast sampled-row dimension guard —
+    misdimensioned vectors would otherwise SILENTLY encode over
+    truncated slices (``F.slice`` past the array end yields
+    short/empty arrays; ADVICE r9).  One tiny limit(1) job per side;
+    empty inputs skip the check.  Returns ``(n_sub, sub_dim)``."""
+    if not codebooks:
+        raise ValueError("codebooks must be non-empty")
+    m_ids = sorted({m for m, _, _ in codebooks})
+    n_sub = len(m_ids)
+    if m_ids != list(range(n_sub)):
+        raise ValueError(f"subspace ids must be 0..M-1, got {m_ids}")
+    sub_dim = len(codebooks[0][2])
+    if any(len(cw) != sub_dim for _, _, cw in codebooks):
+        raise ValueError("all codewords must share one subspace dim")
+    total_dim = n_sub * sub_dim
+    for df, col, side in ((corpus, corpus_vec, "corpus"), (queries, query_vec, "queries")):
+        probe = df.select(F.size(F.col(col)).alias("_n")).limit(1).collect()
+        if probe and probe[0]["_n"] != total_dim:
+            raise ValueError(
+                f"{side} vector length {probe[0]['_n']} != "
+                f"n_sub*sub_dim = {n_sub}*{sub_dim} = {total_dim}"
+            )
+    return n_sub, sub_dim
+
+
+def _pq_code_array(
+    codebooks: list[tuple[int, int, list[float]]],
+    n_sub: int,
+    sub_dim: int,
+    vec_col: str,
+) -> Column:
+    """The PQ ENCODE expression: an array of ``n_sub`` codes, one per
+    subspace, each the bit-exact argmax-cosine assignment of the
+    vector's m-th slice to that subspace's codewords (tie → lowest
+    code) — the same ``struct(sim, -cid)``/``greatest`` fold the IVF
+    family shares, so one corpus scan of codegen'd expressions encodes
+    every subspace."""
+    v = F.col(vec_col).cast("array<double>")
+    by_m: dict[int, list[tuple[int, list[float]]]] = {}
+    for m, code, cw in codebooks:
+        by_m.setdefault(m, []).append((code, cw))
+
+    def code_expr(m: int) -> Column:
+        structs = []
+        for code, cw in sorted(by_m[m]):
+            lit_cw = F.array(*[F.lit(float(x)).cast("double") for x in cw])
+            structs.append(
+                F.struct(
+                    cosine_similarity(
+                        F.slice(v, m * sub_dim + 1, sub_dim), lit_cw
+                    ).alias("_s"),
+                    F.lit(-int(code)).cast("long").alias("_nc"),
+                )
+            )
+        best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+        return (-best["_nc"]).cast("int")
+
+    return F.array(*[code_expr(m) for m in range(n_sub)])
+
+
+def _pq_lut(
+    queries: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    sub_dim: int,
+    query_id: str,
+    query_vec: str,
+) -> DataFrame:
+    """The ADC lookup table: one row per (query, subspace, code) whose
+    ``_d`` is the SCALED-LONG dot of the query slice with that codeword
+    (``Σ round(qᵢ·cᵢ·1e9)`` summed as exact longs) — pure integer
+    arithmetic after the per-term product, so downstream ADC sums have
+    no float accumulation order anywhere.  |queries|·M·K rows: small by
+    contract, built for broadcast."""
+    spark = queries.sparkSession
+    cb_df = spark.createDataFrame(
+        [(m, c, [float(x) for x in cw]) for m, c, cw in codebooks],
+        "m int, code int, codeword array<double>",
+    )
+    qv = F.col(query_vec).cast("array<double>")
+    return (
+        queries.select(F.col(query_id).alias("query_id"), qv.alias("_qv"))
+        .crossJoin(F.broadcast(cb_df))
+        .select(
+            "query_id",
+            "m",
+            "code",
+            F.aggregate(
+                F.transform(
+                    F.zip_with(
+                        F.slice(
+                            F.col("_qv"),
+                            F.col("m") * sub_dim + 1,
+                            F.lit(sub_dim),
+                        ),
+                        F.col("codeword"),
+                        lambda x, y: x * y,
+                    ),
+                    lambda p: F.round(p * 1e9, 0).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("_d"),
+        )
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -745,87 +859,14 @@ def pq_adc_topk(
     the score stays in its exact scaled-long form (÷1e9 for the
     approximate dot product).
     """
-    if not codebooks:
-        raise ValueError("codebooks must be non-empty")
-    m_ids = sorted({m for m, _, _ in codebooks})
-    n_sub = len(m_ids)
-    if m_ids != list(range(n_sub)):
-        raise ValueError(f"subspace ids must be 0..M-1, got {m_ids}")
-    sub_dim = len(codebooks[0][2])
-    if any(len(cw) != sub_dim for _, _, cw in codebooks):
-        raise ValueError("all codewords must share one subspace dim")
-    spark = corpus.sparkSession
-
-    # Misdimensioned vectors would otherwise SILENTLY encode over
-    # truncated slices (F.slice past the array end yields short/empty
-    # arrays) — fail fast on a sampled row instead (ADVICE r9).  One
-    # tiny limit(1) job per side; empty inputs skip the check.
-    total_dim = n_sub * sub_dim
-    for df, col, side in ((corpus, corpus_vec, "corpus"), (queries, query_vec, "queries")):
-        probe = df.select(F.size(F.col(col)).alias("_n")).limit(1).collect()
-        if probe and probe[0]["_n"] != total_dim:
-            raise ValueError(
-                f"{side} vector length {probe[0]['_n']} != "
-                f"n_sub*sub_dim = {n_sub}*{sub_dim} = {total_dim}"
-            )
-
-    v = F.col(corpus_vec).cast("array<double>")
-    by_m: dict[int, list[tuple[int, list[float]]]] = {}
-    for m, code, cw in codebooks:
-        by_m.setdefault(m, []).append((code, cw))
-
-    def code_expr(m: int) -> Column:
-        structs = []
-        for code, cw in sorted(by_m[m]):
-            lit_cw = F.array(*[F.lit(float(x)).cast("double") for x in cw])
-            structs.append(
-                F.struct(
-                    cosine_similarity(
-                        F.slice(v, m * sub_dim + 1, sub_dim), lit_cw
-                    ).alias("_s"),
-                    F.lit(-int(code)).cast("long").alias("_nc"),
-                )
-            )
-        best = structs[0] if len(structs) == 1 else F.greatest(*structs)
-        return (-best["_nc"]).cast("int")
-
+    n_sub, sub_dim = _pq_validate(corpus, queries, codebooks, corpus_vec, query_vec)
     codes = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
-        F.posexplode(F.array(*[code_expr(m) for m in range(n_sub)])).alias(
-            "m", "code"
-        ),
+        F.posexplode(
+            _pq_code_array(codebooks, n_sub, sub_dim, corpus_vec)
+        ).alias("m", "code"),
     )
-
-    cb_df = spark.createDataFrame(
-        [(m, c, [float(x) for x in cw]) for m, c, cw in codebooks],
-        "m int, code int, codeword array<double>",
-    )
-    qv = F.col(query_vec).cast("array<double>")
-    lut = (
-        queries.select(F.col(query_id).alias("query_id"), qv.alias("_qv"))
-        .crossJoin(F.broadcast(cb_df))
-        .select(
-            "query_id",
-            "m",
-            "code",
-            F.aggregate(
-                F.transform(
-                    F.zip_with(
-                        F.slice(
-                            F.col("_qv"),
-                            F.col("m") * sub_dim + 1,
-                            F.lit(sub_dim),
-                        ),
-                        F.col("codeword"),
-                        lambda x, y: x * y,
-                    ),
-                    lambda p: F.round(p * 1e9, 0).cast("long"),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("_d"),
-        )
-    )
+    lut = _pq_lut(queries, codebooks, sub_dim, query_id, query_vec)
 
     pairs = codes.join(F.broadcast(lut), ["m", "code"])
     if exclude_self:
@@ -846,6 +887,120 @@ def pq_adc_topk(
         local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_score_scaled")
+    )
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    path: str,
+    k: int = 10,
+    n_probe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    rebuild: bool = True,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVFADC — the standard billion-scale ANN serving stack (Jégou et
+    al., PAMI 2011), composed from the two halves this engine already
+    pins separately: the IVF coarse quantizer's partition-pruned cell
+    probe (:func:`ivf_persisted_topk`) and PQ's asymmetric-distance
+    scoring over 1-byte codes (:func:`pq_adc_topk`).
+
+    **Index build** (``rebuild=True``): ONE corpus scan assigns each
+    vector to its nearest coarse cell (:func:`_fixed_cell_expr`, the
+    shared bit-exact quantizer) AND encodes its ``M`` PQ subspace codes
+    (:func:`_pq_code_array`, the same fold on slices); the result —
+    (id, m, code) rows, i.e. ``M`` bytes of payload per vector, no raw
+    floats — is laid down ``partitionBy(cell)``.  This at-rest shape is
+    the whole point at 100 TB: the serving working set is 32× smaller
+    than float32 AND directory-pruned per query.
+
+    **Serve**: each query probes its ``n_probe`` nearest cells (ranked
+    bit-exactly — :func:`_fixed_probe_cells_expr`), the DISTINCT probed
+    cells become a static ``cell IN`` predicate on the index read
+    (PartitionFilters — only probed directories are scanned), the
+    query-side LUT (:func:`_pq_lut`, scaled-long exact) is broadcast,
+    and the ADC score is a pure-integer partial-agg reduce followed by
+    the local-pre-rank/global-top-k discipline.  Per query batch the
+    cost is ``n_probe/|cells|`` of an ``M``-bytes-per-vector table —
+    candidate generation AND scoring both sublinear in corpus size.
+
+    Every stage is oracle-replayable (trained coarse codebooks via the
+    k-means CTE chain, encode/LUT/score via the PQ chain), so the
+    composed query is value-checked end to end.  Output:
+    ``(query_id, cell, neighbor_id, rank, adc_score_scaled)`` — cell =
+    the NEIGHBOR's home cell, value-checking which probe answered.
+    """
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import write_table
+
+    n_sub, sub_dim = _pq_validate(
+        corpus, queries, codebooks, corpus_vec, query_vec
+    )
+    crows = (
+        centroids.select(centroid_id, centroid_vec)
+        .orderBy(centroid_id)
+        .collect()
+    )
+    if not crows:
+        raise ValueError("ivfadc_topk needs >= 1 coarse centroid")
+    spark = corpus.sparkSession
+
+    if rebuild:
+        index_rows = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            _fixed_cell_expr(crows, corpus_vec).alias("cell"),
+            F.posexplode(
+                _pq_code_array(codebooks, n_sub, sub_dim, corpus_vec)
+            ).alias("m", "code"),
+        )
+        write_table(index_rows, path, partition_by=["cell"])
+
+    q_cells = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.explode(
+            _fixed_probe_cells_expr(crows, query_vec, n_probe)
+        ).alias("cell"),
+    )
+    probe_cells = sorted(
+        int(r["cell"]) for r in q_cells.select("cell").distinct().collect()
+    )
+    index = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    lut = _pq_lut(queries, codebooks, sub_dim, query_id, query_vec)
+
+    pairs = index.join(F.broadcast(q_cells), "cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scores = (
+        pairs.join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "cell", "neighbor_id")
+        .agg(F.sum("_d").alias("adc_score_scaled"))
+    )
+    part_w = Window.partitionBy(F.spark_partition_id(), "query_id").orderBy(
+        F.desc("adc_score_scaled"), F.asc("neighbor_id")
+    )
+    local = scores.withColumn("_lr", F.row_number().over(part_w)).filter(
+        F.col("_lr") <= k
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score_scaled"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("cell").cast("long").alias("cell"),
+            "neighbor_id",
+            "rank",
+            "adc_score_scaled",
+        )
     )
 
 
