@@ -890,6 +890,156 @@ def pq_adc_topk(
     )
 
 
+def pq_train_codebooks(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, list[float]]]:
+    """Train real per-subspace PQ codebooks (the Jégou et al.
+    construction: independent k-means in each of the ``M`` subspaces)
+    with the engine's deterministic spherical-k-means recipe — the
+    upgrade from :func:`pq_adc_topk`'s fixed first-k-slice codewords,
+    mirroring exactly how ``ann_ivf_trained_topk`` upgraded the fixed
+    coarse quantizer (VERDICT r9 item 5).  Fully oracle-replayable: no
+    RNG anywhere.
+
+    * **init**: subspace ``m``'s codewords are the ``m``-th slices of
+      the ``k`` smallest-``id_col`` vectors, codes 0..k−1 in that
+      order (the shared deterministic seed rule).
+    * **assign**: per (vector, subspace), argmax cosine of the slice
+      against that subspace's codewords, tie → lowest code — the SAME
+      bit-exact fold serving uses (:func:`_pq_code_array`), so trained
+      codebooks plug straight into :func:`pq_adc_topk` /
+      :func:`ivfadc_topk`.
+    * **update**: per (subspace, code, dim) scaled-long mean; a code
+      that loses every member keeps its previous codeword.
+
+    Scale shape: ALL subspaces train jointly — each round is ONE
+    corpus scan (the M assignment folds are columns of the same
+    projection) reducing to an ``M·K·sub_dim`` cell table before any
+    exchange; the update is an ``M·K·sub_dim``-row driver collect
+    (small BY CONTRACT, the k-means rule).  Per-subspace sequential
+    loops would pay M scans per round for identical output.
+
+    Returns the ``(m, code, codeword)`` list the serving operators
+    take.
+    """
+    if n_sub < 1 or sub_dim < 1 or k < 1 or iters < 0:
+        raise ValueError(
+            f"bad shape: n_sub={n_sub} sub_dim={sub_dim} k={k} iters={iters}"
+        )
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    seed = base.orderBy(id_col).limit(k).collect()
+    if len(seed) < k:
+        raise ValueError(f"corpus has {len(seed)} vectors, need k={k}")
+    books: list[tuple[int, int, list[float]]] = [
+        (m, code, list(r["_v"][m * sub_dim : (m + 1) * sub_dim]))
+        for code, r in enumerate(seed)
+        for m in range(n_sub)
+    ]
+
+    v = F.col("_v")
+    for _ in range(iters):
+        means = (
+            # The code fold must live in its OWN projection: a
+            # generator (posexplode) in the same select makes the
+            # analyzer's generator-extraction strip the inner struct
+            # aliases the greatest() fold reads (FIELD_NOT_FOUND _nc).
+            base.select(
+                "_v", _pq_code_array(books, n_sub, sub_dim, "_v").alias("_codes")
+            )
+            .select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.slice(v, m * sub_dim + 1, sub_dim)
+                            for m in range(n_sub)
+                        ]
+                    )
+                ).alias("m", "_sl"),
+                F.col("_codes"),
+            )
+            .select(
+                "m",
+                F.element_at(F.col("_codes"), F.col("m") + 1).alias("code"),
+                F.posexplode(F.col("_sl")).alias("_i0", "_x"),
+            )
+            .groupBy("m", "code", (F.col("_i0") + 1).alias("i"))
+            .agg(
+                (
+                    F.sum(F.round(F.col("_x") * F.lit(1e9), 0).cast("long"))
+                    .cast("double")
+                    / F.lit(1e9)
+                    / F.count(F.lit(1))
+                ).alias("_mu")
+            )
+            .collect()
+        )
+        got: dict[tuple[int, int], list[float]] = {}
+        for r in means:
+            got.setdefault((int(r["m"]), int(r["code"])), [0.0] * sub_dim)[
+                int(r["i"]) - 1
+            ] = r["_mu"]
+        books = [
+            (m, code, got.get((m, code), prev)) for m, code, prev in books
+        ]
+    return books
+
+
+def pq_codebook_fit(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[tuple[int, int, list[float]]] | None = None,
+) -> DataFrame:
+    """The trained-PQ codebook as a value-checkable relation:
+    ``(m, code, i, coord, n_members)`` — every codeword coordinate
+    plus a final per-(subspace, code) assignment census, the same
+    emission shape :func:`spherical_kmeans_fit` uses for the coarse
+    codebook.  ``codebooks`` short-circuits training with
+    already-trained rows (the session-cache path) — identical by
+    determinism."""
+    books = codebooks or pq_train_codebooks(
+        corpus, n_sub, sub_dim, k, iters, id_col, vec_col
+    )
+    spark = corpus.sparkSession
+    base = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    counts = (
+        base.select(
+            F.posexplode(
+                _pq_code_array(books, n_sub, sub_dim, "_v")
+            ).alias("m", "code")
+        )
+        .groupBy("m", "code")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    coords = spark.createDataFrame(
+        [
+            (m, code, i + 1, float(x))
+            for m, code, cw in books
+            for i, x in enumerate(cw)
+        ],
+        "m int, code int, i int, coord double",
+    )
+    return coords.join(F.broadcast(counts), ["m", "code"], "left").select(
+        F.col("m").cast("long").alias("m"),
+        F.col("code").cast("long").alias("code"),
+        F.col("i").cast("long").alias("i"),
+        "coord",
+        F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias("n_members"),
+    )
+
+
 def ivfadc_topk(
     corpus: DataFrame,
     queries: DataFrame,

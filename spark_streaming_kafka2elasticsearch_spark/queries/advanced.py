@@ -645,6 +645,200 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, queries, codebooks, k=10)
 
 
+#: Session cache for trained PQ codebooks — same determinism argument
+#: as _CODEBOOK_CACHE: training is RNG-free, so caching the M·K·sub_dim
+#: driver-side rows changes cost, never results.  pq_trained_codebooks
+#: (the training entry) always retrains and refreshes; the trained
+#: serving query consumes.
+_PQ_CACHE: dict[tuple, list] = {}
+
+
+def _trained_pq_books(
+    spark: SparkSession,
+    sf_dir: str,
+    n_sub: int,
+    sub_dim: int,
+    k: int,
+    iters: int,
+    refresh: bool = False,
+) -> list:
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        pq_train_codebooks,
+    )
+
+    key = (os.path.abspath(sf_dir), n_sub, sub_dim, k, iters)
+    if refresh or key not in _PQ_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _PQ_CACHE[key] = pq_train_codebooks(
+            emb, n_sub=n_sub, sub_dim=sub_dim, k=k, iters=iters
+        )
+    return _PQ_CACHE[key]
+
+
+def _pq_train_ctes(n_sub: int, sub_dim: int, k: int, iters: int) -> str:
+    """DuckDB CTE chain replaying pq_train_codebooks: per-subspace
+    deterministic k-means over slices, ALL subspaces as data in one
+    chain (the same joint shape the Spark operator trains in one scan
+    per round).  Seed = the k smallest-vec_id vectors' slices; assign =
+    bit-exact argmax cosine per (vector, subspace), tie → lowest code;
+    update = scaled-long per-(m, code, dim) means with
+    coalesce-with-previous for empty codes.  Terminates at
+    ``pcb{iters}`` — the trained codebook relation (m, code, cw)."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings),",
+        f"pms AS (SELECT unnest(generate_series(0, {n_sub - 1})) AS m),",
+        f"sd AS (SELECT unnest(generate_series(1, {sub_dim})) AS i),",
+        f"pseed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v "
+        f"FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})),",
+        f"pcb0 AS (SELECT pms.m, s.code, "
+        f"s.v[pms.m * {sub_dim} + 1 : pms.m * {sub_dim} + {sub_dim}] AS cw "
+        f"FROM pms CROSS JOIN pseed s)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f""",
+pasn{t} AS (
+  SELECT e.vec_id, c.m, c.code
+  FROM e CROSS JOIN pcb{t} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id, c.m
+    ORDER BY list_cosine_similarity(
+               e.v[c.m * {sub_dim} + 1 : c.m * {sub_dim} + {sub_dim}], c.cw)
+               DESC,
+             c.code ASC) = 1),
+pmn{t} AS (
+  SELECT a.m, a.code, s.i,
+         CAST(sum(CAST(round(e.v[a.m * {sub_dim} + s.i] * 1e9) AS BIGINT))
+              AS DOUBLE) / 1e9 / count(*) AS mu
+  FROM pasn{t} a JOIN e USING (vec_id) CROSS JOIN sd s
+  GROUP BY a.m, a.code, s.i),
+pcb{t + 1} AS (
+  SELECT c.m, c.code, list(coalesce(mn.mu, c.cw[s.i]) ORDER BY s.i) AS cw
+  FROM pcb{t} c CROSS JOIN sd s
+  LEFT JOIN pmn{t} mn ON mn.m = c.m AND mn.code = c.code AND mn.i = s.i
+  GROUP BY c.m, c.code)"""
+        )
+    return "\n".join(parts)
+
+
+def _pq_codebook_oracle(n_sub: int, sub_dim: int, k: int, iters: int) -> str:
+    return (
+        _pq_train_ctes(n_sub, sub_dim, k, iters)
+        + f""",
+pasn_final AS (
+  SELECT e.vec_id, c.m, c.code
+  FROM e CROSS JOIN pcb{iters} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id, c.m
+    ORDER BY list_cosine_similarity(
+               e.v[c.m * {sub_dim} + 1 : c.m * {sub_dim} + {sub_dim}], c.cw)
+               DESC,
+             c.code ASC) = 1),
+pmembers AS (SELECT m, code, count(*) AS n FROM pasn_final GROUP BY m, code)
+SELECT CAST(c.m AS BIGINT) AS m, CAST(c.code AS BIGINT) AS code,
+       CAST(s.i AS BIGINT) AS i, c.cw[s.i] AS coord,
+       CAST(coalesce(mem.n, 0) AS BIGINT) AS n_members
+FROM pcb{iters} c CROSS JOIN sd s
+LEFT JOIN pmembers mem ON mem.m = c.m AND mem.code = c.code"""
+    )
+
+
+def _pq_trained_serve_oracle(
+    n_sub: int, sub_dim: int, k: int, iters: int, n_queries: int, topk: int
+) -> str:
+    """Trained-PQ ADC serve: the SAME training chain, then the ADC
+    encode/LUT/score tail (identical shape to ann_pq_adc_topk's
+    oracle) over the TRAINED ``pcb{iters}`` instead of the fixed
+    first-16-slice codebook."""
+    return (
+        _pq_train_ctes(n_sub, sub_dim, k, iters)
+        + f""",
+enc AS (
+  SELECT e.vec_id, c.m, c.code
+  FROM e CROSS JOIN pcb{iters} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id, c.m
+    ORDER BY list_cosine_similarity(
+               e.v[c.m * {sub_dim} + 1 : c.m * {sub_dim} + {sub_dim}], c.cw)
+               DESC,
+             c.code ASC) = 1),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {n_queries}),
+lut AS (
+  SELECT q.query_id, c.m, c.code,
+         CAST(list_sum(list_transform(generate_series(1, {sub_dim}),
+           i -> CAST(round(q.v[c.m * {sub_dim} + i] * c.cw[i] * 1e9)
+                     AS BIGINT))) AS BIGINT) AS d
+  FROM q CROSS JOIN pcb{iters} c),
+scores AS (
+  SELECT l.query_id, en.vec_id AS neighbor_id,
+         CAST(sum(l.d) AS BIGINT) AS adc_score_scaled
+  FROM enc en JOIN lut l ON l.m = en.m AND l.code = en.code
+  WHERE en.vec_id <> l.query_id
+  GROUP BY l.query_id, en.vec_id)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY adc_score_scaled DESC, neighbor_id ASC) AS INT) AS rank,
+       adc_score_scaled
+FROM scores
+QUALIFY rank <= {topk}"""
+    )
+
+
+@register(
+    "pq_trained_codebooks",
+    oracle=_pq_codebook_oracle(n_sub=8, sub_dim=8, k=16, iters=2),
+)
+def pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained per-subspace PQ codebooks (operators/similarity.
+    pq_train_codebooks): 2 rounds of deterministic k-means in each of
+    the 8 subspaces, trained JOINTLY in one corpus scan per round, 16
+    codes each — the Jégou et al. construction upgrading
+    ann_pq_adc_topk's fixed first-16-slice codewords.  Emitted as the
+    flat (m, code, i, coord, n_members) relation; every codeword
+    coordinate and the final assignment census are value-checked
+    against DuckDB's replay of the full joint training.  TRAINING
+    entry of the build/serve split: always retrains, refreshing the
+    session cache the trained-serve query consumes."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        pq_codebook_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _trained_pq_books(
+        spark, sf_dir, n_sub=8, sub_dim=8, k=16, iters=2, refresh=True
+    )
+    return pq_codebook_fit(
+        emb, n_sub=8, sub_dim=8, k=16, iters=2, codebooks=books
+    )
+
+
+@register(
+    "ann_pq_trained_topk",
+    oracle=_pq_trained_serve_oracle(
+        n_sub=8, sub_dim=8, k=16, iters=2, n_queries=8, topk=10
+    ),
+)
+def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC serving from TRAINED codebooks — the complete trained-PQ
+    loop, mirroring exactly how ann_ivf_trained_topk upgraded the
+    fixed coarse quantizer: train per-subspace codebooks (session
+    cache), encode the corpus to 8 one-byte codes, serve ADC top-10
+    from the broadcast scaled-long LUT.  DuckDB replays training AND
+    serving bit-for-bit; the fixed-codeword twin (ann_pq_adc_topk)
+    stays as the oracle pin.  The recall uplift of trained vs fixed
+    codebooks is recorded in SCALE_PROBE's pq_recall section."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    books = _trained_pq_books(spark, sf_dir, n_sub=8, sub_dim=8, k=16, iters=2)
+    return pq_adc_topk(emb, queries, books, k=10)
+
+
 def _ivfadc_oracle(k: int, iters: int, n_probe: int, topk: int) -> str:
     """IVFADC oracle: the trained-coarse k-means CTE chain (shared with
     ivf_kmeans_codebook / ann_ivf_trained_topk) supplies cell
