@@ -3275,14 +3275,7 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ccnet_perplexity_buckets",
-    # The bigram-LM CTE chain is bigram_logprob_scores' oracle
-    # verbatim; the bucketing leg is the NAIVE global-rank spelling
-    # (per-lang row_number + integer-thirds CASE) that
-    # operators/text.ranked_bucket_labels reproduces exactly without
-    # the global sort.
-    oracle="""
+_CCNET_BUCKETS_SQL = """
 WITH d AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
@@ -3330,7 +3323,19 @@ SELECT doc_id, lang, ppl_score,
             WHEN r <= 2 * (n // 3) THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM ranked
-""",
+"""
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    # The bigram-LM CTE chain is bigram_logprob_scores' oracle
+    # verbatim; the bucketing leg is the NAIVE global-rank spelling
+    # (per-lang row_number + integer-thirds CASE) that
+    # operators/text.ranked_bucket_labels reproduces exactly without
+    # the global sort.  Hoisted to _CCNET_BUCKETS_SQL so the
+    # end-to-end selection query (ccnet_filtered_corpus) wraps the
+    # identical chain.
+    oracle=_CCNET_BUCKETS_SQL,
 )
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail quality split (Wenzek et al. 2020):
@@ -3364,6 +3369,75 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         score_col="ppl_score",
         part_col="lang",
+    )
+
+
+@register(
+    "ccnet_filtered_corpus",
+    # The full bucket chain (verbatim), wrapped by the paper's
+    # selection: keep head; keep a deterministic 1-in-2 md5 hash-sample
+    # of middle (the orders_deterministic_sample idiom — md5 is
+    # identical across engines); drop tail.  sample_weight makes the
+    # downweighting explicit: a kept middle doc represents 2 corpus
+    # docs, the temperature-mixing convention.
+    oracle=f"""
+SELECT doc_id, lang, ppl_score, bucket,
+       CAST(CASE WHEN bucket = 'head' THEN 1.0 ELSE 2.0 END AS DOUBLE)
+         AS sample_weight
+FROM ({_CCNET_BUCKETS_SQL}) b
+WHERE bucket = 'head'
+   OR (bucket = 'middle'
+       AND ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 2 = 0)
+""",
+)
+def ccnet_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet pipeline END TO END (Wenzek et al. 2020, the shape
+    their Figure 1 ships): per language, rank by LM score, cut into
+    head/middle/tail thirds (``ccnet_perplexity_buckets``'s leg — the
+    1024-bin histogram labeler, no per-language global sort), then
+    apply the paper's selection — KEEP head as-is, SAMPLE middle at a
+    deterministic 1-in-2 (md5 hash predicate, so both engines and any
+    re-run select the identical docs — never seed/partition-dependent
+    ``df.sample``), DROP tail.  ``sample_weight`` carries the inverse
+    sampling rate so downstream mixing can re-weight kept middle docs
+    (2.0 = each kept doc stands for two), the same convention the
+    temperature-mixing queries use.
+
+    Scale shape: the selection adds ONE codegen'd filter + projection
+    on top of the bucketing plan — no new shuffle, no new scan; at
+    100 TB the whole pipeline stays two corpus scans (LM counts,
+    scoring) plus the constant-size histogram exchange."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        ranked_bucket_labels,
+    )
+
+    scores = bigram_logprob_scores(spark, sf_dir).select(
+        "doc_id", F.col("avg_bigram_logprob").alias("ppl_score")
+    )
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = scores.join(langs, "doc_id")
+    buckets = ranked_bucket_labels(
+        scored,
+        labels=("head", "middle", "tail"),
+        id_col="doc_id",
+        score_col="ppl_score",
+        part_col="lang",
+    )
+    keep_middle = (
+        F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 2
+        == 0
+    )
+    return buckets.filter(
+        (F.col("bucket") == "head")
+        | ((F.col("bucket") == "middle") & keep_middle)
+    ).select(
+        "doc_id",
+        "lang",
+        "ppl_score",
+        "bucket",
+        F.when(F.col("bucket") == "head", F.lit(1.0))
+        .otherwise(F.lit(2.0))
+        .alias("sample_weight"),
     )
 
 
