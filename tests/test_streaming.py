@@ -1887,3 +1887,163 @@ def test_semantic_decon_gate_stream_matches_batch_operator(spark, tmp_path):
     finally:
         q.stop()
     assert got == want_kept
+
+
+def test_front_door_stream_chains_all_five_gates(spark, tmp_path):
+    """INTEGRATION of the whole crawl front door (VERDICT r9 item 7):
+    quality + exact-dup + near-dup + DSIR + semantic + tokenize
+    chained over ONE stream, with at least one document eliminated by
+    EACH gate, across 2 micro-batches — and the composed kept-set
+    (docs AND token encodings) equals composing the batch operators
+    over the union of the batches."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        delta_corpus_jaccard_pairs,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        semantic_contamination_flags,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        bpe_encode_with_lexicon,
+        bpe_train,
+        dsir_fit_weights,
+        dsir_score_with_weights,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        front_door_stream,
+    )
+
+    # --- static artifacts, one per gate ---------------------------------
+    corpus = spark.createDataFrame(
+        [(100, "en", "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, lang string, text string",
+    )
+    wf = spark.createDataFrame(
+        [("cat", 5), ("meow", 4), ("purr", 4), ("low", 5), ("newest", 6)],
+        "tok string, c long",
+    )
+    lexicon = bpe_train(wf, rounds=6, emit="lexicon")
+    fit_corpus = spark.createDataFrame(
+        [
+            ("cat meow purr cat meow", True),
+            ("cat purr whiskers cat", True),
+            ("meow cat purr purr", True),
+            ("dog bark woof growl", False),
+            ("lorem ipsum dolor sit", False),
+        ],
+        "text string, tgt boolean",
+    )
+    weights = dsir_fit_weights(fit_corpus, F.col("tgt"))
+    evals = spark.createDataFrame(
+        [(900, [1.0, 0.0, 0.0]), (901, [0.0, 1.0, 0.0])],
+        "eval_id long, eval_vec array<double>",
+    )
+    clean_vec, contam_vec = [0.0, 0.0, 1.0], [1.01, 0.002, 0.002]
+    doc_embeddings = spark.createDataFrame(
+        # doc 7 deliberately has NO row -> semantic gate fails closed
+        [(1, clean_vec), (4, clean_vec), (5, clean_vec), (6, contam_vec),
+         (8, clean_vec), (9, clean_vec)],
+        "doc_id long, embedding array<double>",
+    )
+
+    # --- stream content: one casualty per gate --------------------------
+    texts = {
+        1: "cat meow purr low newest content",        # survives everything
+        3: "12 34 56 78 90 11",                       # quality gate (alpha)
+        4: "the quick brown fox jumps over the lazy cat today",  # near-dup
+        5: "dog bark growl woof lorem ipsum",         # DSIR gate
+        6: "cat purr meow newest fresh words",        # semantic gate (contam)
+        7: "cat meow newest purr other words",        # no embedding -> closed
+        8: "purr cat meow low unique finale",         # survives (batch 2)
+        9: "cat meow purr low newest content",        # exact dup of doc 1
+    }
+    batch_docs = spark.createDataFrame(
+        [(i, "en", t) for i, t in texts.items() if i != 9],
+        "doc_id long, lang string, text string",
+    )
+    # pick a DSIR threshold that splits the cat docs from doc 5
+    scores = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in dsir_score_with_weights(batch_docs, weights, "doc_id").collect()
+    }
+    thr = (scores[5] + min(s for i, s in scores.items() if i != 5)) / 2
+    assert all(s > thr for i, s in scores.items() if i not in (3, 5))
+
+    # --- batch composition (the ground truth) ---------------------------
+    q_docs = batch_docs.filter(F.col("doc_id") != 3)  # quality casualty
+    nd_hits = (
+        delta_corpus_jaccard_pairs(
+            q_docs, corpus, id_col="doc_id", block_cols=["lang"],
+            min_jaccard=0.5, max_doc_freq=50,
+        ).select(F.col("delta_id").alias("doc_id")).distinct()
+    )
+    survivors = q_docs.join(nd_hits, "doc_id", "left_anti")
+    survivors = survivors.join(
+        dsir_score_with_weights(survivors, weights, "doc_id")
+        .filter(F.col("dsir_logratio") >= thr).select("doc_id"),
+        "doc_id",
+    )
+    vecs = survivors.select("doc_id").join(doc_embeddings, "doc_id").select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    clean = (
+        semantic_contamination_flags(vecs, evals)
+        .filter(~F.col("is_contaminated"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    survivors = survivors.join(clean, "doc_id", "left_semi")
+    want_docs = {r["doc_id"] for r in survivors.collect()}
+    assert want_docs == {1, 8}  # every other doc fell to exactly one gate
+    want_tokens = {
+        (r["doc_id"], r["n_subwords"], r["subwords"])
+        for r in bpe_encode_with_lexicon(survivors, lexicon).collect()
+    }
+
+    # --- the stream ------------------------------------------------------
+    def doc(doc_id, text):
+        return json.dumps({"doc_id": doc_id, "lang": "en", "text": text})
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    sink_dir = str(tmp_path / "sink")
+    q = front_door_stream(
+        spark,
+        JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        corpus,
+        lexicon,
+        weights,
+        doc_embeddings,
+        evals,
+        sink_dir,
+        str(tmp_path / "chk"),
+        min_tokens=3,
+        min_alpha_ratio=0.3,
+        min_jaccard=0.5,
+        min_logratio=thr,
+    )
+    try:
+        write_batch_file(
+            str(src_dir), "b0.json",
+            [doc(i, texts[i]) for i in (1, 3, 4, 5)],
+        )
+        q.processAllAvailable()
+        write_batch_file(
+            str(src_dir), "b1.json",
+            [doc(i, texts[i]) for i in (6, 7, 8, 9)],  # 9 = exact dup of 1
+        )
+        q.processAllAvailable()
+        got_docs = {
+            r["doc_id"]: r["dsir_logratio"]
+            for r in spark.read.parquet(os.path.join(sink_dir, "docs")).collect()
+        }
+        got_tokens = {
+            (r["doc_id"], r["n_subwords"], r["subwords"])
+            for r in spark.read.parquet(
+                os.path.join(sink_dir, "tokens")
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert set(got_docs) == want_docs
+    for i in want_docs:
+        assert abs(got_docs[i] - scores[i]) < 1e-12
+    assert got_tokens == want_tokens
