@@ -73,58 +73,66 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: rest.  Dicts preserve insertion order; rotate this list each round
 #: so every query gets a driver row within two rounds.
 _PRIORITY: list[str] = [
-    # round-9 rotation (VERDICT r8 item 1): head = the 37 queries
-    # whose newest driver row is r5-vintage (computed from the union
-    # of CORRECTNESS_r01-r08, latest row per query), so CORRECTNESS_r09
-    # leaves zero registry rows predating r6.  Queries NEW or
-    # semantics-changed in r9 follow (no driver row exists for them
-    # at all); r6-r8-fresh rows fall to the natural registry order at
-    # the tail.  A test asserts this list is duplicate-free.
-    # -- r5-vintage (37) --
-    "above_average_customers",
-    "active_parties_union",
-    "ann_cosine_topk",
-    "bpe_token_stats",
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "dedup_exact_documents",
-    "document_fingerprints",
-    "document_scores_pandas",
-    "documents_curation_pipeline",
-    "embedding_l2_norms",
-    "embedding_near_dup_srp",
-    "events_json_props",
-    "events_props_map_keys",
-    "language_id_heuristic",
-    "lineitem_rollup",
-    "multimodal_image_features",
-    "nation_party_setops",
-    "near_dup_clusters",
-    "ngram_jaccard_pairs",
-    "order_status_distinct_customers",
-    "order_status_distinct_customers_approx",
-    "pii_scrub_stats",
-    "pricing_summary",
-    "revenue_by_nation",
-    "salted_brand_revenue",
-    "simhash_fingerprints",
-    "simhash_near_dup_pairs",
-    "small_qty_order_revenue",
-    "sql_region_revenue",
-    "srp_buckets",
-    "stratified_sample_by_lang",
-    "text_quality_scores",
-    "token_stats_by_lang",
-    "top_orders_per_customer",
-    "window_functions_showcase",
-    # -- new or semantics-changed in r9 --
-    "url_dedup_canonical",  # canonical_url port rule now scheme-conditional
-    "orders_dead_letter_split",
-    "ivf_kmeans_codebook",
-    "ann_ivf_trained_topk",
-    "ccnet_perplexity_buckets",
-    "ann_pq_adc_topk",
-    "semantic_decontamination",  # refactored onto the shared operator in r9
+    # round-10 rotation (VERDICT r9 item 9): head = queries NEW in r10
+    # (no driver row exists for them at all), then the 46 queries whose
+    # newest driver row is r6-vintage (computed from the union of
+    # CORRECTNESS_r01-r09, latest row per query) — 50 rows total,
+    # exactly the driver's per-round check budget, so CORRECTNESS_r10
+    # leaves zero registry rows predating r7.  r7-r9-fresh rows fall to
+    # the natural registry order at the tail.  A test asserts this list
+    # is duplicate-free.
+    # -- new in r10 (4) --
+    "pq_trained_codebooks",
+    "ann_pq_trained_topk",
+    "ann_ivfadc_topk",
+    "ccnet_filtered_corpus",
+    # -- r6-vintage (46) --
+    "bigram_counts",
+    "bigram_logprob_scores",
+    "bpe_merge_candidates",
+    "chunk_level_dedup",
+    "corpus_summary_report",
+    "countmin_token_frequencies",
+    "customer_rfm_scores",
+    "decontaminate_bloom_prefilter",
+    "dedup_cluster_weights",
+    "deduped_corpus_best_quality",
+    "doc_containment_pairs",
+    "doc_length_quantiles_by_lang",
+    "document_chunks_udtf",
+    "documents_token_ids",
+    "dominant_part_suppliers",
+    "dup_graph_bfs_hops",
+    "dup_graph_triangle_counts",
+    "embedding_label_centroids",
+    "embedding_near_dup_srp_auto",
+    "event_transition_matrix",
+    "event_value_histogram",
+    "events_variant_props",
+    "gopher_quality_flags",
+    "image_ahash_fingerprints",
+    "important_part_share",
+    "join_size_audit",
+    "leakage_safe_split",
+    "minhash_near_dup_pairs",
+    "mixed_corpus_sample",
+    "nation_trailing_7day_revenue",
+    "part_name_fuzzy_pairs",
+    "product_type_profit",
+    "purchase_error_correlation",
+    "purchase_funnel",
+    "returnflag_priority_mix",
+    "semdedup_keep_decisions",
+    "semdedup_keep_decisions_auto",
+    "source_mixing_weights",
+    "tokenizer_vocab_ids",
+    "top_supplier_per_part",
+    "train_val_test_split",
+    "unigram_logprob_scores",
+    "user_cohort_retention",
+    "user_daily_gapfill",
+    "user_running_distinct_types",
+    "weighted_avg_price_pandas",
 ]
 
 
