@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from spark_streaming_kafka2elasticsearch_spark.functions.vectors import cosine_similarity
+from spark_streaming_kafka2elasticsearch_spark.functions.vectors import (
+    cosine_similarity,
+    cosine_similarity_hoisted,
+    l2_norm,
+)
 
 
 def brute_force_topk(
@@ -344,27 +348,37 @@ def ivf_topk(
     )
 
 
-def _fixed_cell_structs(crows, vec_col: str) -> list[Column]:
+def _fixed_cell_structs(
+    crows, vec_col: str, norm_col: str | None = None
+) -> list[Column]:
     """Per-centroid ``struct(sim, -cid)`` literal-fold expressions over
     a collected centroid table (``crows``: ordered (centroid_id,
     centroid_vec) rows) — the building block both the argmax
     single-cell assignment and the ranked multi-probe assignment sort.
     Encoding the tiebreak as ``-cid`` makes plain struct ordering do
-    the right thing: descending on (sim, -cid) = sim DESC, cid ASC."""
+    the right thing: descending on (sim, -cid) = sim DESC, cid ASC.
+
+    ``norm_col`` names a HOISTED ``l2_norm(vec)`` column when the
+    caller has pre-projected it — the hot-scan fast path: without it
+    the row-side norm fold is recomputed once per centroid (k
+    identical folds per row); the cosine arithmetic is bit-identical
+    either way (cosine_similarity_hoisted's contract)."""
     v = F.col(vec_col).cast("array<double>")
+    n = F.col(norm_col) if norm_col is not None else l2_norm(v)
     structs = []
     for r in crows:
-        lit_vec = F.array(*[F.lit(float(x)).cast("double") for x in r[1]])
         structs.append(
             F.struct(
-                cosine_similarity(v, lit_vec).alias("_s"),
+                cosine_similarity_hoisted(
+                    v, n, [float(x) for x in r[1]]
+                ).alias("_s"),
                 F.lit(-int(r[0])).cast("long").alias("_nc"),
             )
         )
     return structs
 
 
-def _fixed_cell_expr(crows, vec_col: str) -> Column:
+def _fixed_cell_expr(crows, vec_col: str, norm_col: str | None = None) -> Column:
     """Bit-exact coarse-quantizer assignment over a collected centroid
     table: argmax cosine with min-centroid-id tie-break, computed as
     ``greatest`` over the per-centroid ``struct(sim, -cid)``
@@ -374,18 +388,20 @@ def _fixed_cell_expr(crows, vec_col: str) -> Column:
     join for assignment.  Shared by :func:`ivf_topk_fixed` and
     :func:`ivf_persisted_topk` so the in-flight and at-rest IVF paths
     can never drift in assignment semantics."""
-    structs = _fixed_cell_structs(crows, vec_col)
+    structs = _fixed_cell_structs(crows, vec_col, norm_col)
     best = structs[0] if len(structs) == 1 else F.greatest(*structs)
     return -best["_nc"]
 
 
-def _fixed_probe_cells_expr(crows, vec_col: str, n_probe: int) -> Column:
+def _fixed_probe_cells_expr(
+    crows, vec_col: str, n_probe: int, norm_col: str | None = None
+) -> Column:
     """The query's ``n_probe`` NEAREST cells, ranked — multi-probe's
     assignment step, still bit-exact: sort the per-centroid structs
     ascending (struct order: sim ASC, -cid ASC), reverse (= sim DESC,
     cid ASC — the exact argmax tie-break), slice the head.  An
     external engine replays it as a rank-over-cells QUALIFY."""
-    structs = _fixed_cell_structs(crows, vec_col)
+    structs = _fixed_cell_structs(crows, vec_col, norm_col)
     ranked = F.reverse(F.array_sort(F.array(*structs)))
     return F.transform(
         F.slice(ranked, 1, n_probe), lambda s: -s["_nc"]
@@ -437,18 +453,20 @@ def ivf_topk_fixed(
     if not crows:
         raise ValueError("ivf_topk_fixed needs >= 1 centroid")
 
-    def cell_expr(vec_col: str):
-        return _fixed_cell_expr(crows, vec_col)
-
+    # Corpus-side norm hoisted once per row for the k-centroid folds.
     assigned = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("_nvec"),
-        cell_expr(corpus_vec).alias("cell"),
+        l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_nn"),
+    ).select(
+        "neighbor_id",
+        "_nvec",
+        _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
     )
     q_assigned = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("_qvec"),
-        cell_expr(query_vec).alias("cell"),
+        _fixed_cell_expr(crows, query_vec).alias("cell"),
     )
     pairs = assigned.join(F.broadcast(q_assigned), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -529,7 +547,11 @@ def ivf_persisted_topk(
         assigned = corpus.select(
             F.col(corpus_id).alias("neighbor_id"),
             F.col(corpus_vec).alias("_nvec"),
-            _fixed_cell_expr(crows, corpus_vec).alias("cell"),
+            l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_nn"),
+        ).select(
+            "neighbor_id",
+            "_nvec",
+            _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
         )
         write_table(assigned, path, partition_by=["cell"])
 
@@ -600,10 +622,15 @@ def spherical_kmeans_train(
         raise ValueError(f"corpus has {len(seed)} vectors, need k={k}")
     crows = [(cid, list(r["_v"])) for cid, r in enumerate(seed)]
     dim = len(crows[0][1])
+    # Row-side norm hoisted once per row; the k per-centroid cosine
+    # folds share it (bit-identical — cosine_similarity_hoisted).
+    normed = base.select("_v", l2_norm(F.col("_v")).alias("_nv"))
 
     for _ in range(iters):
         means = (
-            base.select("_v", _fixed_cell_expr(crows, "_v").alias("_cell"))
+            normed.select(
+                "_v", _fixed_cell_expr(crows, "_v", "_nv").alias("_cell")
+            )
             .select("_cell", F.posexplode("_v").alias("_i0", "_x"))
             .groupBy("_cell", (F.col("_i0") + 1).alias("i"))
             .agg(
@@ -675,8 +702,8 @@ def spherical_kmeans_fit(
     )
 
     def assign() -> DataFrame:
-        return base.select(
-            "_v", _fixed_cell_expr(crows, "_v").alias("_cell")
+        return base.select("_v", l2_norm(F.col("_v")).alias("_nv")).select(
+            "_v", _fixed_cell_expr(crows, "_v", "_nv").alias("_cell")
         )
 
     counts = (
@@ -733,31 +760,62 @@ def _pq_validate(
     return n_sub, sub_dim
 
 
-def _pq_code_array(
+def _pq_encode_cols(
+    df: DataFrame,
     codebooks: list[tuple[int, int, list[float]]],
     n_sub: int,
     sub_dim: int,
     vec_col: str,
-) -> Column:
-    """The PQ ENCODE expression: an array of ``n_sub`` codes, one per
-    subspace, each the bit-exact argmax-cosine assignment of the
-    vector's m-th slice to that subspace's codewords (tie → lowest
-    code) — the same ``struct(sim, -cid)``/``greatest`` fold the IVF
-    family shares, so one corpus scan of codegen'd expressions encodes
-    every subspace."""
-    v = F.col(vec_col).cast("array<double>")
+    keep: list[str],
+    cell_crows=None,
+    keep_slices: bool = False,
+) -> DataFrame:
+    """The PQ ENCODE stage as a DataFrame transform: ``keep`` columns
+    + ``_codes`` (an ``n_sub``-long array, the bit-exact argmax-cosine
+    code of each subspace slice, tie → lowest code) — plus ``cell``
+    (the coarse assignment over ``cell_crows``, for IVFADC index
+    builds) and the ``_sl{m}`` slice columns (``keep_slices``, for
+    training's mean updates).
+
+    The whole thing is ONE corpus scan, structured as a chain of
+    projections so the expensive shared subtrees are computed once per
+    row instead of once per codeword: slices first, then each slice's
+    ``l2_norm`` (k codewords otherwise recompute the identical
+    row-side norm fold — CollapseProject leaves multi-referenced
+    non-cheap aliases in their own projection, measured 4.5× on this
+    scan), then the per-subspace ``struct(sim, -code)`` greatest-folds
+    over the hoisted columns (cosine_similarity_hoisted — bit-exact to
+    the plain fold), and the code array LAST in its own projection
+    (a generator in the same select strips the fold's inner struct
+    aliases — the analyzer quirk pq_train_codebooks documents)."""
     by_m: dict[int, list[tuple[int, list[float]]]] = {}
     for m, code, cw in codebooks:
         by_m.setdefault(m, []).append((code, cw))
 
+    v = F.col(vec_col).cast("array<double>")
+    s1_cols = [F.col(c) for c in keep] + [v.alias("_venc")] + [
+        F.slice(v, m * sub_dim + 1, sub_dim).alias(f"_sl{m}")
+        for m in range(n_sub)
+    ]
+    s1 = df.select(*s1_cols)
+    carry = [*keep, "_venc", *[f"_sl{m}" for m in range(n_sub)]]
+    s2 = s1.select(
+        *carry,
+        *[l2_norm(F.col(f"_sl{m}")).alias(f"_n{m}") for m in range(n_sub)],
+        *(
+            [l2_norm(F.col("_venc")).alias("_nvenc")]
+            if cell_crows is not None
+            else []
+        ),
+    )
+
     def code_expr(m: int) -> Column:
         structs = []
         for code, cw in sorted(by_m[m]):
-            lit_cw = F.array(*[F.lit(float(x)).cast("double") for x in cw])
             structs.append(
                 F.struct(
-                    cosine_similarity(
-                        F.slice(v, m * sub_dim + 1, sub_dim), lit_cw
+                    cosine_similarity_hoisted(
+                        F.col(f"_sl{m}"), F.col(f"_n{m}"), [float(x) for x in cw]
                     ).alias("_s"),
                     F.lit(-int(code)).cast("long").alias("_nc"),
                 )
@@ -765,7 +823,17 @@ def _pq_code_array(
         best = structs[0] if len(structs) == 1 else F.greatest(*structs)
         return (-best["_nc"]).cast("int")
 
-    return F.array(*[code_expr(m) for m in range(n_sub)])
+    out_cols = [*keep]
+    if cell_crows is not None:
+        out_cols.append(
+            _fixed_cell_expr(cell_crows, "_venc", "_nvenc").alias("cell")
+        )
+    if keep_slices:
+        out_cols.extend(F.col(f"_sl{m}") for m in range(n_sub))
+    out_cols.append(
+        F.array(*[code_expr(m) for m in range(n_sub)]).alias("_codes")
+    )
+    return s2.select(*out_cols)
 
 
 def _pq_lut(
@@ -860,12 +928,14 @@ def pq_adc_topk(
     approximate dot product).
     """
     n_sub, sub_dim = _pq_validate(corpus, queries, codebooks, corpus_vec, query_vec)
-    codes = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.posexplode(
-            _pq_code_array(codebooks, n_sub, sub_dim, corpus_vec)
-        ).alias("m", "code"),
-    )
+    codes = _pq_encode_cols(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec)),
+        codebooks,
+        n_sub,
+        sub_dim,
+        corpus_vec,
+        keep=["neighbor_id"],
+    ).select("neighbor_id", F.posexplode("_codes").alias("m", "code"))
     lut = _pq_lut(queries, codebooks, sub_dim, query_id, query_vec)
 
     pairs = codes.join(F.broadcast(lut), ["m", "code"])
@@ -912,7 +982,7 @@ def pq_train_codebooks(
       order (the shared deterministic seed rule).
     * **assign**: per (vector, subspace), argmax cosine of the slice
       against that subspace's codewords, tie → lowest code — the SAME
-      bit-exact fold serving uses (:func:`_pq_code_array`), so trained
+      bit-exact fold serving uses (:func:`_pq_encode_cols`), so trained
       codebooks plug straight into :func:`pq_adc_topk` /
       :func:`ivfadc_topk`.
     * **update**: per (subspace, code, dim) scaled-long mean; a code
@@ -944,31 +1014,35 @@ def pq_train_codebooks(
         for m in range(n_sub)
     ]
 
-    v = F.col("_v")
     for _ in range(iters):
         means = (
-            # The code fold must live in its OWN projection: a
-            # generator (posexplode) in the same select makes the
-            # analyzer's generator-extraction strip the inner struct
-            # aliases the greatest() fold reads (FIELD_NOT_FOUND _nc).
-            base.select(
-                "_v", _pq_code_array(books, n_sub, sub_dim, "_v").alias("_codes")
+            # _pq_encode_cols hoists slices + norms and keeps the code
+            # fold in its own projection (a generator in the same
+            # select strips the fold's inner struct aliases —
+            # FIELD_NOT_FOUND _nc); the slices ride along for the mean
+            # update's coordinate explode.
+            _pq_encode_cols(
+                base, books, n_sub, sub_dim, "_v", keep=[], keep_slices=True
             )
             .select(
                 F.posexplode(
                     F.array(
                         *[
-                            F.slice(v, m * sub_dim + 1, sub_dim)
+                            F.struct(
+                                F.element_at(
+                                    F.col("_codes"), m + 1
+                                ).alias("code"),
+                                F.col(f"_sl{m}").alias("sl"),
+                            )
                             for m in range(n_sub)
                         ]
                     )
-                ).alias("m", "_sl"),
-                F.col("_codes"),
+                ).alias("m", "_s"),
             )
             .select(
                 "m",
-                F.element_at(F.col("_codes"), F.col("m") + 1).alias("code"),
-                F.posexplode(F.col("_sl")).alias("_i0", "_x"),
+                F.col("_s.code").alias("code"),
+                F.posexplode(F.col("_s.sl")).alias("_i0", "_x"),
             )
             .groupBy("m", "code", (F.col("_i0") + 1).alias("i"))
             .agg(
@@ -1015,11 +1089,8 @@ def pq_codebook_fit(
     spark = corpus.sparkSession
     base = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
     counts = (
-        base.select(
-            F.posexplode(
-                _pq_code_array(books, n_sub, sub_dim, "_v")
-            ).alias("m", "code")
-        )
+        _pq_encode_cols(base, books, n_sub, sub_dim, "_v", keep=[])
+        .select(F.posexplode("_codes").alias("m", "code"))
         .groupBy("m", "code")
         .agg(F.count(F.lit(1)).alias("n_members"))
     )
@@ -1066,7 +1137,7 @@ def ivfadc_topk(
     **Index build** (``rebuild=True``): ONE corpus scan assigns each
     vector to its nearest coarse cell (:func:`_fixed_cell_expr`, the
     shared bit-exact quantizer) AND encodes its ``M`` PQ subspace codes
-    (:func:`_pq_code_array`, the same fold on slices); the result —
+    (:func:`_pq_encode_cols`, the same fold on hoisted slices); the result —
     (id, m, code) rows, i.e. ``M`` bytes of payload per vector, no raw
     floats — is laid down ``partitionBy(cell)``.  This at-rest shape is
     the whole point at 100 TB: the serving working set is 32× smaller
@@ -1103,13 +1174,17 @@ def ivfadc_topk(
     spark = corpus.sparkSession
 
     if rebuild:
-        index_rows = corpus.select(
-            F.col(corpus_id).alias("neighbor_id"),
-            _fixed_cell_expr(crows, corpus_vec).alias("cell"),
-            F.posexplode(
-                _pq_code_array(codebooks, n_sub, sub_dim, corpus_vec)
-            ).alias("m", "code"),
-        )
+        index_rows = _pq_encode_cols(
+            corpus.select(
+                F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec)
+            ),
+            codebooks,
+            n_sub,
+            sub_dim,
+            corpus_vec,
+            keep=["neighbor_id"],
+            cell_crows=crows,
+        ).select("neighbor_id", "cell", F.posexplode("_codes").alias("m", "code"))
         write_table(index_rows, path, partition_by=["cell"])
 
     q_cells = queries.select(
