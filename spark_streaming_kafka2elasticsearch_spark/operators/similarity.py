@@ -19,8 +19,8 @@ from pyspark.sql import functions as F
 
 from spark_streaming_kafka2elasticsearch_spark.functions.vectors import (
     cosine_similarity,
-    cosine_similarity_hoisted,
     l2_norm,
+    literal_l2_norm,
 )
 
 
@@ -348,48 +348,64 @@ def ivf_topk(
     )
 
 
-def _fixed_cell_structs(
+def _codeword_struct_array(
     crows, vec_col: str, norm_col: str | None = None
-) -> list[Column]:
-    """Per-centroid ``struct(sim, -cid)`` literal-fold expressions over
-    a collected centroid table (``crows``: ordered (centroid_id,
-    centroid_vec) rows) — the building block both the argmax
-    single-cell assignment and the ranked multi-probe assignment sort.
-    Encoding the tiebreak as ``-cid`` makes plain struct ordering do
-    the right thing: descending on (sim, -cid) = sim DESC, cid ASC.
+) -> Column:
+    """``array<struct(_s, _nc)>`` of per-codeword ``(cosine, -code)``
+    over a collected (code, vec) table (``crows``: ordered rows) — the
+    building block both the argmax single-cell assignment
+    (``array_max``) and the ranked multi-probe sort share.  Encoding
+    the tiebreak as ``-code`` makes plain struct ordering do the right
+    thing: descending on (sim, -code) = sim DESC, code ASC.
+
+    Built as ONE ``transform`` lambda over literal matrices instead of
+    ``k`` inlined per-codeword fold copies: the cosine arithmetic per
+    element is bit-identical to ``cosine_similarity_hoisted`` (same
+    zip_with/aggregate dot fold, same hoisted row norm × precomputed
+    codeword norm, same zero guard), but the expression tree is O(1)
+    in ``k`` rather than O(k) — measured 2-7× on the PQ/IVF entries,
+    which previously paid seconds of py4j tree construction AND a
+    multi-MB codegen unit per scan (task binaries shrank 2 MB → kB).
 
     ``norm_col`` names a HOISTED ``l2_norm(vec)`` column when the
     caller has pre-projected it — the hot-scan fast path: without it
-    the row-side norm fold is recomputed once per centroid (k
-    identical folds per row); the cosine arithmetic is bit-identical
-    either way (cosine_similarity_hoisted's contract)."""
+    the row-side norm fold is recomputed once per codeword."""
     v = F.col(vec_col).cast("array<double>")
     n = F.col(norm_col) if norm_col is not None else l2_norm(v)
-    structs = []
-    for r in crows:
-        structs.append(
-            F.struct(
-                cosine_similarity_hoisted(
-                    v, n, [float(x) for x in r[1]]
-                ).alias("_s"),
-                F.lit(-int(r[0])).cast("long").alias("_nc"),
-            )
+    # One py4j call per codeword row for the matrix, one each for the
+    # code/norm vectors (the F.lit(list) rule).
+    mat = F.array(*[F.lit([float(x) for x in r[1]]) for r in crows])
+    neg_codes = F.lit([-int(r[0]) for r in crows])
+    norms = F.lit(
+        [literal_l2_norm([float(x) for x in r[1]]) for r in crows]
+    )
+
+    def per_codeword(cw: Column, i: Column) -> Column:
+        prods = F.zip_with(
+            v, cw, lambda x, y: x.cast("double") * y.cast("double")
         )
-    return structs
+        dot = F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+        denom = n * F.element_at(norms, i + 1)
+        sim = F.when(denom == 0, F.lit(None)).otherwise(dot / denom)
+        return F.struct(
+            sim.alias("_s"),
+            F.element_at(neg_codes, i + 1).cast("long").alias("_nc"),
+        )
+
+    return F.transform(mat, per_codeword)
 
 
 def _fixed_cell_expr(crows, vec_col: str, norm_col: str | None = None) -> Column:
     """Bit-exact coarse-quantizer assignment over a collected centroid
     table: argmax cosine with min-centroid-id tie-break, computed as
-    ``greatest`` over the per-centroid ``struct(sim, -cid)``
+    ``array_max`` over the per-centroid ``struct(sim, -cid)``
     literal-fold expressions.  The centroid table is small BY CONTRACT
     (the same "collect the small side" rule as
     brute_force_topk_pandas), so the corpus is scanned ONCE with no
     join for assignment.  Shared by :func:`ivf_topk_fixed` and
     :func:`ivf_persisted_topk` so the in-flight and at-rest IVF paths
     can never drift in assignment semantics."""
-    structs = _fixed_cell_structs(crows, vec_col, norm_col)
-    best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+    best = F.array_max(_codeword_struct_array(crows, vec_col, norm_col))
     return -best["_nc"]
 
 
@@ -401,8 +417,8 @@ def _fixed_probe_cells_expr(
     ascending (struct order: sim ASC, -cid ASC), reverse (= sim DESC,
     cid ASC — the exact argmax tie-break), slice the head.  An
     external engine replays it as a rank-over-cells QUALIFY."""
-    structs = _fixed_cell_structs(crows, vec_col, norm_col)
-    ranked = F.reverse(F.array_sort(F.array(*structs)))
+    arr = _codeword_struct_array(crows, vec_col, norm_col)
+    ranked = F.reverse(F.array_sort(arr))
     return F.transform(
         F.slice(ranked, 1, n_probe), lambda s: -s["_nc"]
     )
@@ -810,18 +826,10 @@ def _pq_encode_cols(
     )
 
     def code_expr(m: int) -> Column:
-        structs = []
-        for code, cw in sorted(by_m[m]):
-            structs.append(
-                F.struct(
-                    cosine_similarity_hoisted(
-                        F.col(f"_sl{m}"), F.col(f"_n{m}"), [float(x) for x in cw]
-                    ).alias("_s"),
-                    F.lit(-int(code)).cast("long").alias("_nc"),
-                )
-            )
-        best = structs[0] if len(structs) == 1 else F.greatest(*structs)
-        return (-best["_nc"]).cast("int")
+        arr = _codeword_struct_array(
+            sorted(by_m[m]), f"_sl{m}", f"_n{m}"
+        )
+        return (-F.array_max(arr)["_nc"]).cast("int")
 
     out_cols = [*keep]
     if cell_crows is not None:
@@ -1226,6 +1234,358 @@ def ivfadc_topk(
             "rank",
             "adc_score_scaled",
         )
+    )
+
+
+def ivfadc_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probe: int = 2,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    rebuild: bool = True,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVFADC on RESIDUALS — the full Jégou et al. (PAMI 2011, §III.C)
+    construction: PQ encodes ``x − centroid(cell(x))`` instead of the
+    raw vector, so each subspace codebook only has to cover the spread
+    WITHIN a coarse cell rather than the whole space, and the ADC
+    score decomposes exactly as
+
+        ⟨q, x⟩ ≈ ⟨q, c_cell⟩ + Σ_m LUT[m, code_m]
+
+    — the per-(query, cell) centroid term plus the per-(query, m,
+    code) residual-codeword term, both scaled-long integer sums, so
+    the composed score has no float accumulation order anywhere.
+    This is the fidelity upgrade over :func:`ivfadc_topk` (which
+    encodes raw vectors): residual magnitudes are a fraction of raw
+    magnitudes, so the same 8 bytes/vector quantize a much smaller
+    ball.  SCALE_PROBE's recall section records the measured uplift.
+
+    **Residual codewords** (deterministic seed rule, oracle-pinned):
+    subspace ``m``'s codewords are the ``m``-th residual slices of the
+    ``n_codes`` smallest-``corpus_id`` vectors, codes 0..n−1 in id
+    order — computed IN SPARK with the exact serving expressions
+    (assignment fold + literal-centroid subtraction) and collected
+    (n_codes·dim doubles — small BY CONTRACT), so seed residuals and
+    corpus residuals can never drift.
+
+    **Index build** (``rebuild=True``): ONE corpus scan computes the
+    coarse cell (shared bit-exact quantizer, hoisted norm), subtracts
+    that cell's literal centroid (``zip_with`` — one codegen'd
+    elementwise pass), PQ-encodes the residual slices
+    (:func:`_pq_encode_cols`' hoisted-norm folds), and lays down
+    (id, m, code) ``partitionBy(cell)`` — 8 bytes/vector at rest,
+    directory-pruned per query, same as :func:`ivfadc_topk`.
+
+    **Serve**: probe set via :func:`_fixed_probe_cells_expr`, probed
+    directories only (PartitionFilters), broadcast residual LUT
+    (:func:`_pq_lut`), broadcast per-(query, cell) centroid dot —
+    integer partial-agg reduce, local pre-rank, global top-k.
+
+    Centroid ids must be contiguous 0..k−1 (the ``element_at``
+    residual lookup indexes the literal centroid array by cell id) —
+    asserted, since a violation would silently subtract the WRONG
+    centroid.  Output: ``(query_id, cell, neighbor_id, rank,
+    adc_score_scaled)``.
+    """
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import write_table
+
+    crows = (
+        centroids.select(centroid_id, centroid_vec)
+        .orderBy(centroid_id)
+        .collect()
+    )
+    if [int(r[0]) for r in crows] != list(range(len(crows))):
+        raise ValueError("ivfadc_residual_topk needs contiguous 0..k-1 centroid ids")
+    dim = n_sub * sub_dim
+    spark = corpus.sparkSession
+
+    # Literal centroid matrix, indexed by cell id (one py4j call per
+    # centroid row — the F.lit(list) rule).
+    cent_arr = F.array(*[F.lit([float(x) for x in r[1]]) for r in crows])
+
+    def with_residual(df: DataFrame, id_alias: str) -> DataFrame:
+        """(id, cell, _r): assignment + literal-centroid subtraction —
+        chained projections, still one scan when composed."""
+        v = F.col(corpus_vec).cast("array<double>")
+        s1 = df.select(
+            F.col(corpus_id).alias(id_alias),
+            v.alias("_venc"),
+            l2_norm(v).alias("_nvenc"),
+        )
+        s2 = s1.select(
+            id_alias,
+            "_venc",
+            _fixed_cell_expr(crows, "_venc", "_nvenc").alias("cell"),
+        )
+        return s2.select(
+            id_alias,
+            "cell",
+            F.zip_with(
+                F.col("_venc"),
+                F.element_at(cent_arr, F.col("cell").cast("int") + 1),
+                lambda x, y: x - y,
+            ).alias("_r"),
+        )
+
+    # Seed residual codebooks: residuals of the n_codes smallest ids,
+    # via the SAME expressions the corpus encode uses.
+    seed = (
+        with_residual(corpus, "vec_id")
+        .orderBy("vec_id")
+        .limit(n_codes)
+        .collect()
+    )
+    if len(seed) < n_codes:
+        raise ValueError(f"corpus has < n_codes={n_codes} rows")
+    if len(seed[0]["_r"]) != dim:
+        # Misdimensioned vectors would otherwise SILENTLY encode over
+        # truncated slices (the _pq_validate rule).
+        raise ValueError(
+            f"vector length {len(seed[0]['_r'])} != n_sub*sub_dim = {dim}"
+        )
+    books = [
+        (m, j, [float(x) for x in r["_r"][m * sub_dim : (m + 1) * sub_dim]])
+        for j, r in enumerate(seed)
+        for m in range(n_sub)
+    ]
+
+    if rebuild:
+        index_rows = _pq_encode_cols(
+            with_residual(corpus, "neighbor_id"),
+            books,
+            n_sub,
+            sub_dim,
+            "_r",
+            keep=["neighbor_id", "cell"],
+        ).select(
+            "neighbor_id", "cell", F.posexplode("_codes").alias("m", "code")
+        )
+        write_table(index_rows, path, partition_by=["cell"])
+
+    qv = F.col(query_vec).cast("array<double>")
+    q_cells = queries.select(
+        F.col(query_id).alias("query_id"),
+        qv.alias("_qv"),
+        F.explode(
+            _fixed_probe_cells_expr(crows, query_vec, n_probe)
+        ).alias("cell"),
+    ).select(
+        "query_id",
+        "cell",
+        # ⟨q, c_cell⟩ as a scaled-long integer sum — the same per-term
+        # round(·1e9) discipline as the LUT, so the composed ADC score
+        # stays pure-integer.
+        F.aggregate(
+            F.transform(
+                F.zip_with(
+                    F.col("_qv"),
+                    F.element_at(cent_arr, F.col("cell").cast("int") + 1),
+                    lambda x, y: x * y,
+                ),
+                lambda p: F.round(p * 1e9, 0).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_qcd"),
+    )
+    probe_cells = sorted(
+        int(r["cell"]) for r in q_cells.select("cell").distinct().collect()
+    )
+    index = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    lut = _pq_lut(queries, books, sub_dim, query_id, query_vec)
+
+    pairs = index.join(F.broadcast(q_cells.select("query_id", "cell")), "cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scores = (
+        pairs.join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "cell", "neighbor_id")
+        .agg(F.sum("_d").alias("_rsum"))
+        .join(F.broadcast(q_cells), ["query_id", "cell"])
+        .select(
+            "query_id",
+            "cell",
+            "neighbor_id",
+            (F.col("_qcd") + F.col("_rsum")).alias("adc_score_scaled"),
+        )
+    )
+    part_w = Window.partitionBy(F.spark_partition_id(), "query_id").orderBy(
+        F.desc("adc_score_scaled"), F.asc("neighbor_id")
+    )
+    local = scores.withColumn("_lr", F.row_number().over(part_w)).filter(
+        F.col("_lr") <= k
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score_scaled"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("cell").cast("long").alias("cell"),
+            "neighbor_id",
+            "rank",
+            "adc_score_scaled",
+        )
+    )
+
+
+def sq8_minmax(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) of an embedding column — the training
+    half of 8-bit scalar quantization.  ONE corpus scan with ``2·d``
+    partial-aggregating min/max expressions collapsing to a single
+    row (no exchange of data rows, constant-size result regardless of
+    corpus size); min/max are order-insensitive so the values are
+    exact on any engine.  The d-row result is collected (small BY
+    CONTRACT — the collect-the-small-side rule)."""
+    probe = corpus.select(F.size(F.col(vec_col)).alias("_n")).limit(1).collect()
+    if not probe:
+        raise ValueError("sq8_minmax needs a non-empty corpus")
+    dim = int(probe[0]["_n"])
+    v = F.col(vec_col).cast("array<double>")
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.min(F.element_at(v, i + 1)).alias(f"_mn{i}"))
+        aggs.append(F.max(F.element_at(v, i + 1)).alias(f"_mx{i}"))
+    row = corpus.agg(*aggs).collect()[0]
+    return [(float(row[f"_mn{i}"]), float(row[f"_mx{i}"])) for i in range(dim)]
+
+
+def sq8_quantize(
+    corpus: DataFrame,
+    minmax: list[tuple[float, float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """8-bit scalar quantization (the SQ8 of FAISS/Milvus — uniform
+    per-dimension grids): ``code_i = round((x_i − min_i) / (max_i −
+    min_i) · 255)`` ∈ [0, 255], plus the dequantized reconstruction
+    ``min_i + code_i · (max_i − min_i)/255`` serving reads back.  The
+    at-rest payload is ``d`` bytes/vector — 4× smaller than float32
+    with NO codebook to train or ship, the standard first rung of the
+    quantization ladder (below it PQ at ~32×, above it raw floats).
+
+    Zero-shuffle: one codegen'd ``transform`` per row over literal
+    min/step arrays (one py4j call each — the F.lit(list) rule).
+    Every value is replayable: round-half-up on doubles in both
+    engines, identical expression shape ``(x − mn) / (mx − mn) · 255``
+    and ``mn + code · step`` with ``step = (mx − mn)/255`` — IEEE ops
+    in the same order.  A constant dimension (max == min) codes to 0
+    and dequantizes to exactly ``min_i``.
+
+    Output: ``(id, codes array<int>, dequant array<double>)``."""
+    mins = [mn for mn, _ in minmax]
+    # ranges and steps are SEPARATE literals (not step·255 ≈ range —
+    # that round-trip is not IEEE-exact): the code divides by the
+    # range, the dequant multiplies by range/255, and both engines
+    # compute each from the same (min, max) in the same op order.
+    ranges = [(mx - mn) for mn, mx in minmax]
+    steps = [(r / 255.0) if r > 0 else 0.0 for r in ranges]
+    lit_mins = F.lit(mins)
+    lit_ranges = F.lit(ranges)
+    lit_steps = F.lit(steps)
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.transform(
+        v,
+        lambda x, i: F.when(
+            F.element_at(lit_ranges, i + 1) == 0.0, F.lit(0)
+        )
+        .otherwise(
+            F.round(
+                (x - F.element_at(lit_mins, i + 1))
+                / F.element_at(lit_ranges, i + 1)
+                * 255.0,
+                0,
+            ).cast("int")
+        ),
+    )
+    out = corpus.select(F.col(id_col), codes.alias("codes"))
+    dequant = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(lit_mins, i + 1)
+        + c.cast("double") * F.element_at(lit_steps, i + 1),
+    )
+    return out.select(id_col, "codes", dequant.alias("dequant"))
+
+
+def sq8_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    minmax: list[tuple[float, float]] | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Brute-force top-k over the SQ8-dequantized corpus — asymmetric
+    distance for scalar quantization: queries stay full-precision,
+    candidates are reconstructed from their 1-byte-per-dim codes, and
+    the score is the scaled-long integer dot ``Σ round(q_i ·
+    dequant_i · 1e9)`` (the PQ-LUT discipline), so ranking is exact
+    integer arithmetic and any engine replays it bit-for-bit.
+
+    Scale shape: fit is one constant-exchange min/max scan
+    (:func:`sq8_minmax`, skippable by passing ``minmax``), then ONE
+    corpus scan quantizes + scores against the BROADCAST query side —
+    same single-scan/broadcast/local-pre-rank shape as
+    :func:`brute_force_topk`, but the candidate payload the scan
+    carries at rest is codes (d bytes) instead of float32 (4d): the
+    4× rung of the quantization ladder, no codebook, recall far above
+    PQ because the grid is per-dimension.  Output: ``(query_id,
+    neighbor_id, rank, adc_score_scaled)``."""
+    mm = minmax if minmax is not None else sq8_minmax(corpus, corpus_vec)
+    deq = sq8_quantize(corpus, mm, id_col=corpus_id, vec_col=corpus_vec).select(
+        F.col(corpus_id).alias("neighbor_id"), "dequant"
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("_qv"),
+    )
+    pairs = deq.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scores = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.transform(
+                F.zip_with(F.col("_qv"), F.col("dequant"), lambda x, y: x * y),
+                lambda p: F.round(p * 1e9, 0).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("adc_score_scaled"),
+    )
+    part_w = Window.partitionBy(F.spark_partition_id(), "query_id").orderBy(
+        F.desc("adc_score_scaled"), F.asc("neighbor_id")
+    )
+    local = scores.withColumn("_lr", F.row_number().over(part_w)).filter(
+        F.col("_lr") <= k
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score_scaled"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_score_scaled")
     )
 
 

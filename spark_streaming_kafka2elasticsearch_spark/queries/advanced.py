@@ -940,6 +940,218 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfadc_topk(emb, queries, cents, codebooks, path, k=10, n_probe=2)
 
 
+def _ivfadc_residual_oracle(
+    k: int, iters: int, n_probe: int, topk: int, n_sub: int, sub_dim: int,
+    n_codes: int,
+) -> str:
+    """Residual-IVFADC oracle: the trained-coarse k-means chain, then
+    per-vector residuals (v − assigned centroid), residual codewords
+    from the n_codes smallest-id vectors' residual slices, the PQ
+    encode/LUT chains ON RESIDUALS, and the decomposed integer score
+    ⟨q, c_cell⟩ + Σ LUT — every term the scaled-long discipline."""
+    dim = n_sub * sub_dim
+    return (
+        _kmeans_ctes(k, iters)
+        + f""",
+asn_v AS (
+  SELECT e.vec_id, e.v, c.cid AS cell
+  FROM e CROSS JOIN c{iters} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+res AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(generate_series(1, {dim}), i -> a.v[i] - c.cv[i]) AS r
+  FROM asn_v a JOIN c{iters} c ON c.cid = a.cell),
+rseed AS (SELECT vec_id, r FROM res ORDER BY vec_id LIMIT {n_codes}),
+pms AS (SELECT unnest(generate_series(0, {n_sub - 1})) AS m),
+rcb AS (
+  SELECT pms.m,
+         CAST(row_number() OVER (PARTITION BY pms.m ORDER BY s.vec_id) - 1
+              AS BIGINT) AS code,
+         s.r[pms.m * {sub_dim} + 1 : pms.m * {sub_dim} + {sub_dim}] AS cw
+  FROM rseed s CROSS JOIN pms),
+enc AS (
+  SELECT r.vec_id, c.m, c.code
+  FROM res r CROSS JOIN rcb c
+  QUALIFY row_number() OVER (PARTITION BY r.vec_id, c.m
+    ORDER BY list_cosine_similarity(
+               r.r[c.m * {sub_dim} + 1 : c.m * {sub_dim} + {sub_dim}], c.cw)
+               DESC,
+             c.code ASC) = 1),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 8),
+qc AS (
+  SELECT e.vec_id AS query_id, c.cid AS cell
+  FROM e CROSS JOIN c{iters} c
+  WHERE e.vec_id < 8
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) <= {n_probe}),
+qcd AS (
+  SELECT qc.query_id, qc.cell,
+         CAST(list_sum(list_transform(generate_series(1, {dim}),
+           i -> CAST(round(q.v[i] * c.cv[i] * 1e9) AS BIGINT)))
+           AS BIGINT) AS qd
+  FROM qc JOIN q USING (query_id) JOIN c{iters} c ON c.cid = qc.cell),
+lut AS (
+  SELECT q.query_id, c.m, c.code,
+         CAST(list_sum(list_transform(generate_series(1, {sub_dim}),
+           i -> CAST(round(q.v[c.m * {sub_dim} + i] * c.cw[i] * 1e9)
+                     AS BIGINT)))
+           AS BIGINT) AS d
+  FROM q CROSS JOIN rcb c),
+cand AS (
+  SELECT qc.query_id, a.cell, a.vec_id AS neighbor_id
+  FROM qc JOIN asn_v a USING (cell)
+  WHERE a.vec_id <> qc.query_id),
+rsum AS (
+  SELECT cand.query_id, cand.cell, cand.neighbor_id,
+         CAST(sum(l.d) AS BIGINT) AS rs
+  FROM cand
+  JOIN enc en ON en.vec_id = cand.neighbor_id
+  JOIN lut l ON l.query_id = cand.query_id
+            AND l.m = en.m AND l.code = en.code
+  GROUP BY cand.query_id, cand.cell, cand.neighbor_id),
+scores AS (
+  SELECT r.query_id, r.cell, r.neighbor_id,
+         CAST(qcd.qd + r.rs AS BIGINT) AS adc_score_scaled
+  FROM rsum r
+  JOIN qcd ON qcd.query_id = r.query_id AND qcd.cell = r.cell)
+SELECT query_id, cell, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY adc_score_scaled DESC, neighbor_id ASC) AS INT) AS rank,
+       adc_score_scaled
+FROM scores
+QUALIFY rank <= {topk}"""
+    )
+
+
+@register(
+    "ann_ivfadc_residual_topk",
+    oracle=_ivfadc_residual_oracle(
+        k=8, iters=2, n_probe=2, topk=10, n_sub=8, sub_dim=8, n_codes=16
+    ),
+)
+def ann_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC (operators/similarity.ivfadc_residual_topk) —
+    the full Jégou et al. construction upgrading ann_ivfadc_topk: PQ
+    encodes each vector's RESIDUAL to its trained coarse centroid, and
+    the ADC score decomposes exactly into the per-(query, cell)
+    centroid dot plus the residual LUT sum, both scaled-long integers.
+    Trained coarse cells (k=8, 2 rounds, session cache), residual
+    codewords seeded from the 16 smallest-id vectors' residual slices,
+    2-probe, top-10.  DuckDB replays training, residuals, encode,
+    LUT, and the decomposed score bit-for-bit."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivfadc_residual_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    cents = _centroid_df(
+        spark, _trained_codebook_rows(spark, sf_dir, k=8, iters=2)
+    )
+    path = _ivf_index_dir("ann_ivfadc_residual_topk", sf_dir)
+    return ivfadc_residual_topk(
+        emb, queries, cents, path, k=10, n_probe=2, n_codes=16
+    )
+
+
+#: Shared SQ8 oracle CTE chain: per-dim exact min/max, the uniform
+#: 255-step grid code, and the dequantized reconstruction — identical
+#: (min, max, range, range/255) op order to the Spark literals.
+_SQ8_CTES = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM e))) AS i),
+mm AS (
+  SELECT d.i, min(e.v[d.i]) AS mn, max(e.v[d.i]) AS mx
+  FROM e CROSS JOIN dims d GROUP BY d.i),
+enc AS (
+  SELECT e.vec_id, m.i,
+         CASE WHEN m.mx - m.mn = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(round((e.v[m.i] - m.mn) / (m.mx - m.mn) * 255)
+                        AS BIGINT) END AS code
+  FROM e CROSS JOIN mm m),
+deq AS (
+  SELECT en.vec_id, en.i, en.code,
+         m.mn + CAST(en.code AS DOUBLE)
+              * (CASE WHEN m.mx - m.mn = 0 THEN 0.0
+                      ELSE (m.mx - m.mn) / 255.0 END) AS dequant
+  FROM enc en JOIN mm m ON m.i = en.i)
+"""
+
+
+@register(
+    "sq8_embedding_codes",
+    oracle=_SQ8_CTES
+    + """
+SELECT vec_id, CAST(i AS BIGINT) AS i, code, dequant FROM deq
+""",
+)
+def sq8_embedding_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization of the embeddings table
+    (operators/similarity.sq8_minmax + sq8_quantize): per-dim exact
+    min/max fit (one constant-exchange scan), then the zero-shuffle
+    code + dequant projection.  Emitted flat (vec_id, i, code,
+    dequant) so the driver value-checks every code AND every
+    reconstructed coordinate."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        sq8_minmax,
+        sq8_quantize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mm = sq8_minmax(emb)
+    sq = sq8_quantize(emb, mm)
+    return sq.select(
+        "vec_id",
+        F.posexplode(F.arrays_zip("codes", "dequant")).alias("_i0", "_z"),
+    ).select(
+        "vec_id",
+        (F.col("_i0") + 1).cast("long").alias("i"),
+        F.col("_z.codes").cast("long").alias("code"),
+        F.col("_z.dequant").alias("dequant"),
+    )
+
+
+@register(
+    "ann_sq8_adc_topk",
+    oracle=_SQ8_CTES
+    + """,
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 8),
+scores AS (
+  SELECT q.query_id, d.vec_id AS neighbor_id,
+         CAST(sum(CAST(round(q.v[d.i] * d.dequant * 1e9) AS BIGINT))
+              AS BIGINT) AS adc_score_scaled
+  FROM deq d CROSS JOIN q
+  WHERE d.vec_id <> q.query_id
+  GROUP BY q.query_id, d.vec_id)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY adc_score_scaled DESC, neighbor_id ASC) AS INT) AS rank,
+       adc_score_scaled
+FROM scores
+QUALIFY rank <= 10
+""",
+)
+def ann_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 asymmetric top-k (operators/similarity.sq8_adc_topk):
+    full-precision queries against the 1-byte-per-dim dequantized
+    corpus, scored with the scaled-long integer dot — the 4×
+    quantization rung below PQ's 32×, no codebook.  Queries =
+    vec_id < 8, top-10; DuckDB replays fit, encode, dequant, and the
+    integer ranking bit-for-bit."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        sq8_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    return sq8_adc_topk(emb, queries, k=10)
+
+
 @register(
     "lang_token_stats_pandas",
     # Exact cross-engine medians WITHOUT rounding: token counts are

@@ -200,6 +200,52 @@ def main() -> None:
         )
         print(json.dumps(ivfadc_rows[-1]), file=sys.stderr)
     pq_section["ivfadc_trained_coarse_trained_pq_curve"] = ivfadc_rows
+
+    # Residual IVFADC (r10): same trained coarse cells and probe dial,
+    # but PQ encodes x − centroid(cell) and the score decomposes into
+    # ⟨q, c_cell⟩ + Σ LUT — the Jégou construction's fidelity uplift
+    # over raw-vector codes at the same 8-byte budget.
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivfadc_residual_topk,
+    )
+
+    res_rows = []
+    res_path = path + "_resadc"
+    shutil.rmtree(res_path, ignore_errors=True)
+    for i, n_probe in enumerate(PROBES):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfadc_residual_topk(
+                emb, queries, trained_cents, res_path,
+                k=K, n_probe=n_probe, rebuild=(i == 0),
+            ).collect()
+        }
+        release_cached_state(spark)
+        res_rows.append(
+            {
+                "n_probe": n_probe,
+                "cells_scanned_frac": round(n_probe / N_CELLS, 4),
+                "recall_at_10": round(len(got & exact) / len(exact), 4),
+            }
+        )
+        print(json.dumps(res_rows[-1]), file=sys.stderr)
+    pq_section["ivfadc_residual_trained_coarse_curve"] = res_rows
+    shutil.rmtree(res_path, ignore_errors=True)
+
+    # SQ8 (r10): the 4x rung — full-scan ADC over per-dim 1-byte
+    # scalar codes, no codebook.  Scored by dot like the PQ rows, so
+    # the number is comparable within this section.
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        sq8_adc_topk,
+    )
+
+    got_sq8 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sq8_adc_topk(emb, queries, k=K).collect()
+    }
+    pq_section["sq8_adc_full_scan_recall"] = round(
+        len(got_sq8 & exact) / len(exact), 4
+    )
     pq_section["note"] = (
         "full-probe IVFADC recall equals the ADC-trained full-scan "
         "recall by construction (same scores, candidate set = whole "
