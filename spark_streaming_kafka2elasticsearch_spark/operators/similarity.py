@@ -1182,6 +1182,15 @@ def ivfadc_topk(
     spark = corpus.sparkSession
 
     if rebuild:
+        # The index row is (id, cell, codes ARRAY) — one row per
+        # vector, codes unexploded.  Two reasons: it IS the 8-bytes-
+        # per-vector at-rest shape (exploding at rest would 8× the row
+        # count), and keeping the generator OUT of the encode plan
+        # sidesteps an ExtractGenerator/CollapseProject interplay that
+        # re-inlines the whole per-subspace fold tree ~5× (measured
+        # 353 KB plans and a 100× slower build on the residual
+        # variant).  Serving explodes from the parquet LEAF, where the
+        # expression tree beneath the generator is trivial.
         index_rows = _pq_encode_cols(
             corpus.select(
                 F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec)
@@ -1192,7 +1201,7 @@ def ivfadc_topk(
             corpus_vec,
             keep=["neighbor_id"],
             cell_crows=crows,
-        ).select("neighbor_id", "cell", F.posexplode("_codes").alias("m", "code"))
+        ).select("neighbor_id", "cell", "_codes")
         write_table(index_rows, path, partition_by=["cell"])
 
     q_cells = queries.select(
@@ -1204,7 +1213,13 @@ def ivfadc_topk(
     probe_cells = sorted(
         int(r["cell"]) for r in q_cells.select("cell").distinct().collect()
     )
-    index = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    index = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .select(
+            "neighbor_id", "cell", F.posexplode("_codes").alias("m", "code")
+        )
+    )
     lut = _pq_lut(queries, codebooks, sub_dim, query_id, query_vec)
 
     pairs = index.join(F.broadcast(q_cells), "cell")
@@ -1362,6 +1377,11 @@ def ivfadc_residual_topk(
     ]
 
     if rebuild:
+        # Codes stay an ARRAY in the index row (see ivfadc_topk: the
+        # at-rest shape, and the generator must stay out of the encode
+        # plan — with the chained residual projections beneath it the
+        # ExtractGenerator/CollapseProject interplay re-inlined the
+        # fold tree into a 353 KB plan and a ~100 s build).
         index_rows = _pq_encode_cols(
             with_residual(corpus, "neighbor_id"),
             books,
@@ -1369,9 +1389,7 @@ def ivfadc_residual_topk(
             sub_dim,
             "_r",
             keep=["neighbor_id", "cell"],
-        ).select(
-            "neighbor_id", "cell", F.posexplode("_codes").alias("m", "code")
-        )
+        ).select("neighbor_id", "cell", "_codes")
         write_table(index_rows, path, partition_by=["cell"])
 
     qv = F.col(query_vec).cast("array<double>")
@@ -1403,7 +1421,13 @@ def ivfadc_residual_topk(
     probe_cells = sorted(
         int(r["cell"]) for r in q_cells.select("cell").distinct().collect()
     )
-    index = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    index = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .select(
+            "neighbor_id", "cell", F.posexplode("_codes").alias("m", "code")
+        )
+    )
     lut = _pq_lut(queries, books, sub_dim, query_id, query_vec)
 
     pairs = index.join(F.broadcast(q_cells.select("query_id", "cell")), "cell")
