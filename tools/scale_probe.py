@@ -193,6 +193,28 @@ PROBE_QUERIES = [
     # r9: CCNet bucketing — bigram-LM silhouette + 1024-bin histogram
     # + straddle-only windows; must track bigram_logprob_scores' alpha
     "ccnet_perplexity_buckets",
+    # r10: trained PQ — all M subspaces fit jointly, each round ONE
+    # corpus scan reducing to an M·K·sub_dim cell table (constant-size
+    # exchange); alpha ~ 1
+    "pq_trained_codebooks",
+    # r10: trained-PQ ADC serving — one encode scan + broadcast LUT +
+    # integer partial-agg reduce; alpha ~ 1
+    "ann_pq_trained_topk",
+    # r10: composed IVFADC build+serve — encode/layout corpus-linear,
+    # serve reads n_probe/|cells| of an 8-bytes-per-vector index
+    "ann_ivfadc_topk",
+    # r10: residual IVFADC — same envelope plus the residual
+    # subtraction projection; alpha ~ 1
+    "ann_ivfadc_residual_topk",
+    # r10: SQ8 — constant-exchange min/max fit + one zero-shuffle
+    # quantize projection; alpha ~ 1
+    "sq8_embedding_codes",
+    # r10: SQ8 ADC top-k — fit + one broadcast-query corpus scan with
+    # local pre-rank; alpha ~ 1
+    "ann_sq8_adc_topk",
+    # r10: CCNet end-to-end selection (buckets -> keep/sample/drop per
+    # language) — must track ccnet_perplexity_buckets' alpha
+    "ccnet_filtered_corpus",
 ]
 
 
