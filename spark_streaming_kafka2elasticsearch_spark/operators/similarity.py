@@ -610,6 +610,51 @@ def ivf_persisted_topk(
     )
 
 
+def ivf_persisted_append(
+    new_corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> None:
+    """Incremental maintenance for the persisted IVF layout — the
+    daily-increment primitive :func:`ivf_persisted_topk`'s build phase
+    implies at 100 TB: a new embedding shard is assigned with the SAME
+    bit-exact quantizer (same centroid table, same
+    :func:`_fixed_cell_expr` fold, so an appended vector lands in
+    exactly the cell a full rebuild would give it) and APPENDED into
+    the existing cell-partitioned directories — cost is one scan of
+    the DELTA, never a rebuild of the index.  Hive-layout parquet
+    append only adds files inside each touched ``cell=`` directory, so
+    concurrent serving keeps its partition pruning and, by assignment
+    determinism, ``serve(base ∪ delta)`` is byte-identical to a full
+    rebuild over the union — which is exactly what the oracle of any
+    consuming query checks (the same argument
+    overwrite_partitions makes for the date-partitioned fact tables).
+    """
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import write_table
+
+    crows = (
+        centroids.select(centroid_id, centroid_vec)
+        .orderBy(centroid_id)
+        .collect()
+    )
+    if not crows:
+        raise ValueError("ivf_persisted_append needs >= 1 centroid")
+    assigned = new_corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("_nvec"),
+        l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_nn"),
+    ).select(
+        "neighbor_id",
+        "_nvec",
+        _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
+    )
+    write_table(assigned, path, partition_by=["cell"], mode="append")
+
+
 def spherical_kmeans_train(
     corpus: DataFrame,
     k: int = 8,

@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "ann_ivfadc_residual_topk",
     "sq8_embedding_codes",
     "ann_sq8_adc_topk",
+    "ann_ivf_append_serve",
     # -- r6-vintage (46) --
     "bigram_counts",
     "bigram_logprob_scores",

@@ -380,6 +380,67 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_append_serve",
+    # Identical oracle to ann_ivf_persisted_topk: by assignment
+    # determinism, serve(base-build ∪ delta-append) over the SAME
+    # quantizer IS a full-corpus serve — the oracle checks exactly
+    # that incremental-maintenance contract.
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+asn AS (
+  SELECT e.vec_id, c.cid AS cell, e.v
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, cell FROM asn WHERE vec_id < 8)
+SELECT q.query_id, q.cell, a.vec_id AS neighbor_id
+FROM q JOIN asn a USING (cell)
+WHERE a.vec_id <> q.query_id
+QUALIFY row_number() OVER (
+  PARTITION BY q.query_id
+  ORDER BY list_cosine_similarity(q.qv, a.v) DESC, a.vec_id ASC) <= 10
+""",
+)
+def ann_ivf_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance end-to-end
+    (operators/similarity.ivf_persisted_append): the base shard
+    (vec_id % 5 != 0) builds the cell-partitioned layout, the delta
+    shard (vec_id % 5 == 0, ~20% — the daily embedding increment)
+    is assigned with the SAME quantizer and APPENDED into the
+    existing cell directories, and serving runs over the combined
+    layout WITHOUT any rebuild.  The oracle is the full-corpus
+    persisted-IVF serve: hash-equality proves the incremental path is
+    byte-identical to rebuilding over the union — the contract that
+    makes append-only maintenance safe at 100 TB (one delta scan per
+    increment, partition pruning preserved)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_append,
+        ivf_persisted_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    path = _ivf_index_dir("ann_ivf_append_serve", sf_dir)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    # Build on the base shard only (the index write inside the call is
+    # eager; the returned serve plan is discarded), then append the
+    # delta.  Overwrite-then-append keeps reruns idempotent.
+    ivf_persisted_topk(base, queries.limit(0), cents, path, k=10)
+    ivf_persisted_append(delta, cents, path)
+    return ivf_persisted_topk(
+        emb, queries, cents, path, k=10, rebuild=False
+    )
+
+
+@register(
     "ann_ivf_persisted_topk_multiprobe",
     # Multi-probe over the SAME persisted layout: each query unions its
     # 2 nearest cells' members before the top-10.  Assignment ranking

@@ -552,6 +552,45 @@ def test_sq8_roundtrip_and_dot_recall(emb, queries):
     assert _recall(got, exact_dot) >= 0.9
 
 
+def test_ivf_append_equals_rebuild(emb, queries, tmp_path):
+    """Incremental index maintenance contract: building on a base
+    shard then APPENDING the delta shard must serve byte-identically
+    to one full rebuild over the union — same quantizer ⇒ same cell
+    per vector ⇒ same directories, so the only difference is file
+    layout, which serving must not observe."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_append,
+        ivf_persisted_topk,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    full_path = str(tmp_path / "ivf_full")
+    inc_path = str(tmp_path / "ivf_inc")
+    full = {
+        (r["query_id"], r["cell"], r["neighbor_id"])
+        for r in ivf_persisted_topk(
+            emb, queries, cents, full_path, k=10
+        ).collect()
+    }
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    ivf_persisted_topk(base, queries.limit(0), cents, inc_path, k=10)
+    ivf_persisted_append(delta, cents, inc_path)
+    inc = {
+        (r["query_id"], r["cell"], r["neighbor_id"])
+        for r in ivf_persisted_topk(
+            emb, queries, cents, inc_path, k=10, rebuild=False
+        ).collect()
+    }
+    assert inc == full
+    # the layout really is base+delta, not a rebuild: row count matches
+    spark = emb.sparkSession
+    assert spark.read.parquet(inc_path).count() == emb.count()
+
+
 def test_ivfadc_validates_inputs(emb, queries, tmp_path):
     """Empty centroid table and misdimensioned codebooks must raise
     up front, never silently truncate (the _pq_validate contract)."""
