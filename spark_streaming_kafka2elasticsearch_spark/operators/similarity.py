@@ -1658,6 +1658,154 @@ def sq8_adc_topk(
     )
 
 
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    minmax: list[tuple[float, float]] | None = None,
+    rebuild: bool = True,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-SQ — the middle rung of the quantized-serving matrix this
+    engine now spans (IVF × {raw floats, SQ8 at 4×, PQ/residual-PQ at
+    32×}, FAISS's ``IVF…,SQ8`` index): the coarse quantizer partition-
+    prunes candidates exactly like :func:`ivf_persisted_topk`, but the
+    at-rest payload per vector is ``d`` one-byte SQ8 codes instead of
+    ``4d`` float32 — 4× less index I/O per probed cell at recall that
+    is near-lossless (SCALE_PROBE: SQ8 full-scan recall 0.98 where PQ
+    pays ~0.17 on this corpus).
+
+    **Build** (``rebuild=True``): one corpus scan assigns the cell
+    (shared bit-exact quantizer, hoisted norm) AND quantizes the
+    vector (:func:`sq8_quantize`'s grid — one codegen'd transform over
+    literal min/range arrays); (id, cell, codes) lands
+    ``partitionBy(cell)``.  **Serve**: probe set via
+    :func:`_fixed_probe_cells_expr`, probed directories only
+    (PartitionFilters), dequantize on the fly from the literal
+    (min, step) grids, and score with the scaled-long integer dot
+    (``Σ round(q_i · dequant_i · 1e9)`` — the PQ-LUT discipline), so
+    ranking is exact integer arithmetic and replayable.  The min/max
+    fit is one constant-exchange scan over the FULL corpus
+    (skippable via ``minmax``).  Output: ``(query_id, cell,
+    neighbor_id, rank, adc_score_scaled)``."""
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import write_table
+
+    crows = (
+        centroids.select(centroid_id, centroid_vec)
+        .orderBy(centroid_id)
+        .collect()
+    )
+    if not crows:
+        raise ValueError("ivf_sq8_topk needs >= 1 centroid")
+    mm = minmax if minmax is not None else sq8_minmax(corpus, corpus_vec)
+    mins = [mn for mn, _ in mm]
+    steps = [((mx - mn) / 255.0) if mx > mn else 0.0 for mn, mx in mm]
+    spark = corpus.sparkSession
+
+    if rebuild:
+        assigned = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("_nvec"),
+            l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_nn"),
+        ).select(
+            "neighbor_id",
+            "_nvec",
+            _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
+        )
+        # cell + codes in one folded projection (a join of separately
+        # computed halves would shuffle both sides for nothing); the
+        # code grid is sq8_quantize's expression verbatim.
+        lit_mins = F.lit(mins)
+        lit_ranges = F.lit([(mx - mn) for mn, mx in mm])
+        v = F.col("_nvec").cast("array<double>")
+        codes = F.transform(
+            v,
+            lambda x, i: F.when(
+                F.element_at(lit_ranges, i + 1) == 0.0, F.lit(0)
+            ).otherwise(
+                F.round(
+                    (x - F.element_at(lit_mins, i + 1))
+                    / F.element_at(lit_ranges, i + 1)
+                    * 255.0,
+                    0,
+                ).cast("int")
+            ),
+        )
+        index_rows = assigned.select(
+            "neighbor_id", "cell", codes.alias("codes")
+        )
+        write_table(index_rows, path, partition_by=["cell"])
+
+    qv = F.col(query_vec).cast("array<double>")
+    q_cells = queries.select(
+        F.col(query_id).alias("query_id"),
+        qv.alias("_qv"),
+        F.explode(
+            _fixed_probe_cells_expr(crows, query_vec, n_probe)
+        ).alias("cell"),
+    )
+    probe_cells = sorted(
+        int(r["cell"]) for r in q_cells.select("cell").distinct().collect()
+    )
+    lit_mins = F.lit(mins)
+    lit_steps = F.lit(steps)
+    dequant = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(lit_mins, i + 1)
+        + c.cast("double") * F.element_at(lit_steps, i + 1),
+    )
+    index = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .select("neighbor_id", "cell", dequant.alias("_dq"))
+    )
+    pairs = index.join(F.broadcast(q_cells), "cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scores = pairs.select(
+        "query_id",
+        "cell",
+        "neighbor_id",
+        F.aggregate(
+            F.transform(
+                F.zip_with(F.col("_qv"), F.col("_dq"), lambda x, y: x * y),
+                lambda p: F.round(p * 1e9, 0).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("adc_score_scaled"),
+    )
+    part_w = Window.partitionBy(F.spark_partition_id(), "query_id").orderBy(
+        F.desc("adc_score_scaled"), F.asc("neighbor_id")
+    )
+    local = scores.withColumn("_lr", F.row_number().over(part_w)).filter(
+        F.col("_lr") <= k
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score_scaled"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("cell").cast("long").alias("cell"),
+            "neighbor_id",
+            "rank",
+            "adc_score_scaled",
+        )
+    )
+
+
 def semantic_contamination_flags(
     corpus: DataFrame,
     evals: DataFrame,

@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "sq8_embedding_codes",
     "ann_sq8_adc_topk",
     "ann_ivf_append_serve",
+    "ann_ivf_sq8_topk",
     # -- r6-vintage (46) --
     "bigram_counts",
     "bigram_logprob_scores",

@@ -1118,6 +1118,88 @@ def ann_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_sq8_oracle(k: int, iters: int, n_probe: int, topk: int) -> str:
+    """IVF-SQ8 oracle: the trained-coarse k-means chain supplies cells
+    and the per-query probe set; the SQ8 chain supplies codes and
+    dequantized reconstructions; candidates are restricted to probed
+    cells and scored with the scaled-long integer dot."""
+    return (
+        _kmeans_ctes(k, iters)
+        + f""",
+asn_v AS (
+  SELECT e.vec_id, e.v, c.cid AS cell
+  FROM e CROSS JOIN c{iters} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+mm AS (
+  SELECT d.i, min(e.v[d.i]) AS mn, max(e.v[d.i]) AS mx
+  FROM e CROSS JOIN dims d GROUP BY d.i),
+deq AS (
+  SELECT e.vec_id, m.i,
+         (CASE WHEN m.mx - m.mn = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(round((e.v[m.i] - m.mn) / (m.mx - m.mn) * 255)
+                         AS BIGINT) END) AS code,
+         m.mn + CAST((CASE WHEN m.mx - m.mn = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(round((e.v[m.i] - m.mn) / (m.mx - m.mn) * 255)
+                         AS BIGINT) END) AS DOUBLE)
+              * (CASE WHEN m.mx - m.mn = 0 THEN 0.0
+                      ELSE (m.mx - m.mn) / 255.0 END) AS dequant
+  FROM e CROSS JOIN mm m),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 8),
+qc AS (
+  SELECT e.vec_id AS query_id, c.cid AS cell
+  FROM e CROSS JOIN c{iters} c
+  WHERE e.vec_id < 8
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) <= {n_probe}),
+cand AS (
+  SELECT qc.query_id, a.cell, a.vec_id AS neighbor_id
+  FROM qc JOIN asn_v a USING (cell)
+  WHERE a.vec_id <> qc.query_id),
+scores AS (
+  SELECT cand.query_id, cand.cell, cand.neighbor_id,
+         CAST(sum(CAST(round(q.v[d.i] * d.dequant * 1e9) AS BIGINT))
+              AS BIGINT) AS adc_score_scaled
+  FROM cand
+  JOIN deq d ON d.vec_id = cand.neighbor_id
+  JOIN q ON q.query_id = cand.query_id
+  GROUP BY cand.query_id, cand.cell, cand.neighbor_id)
+SELECT query_id, cell, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY adc_score_scaled DESC, neighbor_id ASC) AS INT) AS rank,
+       adc_score_scaled
+FROM scores
+QUALIFY rank <= {topk}"""
+    )
+
+
+@register(
+    "ann_ivf_sq8_topk",
+    oracle=_ivf_sq8_oracle(k=8, iters=2, n_probe=2, topk=10),
+)
+def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 (operators/similarity.ivf_sq8_topk) — the 4× rung of
+    the quantized-serving matrix: trained coarse cells (k=8, 2 rounds,
+    session cache) partition-prune candidates, which are scored from
+    their d one-byte SQ8 codes via on-the-fly dequantization and the
+    scaled-long integer dot.  2-probe, top-10.  DuckDB replays
+    training, probe sets, the SQ8 grid, dequantization, and the
+    integer ranking bit-for-bit."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_sq8_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    cents = _centroid_df(
+        spark, _trained_codebook_rows(spark, sf_dir, k=8, iters=2)
+    )
+    path = _ivf_index_dir("ann_ivf_sq8_topk", sf_dir)
+    return ivf_sq8_topk(emb, queries, cents, path, k=10, n_probe=2)
+
+
 #: Shared SQ8 oracle CTE chain: per-dim exact min/max, the uniform
 #: 255-step grid code, and the dequantized reconstruction — identical
 #: (min, max, range, range/255) op order to the Spark literals.

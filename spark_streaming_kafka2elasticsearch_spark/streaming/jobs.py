@@ -395,6 +395,52 @@ def semantic_decon_gate_stream(
     )
 
 
+def ivf_index_maintenance_stream(
+    spark: SparkSession,
+    source: Any,
+    centroids: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming IVF index maintenance — the continuous-ingestion twin
+    of the batch ``ivf_persisted_append``: each arriving micro-batch
+    of embedding vectors is assigned to its coarse cell with the SAME
+    bit-exact quantizer the batch build uses and APPENDED into the
+    existing cell-partitioned layout, so a serving query sees new
+    vectors within one trigger interval and, by assignment
+    determinism, the stream-maintained index is row-identical to a
+    batch rebuild over everything ingested so far (pinned in
+    tests/test_streaming.py).
+
+    Shape: ``foreachBatch`` calling the batch operator per micro-batch
+    (streaming = batch by construction, the gate-family rule).  The
+    centroid table is collected once at setup — maintenance must NOT
+    retrain the quantizer, or appended vectors would land in different
+    cells than the base build (the codebook is versioned separately;
+    re-clustering is a rebuild, not maintenance).  Parquet append is
+    at-least-once under retry; route through the keyed-upsert sink
+    for exactly-once.
+
+    Returns the started StreamingQuery (caller stops it)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_append,
+    )
+
+    cents = centroids.localCheckpoint(eager=True)
+    parsed = _parse_vec_stream(spark, source)
+
+    def append(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ivf_persisted_append(batch, cents, index_path)
+
+    return (
+        parsed.writeStream.foreachBatch(append)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def front_door_stream(
     spark: SparkSession,
     source: Any,

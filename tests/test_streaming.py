@@ -1889,6 +1889,79 @@ def test_semantic_decon_gate_stream_matches_batch_operator(spark, tmp_path):
     assert got == want_kept
 
 
+def test_ivf_index_maintenance_stream_equals_batch_rebuild(spark, tmp_path):
+    """Streaming IVF index maintenance: micro-batches of vectors are
+    cell-assigned with the batch quantizer and appended into the
+    persisted layout; after >= 2 batches the stream-maintained index
+    must serve byte-identically to a full batch rebuild over base ∪
+    everything ingested (assignment determinism — the same contract
+    ivf_persisted_append's batch test pins, here across triggers)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_topk,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        ivf_index_maintenance_stream,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    d1 = [(int(r["vec_id"]), list(r["embedding"]))
+          for r in emb.filter(F.col("vec_id") % 3 == 1).collect()]
+    d2 = [(int(r["vec_id"]), list(r["embedding"]))
+          for r in emb.filter(F.col("vec_id") % 3 == 2).collect()]
+
+    inc_path = str(tmp_path / "ivf_stream")
+    ivf_persisted_topk(base, queries.limit(0), cents, inc_path, k=10)
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    q = ivf_index_maintenance_stream(
+        spark,
+        JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        cents,
+        inc_path,
+        str(tmp_path / "chk"),
+    )
+
+    def vec(vec_id, embv):
+        return json.dumps({"vec_id": vec_id, "embedding": embv})
+
+    try:
+        write_batch_file(str(src_dir), "b0.json", [vec(*r) for r in d1])
+        q.processAllAvailable()
+        write_batch_file(str(src_dir), "b1.json", [vec(*r) for r in d2])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        (r["query_id"], r["cell"], r["neighbor_id"])
+        for r in ivf_persisted_topk(
+            emb, queries, cents, inc_path, k=10, rebuild=False
+        ).collect()
+    }
+    full = {
+        (r["query_id"], r["cell"], r["neighbor_id"])
+        for r in ivf_persisted_topk(
+            emb, queries, cents, str(tmp_path / "ivf_full"), k=10
+        ).collect()
+    }
+    assert streamed == full
+    assert spark.read.parquet(inc_path).count() == emb.count()
+
+
 def test_front_door_stream_chains_all_five_gates(spark, tmp_path):
     """INTEGRATION of the whole crawl front door (VERDICT r9 item 7):
     quality + exact-dup + near-dup + DSIR + semantic + tokenize
