@@ -81,9 +81,9 @@ _PRIORITY: list[str] = [
     # leaves zero registry rows predating r7.  r7-r9-fresh rows fall to
     # the natural registry order at the tail.  A test asserts this list
     # is duplicate-free.
-    # -- new in r10 (7) --
-    # NOTE: 7 new + 46 r6-vintage = 53 > the ~50-row driver budget, so
-    # the last ~3 r6-vintage entries below may age one more round —
+    # -- new in r10 (9) --
+    # NOTE: 9 new + 46 r6-vintage = 55 > the ~50-row driver budget, so
+    # the last ~5 r6-vintage entries below may age one more round —
     # new-query coverage outranks rotation freshness when they clash.
     "pq_trained_codebooks",
     "ann_pq_trained_topk",

@@ -215,6 +215,12 @@ PROBE_QUERIES = [
     # r10: CCNet end-to-end selection (buckets -> keep/sample/drop per
     # language) — must track ccnet_perplexity_buckets' alpha
     "ccnet_filtered_corpus",
+    # r10: incremental index maintenance — base build + delta append +
+    # serve; every leg corpus-linear or pruned, alpha ~ 1
+    "ann_ivf_append_serve",
+    # r10: IVF-SQ8 — trained coarse probe x on-the-fly dequant scoring
+    # over 1-byte codes; build linear, serve reads n_probe/|cells|
+    "ann_ivf_sq8_topk",
 ]
 
 
