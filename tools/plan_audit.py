@@ -37,10 +37,34 @@ def main() -> int:
             out[name] = {"error": str(exc)[:200]}
         release_cached_state(spark)
     n_cart = [n for n, m in out.items() if m.get("has_cartesian")]
+    # Intentional cartesians, each documented small-by-contract: the
+    # PQ-ADC lookup table IS a cross product by construction —
+    # |queries| × (M·K codewords), both sides driver-literal or
+    # query-set-small (8 × 128 = 1,024 rows here), executed as a
+    # BroadcastNestedLoopJoin.  Jégou et al.'s ADC has no equi-key to
+    # join on; flagging it would push the code toward a fake constant
+    # join key that silences the detector without changing the work.
+    # Anything NOT in this list is an accidental cartesian and stays a
+    # hard flag.
+    allowed_cart = {
+        "ann_pq_adc_topk",
+        "ann_pq_trained_topk",
+        "ann_ivfadc_topk",
+        "ann_ivfadc_residual_topk",
+    }
+    unexpected = [n for n in n_cart if n not in allowed_cart]
     summary = {
         "n_queries": len(out),
         "n_with_cartesian": len(n_cart),
         "cartesian_queries": n_cart,
+        "allowed_cartesians": sorted(set(n_cart) & allowed_cart),
+        "allowed_cartesian_reason": (
+            "PQ-ADC LUT build: queries x (M*K) codewords cross product "
+            "by construction, both sides small by contract (8 x 128 "
+            "rows), broadcast"
+        ),
+        "n_with_unexpected_cartesian": len(unexpected),
+        "unexpected_cartesian_queries": unexpected,
         "total_exchanges": sum(m.get("n_exchanges", 0) for m in out.values()),
         "total_broadcast_joins": sum(
             m.get("n_broadcast_joins", 0) for m in out.values()
