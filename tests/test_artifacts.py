@@ -1,0 +1,241 @@
+"""At-rest quantizer artifacts (VERDICT r10 item 1).
+
+The contract under test: an ANN index directory is the COMPLETE unit
+of deployment — trained coarse centroids, PQ codebooks, and SQ8 grids
+are persisted under ``<index>/_quantizer/`` at build time, and a
+FRESH serving session (no process-memory cache) answers queries
+byte-identically from the at-rest artifacts without retraining.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+
+
+def _cents(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# artifact store primitives
+# ---------------------------------------------------------------------------
+
+
+def test_artifact_roundtrip_and_fingerprint_staleness(tmp_path):
+    from spark_streaming_kafka2elasticsearch_spark.operators.artifacts import (
+        data_fingerprint,
+        load_centroids,
+        load_pq_codebooks,
+        load_sq8_minmax,
+        save_centroids,
+        save_pq_codebooks,
+        save_sq8_minmax,
+    )
+
+    src = tmp_path / "corpus.parquet"
+    src.write_bytes(b"x" * 128)
+    fp = data_fingerprint(str(src))
+    idx = str(tmp_path / "index")
+
+    crows = [(0, [1.0, 2.0]), (1, [3.0, 4.5])]
+    books = [(0, 0, [0.5, -0.5]), (0, 1, [1.5, 2.5]), (1, 0, [0.0, 9.0])]
+    mm = [(-1.0, 1.0), (0.0, 2.5)]
+    save_centroids(idx, crows, fingerprint=fp)
+    save_pq_codebooks(idx, books, fingerprint=fp)
+    save_sq8_minmax(idx, mm, fingerprint=fp)
+
+    assert load_centroids(idx, expected_fingerprint=fp) == crows
+    assert load_pq_codebooks(idx, expected_fingerprint=fp) == books
+    assert load_sq8_minmax(idx, expected_fingerprint=fp) == mm
+    # no expectation -> loads whatever is there
+    assert load_centroids(idx) == crows
+    # artifacts hide under an underscore dir (Spark skips it on read)
+    assert os.path.isdir(os.path.join(idx, "_quantizer"))
+
+    # regenerate the corpus -> fingerprint changes -> artifact is stale
+    src.write_bytes(b"y" * 256)
+    fp2 = data_fingerprint(str(src))
+    assert fp2 != fp
+    assert load_centroids(idx, expected_fingerprint=fp2) is None
+    assert load_pq_codebooks(idx, expected_fingerprint=fp2) is None
+    assert load_sq8_minmax(idx, expected_fingerprint=fp2) is None
+    # absent artifact -> None (not an exception)
+    assert load_centroids(str(tmp_path / "nowhere")) is None
+
+
+# ---------------------------------------------------------------------------
+# operators: build writes the quantizer, a fresh serve loads it
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_persisted_serves_from_at_rest_centroids(spark, tmp_path):
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_topk,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    built = _rows(ivf_persisted_topk(emb, _queries(emb), _cents(emb), path, k=5))
+    # fresh session: no centroid table supplied at all
+    served = _rows(
+        ivf_persisted_topk(emb, _queries(emb), None, path, k=5, rebuild=False)
+    )
+    assert built == served
+    # the index read must NOT see the _quantizer dir as data
+    assert set(spark.read.parquet(path).columns) == {
+        "neighbor_id",
+        "_nvec",
+        "cell",
+    }
+    # rebuild without a quantizer is a contract violation, not a guess
+    with pytest.raises(ValueError, match="explicit centroid"):
+        ivf_persisted_topk(emb, _queries(emb), None, path, k=5, rebuild=True)
+
+
+def test_ivfadc_and_residual_serve_from_at_rest_artifacts(spark, tmp_path):
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivfadc_residual_topk,
+        ivfadc_topk,
+    )
+
+    emb = _emb(spark)
+    seed = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", F.col("embedding").alias("v"))
+        .collect()
+    )
+    books = [
+        (m, int(r["vec_id"]), list(r["v"][m * 8 : (m + 1) * 8]))
+        for r in seed
+        for m in range(8)
+    ]
+
+    path = str(tmp_path / "ivfadc")
+    built = _rows(
+        ivfadc_topk(emb, _queries(emb), _cents(emb), books, path, k=5, n_probe=2)
+    )
+    served = _rows(
+        ivfadc_topk(
+            emb, _queries(emb), None, None, path, k=5, n_probe=2, rebuild=False
+        )
+    )
+    assert built == served
+
+    rpath = str(tmp_path / "ivfadc_res")
+    rbuilt = _rows(
+        ivfadc_residual_topk(
+            emb, _queries(emb), _cents(emb), rpath, k=5, n_probe=2, n_codes=16
+        )
+    )
+    rserved = _rows(
+        ivfadc_residual_topk(
+            emb, _queries(emb), None, rpath, k=5, n_probe=2, n_codes=16,
+            rebuild=False,
+        )
+    )
+    assert rbuilt == rserved
+
+
+def test_ivf_sq8_serves_from_at_rest_grid(spark, tmp_path):
+    from spark_streaming_kafka2elasticsearch_spark.operators import similarity as sim
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivfsq8")
+    built = _rows(
+        sim.ivf_sq8_topk(emb, _queries(emb), _cents(emb), path, k=5, n_probe=2)
+    )
+    # a pure serve must not re-fit the grid (that is a full corpus scan)
+    orig = sim.sq8_minmax
+    sim.sq8_minmax = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("refit on serve")
+    )
+    try:
+        served = _rows(
+            sim.ivf_sq8_topk(
+                emb, _queries(emb), None, path, k=5, n_probe=2, rebuild=False
+            )
+        )
+    finally:
+        sim.sq8_minmax = orig
+    assert built == served
+
+
+def test_stale_fingerprint_refuses_to_serve(spark, tmp_path):
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_topk,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    ivf_persisted_topk(
+        emb, _queries(emb), _cents(emb), path, k=5, fingerprint="fp-build"
+    )
+    # same fingerprint serves; a different one refuses
+    ivf_persisted_topk(
+        emb, _queries(emb), None, path, k=5, rebuild=False,
+        fingerprint="fp-build",
+    ).collect()
+    with pytest.raises(ValueError, match="stale"):
+        ivf_persisted_topk(
+            emb, _queries(emb), None, path, k=5, rebuild=False,
+            fingerprint="fp-moved",
+        )
+
+
+# ---------------------------------------------------------------------------
+# registered queries: a FRESH session serves the trained quantizers
+# from rest — no retraining (the r10 verdict's done-criterion)
+# ---------------------------------------------------------------------------
+
+
+def test_trained_queries_serve_from_rest_in_fresh_session(spark):
+    import spark_streaming_kafka2elasticsearch_spark.operators.similarity as sim
+    import spark_streaming_kafka2elasticsearch_spark.queries.advanced as adv
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+    q = all_queries()
+    names = ["ann_ivf_trained_topk", "ann_pq_trained_topk", "ann_ivf_sq8_topk"]
+    first = {n: _rows(q[n](spark, SF_DIR)) for n in names}
+
+    # simulate a restarted serving session: process caches gone, and
+    # training entry points booby-trapped to prove nothing retrains
+    adv._CODEBOOK_CACHE.clear()
+    adv._PQ_CACHE.clear()
+    orig_km, orig_pq = sim.spherical_kmeans_train, sim.pq_train_codebooks
+
+    def _no_retrain(*a, **k):
+        raise AssertionError("fresh session retrained instead of loading")
+
+    sim.spherical_kmeans_train = _no_retrain
+    sim.pq_train_codebooks = _no_retrain
+    try:
+        second = {n: _rows(q[n](spark, SF_DIR)) for n in names}
+    finally:
+        sim.spherical_kmeans_train = orig_km
+        sim.pq_train_codebooks = orig_pq
+    assert first == second
