@@ -1355,6 +1355,94 @@ def ivfadc_topk(
     )
 
 
+def ivfadc_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame | None,
+    codebooks: list[tuple[int, int, list[float]]] | None,
+    path: str,
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    rebuild: bool = True,
+    exclude_self: bool = True,
+    fingerprint: str | None = None,
+) -> DataFrame:
+    """Two-stage IVFADC serving with an exact re-rank — FAISS's
+    ``RefineFlat`` stage (VERDICT r10 item 2): PQ recall on this corpus
+    is ~0.17 because 8 one-byte codes can't separate close neighbors,
+    but ADC is a strong FILTER — stage 1 shortlists the top
+    ``shortlist`` (R) candidates per query from the quantized index,
+    stage 2 fetches ONLY those candidates' original float vectors and
+    re-ranks them by exact cosine to the final top-``k``.  Recall
+    becomes "is the true neighbor anywhere in the ADC top-R", which is
+    far easier than "is it ADC rank ≤ k" (measured uplift on the
+    SCALE_PROBE ``ivf_recall`` curve).
+
+    Scale shape: stage 1 is :func:`ivfadc_topk` unchanged (probed
+    directories only, 8-byte codes, integer ADC).  Stage 2's candidate
+    set is |queries|·R rows — small BY CONTRACT — so it broadcasts
+    into ONE scan of the raw corpus (the flat-vector fetch; at rest
+    you'd co-partition the float table by the same cells to prune that
+    scan too), and the exact cosine + per-query top-k is the
+    brute-force tail over R candidates instead of the whole corpus.
+    Total: quantized-index scan + one broadcast-filtered float fetch —
+    never an all-pairs float pass.
+
+    Both stages are oracle-replayable (the ADC chain integer-exact,
+    the re-rank via the bit-exact sequential cosine fold), so the
+    composed result is value-checked end to end.  Output:
+    ``(query_id, neighbor_id, rank)`` — rank is the POST-refine rank.
+    """
+    stage1 = ivfadc_topk(
+        corpus,
+        queries,
+        centroids,
+        codebooks,
+        path,
+        k=shortlist,
+        n_probe=n_probe,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        query_id=query_id,
+        query_vec=query_vec,
+        centroid_id=centroid_id,
+        centroid_vec=centroid_vec,
+        rebuild=rebuild,
+        exclude_self=exclude_self,
+        fingerprint=fingerprint,
+    ).select("query_id", "neighbor_id")
+    vecs = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("_nvec"),
+    )
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
+    )
+    pairs = vecs.join(F.broadcast(stage1), "neighbor_id").join(
+        F.broadcast(qv), "query_id"
+    )
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("_qvec"), F.col("_nvec")).alias("_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def ivfadc_residual_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -946,13 +946,15 @@ def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, queries, books, k=10)
 
 
-def _ivfadc_oracle(k: int, iters: int, n_probe: int, topk: int) -> str:
-    """IVFADC oracle: the trained-coarse k-means CTE chain (shared with
-    ivf_kmeans_codebook / ann_ivf_trained_topk) supplies cell
-    assignments and the per-query probe set; the PQ chain (shared with
-    ann_pq_adc_topk) supplies encode/LUT/integer-ADC; candidates are
-    restricted to the probed cells before scoring — the exact
-    composition the Spark operator performs."""
+def _ivfadc_scores_ctes(k: int, iters: int, n_probe: int) -> str:
+    """IVFADC oracle chain up to the ``scores`` relation: the
+    trained-coarse k-means CTE chain (shared with ivf_kmeans_codebook /
+    ann_ivf_trained_topk) supplies cell assignments and the per-query
+    probe set; the PQ chain (shared with ann_pq_adc_topk) supplies
+    encode/LUT/integer-ADC; candidates are restricted to the probed
+    cells before scoring — the exact composition the Spark operator
+    performs.  The plain top-k oracle and the refine oracle append
+    their own tails."""
     return (
         _kmeans_ctes(k, iters)
         + f""",
@@ -996,12 +998,46 @@ scores AS (
   JOIN enc en ON en.vec_id = cand.neighbor_id
   JOIN lut l ON l.query_id = cand.query_id
             AND l.m = en.m AND l.code = en.code
-  GROUP BY cand.query_id, cand.cell, cand.neighbor_id)
+  GROUP BY cand.query_id, cand.cell, cand.neighbor_id)"""
+    )
+
+
+def _ivfadc_oracle(k: int, iters: int, n_probe: int, topk: int) -> str:
+    return (
+        _ivfadc_scores_ctes(k, iters, n_probe)
+        + f"""
 SELECT query_id, cell, neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id
          ORDER BY adc_score_scaled DESC, neighbor_id ASC) AS INT) AS rank,
        adc_score_scaled
 FROM scores
+QUALIFY rank <= {topk}"""
+    )
+
+
+def _ivfadc_refine_oracle(
+    k: int, iters: int, n_probe: int, shortlist: int, topk: int
+) -> str:
+    """Refine-stage oracle: the SAME integer-ADC chain shortlists the
+    top-R per query, then the shortlist joins back to the raw float
+    vectors (``e``) and re-ranks by the bit-exact sequential cosine
+    fold (list_cosine_similarity ≡ Spark's cosine_similarity — the
+    SRP doctrine), tie → lowest neighbor id."""
+    return (
+        _ivfadc_scores_ctes(k, iters, n_probe)
+        + f""",
+short AS (
+  SELECT query_id, neighbor_id
+  FROM scores
+  QUALIFY row_number() OVER (PARTITION BY query_id
+    ORDER BY adc_score_scaled DESC, neighbor_id ASC) <= {shortlist})
+SELECT s.query_id, s.neighbor_id,
+       CAST(row_number() OVER (PARTITION BY s.query_id
+         ORDER BY list_cosine_similarity(q.v, ev.v) DESC,
+                  s.neighbor_id ASC) AS INT) AS rank
+FROM short s
+JOIN q ON q.query_id = s.query_id
+JOIN e ev ON ev.vec_id = s.neighbor_id
 QUALIFY rank <= {topk}"""
     )
 
@@ -1045,6 +1081,54 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     path = _ivf_index_dir("ann_ivfadc_topk", sf_dir)
     return ivfadc_topk(emb, queries, cents, codebooks, path, k=10, n_probe=2)
+
+
+@register(
+    "ann_ivfadc_refine_topk",
+    oracle=_ivfadc_refine_oracle(
+        k=8, iters=2, n_probe=2, shortlist=50, topk=10
+    ),
+)
+def ann_ivfadc_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving — IVFADC shortlist, exact re-rank
+    (operators/similarity.ivfadc_refine_topk; VERDICT r10 item 2 —
+    FAISS's refine stage): the quantized index answers "which 50
+    candidates MIGHT be close" from 8-byte codes in probed directories
+    only, then ONE broadcast-filtered fetch of those candidates' raw
+    float vectors re-ranks them by exact cosine to the served top-10.
+    This is the standard recall fix for PQ's lossy codes (~0.17 recall
+    alone on this corpus; the refine point on SCALE_PROBE's ivf_recall
+    curve records the uplift) at the cost of |queries|·R float reads —
+    still never an all-pairs float pass.  Trained coarse cells (k=8,
+    2 rounds, session cache), fixed first-16-slice PQ codewords,
+    2-probe.  DuckDB replays the integer-ADC shortlist AND the
+    bit-exact cosine re-rank, so the composed two-stage plan is
+    value-checked end to end."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivfadc_refine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    cents = _centroid_df(
+        spark, _trained_codebook_rows(spark, sf_dir, k=8, iters=2)
+    )
+    seed = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    codebooks = [
+        (m, int(r["vec_id"]), list(r["v"][m * 8 : (m + 1) * 8]))
+        for r in seed
+        for m in range(8)
+    ]
+    path = _ivf_index_dir("ann_ivfadc_refine_topk", sf_dir)
+    return ivfadc_refine_topk(
+        emb, queries, cents, codebooks, path, k=10, shortlist=50, n_probe=2
+    )
 
 
 def _ivfadc_residual_oracle(

@@ -683,3 +683,62 @@ def test_spherical_kmeans_empty_cell_keeps_previous_centroid(spark):
     assert cells[1][1] == (3.0, 0) and cells[1][2] == (0.0, 0)
     # centroid 0 converged to the exact mean of both vectors
     assert cells[0][1] == (2.0, 2) and cells[0][2] == (0.0, 2)
+
+
+def test_ivfadc_refine_recovers_quantization_loss(
+    emb, queries, exact_topk, tmp_path
+):
+    """The refine stage must pay for itself (VERDICT r10 item 2): over
+    the SAME index, probes, and code budget, exact-cosine re-ranking
+    of the ADC top-50 shortlist recalls at least as much of the exact
+    top-10 as plain ADC top-10 — and with the full-probe shortlist
+    (every cell probed, R = 50 covers most of this corpus' cells'
+    members) recall must climb strictly above the plain-ADC ceiling,
+    since refine then only errs when the true neighbor misses the ADC
+    top-50 entirely.  Also pins the structural contract: ≤ k rows per
+    query, no self-matches, candidates ⊆ the stage-1 shortlist."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivfadc_refine_topk,
+        ivfadc_topk,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    seed = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    books = [
+        (m, int(r["vec_id"]), list(r["v"][m * 8 : (m + 1) * 8]))
+        for r in seed
+        for m in range(8)
+    ]
+    path = str(tmp_path / "adc_refine")
+    plain = ivfadc_topk(
+        emb, queries, cents, books, path, k=10, n_probe=8
+    ).collect()
+    shortlist = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfadc_topk(
+            emb, queries, cents, books, path, k=50, n_probe=8, rebuild=False
+        ).collect()
+    }
+    refined = ivfadc_refine_topk(
+        emb, queries, cents, books, path, k=10, shortlist=50, n_probe=8,
+        rebuild=False,
+    ).collect()
+
+    from collections import Counter
+
+    counts = Counter(r["query_id"] for r in refined)
+    assert all(c <= 10 for c in counts.values())
+    for r in refined:
+        assert r["neighbor_id"] != r["query_id"]
+        assert (r["query_id"], r["neighbor_id"]) in shortlist
+    r_plain = _recall(plain, exact_topk)
+    r_refined = _recall(refined, exact_topk)
+    assert r_refined >= r_plain, (r_refined, r_plain)
+    assert r_refined > r_plain + 0.1, (r_refined, r_plain)

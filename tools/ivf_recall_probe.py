@@ -201,6 +201,36 @@ def main() -> None:
         print(json.dumps(ivfadc_rows[-1]), file=sys.stderr)
     pq_section["ivfadc_trained_coarse_trained_pq_curve"] = ivfadc_rows
 
+    # Refine re-rank (r11): ADC top-50 shortlist -> exact-cosine
+    # re-rank of the shortlist's raw floats (ivfadc_refine_topk,
+    # FAISS's RefineFlat).  Recall becomes "is the true neighbor in
+    # the ADC top-R", so the same 8-byte index recovers most of the
+    # quantization loss at |queries|*R extra float reads.
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivfadc_refine_topk,
+    )
+
+    refine_rows = []
+    for n_probe in PROBES:
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfadc_refine_topk(
+                emb, queries, trained_cents, trained_books, adc_path,
+                k=K, shortlist=50, n_probe=n_probe, rebuild=False,
+            ).collect()
+        }
+        release_cached_state(spark)
+        refine_rows.append(
+            {
+                "n_probe": n_probe,
+                "shortlist": 50,
+                "cells_scanned_frac": round(n_probe / N_CELLS, 4),
+                "recall_at_10": round(len(got & exact) / len(exact), 4),
+            }
+        )
+        print(json.dumps(refine_rows[-1]), file=sys.stderr)
+    pq_section["ivfadc_refine50_curve"] = refine_rows
+
     # Residual IVFADC (r10): same trained coarse cells and probe dial,
     # but PQ encodes x − centroid(cell) and the score decomposes into
     # ⟨q, c_cell⟩ + Σ LUT — the Jégou construction's fidelity uplift
