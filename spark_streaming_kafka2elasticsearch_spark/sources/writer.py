@@ -90,6 +90,66 @@ def overwrite_partitions(
     writer.save(path)
 
 
+def compact_partitions(
+    spark,
+    path: str,
+    partition_col: str,
+    max_files_per_partition: int = 4,
+    target_files_per_partition: int = 1,
+) -> list:
+    """Compact ONLY the oversized partitions of a hive-partitioned
+    table — the maintenance primitive append-heavy layouts need
+    (VERDICT r10 item 6): the incremental IVF index
+    (operators/similarity.ivf_persisted_append, the streaming
+    maintenance job) adds files per cell per delta, so at daily
+    increments the per-cell file count grows without bound and scan
+    planning (footer reads, task scheduling) eats the pruning win.
+
+    Scans the partition directories, finds those whose data-file count
+    exceeds ``max_files_per_partition``, reads JUST those partitions'
+    rows (directory-pruned scan), breaks lineage with an eager local
+    checkpoint (a dynamic overwrite of a path still being read would
+    otherwise race its own input), and rewrites them via dynamic
+    partition overwrite — untouched partitions keep their files
+    byte-identical, readers of other partitions are never disturbed,
+    and by determinism of content the serve-before == serve-after
+    (the append-equals-rebuild oracle shape; pinned in tests).
+    Underscore-prefixed entries (``_quantizer``, ``_SUCCESS``) are
+    preserved — dynamic overwrite only replaces partition dirs.
+
+    Returns the list of partition values that were compacted."""
+    import os
+
+    prefix = f"{partition_col}="
+    oversized = []
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if not entry.startswith(prefix) or not os.path.isdir(full):
+            continue
+        n_files = sum(
+            1
+            for f in os.listdir(full)
+            if not f.startswith((".", "_")) and f.endswith(".parquet")
+        )
+        if n_files > max_files_per_partition:
+            oversized.append(entry[len(prefix):])
+    if not oversized:
+        return []
+    df = spark.read.parquet(path)
+    # partition values parse back typed (int cells); compare as string
+    # so the filter matches the directory names just listed
+    rows = df.filter(
+        df[partition_col].cast("string").isin(oversized)
+    ).localCheckpoint(eager=True)
+    compacted = rows.repartition(
+        max(target_files_per_partition * len(oversized), 1),
+        rows[partition_col],
+    )
+    overwrite_partitions(compacted, path, [partition_col])
+    rows.unpersist()
+    return oversized
+
+
 def compact_table(
     spark,
     path: str,

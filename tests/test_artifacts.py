@@ -239,3 +239,76 @@ def test_trained_queries_serve_from_rest_in_fresh_session(spark):
         sim.spherical_kmeans_train = orig_km
         sim.pq_train_codebooks = orig_pq
     assert first == second
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction of the appended IVF layout (VERDICT r10 item 6)
+# ---------------------------------------------------------------------------
+
+
+def _cell_file_counts(path):
+    counts = {}
+    for entry in os.listdir(path):
+        full = os.path.join(path, entry)
+        if entry.startswith("cell=") and os.path.isdir(full):
+            counts[entry] = sum(
+                1
+                for f in os.listdir(full)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+    return counts
+
+
+def test_compact_ivf_cells_preserves_serving_and_shrinks_files(spark, tmp_path):
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_append,
+        ivf_persisted_topk,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import (
+        compact_partitions,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf_inc")
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    cents, queries = _cents(emb), _queries(emb)
+    ivf_persisted_topk(base, queries.limit(0), cents, path, k=10)
+    # three daily deltas -> several files per touched cell directory
+    for m in (1, 2, 3):
+        ivf_persisted_append(emb.filter(F.col("vec_id") % 4 == m), cents, path)
+
+    before_counts = _cell_file_counts(path)
+    assert max(before_counts.values()) > 2, before_counts
+    before_serve = _rows(
+        ivf_persisted_topk(emb, queries, cents, path, k=10, rebuild=False)
+    )
+    before_rows = spark.read.parquet(path).count()
+
+    compacted = compact_partitions(
+        spark, path, "cell", max_files_per_partition=2,
+        target_files_per_partition=1,
+    )
+    assert compacted, "multi-delta layout must have oversized cells"
+
+    after_counts = _cell_file_counts(path)
+    # every oversized cell shrank; no cell got worse
+    for cell, n in after_counts.items():
+        assert n <= max(before_counts[cell], 2), (cell, n, before_counts[cell])
+    assert sum(after_counts.values()) < sum(before_counts.values())
+    # compaction rewrites files, never rows: same count, same serving
+    assert spark.read.parquet(path).count() == before_rows
+    after_serve = _rows(
+        ivf_persisted_topk(emb, queries, cents, path, k=10, rebuild=False)
+    )
+    assert before_serve == after_serve
+    # the quantizer artifact survived the partition overwrite
+    from spark_streaming_kafka2elasticsearch_spark.operators.artifacts import (
+        load_centroids,
+    )
+
+    assert load_centroids(path) is not None
+    # idempotent: a second compaction finds nothing oversized
+    assert (
+        compact_partitions(spark, path, "cell", max_files_per_partition=2)
+        == []
+    )
