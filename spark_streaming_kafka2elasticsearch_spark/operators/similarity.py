@@ -825,7 +825,11 @@ def _pq_validate(
     misdimensioned vectors would otherwise SILENTLY encode over
     truncated slices (``F.slice`` past the array end yields
     short/empty arrays; ADVICE r9).  One tiny limit(1) job per side;
-    empty inputs skip the check.  Returns ``(n_sub, sub_dim)``."""
+    empty inputs skip the check.  This probe only fails FAST (first
+    row); the complete per-row guard is the in-plan ``raise_error``
+    assertion :func:`_pq_encode_cols` compiles into the encode
+    projection (ADVICE r10), which checks EVERY row at scan time.
+    Returns ``(n_sub, sub_dim)``."""
     if not codebooks:
         raise ValueError("codebooks must be non-empty")
     m_ids = sorted({m for m, _, _ in codebooks})
@@ -873,12 +877,30 @@ def _pq_encode_cols(
     over the hoisted columns (cosine_similarity_hoisted — bit-exact to
     the plain fold), and the code array LAST in its own projection
     (a generator in the same select strips the fold's inner struct
-    aliases — the analyzer quirk pq_train_codebooks documents)."""
+    aliases — the analyzer quirk pq_train_codebooks documents).
+
+    Every row's vector length is asserted IN-PLAN (``raise_error`` on
+    ``size(vec) != n_sub·sub_dim``) before slicing — _pq_validate's
+    limit(1) probe fails fast on the first row, but a misdimensioned
+    vector further in would otherwise SILENTLY encode over truncated
+    ``F.slice`` outputs (ADVICE r10); the guard is one O(1) ``size``
+    comparison per row, no extra job."""
     by_m: dict[int, list[tuple[int, list[float]]]] = {}
     for m, code, cw in codebooks:
         by_m.setdefault(m, []).append((code, cw))
 
-    v = F.col(vec_col).cast("array<double>")
+    total_dim = n_sub * sub_dim
+    raw = F.col(vec_col).cast("array<double>")
+    v = F.when(F.size(raw) == total_dim, raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"PQ encode: vector length != n_sub*sub_dim = {total_dim}, got "
+                ),
+                F.size(raw).cast("string"),
+            )
+        ).cast("array<double>")
+    )
     s1_cols = [F.col(c) for c in keep] + [v.alias("_venc")] + [
         F.slice(v, m * sub_dim + 1, sub_dim).alias(f"_sl{m}")
         for m in range(n_sub)
@@ -1737,6 +1759,10 @@ def sq8_quantize(
     in the same order.  A constant dimension (max == min) codes to 0
     and dequantizes to exactly ``min_i``.
 
+    Every row's vector length is asserted in-plan against the grid's
+    dimension (the _pq_encode_cols rule, ADVICE r10): a short vector
+    would otherwise silently quantize against the wrong grid entries.
+
     Output: ``(id, codes array<int>, dequant array<double>)``."""
     mins = [mn for mn, _ in minmax]
     # ranges and steps are SEPARATE literals (not step·255 ≈ range —
@@ -1748,7 +1774,17 @@ def sq8_quantize(
     lit_mins = F.lit(mins)
     lit_ranges = F.lit(ranges)
     lit_steps = F.lit(steps)
-    v = F.col(vec_col).cast("array<double>")
+    raw = F.col(vec_col).cast("array<double>")
+    v = F.when(F.size(raw) == len(minmax), raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"SQ8 quantize: vector length != grid dim {len(minmax)}, got "
+                ),
+                F.size(raw).cast("string"),
+            )
+        ).cast("array<double>")
+    )
     codes = F.transform(
         v,
         lambda x, i: F.when(

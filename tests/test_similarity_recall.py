@@ -742,3 +742,34 @@ def test_ivfadc_refine_recovers_quantization_loss(
     r_refined = _recall(refined, exact_topk)
     assert r_refined >= r_plain, (r_refined, r_plain)
     assert r_refined > r_plain + 0.1, (r_refined, r_plain)
+
+
+def test_per_row_dimension_guard_catches_rows_past_the_first(spark):
+    """ADVICE r10: _pq_validate's limit(1) probe only sees one row —
+    a misdimensioned vector further into the corpus must still fail
+    LOUDLY (in-plan raise_error), in both the PQ encode projection
+    and the SQ8 quantize grid, never silently truncate."""
+    from pyspark.errors import SparkRuntimeException
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        pq_adc_topk,
+        sq8_quantize,
+    )
+
+    mixed = spark.createDataFrame(
+        [(0, [float(i) for i in range(16)]), (1, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [float(i) for i in range(16)])],
+        "query_id long, query_embedding array<double>",
+    )
+    cb = [(m, c, [0.1 * (c + 1)] * 8) for m in range(2) for c in range(2)]
+    with pytest.raises(SparkRuntimeException, match="vector length"):
+        pq_adc_topk(mixed, queries, cb, k=5).collect()
+    mm = [(0.0, 15.0)] * 16
+    with pytest.raises(SparkRuntimeException, match="grid dim"):
+        sq8_quantize(mixed, mm).collect()
+    # well-dimensioned rows still pass through the guard untouched
+    ok = sq8_quantize(mixed.filter("vec_id = 0"), mm).collect()
+    assert len(ok) == 1 and len(ok[0]["codes"]) == 16
