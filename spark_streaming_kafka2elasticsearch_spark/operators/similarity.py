@@ -516,6 +516,7 @@ def ivf_persisted_topk(
     rebuild: bool = True,
     n_probe: int = 1,
     fingerprint: str | None = None,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """IVF with the index PERSISTED as a cell-partitioned parquet
     layout — the serving half of the ANN story that :func:`ivf_topk`'s
@@ -556,6 +557,15 @@ def ivf_persisted_topk(
     the stored artifact — a fresh session needs nothing but the index
     directory.  ``fingerprint`` stamps (build) / verifies (load) the
     corpus identity so a stale artifact is never silently served.
+
+    ``batch_id`` selects the STREAM-MAINTAINED layout
+    ``cell=…/batch_id=…`` (two partition levels; serving still prunes
+    on the top-level cell): the base build stamps its rows with this
+    id, and each :func:`ivf_persisted_append` micro-batch lands in its
+    own ``batch_id`` subpartitions via dynamic partition overwrite —
+    the idempotent-replay layout the streaming maintenance job needs
+    (ADVICE r10).  The batch-maintained layout (``batch_id=None``)
+    stays single-level.
     """
     from spark_streaming_kafka2elasticsearch_spark.operators.artifacts import (
         load_centroids,
@@ -593,7 +603,11 @@ def ivf_persisted_topk(
             "_nvec",
             _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
         )
-        write_table(assigned, path, partition_by=["cell"])
+        if batch_id is not None:
+            assigned = assigned.withColumn("batch_id", F.lit(int(batch_id)))
+            write_table(assigned, path, partition_by=["cell", "batch_id"])
+        else:
+            write_table(assigned, path, partition_by=["cell"])
         save_centroids(path, crows, fingerprint=fingerprint)
 
     if n_probe <= 1:
@@ -643,6 +657,7 @@ def ivf_persisted_append(
     corpus_vec: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
+    batch_id: int | None = None,
 ) -> None:
     """Incremental maintenance for the persisted IVF layout — the
     daily-increment primitive :func:`ivf_persisted_topk`'s build phase
@@ -658,8 +673,20 @@ def ivf_persisted_append(
     rebuild over the union — which is exactly what the oracle of any
     consuming query checks (the same argument
     overwrite_partitions makes for the date-partitioned fact tables).
+
+    Plain parquet append is at-least-once: a RETRIED increment lands
+    its vectors twice.  ``batch_id`` (ADVICE r10) makes replay
+    idempotent for the stream-maintained layout: the delta is stamped
+    with its micro-batch id and written via DYNAMIC PARTITION
+    OVERWRITE on ``(cell, batch_id)`` — a replayed batch overwrites
+    exactly its own subpartitions, never duplicating and never
+    touching other batches' files.  Requires the base build to use the
+    same two-level layout (:func:`ivf_persisted_topk` ``batch_id``).
     """
-    from spark_streaming_kafka2elasticsearch_spark.sources.writer import write_table
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import (
+        overwrite_partitions,
+        write_table,
+    )
 
     crows = (
         centroids.select(centroid_id, centroid_vec)
@@ -677,7 +704,11 @@ def ivf_persisted_append(
         "_nvec",
         _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
     )
-    write_table(assigned, path, partition_by=["cell"], mode="append")
+    if batch_id is not None:
+        assigned = assigned.withColumn("batch_id", F.lit(int(batch_id)))
+        overwrite_partitions(assigned, path, ["cell", "batch_id"])
+    else:
+        write_table(assigned, path, partition_by=["cell"], mode="append")
 
 
 def spherical_kmeans_train(

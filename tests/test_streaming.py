@@ -1923,7 +1923,9 @@ def test_ivf_index_maintenance_stream_equals_batch_rebuild(spark, tmp_path):
           for r in emb.filter(F.col("vec_id") % 3 == 2).collect()]
 
     inc_path = str(tmp_path / "ivf_stream")
-    ivf_persisted_topk(base, queries.limit(0), cents, inc_path, k=10)
+    # batch_id=-1: the stream-maintained layout is (cell, batch_id) so
+    # each micro-batch's dynamic overwrite is replay-idempotent
+    ivf_persisted_topk(base, queries.limit(0), cents, inc_path, k=10, batch_id=-1)
 
     src_dir = tmp_path / "src"
     src_dir.mkdir()
@@ -1960,6 +1962,25 @@ def test_ivf_index_maintenance_stream_equals_batch_rebuild(spark, tmp_path):
     }
     assert streamed == full
     assert spark.read.parquet(inc_path).count() == emb.count()
+
+    # replay idempotency (ADVICE r10): foreachBatch is at-least-once —
+    # re-landing the second micro-batch under ITS OWN batch_id must
+    # overwrite its (cell, batch_id) partitions, not duplicate vectors
+    # into served top-k
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_append,
+    )
+
+    d2_df = spark.createDataFrame(d2, "vec_id long, embedding array<double>")
+    ivf_persisted_append(d2_df, cents, inc_path, batch_id=1)
+    assert spark.read.parquet(inc_path).count() == emb.count()
+    replayed = {
+        (r["query_id"], r["cell"], r["neighbor_id"])
+        for r in ivf_persisted_topk(
+            emb, queries, cents, inc_path, k=10, rebuild=False
+        ).collect()
+    }
+    assert replayed == full
 
 
 def test_front_door_stream_chains_all_five_gates(spark, tmp_path):
@@ -2120,3 +2141,133 @@ def test_front_door_stream_chains_all_five_gates(spark, tmp_path):
     for i in want_docs:
         assert abs(got_docs[i] - scores[i]) < 1e-12
     assert got_tokens == want_tokens
+
+
+def test_front_door_feeds_ivf_index_maintenance(spark, tmp_path):
+    """Front door -> index maintenance composition (VERDICT r10 item
+    8): survivors' embeddings append into the SERVED IVF layout inside
+    the same foreachBatch, and after >= 2 micro-batches serving from
+    the stream-maintained index equals a batch rebuild over base ∪
+    survivors — gate, land, and make searchable within one trigger."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_topk,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        bpe_train,
+        dsir_fit_weights,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        front_door_stream,
+    )
+
+    # permissive gate artifacts: every streamed doc survives
+    corpus = spark.createDataFrame(
+        [(900, "en", "completely unrelated reference corpus line")],
+        "doc_id long, lang string, text string",
+    )
+    wf = spark.createDataFrame(
+        [("cat", 5), ("meow", 4), ("purr", 4)], "tok string, c long"
+    )
+    lexicon = bpe_train(wf, rounds=4, emit="lexicon")
+    weights = dsir_fit_weights(
+        spark.createDataFrame(
+            [("cat meow purr", True), ("dog bark woof", False)],
+            "text string, tgt boolean",
+        ),
+        F.col("tgt"),
+    )
+    evals = spark.createDataFrame(
+        [(800, [1.0, 0.0, 0.0, 0.0])], "eval_id long, eval_vec array<double>"
+    )
+    embs = {
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.9, 0.1, 0.0],
+        3: [0.0, 0.0, 1.0, 0.1],
+        4: [0.0, 0.1, 0.0, 1.0],
+    }
+    doc_embeddings = spark.createDataFrame(
+        [(i, v) for i, v in embs.items()], "doc_id long, embedding array<double>"
+    )
+
+    # the served index: base shard + 2-cell quantizer, two-level layout
+    base = spark.createDataFrame(
+        [(1000, [0.0, 1.0, 0.05, 0.0]), (1001, [0.0, 0.0, 0.95, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 1.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 1.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    queries = cents.select(
+        F.col("centroid_id").alias("query_id"),
+        F.col("centroid_vec").alias("query_embedding"),
+    )
+    index_path = str(tmp_path / "served_ivf")
+    ivf_persisted_topk(base, queries.limit(0), cents, index_path, k=10,
+                       batch_id=-1)
+
+    def doc(doc_id, text):
+        return json.dumps({"doc_id": doc_id, "lang": "en", "text": text})
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    sink_dir = str(tmp_path / "sink")
+    q = front_door_stream(
+        spark,
+        JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        corpus,
+        lexicon,
+        weights,
+        doc_embeddings,
+        evals,
+        sink_dir,
+        str(tmp_path / "chk"),
+        min_tokens=1,
+        min_alpha_ratio=0.0,
+        min_logratio=-1e9,
+        ivf_index_path=index_path,
+        ivf_centroids=cents,
+    )
+    try:
+        write_batch_file(
+            str(src_dir), "b0.json",
+            [doc(1, "cat meow purr one"), doc(2, "meow cat two")],
+        )
+        q.processAllAvailable()
+        write_batch_file(
+            str(src_dir), "b1.json",
+            [doc(3, "purr purr three"), doc(4, "cat four words")],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # every doc survived and landed
+    landed = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(sink_dir, "docs")).collect()
+    }
+    assert landed == set(embs)
+
+    # serving from the stream-maintained index == batch rebuild over
+    # base ∪ survivors (both pins existed separately; this is the
+    # composed contract)
+    union = base.union(doc_embeddings.select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    ))
+    streamed = {
+        (r["query_id"], r["cell"], r["neighbor_id"])
+        for r in ivf_persisted_topk(
+            union, queries, cents, index_path, k=10, rebuild=False
+        ).collect()
+    }
+    full = {
+        (r["query_id"], r["cell"], r["neighbor_id"])
+        for r in ivf_persisted_topk(
+            union, queries, cents, str(tmp_path / "rebuilt"), k=10
+        ).collect()
+    }
+    assert streamed == full
+    assert spark.read.parquet(index_path).count() == union.count()
