@@ -73,74 +73,74 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: rest.  Dicts preserve insertion order; rotate this list each round
 #: so every query gets a driver row within two rounds.
 _PRIORITY: list[str] = [
-    # round-10 rotation (VERDICT r9 item 9): head = queries NEW in r10
-    # (no driver row exists for them at all), then the 46 queries whose
-    # newest driver row is r6-vintage (computed from the union of
-    # CORRECTNESS_r01-r09, latest row per query) — 50 rows total,
-    # exactly the driver's per-round check budget, so CORRECTNESS_r10
-    # leaves zero registry rows predating r7.  r7-r9-fresh rows fall to
-    # the natural registry order at the tail.  A test asserts this list
-    # is duplicate-free.
-    # -- new in r10 (9) --
-    # NOTE: 9 new + 46 r6-vintage = 55 > the ~50-row driver budget, so
-    # the last ~5 r6-vintage entries below may age one more round —
-    # new-query coverage outranks rotation freshness when they clash.
-    "pq_trained_codebooks",
-    "ann_pq_trained_topk",
-    "ann_ivfadc_topk",
-    "ccnet_filtered_corpus",
-    "ann_ivfadc_residual_topk",
-    "sq8_embedding_codes",
-    "ann_sq8_adc_topk",
-    "ann_ivf_append_serve",
-    "ann_ivf_sq8_topk",
-    # -- r6-vintage (46) --
-    "bigram_counts",
-    "bigram_logprob_scores",
-    "bpe_merge_candidates",
-    "chunk_level_dedup",
-    "corpus_summary_report",
-    "countmin_token_frequencies",
-    "customer_rfm_scores",
-    "decontaminate_bloom_prefilter",
-    "dedup_cluster_weights",
-    "deduped_corpus_best_quality",
-    "doc_containment_pairs",
-    "doc_length_quantiles_by_lang",
-    "document_chunks_udtf",
-    "documents_token_ids",
-    "dominant_part_suppliers",
-    "dup_graph_bfs_hops",
-    "dup_graph_triangle_counts",
-    "embedding_label_centroids",
-    "embedding_near_dup_srp_auto",
-    "event_transition_matrix",
-    "event_value_histogram",
-    "events_variant_props",
-    "gopher_quality_flags",
-    "image_ahash_fingerprints",
-    "important_part_share",
-    "join_size_audit",
-    "leakage_safe_split",
-    "minhash_near_dup_pairs",
-    "mixed_corpus_sample",
-    "nation_trailing_7day_revenue",
-    "part_name_fuzzy_pairs",
-    "product_type_profit",
-    "purchase_error_correlation",
-    "purchase_funnel",
-    "returnflag_priority_mix",
-    "semdedup_keep_decisions",
-    "semdedup_keep_decisions_auto",
-    "source_mixing_weights",
-    "tokenizer_vocab_ids",
-    "top_supplier_per_part",
-    "train_val_test_split",
+    # round-11 rotation (VERDICT r10 item 5): head = queries NEW in r11
+    # (no driver row exists for them at all), then the 5 queries whose
+    # newest driver row is still r6-vintage (the r10 rotation's
+    # overflow tail — retired first this round, as demanded), then the
+    # 49 r7-vintage rows (computed from the union of
+    # CORRECTNESS_r01-r10, latest row per query).  2 + 5 + 49 = 56 >
+    # the ~50-row driver budget, so the last ~6 r7 entries may age one
+    # more round — new-query coverage outranks rotation freshness when
+    # they clash.  A test asserts this list is duplicate-free.
+    # -- new in r11 (2) --
+    "ann_ivfadc_refine_topk",
+    "ann_ivf_compact_serve",
+    # -- r6-vintage (5) --
     "unigram_logprob_scores",
     "user_cohort_retention",
     "user_daily_gapfill",
     "user_running_distinct_types",
     "weighted_avg_price_pandas",
+    # -- r7-vintage (49) --
+    "lang_token_stats_pandas",
+    "nation_revenue_reconciliation",
+    "events_last_error_asof",
+    "token_rarity_scores",
+    "deduped_corpus",
+    "near_dup_clusters_star",
+    "decontaminate_train_docs",
+    "ann_cosine_topk_pandas",
+    "ann_cosine_topk_lsh",
+    "multimodal_image_decode_real",
+    "multimodal_audio_decode_real",
+    "multimodal_video_frames",
+    "multimodal_audio_features",
+    "document_repetition_ratios",
+    "document_chunks",
+    "hashed_bow_embeddings",
+    "delta_corpus_dedup_check",
+    "exact_substring_dup_spans",
+    "exact_substring_dedup_corpus",
+    "near_dup_pagerank",
+    "embedding_dup_kcore",
+    "asof_purchase_prior_click",
+    "daily_event_type_pivot",
+    "string_functions_showcase",
+    "date_functions_showcase",
+    "events_localtime_kolkata",
+    "token_frequencies",
+    "events_sliding_10min",
+    "embedding_cosine_pairs",
+    "embedding_cosine_pairs_fast",
+    "promo_revenue_share",
+    "parts_by_brand",
+    "lineitem_cube",
+    "supplier_revenue_in_region",
+    "orders_merge_upsert",
+    "lineitem_unpivot_measures",
+    "user_event_scd2",
+    "orders_quality_report",
+    "distinct_users_sketch_rollup",
+    "events_zorder_keys",
+    "user_state_asof",
+    "quantity_price_correlation",
+    "event_value_mad",
+    "revenue_grouping_sets",
+    "event_value_anomalies",
+    "curated_orders",
+    "curated_orders_fused",
+    "products_sold_exploded",
+    "orders_enriched",
 ]
 
 
