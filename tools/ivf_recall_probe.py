@@ -211,25 +211,33 @@ def main() -> None:
     )
 
     refine_rows = []
-    for n_probe in PROBES:
+    for n_probe, shortlist in [(p, 50) for p in PROBES] + [(2, 200), (16, 200)]:
         got = {
             (r["query_id"], r["neighbor_id"])
             for r in ivfadc_refine_topk(
                 emb, queries, trained_cents, trained_books, adc_path,
-                k=K, shortlist=50, n_probe=n_probe, rebuild=False,
+                k=K, shortlist=shortlist, n_probe=n_probe, rebuild=False,
             ).collect()
         }
         release_cached_state(spark)
         refine_rows.append(
             {
                 "n_probe": n_probe,
-                "shortlist": 50,
+                "shortlist": shortlist,
                 "cells_scanned_frac": round(n_probe / N_CELLS, 4),
                 "recall_at_10": round(len(got & exact) / len(exact), 4),
             }
         )
         print(json.dumps(refine_rows[-1]), file=sys.stderr)
-    pq_section["ivfadc_refine50_curve"] = refine_rows
+    pq_section["ivfadc_refine_curve"] = refine_rows
+    pq_section["refine_note"] = (
+        "refine multiplies plain-ADC recall ~2.5x at every probe point "
+        "(the true neighbor only needs to reach the ADC top-R, not the "
+        "top-k); on THIS near-uniform synthetic corpus the 8-byte codes "
+        "are weakly informative (residual_note), so SQ8-parity recall "
+        "needs R to grow toward a corpus fraction - the R dial is the "
+        "operator's contract, the ceiling is the corpus's"
+    )
 
     # Residual IVFADC (r10): same trained coarse cells and probe dial,
     # but PQ encodes x − centroid(cell) and the score decomposes into
