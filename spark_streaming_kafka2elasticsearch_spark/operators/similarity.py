@@ -711,6 +711,220 @@ def ivf_persisted_append(
         write_table(assigned, path, partition_by=["cell"], mode="append")
 
 
+def ivf_filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame | None,
+    path: str,
+    predicate: Column | str,
+    k: int = 10,
+    n_probe: int = 2,
+    attrs: list[str] | None = None,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    rebuild: bool = True,
+    fingerprint: str | None = None,
+) -> DataFrame:
+    """Metadata-FILTERED vector search — the production feature every
+    serving stack grows next (Milvus/FAISS "filtered search", pgvector
+    WHERE + ORDER BY embedding): top-k among ONLY the corpus vectors
+    satisfying a metadata predicate, e.g. ``lang = 'en'`` or
+    ``label < 4``.
+
+    This is PRE-filtering: the predicate applies to the candidate set
+    BEFORE ranking, so the result always holds k qualifying neighbors
+    (post-filtering a plain top-k returns < k — or zero — whenever the
+    filter is selective; the classic correctness trap this operator
+    exists to avoid).  To make that cheap the index layout carries the
+    ``attrs`` metadata columns ALONGSIDE (id, vec, cell): the serve
+    scan then stacks BOTH prunings — the probed cells as directory-
+    level partition pruning AND the predicate as a parquet
+    row-group/page filter (PushedFilters; asserted in tests) — so cost
+    is ``selectivity · n_probe/|cells|`` of the corpus, and no
+    join-back to a side table exists in the plan.
+
+    Everything else (quantizer at rest, bit-exact assignment, ranked
+    multi-probe, cosine fold, tie-breaks) is :func:`ivf_persisted_topk`
+    verbatim, so the oracle is that query's with one WHERE added.
+    Output: ``(query_id, cell, neighbor_id)``."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.artifacts import (
+        load_centroids,
+        save_centroids,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import write_table
+
+    if centroids is None:
+        if rebuild:
+            raise ValueError("rebuild=True requires an explicit centroid table")
+        crows = load_centroids(path, expected_fingerprint=fingerprint)
+        if crows is None:
+            raise ValueError(
+                f"no (or stale) centroid artifact under {path}/_quantizer"
+            )
+    else:
+        crows = [
+            (r[0], r[1])
+            for r in centroids.select(centroid_id, centroid_vec)
+            .orderBy(centroid_id)
+            .collect()
+        ]
+    if not crows:
+        raise ValueError("ivf_filtered_topk needs >= 1 centroid")
+    spark = corpus.sparkSession
+    attrs = list(attrs or [])
+
+    if rebuild:
+        assigned = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            *attrs,
+            F.col(corpus_vec).alias("_nvec"),
+            l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_nn"),
+        ).select(
+            "neighbor_id",
+            *attrs,
+            "_nvec",
+            _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
+        )
+        write_table(assigned, path, partition_by=["cell"])
+        save_centroids(path, crows, fingerprint=fingerprint)
+
+    q_assigned = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qvec"),
+        F.explode(
+            _fixed_probe_cells_expr(crows, query_vec, n_probe)
+        ).alias("cell"),
+    )
+    probe_cells = sorted(
+        int(r["cell"]) for r in q_assigned.select("cell").distinct().collect()
+    )
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    index = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        # the metadata predicate rides the SAME scan: partition pruning
+        # above, parquet row-group pushdown here — no side-table join
+        .filter(pred)
+    )
+    pairs = index.join(F.broadcast(q_assigned), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sims = pairs.select(
+        "query_id",
+        "cell",
+        "neighbor_id",
+        cosine_similarity(F.col("_qvec"), F.col("_nvec")).alias("_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", F.col("cell").cast("long").alias("cell"), "neighbor_id")
+    )
+
+
+def ivf_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame | None,
+    path: str,
+    threshold: float,
+    n_probe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    rebuild: bool = True,
+    fingerprint: str | None = None,
+) -> DataFrame:
+    """RANGE search (FAISS ``range_search``): ALL neighbors within the
+    probed cells whose cosine similarity is ≥ ``threshold`` — the
+    "everything this similar" contract (dedup candidate generation,
+    radius joins, compliance screens) that top-k cannot express: k is
+    either too small (misses qualifying neighbors) or too large (pads
+    with junk), and the qualifying count varies per query.
+
+    Same serving skeleton as :func:`ivf_persisted_topk` — at-rest
+    cell-partitioned layout, quantizer artifact, bit-exact ranked
+    multi-probe, directory-pruned scan, broadcast query side — but the
+    per-query WINDOW is replaced by a stateless FILTER on the bit-exact
+    cosine fold: no rank, no shuffle for ranking, embarrassingly
+    parallel, output size data-dependent.  The emitted ``sim`` is the
+    sequential fold both engines compute identically, so every row AND
+    value replays in SQL.  Scan contract: results are complete within
+    the probed cells (global completeness needs n_probe = |cells|,
+    same recall dial as top-k serving).
+
+    Output: ``(query_id, cell, neighbor_id, sim)``."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.artifacts import (
+        load_centroids,
+        save_centroids,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import write_table
+
+    if centroids is None:
+        if rebuild:
+            raise ValueError("rebuild=True requires an explicit centroid table")
+        crows = load_centroids(path, expected_fingerprint=fingerprint)
+        if crows is None:
+            raise ValueError(
+                f"no (or stale) centroid artifact under {path}/_quantizer"
+            )
+    else:
+        crows = [
+            (r[0], r[1])
+            for r in centroids.select(centroid_id, centroid_vec)
+            .orderBy(centroid_id)
+            .collect()
+        ]
+    if not crows:
+        raise ValueError("ivf_range_search needs >= 1 centroid")
+    spark = corpus.sparkSession
+
+    if rebuild:
+        assigned = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("_nvec"),
+            l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_nn"),
+        ).select(
+            "neighbor_id",
+            "_nvec",
+            _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
+        )
+        write_table(assigned, path, partition_by=["cell"])
+        save_centroids(path, crows, fingerprint=fingerprint)
+
+    q_assigned = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qvec"),
+        F.explode(
+            _fixed_probe_cells_expr(crows, query_vec, n_probe)
+        ).alias("cell"),
+    )
+    probe_cells = sorted(
+        int(r["cell"]) for r in q_assigned.select("cell").distinct().collect()
+    )
+    index = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    pairs = index.join(F.broadcast(q_assigned), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id",
+            F.col("cell").cast("long").alias("cell"),
+            "neighbor_id",
+            cosine_similarity(F.col("_qvec"), F.col("_nvec")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def spherical_kmeans_train(
     corpus: DataFrame,
     k: int = 8,

@@ -589,6 +589,121 @@ def ann_ivf_persisted_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataF
     return ivf_persisted_topk(emb, queries, cents, path, k=10, n_probe=2)
 
 
+@register(
+    "ann_ivf_filtered_topk",
+    # The multiprobe oracle with ONE added WHERE: candidates must
+    # satisfy the metadata predicate BEFORE ranking (pre-filtering),
+    # so every query still gets k QUALIFYING neighbors.
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+asn AS (
+  SELECT e.vec_id, e.label, c.cid AS cell, e.v
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+qc AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, c.cid AS cell
+  FROM e CROSS JOIN c
+  WHERE e.vec_id < 8
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) <= 2)
+SELECT q.query_id, a.cell, a.vec_id AS neighbor_id
+FROM qc q JOIN asn a USING (cell)
+WHERE a.vec_id <> q.query_id AND a.label < 4
+QUALIFY row_number() OVER (
+  PARTITION BY q.query_id
+  ORDER BY list_cosine_similarity(q.qv, a.v) DESC, a.vec_id ASC) <= 10
+""",
+)
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search (operators/similarity.
+    ivf_filtered_topk) — top-10 among ONLY the ``label < 4`` corpus
+    vectors, 2-probe over the persisted fixed-centroid IVF layout.
+    PRE-filtering: the predicate restricts candidates BEFORE ranking,
+    so all 10 answers qualify (post-filtering a plain top-10 would
+    return ~4/10 here, label selectivity 0.25 — the correctness trap
+    this operator family exists to avoid).  The index layout carries
+    the label column, so the serve scan stacks directory-level cell
+    pruning AND parquet predicate pushdown in one pass — no
+    side-table join anywhere in the plan (asserted in plan tests).
+    DuckDB replays probe set, predicate, and ranking bit-for-bit."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_filtered_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    path = _ivf_index_dir("ann_ivf_filtered_topk", sf_dir)
+    return ivf_filtered_topk(
+        emb, queries, cents, path, predicate="label < 4", k=10, n_probe=2,
+        attrs=["label"],
+    )
+
+
+@register(
+    "ann_range_search",
+    # Same probe-set CTEs; the top-k window is replaced by a WHERE on
+    # the bit-exact cosine fold, and the similarity itself is emitted
+    # (the sequential fold is IEEE-identical in both engines).
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+asn AS (
+  SELECT e.vec_id, c.cid AS cell, e.v
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+qc AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, c.cid AS cell
+  FROM e CROSS JOIN c
+  WHERE e.vec_id < 8
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) <= 2)
+SELECT q.query_id, a.cell, a.vec_id AS neighbor_id,
+       list_cosine_similarity(q.qv, a.v) AS sim
+FROM qc q JOIN asn a USING (cell)
+WHERE a.vec_id <> q.query_id
+  AND list_cosine_similarity(q.qv, a.v) >= 0.25
+""",
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search (operators/similarity.ivf_range_search; FAISS
+    ``range_search``): every neighbor with cosine ≥ 0.25 within the
+    2-probe cell set — the "all sufficiently similar" contract top-k
+    cannot express (the qualifying count varies per query; k pads or
+    truncates).  Same at-rest layout, quantizer artifact, and
+    bit-exact probe ranking as the persisted-IVF family; the ranking
+    window is replaced by a stateless filter on the sequential cosine
+    fold, so the plan has NO per-query shuffle at all and the emitted
+    similarity value-checks in DuckDB bit-for-bit."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_range_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    path = _ivf_index_dir("ann_range_search", sf_dir)
+    return ivf_range_search(
+        emb, queries, cents, path, threshold=0.25, n_probe=2
+    )
+
+
 def _kmeans_ctes(k: int, iters: int) -> str:
     """Shared DuckDB CTE chain replaying spherical_kmeans_fit: the
     same seed rule, bit-exact cosine argmax assignment

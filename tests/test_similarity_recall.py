@@ -773,3 +773,133 @@ def test_per_row_dimension_guard_catches_rows_past_the_first(spark):
     # well-dimensioned rows still pass through the guard untouched
     ok = sq8_quantize(mixed.filter("vec_id = 0"), mm).collect()
     assert len(ok) == 1 and len(ok[0]["codes"]) == 16
+
+
+def test_filtered_topk_prefilters_and_stacks_both_prunings(emb, queries, tmp_path):
+    """Filtered ANN: (1) every answer satisfies the predicate; (2) the
+    result equals brute-force top-k over the PRE-filtered corpus
+    restricted to the probed cells (the pre- vs post-filter
+    correctness contract); (3) the serve scan stacks BOTH prunings —
+    probed cells in PartitionFilters AND the label predicate in
+    PushedFilters — with no side-table join in the plan."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_filtered_topk,
+        ivf_persisted_topk,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    path = str(tmp_path / "ivf_filtered")
+    served = ivf_filtered_topk(
+        emb, queries, cents, path, predicate="label < 4", k=10, n_probe=2,
+        attrs=["label"],
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:250]
+    assert "cell" in pf
+    pushed = plan.split("PushedFilters")[1][:250]
+    assert "label" in pushed, pushed
+    rows = served.collect()
+
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert rows and all(labels[r["neighbor_id"]] < 4 for r in rows)
+
+    # ground truth: plain persisted-IVF serving over the PRE-filtered
+    # corpus with the same quantizer and probe set
+    want = {
+        (r["query_id"], r["cell"], r["neighbor_id"])
+        for r in ivf_persisted_topk(
+            emb.filter(F.col("label") < 4), queries, cents,
+            str(tmp_path / "ivf_pref"), k=10, n_probe=2,
+        ).collect()
+    }
+    assert {(r["query_id"], r["cell"], r["neighbor_id"]) for r in rows} == want
+
+
+def test_range_search_matches_bruteforce_within_probed_cells(
+    emb, queries, tmp_path
+):
+    """Range search: exactly the pairs with sim >= tau among the
+    probed cells' members — verified against a brute-force cosine
+    filter restricted to the same probe sets, values bit-equal; and
+    the full-probe run must be globally complete (every qualifying
+    pair in the corpus)."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_topk,
+        ivf_range_search,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    tau = 0.2
+    path = str(tmp_path / "ivf_range")
+    got = {
+        (r["query_id"], r["neighbor_id"], r["sim"])
+        for r in ivf_range_search(
+            emb, queries, cents, path, threshold=tau, n_probe=2
+        ).collect()
+    }
+    assert got, "tau=0.2 must qualify at least one pair on this corpus"
+
+    # probe sets straight from the quantizer expression (the top-k
+    # twin's emitted cells under-approximate: a probed cell with no
+    # top-10 answer would go missing)
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        _fixed_probe_cells_expr,
+    )
+
+    crows = cents.orderBy("centroid_id").collect()
+    probe_cells: dict[int, set] = {}
+    for r in queries.select(
+        "query_id",
+        F.explode(
+            _fixed_probe_cells_expr(crows, "query_embedding", 2)
+        ).alias("cell"),
+    ).collect():
+        probe_cells.setdefault(r["query_id"], set()).add(r["cell"])
+    member_cell = {
+        r["neighbor_id"]: r["cell"]
+        for r in emb.sparkSession.read.parquet(path).select(
+            "neighbor_id", "cell"
+        ).collect()
+    }
+    qv = queries.select(
+        F.col("query_id"), F.col("query_embedding").alias("_qv")
+    )
+    allpairs = (
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("_nv"))
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine_similarity(F.col("_qv"), F.col("_nv")).alias("sim"),
+        )
+        .filter(F.col("sim") >= tau)
+        .collect()
+    )
+    want = {
+        (r["query_id"], r["neighbor_id"], r["sim"])
+        for r in allpairs
+        if member_cell[r["neighbor_id"]] in probe_cells[r["query_id"]]
+    }
+    assert got == want
+    # full probe -> globally complete
+    got_full = {
+        (r["query_id"], r["neighbor_id"], r["sim"])
+        for r in ivf_range_search(
+            emb, queries, cents, path, threshold=tau, n_probe=8,
+            rebuild=False,
+        ).collect()
+    }
+    assert got_full == {
+        (r["query_id"], r["neighbor_id"], r["sim"]) for r in allpairs
+    }
