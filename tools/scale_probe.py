@@ -221,6 +221,15 @@ PROBE_QUERIES = [
     # r10: IVF-SQ8 — trained coarse probe x on-the-fly dequant scoring
     # over 1-byte codes; build linear, serve reads n_probe/|cells|
     "ann_ivf_sq8_topk",
+    # r11: refine re-rank (ADC shortlist + |queries|·R broadcast float
+    # fetch — the fetch is query-sized, so alpha must track the ADC
+    # serve), the append→compact→serve lifecycle (compaction reads
+    # only oversized cells), filtered top-k (selectivity × pruned
+    # scan), and range search (stateless filter, no per-query shuffle)
+    "ann_ivfadc_refine_topk",
+    "ann_ivf_compact_serve",
+    "ann_ivf_filtered_topk",
+    "ann_range_search",
 ]
 
 
