@@ -1669,9 +1669,16 @@ def _bpe_lexicon_rows(
     import os
 
     from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+    from spark_streaming_kafka2elasticsearch_spark.operators.artifacts import (
+        data_fingerprint,
+    )
     from spark_streaming_kafka2elasticsearch_spark.operators.text import bpe_train
 
-    key = (os.path.abspath(sf_dir), rounds)
+    # Fingerprint of the source parquet in the key (ADVICE r10): if the
+    # corpus under sf_dir is regenerated mid-session, the stale lexicon
+    # is never served — the _CODEBOOK_CACHE rule.
+    fp = data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    key = (os.path.abspath(sf_dir), rounds, fp)
     if key not in _BPE_LEX_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         wf = (
