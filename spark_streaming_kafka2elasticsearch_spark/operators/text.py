@@ -1180,3 +1180,101 @@ FROM feats JOIN w USING (b)
 WHERE NOT tgt
 GROUP BY {id_col}
 """
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_docs: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_doc_id",
+) -> DataFrame:
+    """Okapi BM25 lexical relevance — the OTHER half of retrieval (the
+    ANN family serves the dense half): for each query document, score
+    every corpus document by
+
+        Σ_{t ∈ q}  idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))
+
+    with the Robertson idf ``ln((N − df + 0.5)/(df + 0.5) + 1)``.
+    Query terms are the query document's DISTINCT tokens (standard
+    BM25 treats the query as a term set); self-matches are excluded by
+    the caller's ranking.
+
+    Cross-engine float discipline (the unigram_logprob recipe): each
+    per-term score is computed in ONE expression shape — idf and the
+    tf component are plain IEEE ops on identical operands (Java
+    Math.log vs DuckDB ln probed ≤ 4.5e-16 apart) — then
+    ``round(·, 9)`` and summed in exact DECIMAL(28,10), so the
+    per-(query, doc) total is partition-order-proof and ranking on it
+    is exact in any engine.
+
+    Scale shape: the corpus is exploded ONCE into (doc, tok) counts;
+    tf, df, and doc length are vocabulary/corpus-sized partial aggs
+    (the tfidf silhouette); the corpus stats (N, avgdl) arrive as a
+    1-row broadcast scalar; the query term set is small BY CONTRACT
+    and broadcast onto the tf stream, so the scored relation is
+    |matching (query, doc, term)| — an inverted-index join, never a
+    doc × query cross product.  At 100 TB the only corpus-sized
+    exchange is the (doc, tok) aggregate.
+
+    Output: ``(query_doc_id, doc_id, score)`` — score is the exact
+    decimal sum surfaced as DOUBLE via the varchar round-trip, plus
+    ``score_dec`` (the decimal itself) for exact downstream ranking.
+    """
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qterms = query_docs.select(
+        F.col(id_col).alias(query_id),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).distinct()
+
+    term = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(df_t, "tok")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfd = F.col("tf").cast("double")
+    comp = (
+        tfd
+        * F.lit(k1 + 1.0)
+        / (
+            tfd
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+            )
+        )
+    )
+    per_term = F.round(idf * comp, 9).cast("decimal(28,10)")
+    return (
+        term.select(query_id, id_col, per_term.alias("_s"))
+        .groupBy(query_id, id_col)
+        .agg(F.sum("_s").alias("score_dec"))
+        .select(
+            query_id,
+            id_col,
+            "score_dec",
+            F.col("score_dec").cast("string").cast("double").alias("score"),
+        )
+    )

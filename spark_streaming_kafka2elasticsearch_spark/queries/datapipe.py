@@ -5565,3 +5565,248 @@ def embedding_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("abtt_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: BM25 lexical retrieval + hybrid RRF fusion (r11)
+# ---------------------------------------------------------------------------
+
+#: Shared BM25 oracle CTE chain ending at ``bm_scores`` — mirrors
+#: operators/text.bm25_scores expression-for-expression (k1=1.2,
+#: b=0.75 folded to the same double literals Spark's lit() produces).
+_BM25_CTES = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_doc_id, tok FROM toks WHERE doc_id < 5),
+bm_terms AS (
+  SELECT q.query_doc_id, tf.doc_id,
+         CAST(round(
+           ln((s.n_docs - CAST(d.df AS DOUBLE) + 0.5)
+              / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf.tf AS DOUBLE) * 2.2
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.2 * (0.25
+                          + 0.75 * CAST(dl.dl AS DOUBLE) / s.avgdl)))
+         , 9) AS DECIMAL(28,10)) AS sterm
+  FROM tf
+  JOIN qterms q USING (tok)
+  JOIN dft d USING (tok)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+bm_scores AS (
+  SELECT query_doc_id, doc_id, sum(sterm) AS score_dec
+  FROM bm_terms
+  WHERE query_doc_id <> doc_id
+  GROUP BY query_doc_id, doc_id)
+"""
+
+
+@register(
+    "bm25_doc_topk",
+    oracle=_BM25_CTES
+    + """
+SELECT query_doc_id, doc_id,
+       CAST(row_number() OVER (PARTITION BY query_doc_id
+         ORDER BY score_dec DESC, doc_id ASC) AS INT) AS rank,
+       CAST(CAST(score_dec AS VARCHAR) AS DOUBLE) AS score
+FROM bm_scores
+QUALIFY rank <= 10
+""",
+)
+def bm25_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 (operators/text.bm25_scores) — the LEXICAL
+    retrieval leg the dense ANN family cannot replace (rare tokens,
+    ids, exact names): query documents are doc_id < 5, query terms
+    their distinct tokens, k1=1.2 / b=0.75.  Every per-term score is
+    ``round(idf·tfcomp, 9)`` (single IEEE shape both engines — the
+    unigram_logprob ln discipline) summed in exact DECIMAL(28,10), so
+    the ranking and the emitted score replay bit-for-bit in DuckDB.
+    Scale: inverted-index join — tf/df/len are the one corpus-sized
+    aggregate, the query term set broadcasts, cost is Σ matching
+    postings, never |docs|×|queries|."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, docs.filter(F.col("doc_id") < 5)).filter(
+        F.col("query_doc_id") != F.col("doc_id")
+    )
+    w = Window.partitionBy("query_doc_id").orderBy(
+        F.desc("score_dec"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_doc_id",
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "score",
+        )
+    )
+
+
+@register(
+    "hybrid_rrf_topk",
+    oracle=_BM25_CTES
+    + """,
+btop AS (
+  SELECT query_doc_id, doc_id,
+         row_number() OVER (PARTITION BY query_doc_id
+           ORDER BY score_dec DESC, doc_id ASC) AS rb
+  FROM bm_scores
+  QUALIFY rb <= 20),
+dtb AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) % 16 AS b
+  FROM toks),
+dv AS (
+  SELECT doc_id, [{comps}] AS e FROM dtb GROUP BY doc_id),
+qv AS (
+  SELECT doc_id AS query_doc_id, e AS qe FROM dv
+  WHERE doc_id < 5 AND list_dot_product(e, e) > 0),
+vsim AS (
+  SELECT q.query_doc_id, d.doc_id,
+         list_dot_product(d.e, q.qe)
+           / (sqrt(list_dot_product(q.qe, q.qe))
+              * sqrt(list_dot_product(d.e, d.e))) AS sim
+  FROM dv d CROSS JOIN qv q
+  WHERE d.doc_id <> q.query_doc_id AND list_dot_product(d.e, d.e) > 0),
+vtop AS (
+  SELECT query_doc_id, doc_id,
+         row_number() OVER (PARTITION BY query_doc_id
+           ORDER BY sim DESC, doc_id ASC) AS rv
+  FROM vsim
+  QUALIFY rv <= 20),
+fused AS (
+  SELECT coalesce(b.query_doc_id, v.query_doc_id) AS query_doc_id,
+         coalesce(b.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0 / (60.0 + CAST(b.rb AS DOUBLE)), 0.0)
+           + coalesce(1.0 / (60.0 + CAST(v.rv AS DOUBLE)), 0.0) AS rrf_score
+  FROM btop b
+  FULL OUTER JOIN vtop v
+    ON b.query_doc_id = v.query_doc_id AND b.doc_id = v.doc_id)
+SELECT query_doc_id, doc_id,
+       CAST(row_number() OVER (PARTITION BY query_doc_id
+         ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank,
+       rrf_score
+FROM fused
+QUALIFY rank <= 10
+""".replace(
+        "{comps}",
+        ", ".join(
+            f"CAST(count(*) FILTER (b = {i}) AS DOUBLE)" for i in range(16)
+        ),
+    ),
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — Reciprocal Rank Fusion of the lexical and
+    dense legs (the production default in Elasticsearch/OpenSearch/
+    Vespa): BM25 top-20 and hashed-BoW cosine top-20 per query are
+    fused by ``Σ 1/(60 + rank)`` (Cormack et al.'s k=60), full-outer
+    so a doc found by only one leg still scores, re-ranked to the
+    final top-10.  Rank fusion is what makes hybrid robust: no score
+    calibration between BM25's unbounded sums and cosine's [−1, 1] is
+    needed, only the two deterministic rank orders — which is also
+    what makes it fully oracle-replayable (each RRF term is one
+    integer-denominator division; the sum has a fixed two-term
+    order).  Scale: both legs are the established sub-linear shapes
+    (inverted-index join; broadcast-query scan with local pre-rank);
+    fusion itself touches 2·20 rows per query."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.vectors import (
+        cosine_similarity,
+        l2_norm,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        bm25_scores,
+        hashed_bow_embedding,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < 5)
+
+    bm = bm25_scores(docs, queries).filter(
+        F.col("query_doc_id") != F.col("doc_id")
+    )
+    wb = Window.partitionBy("query_doc_id").orderBy(
+        F.desc("score_dec"), F.asc("doc_id")
+    )
+    btop = (
+        bm.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= 20)
+        .select("query_doc_id", "doc_id", "rb")
+    )
+
+    dv = hashed_bow_embedding(docs, "doc_id", dim=16)
+    qv = (
+        dv.filter(F.col("doc_id") < 5)
+        .filter(l2_norm(F.col("emb")) > 0)
+        .select(F.col("doc_id").alias("query_doc_id"), F.col("emb").alias("_qe"))
+    )
+    vsim = (
+        dv.filter(l2_norm(F.col("emb")) > 0)
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("doc_id") != F.col("query_doc_id"))
+        .select(
+            "query_doc_id",
+            "doc_id",
+            cosine_similarity(F.col("_qe"), F.col("emb")).alias("sim"),
+        )
+    )
+    wv = Window.partitionBy("query_doc_id").orderBy(
+        F.desc("sim"), F.asc("doc_id")
+    )
+    vtop = (
+        vsim.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") <= 20)
+        .select(
+            F.col("query_doc_id").alias("v_qid"),
+            F.col("doc_id").alias("v_did"),
+            "rv",
+        )
+    )
+
+    fused = btop.join(
+        vtop,
+        (F.col("query_doc_id") == F.col("v_qid"))
+        & (F.col("doc_id") == F.col("v_did")),
+        "full_outer",
+    ).select(
+        F.coalesce("query_doc_id", "v_qid").alias("query_doc_id"),
+        F.coalesce("doc_id", "v_did").alias("doc_id"),
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("rb").cast("double")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("rv").cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("rrf_score"),
+    )
+    wf = Window.partitionBy("query_doc_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_doc_id",
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "rrf_score",
+        )
+    )

@@ -1491,3 +1491,61 @@ def test_winnowing_overlap_pairs(spark):
     }
     assert (1, 2) not in capped
     assert (5, 6) in capped and (1, 3) in capped
+
+
+def test_bm25_ranks_rare_term_matches_first(spark):
+    """BM25 semantics on a planted corpus: the query's RARE term must
+    dominate (idf), term saturation must hold (tf repetition gains
+    sub-linearly), and longer docs are penalized at equal tf (the b
+    length normalization)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra common common"),          # rare term once, short
+            (2, "zebra zebra common filler filler filler"),  # rare twice, longer
+            (3, "common common common"),          # no rare term
+            (4, "common filler words here"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(100, "zebra common")], "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(docs, q).collect()
+    }
+    # docs with the rare term beat docs without it
+    assert rows[1] > rows[3] and rows[2] > rows[3]
+    # everyone containing a query term scores
+    assert set(rows) == {1, 2, 3, 4}
+    # idf of 'zebra' (df=2) > idf of 'common' (df=4): a zebra doc
+    # outranks the all-common doc even though doc 3 has tf=3 on common
+    assert min(rows[1], rows[2]) > rows[3]
+
+
+def test_hybrid_rrf_fuses_one_sided_hits(spark):
+    """RRF contract pins: a doc surfaced by only ONE leg still enters
+    the fused ranking with one reciprocal term; a doc surfaced by both
+    legs gets both terms (and so beats an equal-rank one-sided doc);
+    the fused score is exactly 1/(60+rb) + 1/(60+rv)."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+    rows = all_queries()["hybrid_rrf_topk"](
+        spark.builder.getOrCreate(), "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        s = r["rrf_score"]
+        # every score decomposes into at most two reciprocal terms
+        # with ranks 1..20 — enumerate the possible values
+        singles = {1.0 / (60.0 + k) for k in range(1, 21)}
+        doubles = {
+            a + b for a in singles for b in singles
+        }
+        assert s in singles | doubles, s
+    # per query: <= 10 rows, rank contiguous from 1
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r["query_doc_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
