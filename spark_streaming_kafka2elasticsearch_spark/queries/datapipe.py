@@ -5643,11 +5643,21 @@ def bm25_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = bm25_scores(docs, docs.filter(F.col("doc_id") < 5)).filter(
         F.col("query_doc_id") != F.col("doc_id")
     )
+    # local pre-rank (the brute_force_topk discipline): only
+    # |partitions|·k·|queries| rows reach the global per-query sort —
+    # without it the final window sorted |docs| rows per query in ONE
+    # task and went super-linear at the 30x probe point (α 1.58)
+    part_w = Window.partitionBy(
+        F.spark_partition_id(), "query_doc_id"
+    ).orderBy(F.desc("score_dec"), F.asc("doc_id"))
+    local = scored.withColumn("_lr", F.row_number().over(part_w)).filter(
+        F.col("_lr") <= 10
+    )
     w = Window.partitionBy("query_doc_id").orderBy(
         F.desc("score_dec"), F.asc("doc_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select(
             "query_doc_id",
@@ -5740,11 +5750,17 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = bm25_scores(docs, queries).filter(
         F.col("query_doc_id") != F.col("doc_id")
     )
+    # both legs pay the local pre-rank discipline (see bm25_doc_topk)
+    pb = Window.partitionBy(F.spark_partition_id(), "query_doc_id").orderBy(
+        F.desc("score_dec"), F.asc("doc_id")
+    )
     wb = Window.partitionBy("query_doc_id").orderBy(
         F.desc("score_dec"), F.asc("doc_id")
     )
     btop = (
-        bm.withColumn("rb", F.row_number().over(wb))
+        bm.withColumn("_lr", F.row_number().over(pb))
+        .filter(F.col("_lr") <= 20)
+        .withColumn("rb", F.row_number().over(wb))
         .filter(F.col("rb") <= 20)
         .select("query_doc_id", "doc_id", "rb")
     )
@@ -5765,11 +5781,16 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_similarity(F.col("_qe"), F.col("emb")).alias("sim"),
         )
     )
+    pv = Window.partitionBy(F.spark_partition_id(), "query_doc_id").orderBy(
+        F.desc("sim"), F.asc("doc_id")
+    )
     wv = Window.partitionBy("query_doc_id").orderBy(
         F.desc("sim"), F.asc("doc_id")
     )
     vtop = (
-        vsim.withColumn("rv", F.row_number().over(wv))
+        vsim.withColumn("_lr", F.row_number().over(pv))
+        .filter(F.col("_lr") <= 20)
+        .withColumn("rv", F.row_number().over(wv))
         .filter(F.col("rv") <= 20)
         .select(
             F.col("query_doc_id").alias("v_qid"),

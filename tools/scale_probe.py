@@ -230,6 +230,10 @@ PROBE_QUERIES = [
     "ann_ivf_compact_serve",
     "ann_ivf_filtered_topk",
     "ann_range_search",
+    # r11: BM25 (inverted-index join over the tfidf silhouette) and
+    # hybrid RRF (both legs + a 2x20-row-per-query fusion) — alpha ~ 1
+    "bm25_doc_topk",
+    "hybrid_rrf_topk",
 ]
 
 
