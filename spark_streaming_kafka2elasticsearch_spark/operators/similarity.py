@@ -827,6 +827,122 @@ def ivf_filtered_topk(
     )
 
 
+def ivf_diverse_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame | None,
+    path: str,
+    k: int = 10,
+    per_cell: int = 3,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    rebuild: bool = True,
+    fingerprint: str | None = None,
+) -> DataFrame:
+    """DIVERSIFIED top-k — result diversification by quota (the
+    Elasticsearch ``diversified_sampler`` / search-facet-quota shape):
+    at most ``per_cell`` answers per coarse cell before the global
+    top-``k``, so one dense region cannot monopolize the result list —
+    the cheap, deterministic alternative to greedy MMR (whose
+    iterative argmax is sequential in k and not oracle-replayable).
+
+    Same serving skeleton as :func:`ivf_persisted_topk` (at-rest
+    layout, quantizer artifact, bit-exact ranked multi-probe, pruned
+    scan, broadcast query side); the ranking becomes TWO stacked
+    windows — rank within (query, cell) by the bit-exact cosine fold,
+    keep ≤ per_cell, then the global per-query top-k over the
+    quota-filtered survivors.  Both windows replay as QUALIFY levels
+    in SQL.  The cell quota only diversifies across the PROBED cells,
+    so ``n_probe`` doubles as the diversity breadth dial.
+
+    Output: ``(query_id, cell, neighbor_id, rank)``."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.artifacts import (
+        load_centroids,
+        save_centroids,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import write_table
+
+    if centroids is None:
+        if rebuild:
+            raise ValueError("rebuild=True requires an explicit centroid table")
+        crows = load_centroids(path, expected_fingerprint=fingerprint)
+        if crows is None:
+            raise ValueError(
+                f"no (or stale) centroid artifact under {path}/_quantizer"
+            )
+    else:
+        crows = [
+            (r[0], r[1])
+            for r in centroids.select(centroid_id, centroid_vec)
+            .orderBy(centroid_id)
+            .collect()
+        ]
+    if not crows:
+        raise ValueError("ivf_diverse_topk needs >= 1 centroid")
+    spark = corpus.sparkSession
+
+    if rebuild:
+        assigned = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("_nvec"),
+            l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_nn"),
+        ).select(
+            "neighbor_id",
+            "_nvec",
+            _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
+        )
+        write_table(assigned, path, partition_by=["cell"])
+        save_centroids(path, crows, fingerprint=fingerprint)
+
+    q_assigned = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qvec"),
+        F.explode(
+            _fixed_probe_cells_expr(crows, query_vec, n_probe)
+        ).alias("cell"),
+    )
+    probe_cells = sorted(
+        int(r["cell"]) for r in q_assigned.select("cell").distinct().collect()
+    )
+    index = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    pairs = index.join(F.broadcast(q_assigned), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sims = pairs.select(
+        "query_id",
+        "cell",
+        "neighbor_id",
+        cosine_similarity(F.col("_qvec"), F.col("_nvec")).alias("_sim"),
+    )
+    # window 1: the diversity quota — rank within each (query, cell)
+    cw = Window.partitionBy("query_id", "cell").orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    quota = sims.withColumn("_cr", F.row_number().over(cw)).filter(
+        F.col("_cr") <= per_cell
+    )
+    # window 2: the global top-k over the quota survivors (at most
+    # per_cell * n_probe rows per query — no local pre-rank needed)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        quota.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("cell").cast("long").alias("cell"),
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def ivf_range_search(
     corpus: DataFrame,
     queries: DataFrame,

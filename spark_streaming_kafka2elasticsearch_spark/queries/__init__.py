@@ -82,13 +82,14 @@ _PRIORITY: list[str] = [
     # the ~50-row driver budget, so the last ~6 r7 entries may age one
     # more round — new-query coverage outranks rotation freshness when
     # they clash.  A test asserts this list is duplicate-free.
-    # -- new in r11 (6) --
+    # -- new in r11 (7) --
     "ann_ivfadc_refine_topk",
     "ann_ivf_compact_serve",
     "ann_ivf_filtered_topk",
     "ann_range_search",
     "bm25_doc_topk",
     "hybrid_rrf_topk",
+    "ann_ivf_diverse_topk",
     # -- r6-vintage (5) --
     "unigram_logprob_scores",
     "user_cohort_retention",

