@@ -234,6 +234,9 @@ PROBE_QUERIES = [
     # hybrid RRF (both legs + a 2x20-row-per-query fusion) — alpha ~ 1
     "bm25_doc_topk",
     "hybrid_rrf_topk",
+    # r11: quota-diversified top-k — same pruned-scan serve as
+    # ivf_persisted_topk plus one bounded window; alpha must match
+    "ann_ivf_diverse_topk",
 ]
 
 
