@@ -312,3 +312,55 @@ def test_compact_ivf_cells_preserves_serving_and_shrinks_files(spark, tmp_path):
         compact_partitions(spark, path, "cell", max_files_per_partition=2)
         == []
     )
+
+
+# ---------------------------------------------------------------------------
+# VectorIndex facade: one directory, whole lifecycle, zero new dataflow
+# ---------------------------------------------------------------------------
+
+
+def test_vector_index_facade_matches_direct_operators(spark, tmp_path):
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_topk,
+        ivf_range_search,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.vector_index import (
+        VectorIndex,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    queries, cents = _queries(emb), _cents(emb)
+
+    path = str(tmp_path / "vidx")
+    idx = VectorIndex(path).build(base, cents)
+    idx.append(delta)
+    compacted = idx.compact(max_files_per_cell=1)
+    assert isinstance(compacted, list)
+
+    got = _rows(idx.search(emb, queries, k=10, n_probe=2))
+    want = _rows(
+        ivf_persisted_topk(
+            emb, queries, cents, str(tmp_path / "direct"), k=10, n_probe=2
+        )
+    )
+    assert got == want
+
+    got_range = _rows(idx.range_search(emb, queries, threshold=0.2))
+    want_range = _rows(
+        ivf_range_search(
+            emb, queries, cents, str(tmp_path / "direct"), threshold=0.2,
+            n_probe=2, rebuild=False,
+        )
+    )
+    assert got_range == want_range
+
+    got_div = _rows(idx.diverse_search(emb, queries, k=10, per_cell=3))
+    assert got_div  # quota path serves from the same layout
+
+    # FRESH SESSION: a new facade over the same directory serves
+    # identically with no centroid table supplied — the at-rest
+    # quantizer is the whole handshake
+    idx2 = VectorIndex(path)
+    assert _rows(idx2.search(emb, queries, k=10, n_probe=2)) == want
