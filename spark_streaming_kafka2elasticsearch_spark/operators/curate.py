@@ -223,3 +223,59 @@ def deterministic_sample(df: DataFrame, one_in: int, key: str) -> DataFrame:
     layouts, and it pushes down as a cheap filter.
     """
     return df.filter(F.pmod(F.xxhash64(F.col(key)), F.lit(one_in)) == 0)
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_col: str = "doc_id",
+    strata: list[str] | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact size k (per
+    stratum) — Efraimidis & Spirakis' A-Res (IPL 2006): each row draws
+    a uniform ``u`` and keeps key ``u^(1/w)``; the k largest keys are a
+    weighted-without-replacement sample.  This is the quality-weighted
+    data-selection primitive the Bernoulli hash-sampler
+    (:func:`deterministic_sample`) and the temperature mixer cannot
+    express: EXACTLY k rows, inclusion probability increasing in the
+    weight, no replacement.
+
+    Determinism + oracle-replayability: ``u`` is derived from md5 of
+    the id (first 12 hex chars as a 48-bit integer, ``(h + 0.5)/2^48``
+    — never 0 or 1), and the key is kept in LOG form
+    ``round(ln(u)/w, 9)`` — same ordering as ``u^(1/w)`` (both strictly
+    increasing transforms for w > 0), but ``ln`` is the engine-probed
+    ≤ 4.5e-16 cross-engine class while ``pow`` is not; the 9-dp round
+    kills the ulp, and residual ties break on the id.  One corpus
+    scan, the same local-pre-rank + per-stratum top-k discipline as
+    every other top-k — no global sort.
+
+    Output: the ``strata`` columns + (id, weight, ares_key, rank).
+    """
+    from pyspark.sql import Window
+
+    strata = list(strata or [])
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**48))
+    key = F.round(F.log(u) / weight.cast("double"), 9)
+    scored = df.select(
+        *strata,
+        F.col(id_col),
+        weight.cast("double").alias("weight"),
+        key.alias("ares_key"),
+    )
+    part_w = Window.partitionBy(F.spark_partition_id(), *strata).orderBy(
+        F.desc("ares_key"), F.asc(id_col)
+    )
+    local = scored.withColumn("_lr", F.row_number().over(part_w)).filter(
+        F.col("_lr") <= k
+    )
+    w = Window.partitionBy(*strata).orderBy(F.desc("ares_key"), F.asc(id_col))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*strata, id_col, "weight", "ares_key", F.col("rank").cast("int").alias("rank"))
+    )

@@ -78,11 +78,11 @@ _PRIORITY: list[str] = [
     # newest driver row is still r6-vintage (the r10 rotation's
     # overflow tail — retired first this round, as demanded), then the
     # 49 r7-vintage rows (computed from the union of
-    # CORRECTNESS_r01-r10, latest row per query).  2 + 5 + 49 = 56 >
-    # the ~50-row driver budget, so the last ~6 r7 entries may age one
+    # CORRECTNESS_r01-r10, latest row per query).  8 + 5 + 49 = 62 >
+    # the ~50-row driver budget, so the last ~12 r7 entries may age one
     # more round — new-query coverage outranks rotation freshness when
     # they clash.  A test asserts this list is duplicate-free.
-    # -- new in r11 (7) --
+    # -- new in r11 (8) --
     "ann_ivfadc_refine_topk",
     "ann_ivf_compact_serve",
     "ann_ivf_filtered_topk",
@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     "bm25_doc_topk",
     "hybrid_rrf_topk",
     "ann_ivf_diverse_topk",
+    "weighted_reservoir_sample",
     # -- r6-vintage (5) --
     "unigram_logprob_scores",
     "user_cohort_retention",

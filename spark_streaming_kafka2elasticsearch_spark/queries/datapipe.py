@@ -5831,3 +5831,50 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rrf_score",
         )
     )
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents),
+s AS (
+  SELECT lang, doc_id, CAST(n_tokens AS DOUBLE) AS weight,
+         round(
+           ln((CAST(CAST(concat('0x',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+               AS DOUBLE) + 0.5) / 281474976710656.0)
+           / CAST(n_tokens AS DOUBLE), 9) AS ares_key
+  FROM t WHERE n_tokens >= 1)
+SELECT lang, doc_id, weight, ares_key,
+       CAST(row_number() OVER (PARTITION BY lang
+         ORDER BY ares_key DESC, doc_id ASC) AS INT) AS rank
+FROM s
+QUALIFY rank <= 20
+""",
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling WITHOUT replacement, exactly 20 docs
+    per language (operators/curate.weighted_reservoir_sample) —
+    Efraimidis-Spirakis A-Res with deterministic md5-derived uniforms,
+    weight = token count.  The selection primitive the Bernoulli
+    hash-sampler and the temperature mixer cannot express: exact
+    per-stratum size, inclusion probability rising with the weight, no
+    replacement — the shape quality-weighted pretraining-data
+    selection actually uses.  The A-Res key rides in log form
+    (``round(ln(u)/w, 9)`` — same order as ``u^(1/w)``, but ln is the
+    engine-probed cross-exact class while pow is not), so DuckDB
+    replays draw, key, and rank bit-for-bit."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import token_count
+    from spark_streaming_kafka2elasticsearch_spark.operators.curate import (
+        weighted_reservoir_sample as wrs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
+    return wrs(t, weight=F.col("n_tokens"), k=20, strata=["lang"])

@@ -1549,3 +1549,31 @@ def test_hybrid_rrf_fuses_one_sided_hits(spark):
         per_q.setdefault(r["query_doc_id"], []).append(r["rank"])
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_weighted_reservoir_sample_prefers_heavy_weights(spark):
+    """A-Res semantics: exact size k per stratum, and a 100x weight
+    class must dominate the sample (P[heavy key > light key] =
+    w_h/(w_h + w_l) ~ 0.99 per pair, so >= 15/20 heavy picks has
+    overwhelming probability under the deterministic draws)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.curate import (
+        weighted_reservoir_sample,
+    )
+
+    rows = [(i, "en", 100.0 if i < 50 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    got = weighted_reservoir_sample(
+        df, weight=F.col("w"), k=20, strata=["lang"]
+    ).collect()
+    assert len(got) == 20
+    assert len({r["doc_id"] for r in got}) == 20  # without replacement
+    assert sorted(r["rank"] for r in got) == list(range(1, 21))
+    heavy = sum(1 for r in got if r["doc_id"] < 50)
+    assert heavy >= 15, heavy
+    # deterministic: a second run picks the identical sample
+    again = weighted_reservoir_sample(
+        df, weight=F.col("w"), k=20, strata=["lang"]
+    ).collect()
+    assert {(r["doc_id"], r["rank"]) for r in got} == {
+        (r["doc_id"], r["rank"]) for r in again
+    }
