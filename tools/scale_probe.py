@@ -237,6 +237,9 @@ PROBE_QUERIES = [
     # r11: quota-diversified top-k — same pruned-scan serve as
     # ivf_persisted_topk plus one bounded window; alpha must match
     "ann_ivf_diverse_topk",
+    # r11: A-Res weighted sampling — one scan + per-stratum top-k
+    # under local pre-rank; alpha ~ 1 (scan-bound)
+    "weighted_reservoir_sample",
 ]
 
 
