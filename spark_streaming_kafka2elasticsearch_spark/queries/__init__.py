@@ -82,7 +82,7 @@ _PRIORITY: list[str] = [
     # the ~50-row driver budget, so the last ~12 r7 entries may age one
     # more round — new-query coverage outranks rotation freshness when
     # they clash.  A test asserts this list is duplicate-free.
-    # -- new in r11 (8) --
+    # -- new in r11 (9) --
     "ann_ivfadc_refine_topk",
     "ann_ivf_compact_serve",
     "ann_ivf_filtered_topk",
@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "hybrid_rrf_topk",
     "ann_ivf_diverse_topk",
     "weighted_reservoir_sample",
+    "ann_ivfadc_filtered_topk",
     # -- r6-vintage (5) --
     "unigram_logprob_scores",
     "user_cohort_retention",

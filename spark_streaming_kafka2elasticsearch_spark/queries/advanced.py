@@ -1188,15 +1188,25 @@ def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, queries, books, k=10)
 
 
-def _ivfadc_scores_ctes(k: int, iters: int, n_probe: int) -> str:
+def _ivfadc_scores_ctes(
+    k: int, iters: int, n_probe: int, cand_pred: str | None = None
+) -> str:
     """IVFADC oracle chain up to the ``scores`` relation: the
     trained-coarse k-means CTE chain (shared with ivf_kmeans_codebook /
     ann_ivf_trained_topk) supplies cell assignments and the per-query
     probe set; the PQ chain (shared with ann_pq_adc_topk) supplies
     encode/LUT/integer-ADC; candidates are restricted to the probed
     cells before scoring — the exact composition the Spark operator
-    performs.  The plain top-k oracle and the refine oracle append
-    their own tails."""
+    performs.  ``cand_pred`` additionally restricts candidates by a
+    metadata predicate over ``lb`` (vec_id, label) — the filtered-
+    quantized-search leg.  The plain top-k, refine, and filtered
+    oracles append their own tails."""
+    cand_join = (
+        ""
+        if cand_pred is None
+        else "\n  JOIN (SELECT vec_id, label FROM embeddings) lb"
+        f"\n    ON lb.vec_id = a.vec_id AND ({cand_pred})"
+    )
     return (
         _kmeans_ctes(k, iters)
         + f""",
@@ -1231,7 +1241,7 @@ lut AS (
   FROM q CROSS JOIN cb c),
 cand AS (
   SELECT qc.query_id, a.cell, a.vec_id AS neighbor_id
-  FROM qc JOIN asn_final a USING (cell)
+  FROM qc JOIN asn_final a USING (cell){cand_join}
   WHERE a.vec_id <> qc.query_id),
 scores AS (
   SELECT cand.query_id, cand.cell, cand.neighbor_id,
@@ -1323,6 +1333,59 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     path = _ivf_index_dir("ann_ivfadc_topk", sf_dir)
     return ivfadc_topk(emb, queries, cents, codebooks, path, k=10, n_probe=2)
+
+
+@register(
+    "ann_ivfadc_filtered_topk",
+    # The IVFADC chain with candidates additionally restricted by the
+    # metadata predicate (lb.label < 4) BEFORE scoring — pre-filter
+    # semantics at the quantized tier.
+    oracle=_ivfadc_scores_ctes(k=8, iters=2, n_probe=2, cand_pred="lb.label < 4")
+    + """
+SELECT query_id, cell, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY adc_score_scaled DESC, neighbor_id ASC) AS INT) AS rank,
+       adc_score_scaled
+FROM scores
+QUALIFY rank <= 10""",
+)
+def ann_ivfadc_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search at the QUANTIZED tier — ann_ivf_filtered_topk's
+    billion-scale sibling: the ``label`` column rides the 8-byte-code
+    IVFADC index at build, and the serve scan stacks THREE reductions
+    in one pass — probed-cell directory pruning, the parquet-pushed
+    ``label < 4`` predicate, and the 8-bytes-per-candidate payload —
+    before integer-ADC scoring.  Pre-filter semantics: all 10 answers
+    qualify (selectivity here ~0.25, so post-filtering a plain ADC
+    top-10 would return ~2-3).  Trained coarse cells (session cache),
+    fixed first-16-slice codewords, 2-probe; DuckDB replays training,
+    probe set, predicate, encode, LUT, and integer rank bit-for-bit."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivfadc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    cents = _centroid_df(
+        spark, _trained_codebook_rows(spark, sf_dir, k=8, iters=2)
+    )
+    seed = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    codebooks = [
+        (m, int(r["vec_id"]), list(r["v"][m * 8 : (m + 1) * 8]))
+        for r in seed
+        for m in range(8)
+    ]
+    path = _ivf_index_dir("ann_ivfadc_filtered_topk", sf_dir)
+    return ivfadc_topk(
+        emb, queries, cents, codebooks, path, k=10, n_probe=2,
+        attrs=["label"], predicate="label < 4",
+    )
 
 
 @register(

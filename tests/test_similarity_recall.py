@@ -947,3 +947,55 @@ def test_diverse_topk_enforces_cell_quota(emb, queries, tmp_path):
     assert all(
         len(div_cells[q]) >= len(plain_cells.get(q, set())) for q in div_cells
     )
+
+
+def test_ivfadc_filtered_prefilters_on_the_code_index(emb, queries, tmp_path):
+    """Filtered quantized search: every answer satisfies the
+    predicate; the serve scan carries BOTH prunings (probed cells in
+    PartitionFilters, label in PushedFilters); and the result equals
+    plain IVFADC over the pre-filtered corpus with the same quantizers
+    (assignment and codes are per-vector, so filtering commutes)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivfadc_topk,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    seed = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    books = [
+        (m, int(r["vec_id"]), list(r["v"][m * 8 : (m + 1) * 8]))
+        for r in seed
+        for m in range(8)
+    ]
+    path = str(tmp_path / "adc_filtered")
+    served = ivfadc_topk(
+        emb, queries, cents, books, path, k=10, n_probe=2,
+        attrs=["label"], predicate="label < 4",
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "label" in plan.split("PushedFilters")[1][:250]
+    rows = served.collect()
+    labels = {
+        r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()
+    }
+    assert rows and all(labels[r["neighbor_id"]] < 4 for r in rows)
+
+    want = {
+        (r["query_id"], r["cell"], r["neighbor_id"], r["adc_score_scaled"])
+        for r in ivfadc_topk(
+            emb.filter(F.col("label") < 4), queries, cents, books,
+            str(tmp_path / "adc_pref"), k=10, n_probe=2,
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["cell"], r["neighbor_id"], r["adc_score_scaled"])
+        for r in rows
+    }
+    assert got == want

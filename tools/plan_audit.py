@@ -53,6 +53,8 @@ def main() -> int:
         "ann_ivfadc_residual_topk",
         # composes ivfadc_topk stage 1, inheriting the same LUT build
         "ann_ivfadc_refine_topk",
+        # same operator, predicate leg — same LUT build
+        "ann_ivfadc_filtered_topk",
     }
     unexpected = [n for n in n_cart if n not in allowed_cart]
     summary = {
