@@ -240,6 +240,9 @@ PROBE_QUERIES = [
     # r11: A-Res weighted sampling — one scan + per-stratum top-k
     # under local pre-rank; alpha ~ 1 (scan-bound)
     "weighted_reservoir_sample",
+    # r11: filtered quantized search — cell pruning x predicate
+    # pushdown x 8-byte payload; alpha must track ann_ivfadc_topk
+    "ann_ivfadc_filtered_topk",
 ]
 
 
