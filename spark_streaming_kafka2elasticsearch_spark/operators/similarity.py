@@ -501,6 +501,91 @@ def ivf_topk_fixed(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """k-NN GRAPH construction: every corpus vector becomes a query
+    against the same corpus, candidates restricted by the IVF coarse
+    quantizer (each node probes its ``n_probe`` nearest cells and
+    ranks only vectors ASSIGNED to those cells), top-``k`` per node,
+    plus the ``mutual`` flag (edge u→v is mutual iff v→u is also an
+    edge) — the backbone relation for graph-ANN serving structures
+    (NN-Descent/HNSW neighborhoods start from exactly this), for
+    mutual-kNN clustering, and for SemDeDup-style neighborhood
+    pruning.
+
+    Unlike :func:`ivf_topk_fixed` the query side here IS the corpus —
+    broadcasting it would be wrong at any scale — so the probe side
+    explodes its ranked cell list (n_probe rows per node) and the
+    candidate join is a plain shuffle hash join on ``cell``: both
+    sides partition by the same key, candidate lists never leave
+    their cell's partition, and the per-node work is |cell|·n_probe
+    rather than |corpus|.  The mutual flag is a self-join of the edge
+    list on the reversed pair — edge cardinality is n·k, vanishingly
+    small next to the candidate relation it came from.
+
+    Every cosine is the bit-deterministic sequential fold and both
+    windows replay as SQL QUALIFY levels, so the whole graph —
+    assignment, probe set, ranking, mutuality — is value-checkable
+    in an external engine.
+
+    Output: ``(src, dst, rank, mutual)``.
+    """
+    crows = (
+        centroids.select(centroid_id, centroid_vec)
+        .orderBy(centroid_id)
+        .collect()
+    )
+    if not crows:
+        raise ValueError("knn_graph needs >= 1 centroid")
+
+    assigned = corpus.select(
+        F.col(corpus_id).alias("dst"),
+        F.col(corpus_vec).alias("_nvec"),
+        l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_nn"),
+    ).select(
+        "dst",
+        "_nvec",
+        _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
+    )
+    probes = corpus.select(
+        F.col(corpus_id).alias("src"),
+        F.col(corpus_vec).alias("_qvec"),
+        F.explode(
+            _fixed_probe_cells_expr(crows, corpus_vec, n_probe)
+        ).alias("cell"),
+    )
+    pairs = probes.join(assigned, "cell").filter(F.col("src") != F.col("dst"))
+    sims = pairs.select(
+        "src",
+        "dst",
+        cosine_similarity(F.col("_qvec"), F.col("_nvec")).alias("_sim"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("_sim"), F.asc("dst"))
+    edges = (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", F.col("rank").cast("int").alias("rank"))
+    )
+    rev = edges.select(
+        F.col("dst").alias("_r_src"), F.col("src").alias("_r_dst")
+    )
+    return edges.join(
+        rev,
+        (edges.src == rev._r_src) & (edges.dst == rev._r_dst),
+        "left",
+    ).select(
+        "src", "dst", "rank", F.col("_r_src").isNotNull().alias("mutual")
+    )
+
+
 def ivf_persisted_topk(
     corpus: DataFrame,
     queries: DataFrame,

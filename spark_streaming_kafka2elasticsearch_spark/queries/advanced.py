@@ -765,6 +765,67 @@ def ann_ivf_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_graph_edges",
+    # The multiprobe serve shape with the CORPUS as the query side,
+    # then a reversed-pair self-join for the mutuality flag.
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+asn AS (
+  SELECT e.vec_id AS dst, c.cid AS cell, e.v
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+probe AS (
+  SELECT e.vec_id AS src, e.v AS qv, c.cid AS cell
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) <= 2),
+edges AS (
+  SELECT p.src, a.dst,
+         CAST(row_number() OVER (
+           PARTITION BY p.src
+           ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.dst ASC)
+           AS INT) AS rank
+  FROM probe p JOIN asn a USING (cell)
+  WHERE a.dst <> p.src
+  QUALIFY rank <= 5)
+SELECT g.src, g.dst, g.rank, (r.src IS NOT NULL) AS mutual
+FROM edges g
+LEFT JOIN edges r ON r.src = g.dst AND r.dst = g.src
+""",
+)
+def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph over the embeddings corpus
+    (operators/similarity.knn_graph): every vector probes its 2
+    nearest of 8 fixed coarse cells, ranks only vectors assigned to
+    those cells, keeps its top-5, and flags mutual edges — the
+    NN-Descent/HNSW seed neighborhood and the mutual-kNN clustering
+    input, fully value-checked: assignment, probe set, ranking, and
+    mutuality all replay in DuckDB as stacked QUALIFY windows plus a
+    reversed-pair self-join.
+
+    100 TB note: the candidate join shuffles BOTH sides on cell (the
+    query side is the corpus — broadcasting it, the serve-path trick,
+    would be wrong here), so per-node work is |cell|·n_probe and the
+    edge list (n·k rows) is the only thing that leaves the cell
+    partitions; the mutual self-join operates on that n·k relation,
+    not on candidates."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return knn_graph(emb, cents, k=5, n_probe=2)
+
+
 def _kmeans_ctes(k: int, iters: int) -> str:
     """Shared DuckDB CTE chain replaying spherical_kmeans_fit: the
     same seed rule, bit-exact cosine argmax assignment

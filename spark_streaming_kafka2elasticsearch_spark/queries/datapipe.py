@@ -5878,3 +5878,94 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
     ).filter(F.col("n_tokens") >= 1)
     return wrs(t, weight=F.col("n_tokens"), k=20, strata=["lang"])
+
+
+# ---------------------------------------------------------------------------
+# Q: Kneser–Ney smoothed bigram LM (interpolated, fixed discount)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kneser_ney_bigram_scores",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+b AS (
+  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM (SELECT t[i] || ' ' || t[i + 1] AS bg
+        FROM (SELECT unnest(generate_series(1, len(t) - 1)) AS i, t
+              FROM d WHERE len(t) >= 2))
+),
+bgf AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY w1, w2),
+fw AS (
+  SELECT w1, CAST(sum(c2) AS DOUBLE) AS c1, CAST(count(*) AS DOUBLE) AS n1f
+  FROM bgf GROUP BY w1
+),
+bw AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n1b FROM bgf GROUP BY w2),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM bgf)
+SELECT bgf.w1, bgf.w2, bgf.c2,
+       round((CAST(bgf.c2 AS DOUBLE) - 0.75) / fw.c1
+             + (0.75 * fw.n1f / fw.c1) * (bw.n1b / t.n_types), 9)
+         AS kn_prob
+FROM bgf JOIN fw USING (w1) JOIN bw USING (w2), t
+WHERE bgf.c2 >= 5
+""",
+)
+def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman 1999, eq. 4.24) with fixed discount D = 0.75 — the
+    smoothing that actual n-gram LM filters ship (add-k, the
+    bigram_logprob_scores recipe, systematically over-weights unseen
+    continuations; KN's continuation probability ``N1+(·,w2)/|types|``
+    fixes exactly that).  Per observed bigram (count ≥ 5):
+
+        P_KN(w2|w1) = (c(w1 w2) − D)/c(w1 ·)
+                      + (D · N1+(w1,·)/c(w1 ·)) · N1+(·,w2)/|bigram types|
+
+    Float discipline: every operand is an exact integer-valued double
+    (counts) or the exactly-representable 0.75, the expression shape
+    is identical on both engines (left-to-right: one subtract, three
+    divides, two multiplies, one add), and the single rounded value is
+    never re-aggregated — so no DECIMAL staging is needed.
+
+    100 TB note: all four statistics tables are vocabulary-sized after
+    partial aggregation (the corpus is scanned once to build the
+    (w1, w2, c2) relation; fw/bw/|types| derive from IT, not from a
+    re-scan), AQE broadcasts them back onto the bigram relation, and
+    the count-≥5 gate bounds the output — the same silhouette as
+    tfidf/bigram_logprob, no new shuffle class."""
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.when(
+        F.size(F.col("tokens")) >= 2,
+        F.expr(
+            "transform(slice(tokens, 1, size(tokens) - 1),"
+            " (x, i) -> struct(x AS w1, tokens[i + 1] AS w2))"
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    rel = (
+        docs.select(tokens(F.col("text")).alias("tokens"))
+        .select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bgf = rel.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    fw = bgf.groupBy("w1").agg(
+        F.sum("c2").cast("double").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("n1f"),
+    )
+    bw = bgf.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("n1b"))
+    n_types = bgf.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    kn = (F.col("c2").cast("double") - 0.75) / F.col("c1") + (
+        0.75 * F.col("n1f") / F.col("c1")
+    ) * (F.col("n1b") / F.col("n_types"))
+    return (
+        bgf.join(fw, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(n_types))
+        .filter(F.col("c2") >= 5)
+        .select("w1", "w2", "c2", F.round(kn, 9).alias("kn_prob"))
+    )

@@ -1248,3 +1248,144 @@ def nation_trailing_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_num",
         F.sum("day_rev").over(w).cast("string").cast("double").alias("rev_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: time-bounded interval join — click→purchase attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "click_purchase_attribution",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+           FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id, c.click_id,
+       (p.p_us - c.c_us) // 1000000 AS secs_before
+FROM p JOIN c ON p.user_id = c.user_id
+  AND c.c_us >= p.p_us - 1800000000
+  AND c.c_us < p.p_us
+""",
+)
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL join (attribution): every click by the same user in
+    the 30 minutes before each purchase — the one-to-many range
+    cousin of asof_purchase_prior_click (which keeps only the latest).
+    The equi key (user_id) keeps this a hash join with the range
+    conjunct as a post-join filter — never a cross product — and the
+    time bound is exactly what makes the STREAM-STREAM twin
+    (streaming/jobs.attribution_stream) state-cleanable: with
+    watermarks on both sides, Spark drops buffered clicks older than
+    the 30-minute bound.  ``secs_before`` is exact integer µs
+    arithmetic, so the pair relation is fully value-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    return (
+        p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.c_us >= p.p_us - 1_800_000_000)
+            & (c.c_us < p.p_us),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            F.expr("(p_us - c_us) div 1000000").alias("secs_before"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: binned range join — no equi key, bucketed to avoid the cross product
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "purchase_activity_context",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       CAST(count(e.event_id) AS BIGINT) AS n_nearby,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_nearby_users,
+       coalesce(CAST(CAST(sum(CAST(e.value AS DECIMAL(28,10))) AS VARCHAR)
+                     AS DOUBLE), 0.0) AS nearby_value_sum
+FROM (SELECT event_id, user_id, epoch_us(ts) AS p_us FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT event_id, user_id, value, epoch_us(ts) AS e_us
+           FROM events) e
+  ON e.user_id <> p.user_id
+ AND abs(e.e_us - p.p_us) <= 60000000
+GROUP BY p.event_id
+""",
+)
+def purchase_activity_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINNED range join: per purchase, the count / distinct-user
+    census / value sum of OTHER users' events within ±60 s.  There is
+    NO equi key here — the naive plan is a cartesian product with a
+    range filter, the classic range-join trap.  The binning trick
+    makes it a hash join: bucket both sides by ``µs div 60s``, explode
+    the probe side to its 3 adjacent buckets ({-1,0,+1} — any row
+    within ±60 s shares one of them), join on the bucket, THEN apply
+    the exact range predicate.  Each candidate matches in exactly one
+    offset (its own bucket is a single value), so no dedup is needed.
+    Purchases with an empty neighborhood are recovered by a final
+    left join against the purchase set (count 0, sum 0.0).
+
+    100 TB note: this is the shape Databricks' range-join "bin" hint
+    generates; candidate volume is |events|·3·(bucket occupancy)
+    instead of |purchases|·|events|, and the bucket key partitions
+    evenly when event time does.  The value sum runs in
+    DECIMAL(28,10) (order-independent) and is emitted via the proven
+    decimal→string→double cast."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    e = ev.select(
+        F.col("event_id").alias("n_event_id"),
+        F.col("user_id").alias("n_user"),
+        F.col("value").alias("n_value"),
+        F.unix_micros("ts").alias("e_us"),
+        F.expr("unix_micros(ts) div 60000000").alias("bucket"),
+    )
+    probe = p.select(
+        "*",
+        F.explode(
+            F.array(
+                F.expr("p_us div 60000000 - 1"),
+                F.expr("p_us div 60000000"),
+                F.expr("p_us div 60000000 + 1"),
+            )
+        ).alias("bucket"),
+    )
+    cand = probe.join(e, "bucket").filter(
+        (F.col("n_user") != F.col("p_user"))
+        & (F.abs(F.col("e_us") - F.col("p_us")) <= 60_000_000)
+    )
+    agg = cand.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_nearby"),
+        F.count_distinct("n_user").alias("n_nearby_users"),
+        F.sum(F.col("n_value").cast("decimal(28,10)"))
+        .cast("string")
+        .cast("double")
+        .alias("nearby_value_sum"),
+    )
+    return p.select("purchase_id").join(agg, "purchase_id", "left").select(
+        "purchase_id",
+        F.coalesce("n_nearby", F.lit(0)).alias("n_nearby"),
+        F.coalesce("n_nearby_users", F.lit(0)).alias("n_nearby_users"),
+        F.coalesce("nearby_value_sum", F.lit(0.0)).alias("nearby_value_sum"),
+    )

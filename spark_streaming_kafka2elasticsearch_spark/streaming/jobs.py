@@ -653,3 +653,85 @@ def front_door_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def attribution_stream(
+    spark: SparkSession,
+    clicks_source: Any,
+    purchases_source: Any,
+    window: str = "30 minutes",
+) -> DataFrame:
+    """STREAM–STREAM inner join: click→purchase attribution, the
+    two-unbounded-sides upgrade of the reference's stream–static
+    enrichment (bexley_spark_stream_msk_es.py's single join is stream
+    vs a bounded dim; here BOTH sides arrive as streams).  Each
+    purchase matches every click by the same user in the preceding
+    ``window``.
+
+    The mechanics that make this state-bounded at scale: both sides
+    carry watermarks, and the join condition includes the event-time
+    band ``p.ts - window <= c.ts < p.ts`` — Spark derives from it the
+    state-eviction rule (a buffered click older than the watermark
+    minus the band can never match a future purchase and is dropped;
+    likewise purchase state).  Without the time bound a stream-stream
+    join buffers FOREVER — the classic unbounded-state trap.  Inner
+    join results emit as soon as both sides have arrived (the
+    watermark gates eviction, not emission), so output is incremental.
+
+    Output schema matches the oracle-checked batch twin
+    (queries/extended.click_purchase_attribution): (purchase_id,
+    user_id, click_id, secs_before) — a pytest pins streaming ≡ batch
+    over multi-file replays.
+    """
+    from pyspark.sql import types as T
+
+    ev_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+
+    def parse(source: Any) -> DataFrame:
+        return (
+            source.load_stream(spark)
+            .select(
+                F.from_json(F.col("value").cast("string"), ev_schema).alias("e")
+            )
+            .select("e.*")
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+
+    clicks = (
+        parse(clicks_source)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts_us").alias("c_us"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", window)
+    )
+    purchases = (
+        parse(purchases_source)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts_us").alias("p_us"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", window)
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts >= purchases.p_ts - F.expr(f"INTERVAL {window}"))
+        & (clicks.c_ts < purchases.p_ts),
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.expr("(p_us - c_us) div 1000000").alias("secs_before"),
+    )

@@ -1577,3 +1577,170 @@ def test_weighted_reservoir_sample_prefers_heavy_weights(spark):
     assert {(r["doc_id"], r["rank"]) for r in got} == {
         (r["doc_id"], r["rank"]) for r in again
     }
+
+
+# ---------------------------------------------------------------------------
+# round 11: kNN graph, interval joins, Kneser-Ney
+# ---------------------------------------------------------------------------
+
+from tests.conftest import SF_DIR
+
+
+def test_knn_graph_mutual_flag_and_rank_bounds(spark):
+    """knn_graph: ranks are 1..k per node, the mutual flag is exactly
+    'the reversed edge exists', and mutuality is symmetric."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    rows = knn_graph(emb, cents, k=5, n_probe=2).collect()
+    edges = {(r["src"], r["dst"]) for r in rows}
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r["rank"])
+        assert r["src"] != r["dst"]
+        # the mutual flag IS reverse-edge existence
+        assert r["mutual"] == ((r["dst"], r["src"]) in edges)
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+        assert len(ranks) <= 5
+    # mutuality is symmetric: if (u,v) is mutual, (v,u) exists and is mutual
+    mutual = {(r["src"], r["dst"]) for r in rows if r["mutual"]}
+    assert all((v, u) in mutual for (u, v) in mutual)
+
+
+def test_knn_graph_matches_brute_force_within_probed_cells(spark):
+    """Within one node's probed candidate set, knn_graph's ranking is
+    the exact cosine top-k (no approximation beyond the probe)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        _fixed_cell_expr,
+        _fixed_probe_cells_expr,
+        knn_graph,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    crows = cents.orderBy("centroid_id").collect()
+    got = {
+        r["rank"]: r["dst"]
+        for r in knn_graph(emb, cents, k=5, n_probe=2).collect()
+        if r["src"] == 0
+    }
+    probe = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.explode(_fixed_probe_cells_expr(crows, "embedding", 2)).alias("c"))
+        .collect()
+    )
+    probed = {r["c"] for r in probe}
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cand = (
+        emb.withColumn("cell", _fixed_cell_expr(crows, "embedding"))
+        .filter(F.col("cell").isin(probed) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("qv"), F.col("embedding")).alias("sim"),
+        )
+        .collect()
+    )
+    want = [
+        r["vec_id"]
+        for r in sorted(cand, key=lambda r: (-r["sim"], r["vec_id"]))[:5]
+    ]
+    assert [got[i] for i in sorted(got)] == want
+
+
+def test_purchase_activity_context_equals_naive_range_join(spark):
+    """The binned range join (3-bucket explode + exact filter) equals
+    the naive cartesian-with-filter on a scale where naive is runnable."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+    got = {
+        r["purchase_id"]: (r["n_nearby"], r["n_nearby_users"])
+        for r in all_queries()["purchase_activity_context"](
+            spark, SF_DIR
+        ).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    e = ev.select(
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("eu"),
+        F.unix_micros("ts").alias("e_us"),
+    )
+    naive = (
+        p.crossJoin(e)
+        .filter(
+            (F.col("eu") != F.col("pu"))
+            & (F.abs(F.col("e_us") - F.col("p_us")) <= 60_000_000)
+        )
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("eu").alias("u"),
+        )
+        .collect()
+    )
+    naive_map = {r["pid"]: (r["n"], r["u"]) for r in naive}
+    for pid, (n, u) in got.items():
+        assert naive_map.get(pid, (0, 0)) == (n, u), pid
+    assert set(naive_map) <= set(got)
+
+
+def test_click_purchase_attribution_window_bounds(spark):
+    """Every attributed click is strictly before its purchase and at
+    most 30 minutes old; secs_before is consistent with the bound."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+    rows = all_queries()["click_purchase_attribution"](spark, SF_DIR).collect()
+    assert rows, "sf0.001 should produce at least one attribution pair"
+    for r in rows:
+        assert 0 <= r["secs_before"] <= 1800
+
+
+def test_kneser_ney_probabilities_and_counts(spark):
+    """KN probabilities are in (0, 1); recomputing the formula from the
+    raw count tables reproduces every emitted value."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    rows = all_queries()["kneser_ney_bigram_scores"](spark, SF_DIR).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = [r["t"] for r in docs.select(tokens(F.col("text")).alias("t")).collect()]
+    from collections import Counter
+
+    c2: Counter = Counter()
+    for t in toks:
+        for a, b in zip(t, t[1:]):
+            c2[(a, b)] += 1
+    c1: Counter = Counter()
+    n1f: Counter = Counter()
+    n1b: Counter = Counter()
+    for (a, b), n in c2.items():
+        c1[a] += n
+        n1f[a] += 1
+        n1b[b] += 1
+    n_types = float(len(c2))
+    for r in rows:
+        assert 0.0 < r["kn_prob"] < 1.0, r
+        assert c2[(r["w1"], r["w2"])] == r["c2"] >= 5
+        want = (r["c2"] - 0.75) / float(c1[r["w1"]]) + (
+            0.75 * n1f[r["w1"]] / float(c1[r["w1"]])
+        ) * (n1b[r["w2"]] / n_types)
+        assert abs(r["kn_prob"] - want) < 1e-9, (r, want)

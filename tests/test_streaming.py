@@ -2271,3 +2271,73 @@ def test_front_door_feeds_ivf_index_maintenance(spark, tmp_path):
     }
     assert streamed == full
     assert spark.read.parquet(index_path).count() == union.count()
+
+
+def test_attribution_stream_stream_join_matches_batch(spark, tmp_path):
+    """STREAM-STREAM inner join (attribution_stream): clicks and
+    purchases arrive as two separate file streams across multiple
+    micro-batch files, and the joined output equals the batch
+    time-bounded interval join over the union — including a click
+    that arrives in a LATER file than its purchase (the cross-batch
+    buffering a stream-static join cannot do)."""
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        attribution_stream,
+    )
+
+    base_us = 1_700_000_000_000_000  # an arbitrary fixed epoch µs
+
+    def ev(event_id, user_id, mins):
+        return json.dumps(
+            {
+                "event_id": event_id,
+                "user_id": user_id,
+                "ts_us": base_us + mins * 60_000_000,
+            }
+        )
+
+    clicks_dir = tmp_path / "clicks"
+    purch_dir = tmp_path / "purch"
+    clicks_dir.mkdir()
+    purch_dir.mkdir()
+
+    # user 1: clicks at t=0,10,40; purchase at t=30 -> clicks 0,10 match
+    # (40 is after), click 0 is exactly 30 min before -> in [p-30, p) OK
+    # user 2: click at t=5; purchase at t=50 -> too old, no match
+    # user 3: purchase at t=20 arrives FIRST, its click t=15 arrives in
+    # a later file -> the stream must buffer the purchase and still match
+    write_batch_file(
+        str(clicks_dir), "c0.json", [ev(100, 1, 0), ev(101, 1, 10), ev(102, 2, 5)]
+    )
+    write_batch_file(str(purch_dir), "p0.json", [ev(200, 1, 30), ev(201, 3, 20)])
+
+    out = attribution_stream(
+        spark,
+        JsonDirSource(str(clicks_dir), as_kafka_envelope=True),
+        JsonDirSource(str(purch_dir), as_kafka_envelope=True),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attribution_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch_file(
+            str(clicks_dir), "c1.json", [ev(103, 1, 40), ev(104, 3, 15)]
+        )
+        write_batch_file(str(purch_dir), "p1.json", [ev(202, 2, 50)])
+        q.processAllAvailable()
+        got = {
+            (r["purchase_id"], r["click_id"], r["secs_before"])
+            for r in spark.sql("select * from attribution_out").collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        (200, 100, 1800),  # exactly 30 min before: c_us >= p_us - 30min
+        (200, 101, 1200),
+        (201, 104, 300),   # click arrived a file AFTER its purchase
+    }
+    assert got == want
