@@ -546,21 +546,27 @@ def knn_graph(
     if not crows:
         raise ValueError("knn_graph needs >= 1 centroid")
 
-    assigned = corpus.select(
-        F.col(corpus_id).alias("dst"),
-        F.col(corpus_vec).alias("_nvec"),
-        l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_nn"),
-    ).select(
-        "dst",
-        "_nvec",
-        _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
+    # ONE common projection computes each vector's ranked probe list;
+    # its head IS the assignment (same argmax + tie-break), so the
+    # corpus-side and probe-side frames derive from the same child —
+    # one scan shape, and no hoisted-norm column crossing a projection
+    # boundary (a two-chain select over the same cached scan tripped a
+    # Catalyst ATTRIBUTE_NOT_FOUND collapse bug when the relation had
+    # been materialized by a prior count()).
+    both = corpus.select(
+        F.col(corpus_id).alias("_id"),
+        F.col(corpus_vec).alias("_vec"),
+        _fixed_probe_cells_expr(crows, corpus_vec, n_probe).alias("_probe"),
     )
-    probes = corpus.select(
-        F.col(corpus_id).alias("src"),
-        F.col(corpus_vec).alias("_qvec"),
-        F.explode(
-            _fixed_probe_cells_expr(crows, corpus_vec, n_probe)
-        ).alias("cell"),
+    assigned = both.select(
+        F.col("_id").alias("dst"),
+        F.col("_vec").alias("_nvec"),
+        F.element_at("_probe", 1).alias("cell"),
+    )
+    probes = both.select(
+        F.col("_id").alias("src"),
+        F.col("_vec").alias("_qvec"),
+        F.explode("_probe").alias("cell"),
     )
     pairs = probes.join(assigned, "cell").filter(F.col("src") != F.col("dst"))
     sims = pairs.select(

@@ -826,6 +826,65 @@ def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(emb, cents, k=5, n_probe=2)
 
 
+@register(
+    "knn_graph_edges_auto",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)),
+asn AS (
+  SELECT e.vec_id AS dst, c.cid AS cell, e.v
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+probe AS (
+  SELECT e.vec_id AS src, e.v AS qv, c.cid AS cell
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) <= 2),
+edges AS (
+  SELECT p.src, a.dst,
+         CAST(row_number() OVER (
+           PARTITION BY p.src
+           ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.dst ASC)
+           AS INT) AS rank
+  FROM probe p JOIN asn a USING (cell)
+  WHERE a.dst <> p.src
+  QUALIFY rank <= 5)
+SELECT g.src, g.dst, g.rank, (r.src IS NOT NULL) AS mutual
+FROM edges g
+LEFT JOIN edges r ON r.src = g.dst AND r.dst = g.src
+""",
+)
+def knn_graph_edges_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph with the SIZED cell count — the scale path.  With
+    FIXED c cells the candidate relation grows n²·n_probe/c (each
+    node scans |cell| ≈ n/c candidates); holding per-cell occupancy
+    at √n via c = ⌈√n⌉ makes total candidate work ~n^1.5·n_probe —
+    the same sizing doctrine as semdedup_keep_decisions_auto and
+    srp auto-p, and the regime NN-Descent-style graph builds run in.
+    The sizing rule is SQL-expressible (centroids = the ⌈√n⌉
+    lowest-id vectors via a scalar subquery), so the whole graph
+    stays fully value-checked; the fixed-c=8 twin (knn_graph_edges)
+    is kept for a scale-stable cell layout.  Spark pays one parquet
+    metadata count() for n."""
+    import math
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = int(math.ceil(math.sqrt(emb.count())))
+    cents = emb.filter(F.col("vec_id") < c).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return knn_graph(emb, cents, k=5, n_probe=2)
+
+
 def _kmeans_ctes(k: int, iters: int) -> str:
     """Shared DuckDB CTE chain replaying spherical_kmeans_fit: the
     same seed rule, bit-exact cosine argmax assignment

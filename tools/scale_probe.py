@@ -243,6 +243,15 @@ PROBE_QUERIES = [
     # r11: filtered quantized search — cell pruning x predicate
     # pushdown x 8-byte payload; alpha must track ann_ivfadc_topk
     "ann_ivfadc_filtered_topk",
+    # r11: kNN graph, √n-sized cells — candidate work ~n^1.5·n_probe
+    # (per-cell occupancy held at √n), so alpha ≈ 1.5 is the DESIGN
+    # slope here, like the semdedup intra-cluster scan; the fixed-c=8
+    # twin (knn_graph_edges) is n²/c and deliberately NOT probed
+    "knn_graph_edges_auto",
+    # r11: Kneser-Ney bigram LM — all four statistics vocabulary-sized
+    # after partial agg over ONE (w1,w2,c2) relation; must track
+    # bigram_logprob_scores' alpha
+    "kneser_ney_bigram_scores",
 ]
 
 

@@ -47,6 +47,18 @@ PROBE_QUERIES = [
     "latest_event_per_user",
     "user_running_distinct_types",
     "event_transition_matrix",
+    # r11: time-bounded interval join keyed on user — per-user click
+    # sets are replica-invariant, so alpha must hold ~ 1
+    "click_purchase_attribution",
+    # r11: binned range join with NO equi key.  The user-replica model
+    # multiplies bucket DENSITY by F (timestamps unchanged), so the
+    # true answer itself grows F× per purchase — total output F², and
+    # alpha ≈ 2 here is ANSWER growth, not a plan flaw (the plan's win
+    # is the bucket count: candidates = 3·Σ p_b·e_b, not |P|·|E|).
+    # The honest 100 TB growth model for this shape is a longer time
+    # span at ~constant density, which IS linear; the probe documents
+    # the worst case.
+    "purchase_activity_context",
 ]
 
 
