@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from spark_streaming_kafka2elasticsearch_spark.functions.vectors import (
     cosine_similarity,
+    dot_product,
     l2_norm,
     literal_l2_norm,
 )
@@ -553,33 +554,71 @@ def knn_graph(
     # boundary (a two-chain select over the same cached scan tripped a
     # Catalyst ATTRIBUTE_NOT_FOUND collapse bug when the relation had
     # been materialized by a prior count()).
-    both = corpus.select(
+    # row norm hoisted ONCE, feeding BOTH the c-codeword assignment
+    # folds and the pair sims — the pair relation is |cell|·n_probe
+    # per node and the assignment is c folds per row, so in-place
+    # norm recomputation would run c+2 times per row instead of once
+    # (measured ~3x on the fixed twin for the pair leg alone)
+    base = corpus.select(
         F.col(corpus_id).alias("_id"),
         F.col(corpus_vec).alias("_vec"),
-        _fixed_probe_cells_expr(crows, corpus_vec, n_probe).alias("_probe"),
+        l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_n"),
+    )
+    both = base.select(
+        "_id",
+        "_vec",
+        _fixed_probe_cells_expr(crows, "_vec", n_probe, "_n").alias("_probe"),
+        "_n",
     )
     assigned = both.select(
         F.col("_id").alias("dst"),
         F.col("_vec").alias("_nvec"),
         F.element_at("_probe", 1).alias("cell"),
+        F.col("_n").alias("_nn"),
     )
     probes = both.select(
         F.col("_id").alias("src"),
         F.col("_vec").alias("_qvec"),
         F.explode("_probe").alias("cell"),
+        F.col("_n").alias("_qn"),
     )
     pairs = probes.join(assigned, "cell").filter(F.col("src") != F.col("dst"))
+    # bit-exact hoisted cosine: same dot fold, same norm·norm product,
+    # same zero guard as functions.vectors.cosine_similarity — the
+    # norms are just computed once per row instead of once per pair
+    denom = F.col("_qn") * F.col("_nn")
     sims = pairs.select(
         "src",
         "dst",
-        cosine_similarity(F.col("_qvec"), F.col("_nvec")).alias("_sim"),
+        F.when(denom == 0, F.lit(None))
+        .otherwise(
+            dot_product(
+                F.col("_qvec").cast("array<double>"),
+                F.col("_nvec").cast("array<double>"),
+            )
+            / denom
+        )
+        .alias("_sim"),
+    )
+    # local pre-rank (the bm25/brute-force discipline): a node's
+    # candidates live in at most n_probe cell partitions, so keeping
+    # the per-(partition, src) top-k first shrinks the global window's
+    # input from the full candidate relation to ≤ n·n_probe·k rows.
+    part_w = Window.partitionBy(F.spark_partition_id(), "src").orderBy(
+        F.desc("_sim"), F.asc("dst")
+    )
+    local = sims.withColumn("_lr", F.row_number().over(part_w)).filter(
+        F.col("_lr") <= k
     )
     w = Window.partitionBy("src").orderBy(F.desc("_sim"), F.asc("dst"))
+    # n·k rows — small by contract; persisted because the mutual
+    # self-join references the edge list twice (without it the whole
+    # candidate join and ranking execute once per reference).
     edges = (
-        sims.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("src", "dst", F.col("rank").cast("int").alias("rank"))
-    )
+    ).persist()
     rev = edges.select(
         F.col("dst").alias("_r_src"), F.col("src").alias("_r_dst")
     )
@@ -589,6 +628,142 @@ def knn_graph(
         "left",
     ).select(
         "src", "dst", "rank", F.col("_r_src").isNotNull().alias("mutual")
+    )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedy selection of ``k`` results from a ``pool``-sized
+    relevance shortlist, each step picking
+
+        argmax_d  λ·sim(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s)
+
+    — the redundancy-penalizing re-rank that search/RAG stacks run on
+    top of ANN shortlists (the greedy counterpart of the quota-based
+    ivf_diverse_topk).
+
+    Greedy MMR is sequential in k — the one shape Catalyst genuinely
+    cannot express without unrolling k dependent plan levels (tried:
+    the unroll re-executes each level's window subplan under every
+    later union, dozens of stages for 40 output rows).  So the greedy
+    runs where sequential-per-group logic belongs: ``applyInPandas``
+    over query_id groups.  The distribution story is unchanged — the
+    corpus is touched ONLY by the one shortlist scan (broadcast query
+    side, local pre-rank; compose over an IVF serve for billion-row
+    corpora), then ONE shuffle keyed on query_id moves pool-sized
+    groups to the greedy kernel; a million queries = a million
+    independent groups.
+
+    Cross-engine exactness (the brute_force_topk_pandas doctrine):
+    the pairwise pool sims inside the kernel run as a sequential fold
+    over the dimension axis — bit-identical to the Catalyst fold and
+    DuckDB's list_cosine_similarity; relevance sims arrive from the
+    Catalyst projection through Arrow (exact float64 round-trip);
+    λ = 0.5 and 1−λ = 0.5 are exactly representable so the objective
+    is two exact scalings and one subtraction; max over the selected
+    set is order-independent; ties break by doc_id.  The final 9-dp
+    round happens ENGINE-side (F.round), matching the oracle's
+    round().
+
+    Output: ``(query_id, doc_id, rank, mmr_score)`` — ``mmr_score``
+    is the selection objective at pick time (level 1: the raw
+    relevance sim), rounded to 9 dp.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not (0.0 < lam < 1.0):
+        raise ValueError("lam must be in (0, 1)")
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")
+    )
+    # Shortlist: one corpus scan, query side broadcast, local pre-rank
+    # (top-pool within each partition) before the per-query window.
+    sims = (
+        corpus.select(
+            F.col(corpus_id).alias("doc_id"), F.col(corpus_vec).alias("_dv")
+        )
+        .join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("_dv").cast("array<double>").alias("_dv"),
+            cosine_similarity(F.col("_qv"), F.col("_dv")).alias("simq"),
+        )
+    )
+    part = Window.partitionBy(F.spark_partition_id(), "query_id").orderBy(
+        F.desc("simq"), F.asc("doc_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("simq"), F.asc("doc_id"))
+    cand = (
+        sims.withColumn("_pr", F.row_number().over(part))
+        .filter(F.col("_pr") <= pool)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= pool)
+        .select("query_id", "doc_id", "_dv", "simq")
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        simq = pdf["simq"].to_numpy(dtype=np.float64)
+        C = np.stack(pdf["_dv"].to_numpy()).astype(np.float64)
+        n = len(ids)
+        # pairwise cosine, sequential fold over dims (bit-exact twin
+        # of the Catalyst/DuckDB fold)
+        dot = np.zeros((n, n), dtype=np.float64)
+        sq = np.zeros(n, dtype=np.float64)
+        for j in range(C.shape[1]):
+            dot = dot + C[:, j, None] * C[None, :, j]
+            sq = sq + C[:, j] * C[:, j]
+        norm = np.sqrt(sq)
+        denom = norm[:, None] * norm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            psim = dot / denom
+        psim = np.where(denom == 0.0, -np.inf, psim)
+        taken: list[int] = []
+        out_rank: list[int] = []
+        out_score: list[float] = []
+        for step in range(1, min(k, n) + 1):
+            best_i, best_key = -1, None
+            for i in range(n):
+                if i in taken:
+                    continue
+                if step == 1:
+                    score = simq[i]
+                else:
+                    maxs = max(psim[i, t] for t in taken)
+                    score = lam * simq[i] - (1.0 - lam) * maxs
+                key = (-score, ids[i])
+                if best_key is None or key < best_key:
+                    best_i, best_key = i, key
+            taken.append(best_i)
+            out_rank.append(step)
+            out_score.append(-best_key[0])
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "doc_id": ids[taken],
+                "rank": np.array(out_rank, dtype=np.int32),
+                "mmr_score": np.array(out_score, dtype=np.float64),
+            }
+        )
+
+    picked = cand.groupBy("query_id").applyInPandas(
+        greedy, schema="query_id bigint, doc_id bigint, rank int, mmr_score double"
+    )
+    return picked.select(
+        "query_id", "doc_id", "rank", F.round("mmr_score", 9).alias("mmr_score")
     )
 
 

@@ -1278,3 +1278,113 @@ def bm25_scores(
             F.col("score_dec").cast("string").cast("double").alias("score"),
         )
     )
+
+
+def query_likelihood_scores(
+    docs: DataFrame,
+    query_docs: DataFrame,
+    mu: float = 2000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_doc_id",
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001) — the language-modeling third of the lexical
+    retrieval triad (BM25 = probabilistic, QL = generative):
+
+        score(q, d) = Σ_{t ∈ q} qtf(t) · ln P_μ(t | d),
+        P_μ(t | d)  = (tf(t, d) + μ·cf(t)/|C|) / (|d| + μ)
+
+    computed in the standard matched-terms decomposition — only
+    (query-term, doc) postings pay a join, every other term folds
+    into one per-doc constant:
+
+        Σ_matched qtf·ln(1 + tf/(μ·cf/|C|))  +  |q|·ln(μ/(|d| + μ))
+
+    The emitted score is this decomposed form, which differs from the
+    exact ln-likelihood by the document-INDEPENDENT query constant
+    ``Σ_{t∈q} qtf·ln(cf/|C|)`` — the textbook rank-equivalent scoring
+    function (rankings are identical; a test verifies the shift).
+
+    Docs sharing no term with the query score only the constant and
+    are excluded (standard candidate-from-postings practice; both
+    engines agree by the same inner join).
+
+    Float discipline (the bm25_scores recipe): each matched term and
+    the per-doc constant are ONE IEEE expression shape rounded to
+    9 dp into DECIMAL(28,10); the per-(query, doc) total is an exact
+    decimal sum plus one exact decimal add — partition-order-proof,
+    bit-replayable.  μ = 2000 is exactly representable.
+
+    Scale shape: identical silhouette to bm25_scores — the (doc, tok)
+    aggregate is the one corpus-sized exchange; cf and |C| are
+    vocabulary-sized / scalar broadcasts; the query term set is small
+    BY CONTRACT and broadcast; cost is Σ matching postings.
+
+    Output: ``(query_doc_id, doc_id, score_dec, score)``.
+    """
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    cf = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("cf"))
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("t_tokens"))
+    qterms = query_docs.select(
+        F.col(id_col).alias(query_id),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).groupBy(query_id, "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("qtf")
+    )
+    qlen = qterms.groupBy(query_id).agg(
+        F.sum("qtf").cast("double").alias("qlen")
+    )
+
+    mu_lit = F.lit(float(mu))
+    term = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(cf, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            query_id,
+            id_col,
+            F.round(
+                F.col("qtf")
+                * F.log(
+                    F.lit(1.0)
+                    + F.col("tf").cast("double")
+                    / (mu_lit * (F.col("cf") / F.col("t_tokens")))
+                ),
+                9,
+            )
+            .cast("decimal(28,10)")
+            .alias("sterm"),
+        )
+    )
+    matched = (
+        term.filter(F.col(query_id) != F.col(id_col))
+        .groupBy(query_id, id_col)
+        .agg(F.sum("sterm").alias("msum"))
+    )
+    const = F.round(
+        F.col("qlen")
+        * F.log(mu_lit / (F.col("dl").cast("double") + mu_lit)),
+        9,
+    ).cast("decimal(28,10)")
+    return (
+        matched.join(doclen, id_col)
+        .join(F.broadcast(qlen), query_id)
+        .select(
+            query_id,
+            id_col,
+            (F.col("msum") + const).alias("score_dec"),
+        )
+        .select(
+            query_id,
+            id_col,
+            "score_dec",
+            F.col("score_dec").cast("string").cast("double").alias("score"),
+        )
+    )

@@ -885,6 +885,221 @@ def knn_graph_edges_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(emb, cents, k=5, n_probe=2)
 
 
+@register(
+    "ivf_cell_stats",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+asn AS (
+  SELECT e.vec_id, c.cid AS cell
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e)
+SELECT a.cell,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(CAST(count(*) AS DOUBLE) / t.n, 9) AS share,
+       min(a.vec_id) AS min_vec_id,
+       max(a.vec_id) AS max_vec_id
+FROM asn a, tot t
+GROUP BY a.cell, t.n
+""",
+)
+def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index INTROSPECTION: the per-cell occupancy census of the
+    coarse quantizer — the operational dashboard behind every serving
+    decision this family makes (a skewed census means one probed cell
+    dominates latency; the √n sizing doctrine and the compaction
+    trigger both read exactly this relation).  One corpus scan, the
+    bit-exact assignment fold, and a constant-size aggregate; share
+    is a single IEEE division rounded 9 dp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        _fixed_cell_expr,
+    )
+
+    crows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    tot = emb.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        emb.select(
+            "vec_id", _fixed_cell_expr(crows, "embedding").alias("cell")
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("cell", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.col("n"), 9
+            ).alias("share"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .select("cell", "n_members", "share", "min_vec_id", "max_vec_id")
+    )
+
+
+@register(
+    "mutual_knn_components",
+    # the knn_graph_edges CTE chain, restricted to MUTUAL edges, then
+    # the recursive-reach CC idiom shared with near_dup_clusters
+    oracle="""
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+asn AS (
+  SELECT e.vec_id AS dst, c.cid AS cell, e.v
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+probe AS (
+  SELECT e.vec_id AS src, e.v AS qv, c.cid AS cell
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) <= 2),
+knn AS (
+  SELECT p.src, a.dst
+  FROM probe p JOIN asn a USING (cell)
+  WHERE a.dst <> p.src
+  QUALIFY row_number() OVER (
+    PARTITION BY p.src
+    ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.dst ASC) <= 5),
+mutual AS (
+  SELECT g.src AS a, g.dst AS b
+  FROM knn g JOIN knn r ON r.src = g.dst AND r.dst = g.src),
+reach(node, label) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT m.b, r.label FROM reach r JOIN mutual m ON r.node = m.a
+)
+SELECT node AS vec_id, min(label) AS component FROM reach GROUP BY node
+""",
+)
+def mutual_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL-kNN clustering: connected components over only the
+    RECIPROCATED edges of the k-NN graph — the classic density-robust
+    clustering rule (an edge survives iff each endpoint is in the
+    other's top-k, which severs hub-induced bridges between clusters
+    that plain kNN-CC would merge; the same construction NN-Descent
+    and mutual-kNN spectral methods start from).  Composes the new
+    knn_graph operator with the existing min-label-propagation CC
+    (operators/dedup.connected_components) — pair generation is the
+    cell-partitioned candidate join, closure is one shuffle join per
+    diameter round, and the oracle replays both: the knn CTE chain
+    restricted to mutual edges, then the shared recursive-reach
+    idiom.  Output: (vec_id, component)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
+        connected_components,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    edges = (
+        knn_graph(emb, cents, k=5, n_probe=2)
+        .filter(F.col("mutual"))
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    )
+    nodes = emb.select(F.col("vec_id").alias("_id"))
+    return connected_components(edges, nodes).select(
+        F.col("_id").alias("vec_id"), "component"
+    )
+
+
+def _mmr_oracle(k: int, pool: int, n_queries: int) -> str:
+    """Unrolled greedy-MMR oracle (λ = 0.5): shortlist + pairwise-sim
+    CTEs, then one (anti-join → max-penalty aggregate → argmax
+    QUALIFY) CTE pair per greedy level — the k-means chain's
+    fixed-iteration trick applied to a sequential re-ranker."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings),",
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e "
+        f"WHERE vec_id < {n_queries}),",
+        f"""cand AS (
+  SELECT q.query_id, e.vec_id AS doc_id, e.v,
+         list_cosine_similarity(q.qv, e.v) AS simq
+  FROM q JOIN e ON e.vec_id <> q.query_id
+  QUALIFY row_number() OVER (PARTITION BY q.query_id
+    ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id ASC)
+    <= {pool}),""",
+        """psim AS (
+  SELECT a.query_id, a.doc_id AS pa, b.doc_id AS pb,
+         list_cosine_similarity(a.v, b.v) AS s
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),""",
+        """sel1 AS (
+  SELECT query_id, doc_id, 1 AS rank, round(simq, 9) AS mmr_score
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+    ORDER BY simq DESC, doc_id ASC) = 1),
+acc1 AS (SELECT query_id, doc_id FROM sel1)""",
+    ]
+    for step in range(2, k + 1):
+        prev = step - 1
+        parts.append(
+            f""",
+sc{step} AS (
+  SELECT c.query_id, c.doc_id,
+         0.5 * c.simq - 0.5 * max(p.s) AS score
+  FROM cand c
+  JOIN acc{prev} s ON s.query_id = c.query_id
+  JOIN psim p ON p.query_id = c.query_id
+    AND p.pa = c.doc_id AND p.pb = s.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM acc{prev} x
+                    WHERE x.query_id = c.query_id
+                      AND x.doc_id = c.doc_id)
+  GROUP BY c.query_id, c.doc_id, c.simq),
+sel{step} AS (
+  SELECT query_id, doc_id, {step} AS rank, round(score, 9) AS mmr_score
+  FROM sc{step}
+  QUALIFY row_number() OVER (PARTITION BY query_id
+    ORDER BY score DESC, doc_id ASC) = 1),
+acc{step} AS (SELECT query_id, doc_id FROM acc{prev}
+              UNION ALL SELECT query_id, doc_id FROM sel{step})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, doc_id, CAST(rank AS INT) AS rank, mmr_score "
+        f"FROM sel{s}"
+        for s in range(1, k + 1)
+    )
+    return "\n".join(parts) + "\n" + union
+
+
+@register("ann_mmr_topk", oracle=_mmr_oracle(k=5, pool=20, n_queries=8))
+def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR re-rank (operators/similarity.mmr_rerank): top-5
+    from a 20-candidate relevance shortlist per query, λ = 0.5 — the
+    redundancy-penalizing diversification that runs on top of ANN
+    shortlists, made oracle-replayable by unrolling the greedy
+    recursion into 5 deterministic levels (anti-join, pairwise-sim
+    lookup, max-aggregate, argmax window with id tie-break).  The
+    corpus is touched only by the ONE shortlist scan; all greedy
+    state is |queries|·pool-sized."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return mmr_rerank(emb, queries, k=5, pool=20, lam=0.5)
+
+
 def _kmeans_ctes(k: int, iters: int) -> str:
     """Shared DuckDB CTE chain replaying spherical_kmeans_fit: the
     same seed rule, bit-exact cosine argmax assignment

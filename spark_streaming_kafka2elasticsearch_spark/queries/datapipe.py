@@ -5969,3 +5969,88 @@ def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c2") >= 5)
         .select("w1", "w2", "c2", F.round(kn, 9).alias("kn_prob"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: query-likelihood retrieval (Dirichlet-smoothed LM scoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "query_likelihood_topk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+cf AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cf FROM toks GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t_tokens FROM toks),
+q AS (SELECT doc_id AS query_doc_id, tok, CAST(count(*) AS DOUBLE) AS qtf
+      FROM toks WHERE doc_id < 5 GROUP BY doc_id, tok),
+qlen AS (SELECT query_doc_id, CAST(sum(qtf) AS DOUBLE) AS qlen
+         FROM q GROUP BY query_doc_id),
+terms AS (
+  SELECT qq.query_doc_id, tf.doc_id,
+         CAST(round(qq.qtf * ln(1.0 + CAST(tf.tf AS DOUBLE)
+                / (2000.0 * (c.cf / s.t_tokens))), 9)
+              AS DECIMAL(28,10)) AS sterm
+  FROM tf JOIN q qq USING (tok) JOIN cf c USING (tok), tot s),
+matched AS (
+  SELECT query_doc_id, doc_id, sum(sterm) AS msum
+  FROM terms WHERE query_doc_id <> doc_id GROUP BY query_doc_id, doc_id),
+scored AS (
+  SELECT m.query_doc_id, m.doc_id,
+         m.msum + CAST(round(ql.qlen
+             * ln(2000.0 / (CAST(dl.dl AS DOUBLE) + 2000.0)), 9)
+             AS DECIMAL(28,10)) AS score_dec
+  FROM matched m
+  JOIN dl ON dl.doc_id = m.doc_id
+  JOIN qlen ql ON ql.query_doc_id = m.query_doc_id)
+SELECT query_doc_id, doc_id,
+       CAST(row_number() OVER (PARTITION BY query_doc_id
+         ORDER BY score_dec DESC, doc_id ASC) AS INT) AS rank,
+       CAST(CAST(score_dec AS VARCHAR) AS DOUBLE) AS score
+FROM scored
+QUALIFY rank <= 10
+""",
+)
+def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood top-10
+    (operators/text.query_likelihood_scores, μ = 2000) — the
+    language-modeling leg of the lexical triad next to BM25: scores
+    are ln-probabilities of the query under each doc's smoothed
+    unigram LM, decomposed so only matching postings join and all
+    unmatched mass folds into one per-doc constant.  Per-term and
+    constant contributions are 9-dp-rounded decimals summed exactly,
+    so ranking and emitted scores replay bit-for-bit.  Same
+    inverted-index scale silhouette (and the same local pre-rank
+    discipline) as bm25_doc_topk."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        query_likelihood_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = query_likelihood_scores(docs, docs.filter(F.col("doc_id") < 5))
+    part_w = Window.partitionBy(
+        F.spark_partition_id(), "query_doc_id"
+    ).orderBy(F.desc("score_dec"), F.asc("doc_id"))
+    local = scored.withColumn("_lr", F.row_number().over(part_w)).filter(
+        F.col("_lr") <= 10
+    )
+    w = Window.partitionBy("query_doc_id").orderBy(
+        F.desc("score_dec"), F.asc("doc_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_doc_id",
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "score",
+        )
+    )

@@ -999,3 +999,64 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty").alias("dominant_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: parts/supplier relationship census (TPC-H Q16 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parts_supplier_census",
+    oracle="""
+WITH rel AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+excluded AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT r.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM rel r
+JOIN part p ON p.p_partkey = r.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type NOT LIKE 'MEDIUM POLISHED%'
+  AND p.p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+  AND r.l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def parts_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 — the last of the 22 without a registered twin.
+    Adaptation: no ``partsupp`` table in the testdata, so the
+    part↔supplier relationship is DERIVED from shipment history
+    (distinct (l_partkey, l_suppkey) pairs — exactly the relation
+    partsupp materializes); no ``s_comment``, so the "customer
+    complaints" supplier blacklist becomes the negative-balance set.
+    The defining Q16 pattern is intact: a distinct-pair relation,
+    a dimensional anti-filter (brand/type/size predicates), a NOT IN
+    supplier exclusion, and count(DISTINCT supplier) per group.
+
+    Scale: the distinct-pair reduction is the one lineitem-sized
+    exchange (partial-agg-friendly); part is a broadcast; the
+    blacklist is a tiny broadcast anti-join (never a shuffled NOT IN);
+    the final distinct-count groups are bounded by the brand×type×size
+    cross product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rel = li.select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").startswith("MEDIUM POLISHED"))
+        & (F.col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9))
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        rel.join(bad, "l_suppkey", "left_anti")
+        .join(F.broadcast(p), rel.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -660,6 +660,7 @@ def attribution_stream(
     clicks_source: Any,
     purchases_source: Any,
     window: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """STREAM–STREAM inner join: click→purchase attribution, the
     two-unbounded-sides upgrade of the reference's stream–static
@@ -677,6 +678,16 @@ def attribution_stream(
     join buffers FOREVER — the classic unbounded-state trap.  Inner
     join results emit as soon as both sides have arrived (the
     watermark gates eviction, not emission), so output is incremental.
+
+    ``how="left_outer"`` (purchases side preserved) adds the
+    conversion-without-attribution rows: a purchase whose click never
+    arrives emits with NULL click columns — but only once the
+    watermark passes the end of its match window (earlier emission
+    could be contradicted by a late click), so outer results are
+    watermark-DELAYED where inner results are immediate.  That is the
+    semantics Spark documents for outer stream-stream joins, and the
+    pytest pins it: the null row appears only after a later event
+    advances the watermark.
 
     Output schema matches the oracle-checked batch twin
     (queries/extended.click_purchase_attribution): (purchase_id,
@@ -728,6 +739,7 @@ def attribution_stream(
         (purchases.user_id == clicks.c_user)
         & (clicks.c_ts >= purchases.p_ts - F.expr(f"INTERVAL {window}"))
         & (clicks.c_ts < purchases.p_ts),
+        how,
     )
     return joined.select(
         "purchase_id",

@@ -1744,3 +1744,154 @@ def test_kneser_ney_probabilities_and_counts(spark):
             0.75 * n1f[r["w1"]] / float(c1[r["w1"]])
         ) * (n1b[r["w2"]] / n_types)
         assert abs(r["kn_prob"] - want) < 1e-9, (r, want)
+
+
+def test_mmr_rerank_greedy_invariants(spark):
+    """MMR: rank 1 is the exact relevance top-1; selections are
+    distinct; from step 2 on the objective is non-increasing (each
+    candidate's penalty only grows as the selected set grows); and a
+    pure-Python greedy over exact cosines reproduces the selection."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    got = mmr_rerank(emb, queries, k=5, pool=10, lam=0.5).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(emb, queries, k=1).collect()
+    }
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        assert len({r["doc_id"] for r in rows}) == 5
+        assert rows[0]["doc_id"] == top1[qid]
+        tail = [r["mmr_score"] for r in rows[1:]]
+        assert all(a >= b for a, b in zip(tail, tail[1:])), rows
+
+    # independent greedy replay from exact shortlist sims
+    pool = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+
+    def cos(u, v):
+        dot = nu = nv = 0.0
+        for x, y in zip(u, v):
+            dot += x * y
+            nu += x * x
+            nv += y * y
+        return dot / ((nu ** 0.5) * (nv ** 0.5))
+
+    for qid, rows in by_q.items():
+        cand = sorted(d for (q, d) in pool if q == qid)
+        taken = []
+        for step in range(1, 6):
+            best = None
+            for d in cand:
+                if d in taken:
+                    continue
+                if step == 1:
+                    score = pool[(qid, d)]
+                else:
+                    maxs = max(cos(vecs[d], vecs[t]) for t in taken)
+                    score = 0.5 * pool[(qid, d)] - 0.5 * maxs
+                key = (-score, d)
+                if best is None or key < best:
+                    best = key
+            taken.append(best[1])
+        assert [r["doc_id"] for r in rows] == taken, qid
+
+
+def test_query_likelihood_scores_match_python_model(spark):
+    """QL retrieval: recompute the full Dirichlet-smoothed LM score
+    (including unmatched-term mass) in pure Python and verify the
+    decomposed matched+constant form emitted by the operator."""
+    import math
+    from collections import Counter
+
+    from spark_streaming_kafka2elasticsearch_spark.functions.text import tokens
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        query_likelihood_scores,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in docs.select("doc_id", tokens(F.col("text")).alias("t")).collect()
+    }
+    cf: Counter = Counter()
+    for t in toks.values():
+        cf.update(t)
+    total = float(sum(cf.values()))
+    mu = 2000.0
+
+    got = {
+        (r["query_doc_id"], r["doc_id"]): r["score"]
+        for r in query_likelihood_scores(
+            docs, docs.filter(F.col("doc_id") < 3)
+        ).collect()
+    }
+    assert got
+    for (qid, did), score in got.items():
+        q = toks[qid]
+        d = Counter(toks[did])
+        dl = float(len(toks[did]))
+        # direct (non-decomposed) QL score, shifted by the
+        # document-INDEPENDENT query constant Σ_{t∈q} ln P(t|C) that
+        # the standard rank-equivalent form drops
+        full = sum(
+            math.log((d.get(t, 0) + mu * cf[t] / total) / (dl + mu)) for t in q
+        )
+        shift = sum(math.log(cf[t] / total) for t in q)
+        want = full - shift
+        assert abs(score - want) < 1e-6, ((qid, did), score, want)
+    # docs sharing no term are absent (candidate-from-postings)
+    for (qid, did) in got:
+        assert set(toks[qid]) & set(toks[did])
+
+
+def test_mutual_knn_components_are_valid_partition(spark):
+    """Mutual-kNN CC: every vector gets exactly one component; the
+    component id is the min vec_id of its member set; mutual edges
+    never cross components."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+    comp = {
+        r["vec_id"]: r["component"]
+        for r in all_queries()["mutual_knn_components"](spark, SF_DIR).collect()
+    }
+    emb_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    assert set(comp) == emb_ids
+    groups: dict = {}
+    for v, c in comp.items():
+        groups.setdefault(c, set()).add(v)
+    for c, members in groups.items():
+        assert c == min(members)
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    for r in knn_graph(emb, cents, k=5, n_probe=2).collect():
+        if r["mutual"]:
+            assert comp[r["src"]] == comp[r["dst"]]

@@ -2341,3 +2341,69 @@ def test_attribution_stream_stream_join_matches_batch(spark, tmp_path):
         (201, 104, 300),   # click arrived a file AFTER its purchase
     }
     assert got == want
+
+
+def test_attribution_stream_left_outer_emits_after_watermark(spark, tmp_path):
+    """Outer stream-stream join semantics: an unmatched purchase emits
+    its NULL-click row only once the watermark has passed the end of
+    its match window (earlier emission could be contradicted by a late
+    click); matched purchases emit immediately."""
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        attribution_stream,
+    )
+
+    base_us = 1_700_000_000_000_000
+
+    def ev(event_id, user_id, mins):
+        return json.dumps(
+            {
+                "event_id": event_id,
+                "user_id": user_id,
+                "ts_us": base_us + mins * 60_000_000,
+            }
+        )
+
+    clicks_dir = tmp_path / "clicks"
+    purch_dir = tmp_path / "purch"
+    clicks_dir.mkdir()
+    purch_dir.mkdir()
+
+    # user 1 purchase has a click -> inner row, immediate
+    # user 2 purchase has NO click -> must wait for the watermark
+    write_batch_file(str(clicks_dir), "c0.json", [ev(100, 1, 25)])
+    write_batch_file(str(purch_dir), "p0.json", [ev(200, 1, 30), ev(201, 2, 30)])
+
+    out = attribution_stream(
+        spark,
+        JsonDirSource(str(clicks_dir), as_kafka_envelope=True),
+        JsonDirSource(str(purch_dir), as_kafka_envelope=True),
+        how="left_outer",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attribution_outer")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r["purchase_id"], r["click_id"])
+            for r in spark.sql("select * from attribution_outer").collect()
+        }
+        # watermark hasn't passed purchase 201's window end yet: only
+        # the matched row is out
+        assert first == {(200, 100)}
+        # far-future events on BOTH sides push both watermarks past
+        # t=60 (purchase 201's window closed at t=30); the unmatched
+        # purchase must now flush with NULL click columns
+        write_batch_file(str(clicks_dir), "c1.json", [ev(101, 9, 500)])
+        write_batch_file(str(purch_dir), "p1.json", [ev(299, 9, 500)])
+        q.processAllAvailable()
+        q.processAllAvailable()
+        rows = spark.sql("select * from attribution_outer").collect()
+    finally:
+        q.stop()
+    got = {(r["purchase_id"], r["click_id"], r["secs_before"]) for r in rows}
+    assert (201, None, None) in got, got
+    assert (200, 100, 300) in got

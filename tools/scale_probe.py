@@ -252,6 +252,19 @@ PROBE_QUERIES = [
     # after partial agg over ONE (w1,w2,c2) relation; must track
     # bigram_logprob_scores' alpha
     "kneser_ney_bigram_scores",
+    # r11: greedy MMR re-rank — ONE shortlist corpus scan + a
+    # query-keyed pool-sized applyInPandas kernel; alpha ~ 1
+    # (scan-bound, greedy state corpus-independent)
+    "ann_mmr_topk",
+    # r11: Dirichlet query-likelihood — the bm25 silhouette verbatim
+    # (inverted-index join, vocab-sized stats); alpha must track
+    # bm25_doc_topk
+    "query_likelihood_topk",
+    # r11: mutual-kNN CC — the knn candidate join (fixed c=8 here, so
+    # the PAIR leg is n²/c like the fixed twin) + diameter rounds of
+    # min-label propagation over the n·k mutual edge set; the probe
+    # watches the closure, the pair leg's scale path is the auto twin
+    "mutual_knn_components",
 ]
 
 
