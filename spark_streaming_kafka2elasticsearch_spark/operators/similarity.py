@@ -3226,3 +3226,265 @@ def semdedup_assignments(
     final = result.localCheckpoint(eager=True)
     base.unpersist()
     return final
+
+
+def bq_sign_code(vec_col: str, dim: int) -> Column:
+    """BINARY quantization encode: pack ``sign(x_j) > 0`` bits into
+    ⌈dim/32⌉ little-endian 32-bit words (an ``array<bigint>``) — the
+    32× compression rung below SQ8's 4× (one bit per dimension, no
+    training, no codebook; the construction RaBitQ/Lucene-style
+    binary vector search builds on).  Words hold 32 bits each so
+    every partial sum stays far from BIGINT overflow — DuckDB
+    overflow-checks ``1 << 63``, so a single 64-bit word would not be
+    cross-engine expressible.  Pure codegen: one ``transform`` over
+    word indices, one ``aggregate`` over bit positions, zero shuffle,
+    zero UDF."""
+    n_words = (dim + 31) // 32
+    return F.expr(
+        f"""transform(sequence(0, {n_words - 1}), w ->
+              aggregate(sequence(1, 32), 0L, (acc, b) ->
+                acc + CASE WHEN w * 32 + b <= {dim}
+                            AND element_at({vec_col}, w * 32 + b) > 0D
+                           THEN shiftleft(1L, b - 1) ELSE 0L END))"""
+    )
+
+
+def bq_hamming_expr(a: str, b: str) -> Column:
+    """Hamming distance between two packed sign-bit codes: per-word
+    ``bit_count(xor)`` summed — integer-exact, identical in any
+    engine with 64-bit ints."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> bit_count(x ^ y)),"
+        " 0, (acc, h) -> acc + h)"
+    )
+
+
+def bq_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+) -> DataFrame:
+    """Binary-quantized ANN: encode both sides with
+    :func:`bq_sign_code`, rank by packed-word Hamming distance — the
+    cheapest serving rung of the quantization matrix (PQ 32×/8 B,
+    SQ8 4×/d B, BQ here: d/8 bytes and the scorer is XOR+popcount,
+    no floats at all).  Integer distances and id tie-breaks make the
+    whole ranking trivially bit-replayable.
+
+    Scale shape: the query codes broadcast (small by contract), ONE
+    corpus scan encodes and scores — at rest the codes column is
+    d/8 bytes/vector and the scan reads nothing else (store it
+    alongside an IVF cell key to add pruning).  Local pre-rank keeps
+    the global window input at |partitions|·k·|queries| rows.
+
+    Output: ``(query_id, neighbor_id, hamming, rank)``.
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        bq_sign_code(corpus_vec, dim).alias("_ccode"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        bq_sign_code(query_vec, dim).alias("_qcode"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            bq_hamming_expr("_qcode", "_ccode").alias("hamming"),
+        )
+    )
+    part_w = Window.partitionBy(F.spark_partition_id(), "query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_lr", F.row_number().over(part_w))
+        .filter(F.col("_lr") <= k)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("hamming").cast("int").alias("hamming"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def bq_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+) -> DataFrame:
+    """Two-stage BQ serve (the RefineFlat idiom shared with
+    ivfadc_refine_topk): Hamming shortlist of ``shortlist`` candidates
+    from the 1-bit codes, then exact-cosine re-rank of only those —
+    sign bits preserve direction coarsely, so the shortlist recall is
+    high while the scan stays XOR+popcount; the float vectors are
+    touched for ``shortlist`` rows per query only.
+
+    Output: ``(query_id, neighbor_id, rank)`` — exact-cosine rank
+    within the shortlist, id tie-breaks at both stages.
+    """
+    short = bq_hamming_topk(
+        corpus,
+        queries,
+        k=shortlist,
+        dim=dim,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        query_id=query_id,
+        query_vec=query_vec,
+    ).select("query_id", "neighbor_id")
+    vecs = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("_cvec"),
+    )
+    qvecs = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qvec"),
+    )
+    rescored = (
+        short.join(vecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ivf_bq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame | None,
+    path: str,
+    k: int = 10,
+    n_probe: int = 2,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    rebuild: bool = True,
+    fingerprint: str | None = None,
+) -> DataFrame:
+    """IVF-BQ — the last rung of the quantized-serving matrix (IVF ×
+    {floats, SQ8 4×, PQ 32×, and now 1-bit sign codes at 32× with a
+    float-free scorer}): the coarse quantizer partition-prunes exactly
+    like :func:`ivf_persisted_topk`, the at-rest payload is
+    :func:`bq_sign_code`'s d/8 bytes per vector, and scoring probed
+    candidates is pure XOR+popcount — no LUT, no dequantization, no
+    floats, integer distances that replay bit-for-bit anywhere.
+
+    **Build**: ONE corpus scan computes cell (shared bit-exact
+    quantizer, hoisted norm) and the packed sign words in one folded
+    projection; (id, cell, code) lands ``partitionBy(cell)`` with the
+    centroid artifact at rest.  **Serve**: ranked probe cells,
+    PartitionFilters-pruned read, broadcast query codes, per-word
+    ``bit_count(xor)`` sums, local pre-rank.  Output: ``(query_id,
+    cell, neighbor_id, hamming, rank)``."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.artifacts import (
+        load_centroids,
+        save_centroids,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import write_table
+
+    if centroids is None:
+        if rebuild:
+            raise ValueError("rebuild=True requires an explicit centroid table")
+        crows = load_centroids(path, expected_fingerprint=fingerprint)
+        if crows is None:
+            raise ValueError(
+                f"no (or stale) centroid artifact under {path}/_quantizer"
+            )
+    else:
+        crows = [
+            (r[0], r[1])
+            for r in centroids.select(centroid_id, centroid_vec)
+            .orderBy(centroid_id)
+            .collect()
+        ]
+    if not crows:
+        raise ValueError("ivf_bq_topk needs >= 1 centroid")
+    spark = corpus.sparkSession
+
+    if rebuild:
+        assigned = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("_nvec"),
+            l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_nn"),
+        ).select(
+            "neighbor_id",
+            _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
+            bq_sign_code("_nvec", dim).alias("code"),
+        )
+        write_table(assigned, path, partition_by=["cell"])
+        save_centroids(path, crows, fingerprint=fingerprint)
+
+    q_cells = queries.select(
+        F.col(query_id).alias("query_id"),
+        bq_sign_code(query_vec, dim).alias("_qcode"),
+        F.explode(
+            _fixed_probe_cells_expr(crows, query_vec, n_probe)
+        ).alias("cell"),
+    )
+    probe_cells = sorted(
+        int(r["cell"]) for r in q_cells.select("cell").distinct().collect()
+    )
+    index = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    pairs = index.join(F.broadcast(q_cells), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "cell",
+        "neighbor_id",
+        bq_hamming_expr("_qcode", "code").alias("hamming"),
+    )
+    part_w = Window.partitionBy(F.spark_partition_id(), "query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    local = scored.withColumn("_lr", F.row_number().over(part_w)).filter(
+        F.col("_lr") <= k
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("cell").cast("long").alias("cell"),
+            "neighbor_id",
+            F.col("hamming").cast("int").alias("hamming"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -78,11 +78,11 @@ _PRIORITY: list[str] = [
     # newest driver row is still r6-vintage (the r10 rotation's
     # overflow tail — retired first this round, as demanded), then the
     # 49 r7-vintage rows (computed from the union of
-    # CORRECTNESS_r01-r10, latest row per query).  19 + 5 + 49 = 73 >
+    # CORRECTNESS_r01-r10, latest row per query).  23 + 5 + 49 = 77 >
     # the ~50-row driver budget, so the last ~12 r7 entries may age one
     # more round — new-query coverage outranks rotation freshness when
     # they clash.  A test asserts this list is duplicate-free.
-    # -- new in r11 (19) --
+    # -- new in r11 (23) --
     "knn_graph_edges",
     "knn_graph_edges_auto",
     "click_purchase_attribution",
@@ -93,6 +93,10 @@ _PRIORITY: list[str] = [
     "mutual_knn_components",
     "parts_supplier_census",
     "ivf_cell_stats",
+    "bq_embedding_codes",
+    "ann_bq_hamming_topk",
+    "ann_bq_refine_topk",
+    "ann_ivf_bq_topk",
     "ann_ivfadc_refine_topk",
     "ann_ivf_compact_serve",
     "ann_ivf_filtered_topk",

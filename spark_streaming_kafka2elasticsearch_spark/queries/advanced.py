@@ -885,6 +885,185 @@ def knn_graph_edges_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(emb, cents, k=5, n_probe=2)
 
 
+#: Shared DuckDB CTE: sign-bit packing into ⌈64/32⌉ = 2 little-endian
+#: 32-bit words, replaying operators/similarity.bq_sign_code exactly
+#: (32-bit words because DuckDB overflow-checks ``1 << 63``).
+_BQ_CODES_CTE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(0, 1), w ->
+           CAST(list_sum(list_transform(generate_series(1, 32), b ->
+             CASE WHEN w * 32 + b <= 64 AND v[w * 32 + b] > 0
+                  THEN (1::BIGINT << (b - 1)) ELSE 0::BIGINT END))
+             AS BIGINT)) AS code
+  FROM e)
+"""
+
+
+@register(
+    "bq_embedding_codes",
+    oracle=_BQ_CODES_CTE
+    + """
+SELECT c.vec_id, CAST(i.i - 1 AS INT) AS word_idx, c.code[i.i] AS word
+FROM codes c CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS i) i
+""",
+)
+def bq_embedding_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY quantization encode (operators/similarity.bq_sign_code):
+    one sign bit per dimension packed into 32-bit words — the 32×
+    rung of the quantization matrix (PQ 8 B + codebook, SQ8 d B + a
+    min/max grid, BQ d/8 B and NOTHING to train).  Zero-shuffle
+    codegen projection; every packed word is value-checked."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        bq_sign_code,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode(bq_sign_code("embedding", 64))
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("word_idx"),
+        F.col("col").alias("word"),
+    )
+
+
+@register(
+    "ann_bq_hamming_topk",
+    oracle=_BQ_CODES_CTE
+    + """,
+q AS (SELECT vec_id AS query_id, code AS qc FROM codes WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, 2), i ->
+           bit_count(xor(q.qc[i], c.code[i])))) AS INT) AS hamming
+  FROM codes c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, hamming,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY hamming ASC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+)
+def ann_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN serve
+    (operators/similarity.bq_hamming_topk): top-10 by XOR+popcount
+    Hamming distance over the packed sign bits — float-free scoring
+    at d/8 bytes per vector, the cheapest serving rung.  Integer
+    distances make ranking and tie-breaks trivially replayable."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        bq_hamming_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return bq_hamming_topk(emb, queries, k=10, dim=64)
+
+
+@register(
+    "ann_bq_refine_topk",
+    oracle=_BQ_CODES_CTE
+    + """,
+q AS (SELECT vec_id AS query_id, code AS qc FROM codes WHERE vec_id < 8),
+short AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id
+  FROM codes c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+  QUALIFY row_number() OVER (PARTITION BY q.query_id
+    ORDER BY list_sum(list_transform(generate_series(1, 2), i ->
+      bit_count(xor(q.qc[i], c.code[i])))) ASC, c.vec_id ASC) <= 50),
+qv AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 8)
+SELECT s.query_id, s.neighbor_id,
+       CAST(row_number() OVER (PARTITION BY s.query_id
+         ORDER BY list_cosine_similarity(qv.qvec, cv.v) DESC,
+                  s.neighbor_id ASC) AS INT) AS rank
+FROM short s
+JOIN e cv ON cv.vec_id = s.neighbor_id
+JOIN qv ON qv.query_id = s.query_id
+QUALIFY rank <= 10
+""",
+)
+def ann_bq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage BQ serve (operators/similarity.bq_refine_topk, the
+    RefineFlat idiom): Hamming top-50 shortlist from the 1-bit codes,
+    exact-cosine re-rank to top-10 — the float vectors are fetched
+    for 50 rows per query only, everything else is XOR+popcount.
+    Both stages replay bit-for-bit (integer shortlist, fold-exact
+    re-rank)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        bq_refine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return bq_refine_topk(emb, queries, k=10, shortlist=50, dim=64)
+
+
+@register(
+    "ann_ivf_bq_topk",
+    oracle=_BQ_CODES_CTE
+    + """,
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+asn AS (
+  SELECT e.vec_id AS neighbor_id, cc.cid AS cell, codes.code
+  FROM e CROSS JOIN c cc
+  JOIN codes ON codes.vec_id = e.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, cc.cv) DESC, cc.cid ASC) = 1),
+qc AS (
+  SELECT e.vec_id AS query_id, codes.code AS qcode, cc.cid AS cell
+  FROM e CROSS JOIN c cc
+  JOIN codes ON codes.vec_id = e.vec_id
+  WHERE e.vec_id < 8
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, cc.cv) DESC, cc.cid ASC) <= 2),
+scored AS (
+  SELECT q.query_id, a.cell, a.neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, 2), i ->
+           bit_count(xor(q.qcode[i], a.code[i])))) AS INT) AS hamming
+  FROM qc q JOIN asn a USING (cell)
+  WHERE a.neighbor_id <> q.query_id)
+SELECT query_id, cell, neighbor_id, hamming,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY hamming ASC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+)
+def ann_ivf_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-BQ serve (operators/similarity.ivf_bq_topk): coarse cells
+    partition-prune the scan, packed sign bits are the at-rest
+    payload (d/8 bytes/vector), XOR+popcount scores the probed
+    candidates — the float-free rung completing the quantized-serving
+    matrix (IVF × {raw, SQ8, PQ, residual-PQ, BQ}).  Assignment,
+    probe set, and the integer distances all replay in DuckDB."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_bq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    path = _ivf_index_dir("ann_ivf_bq_topk", sf_dir)
+    return ivf_bq_topk(emb, queries, cents, path, k=10, n_probe=2, dim=64)
+
+
 @register(
     "ivf_cell_stats",
     oracle="""
@@ -946,12 +1125,15 @@ def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mutual_knn_components",
-    # the knn_graph_edges CTE chain, restricted to MUTUAL edges, then
-    # the recursive-reach CC idiom shared with near_dup_clusters
+    # the knn_graph_edges_auto CTE chain (√n cells — the SCALE path;
+    # the first registration rode the fixed c=8 twin and probed at
+    # α 1.8 / 856 s ×10, the n²/c pair leg), restricted to MUTUAL
+    # edges, then the recursive-reach CC idiom from near_dup_clusters
     oracle="""
 WITH RECURSIVE
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)),
 asn AS (
   SELECT e.vec_id AS dst, c.cid AS cell, e.v
   FROM e CROSS JOIN c
@@ -988,22 +1170,32 @@ def mutual_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering rule (an edge survives iff each endpoint is in the
     other's top-k, which severs hub-induced bridges between clusters
     that plain kNN-CC would merge; the same construction NN-Descent
-    and mutual-kNN spectral methods start from).  Composes the new
-    knn_graph operator with the existing min-label-propagation CC
-    (operators/dedup.connected_components) — pair generation is the
-    cell-partitioned candidate join, closure is one shuffle join per
-    diameter round, and the oracle replays both: the knn CTE chain
-    restricted to mutual edges, then the shared recursive-reach
-    idiom.  Output: (vec_id, component)."""
+    and mutual-kNN spectral methods start from).  Composes knn_graph
+    — on the √n-cell SCALE path, after a fixed-c=8 first registration
+    probed at α 1.8 / 856 s at ×10 (the n²/c pair leg) — with the
+    existing min-label-propagation CC
+    (operators/dedup.connected_components_star): pair generation is
+    the cell-partitioned candidate join at ~n^1.5 work; the closure
+    is the large-star/small-star contraction — mutual-kNN graphs are
+    CHAIN-shaped (each node keeps ≤ k reciprocated edges, so clusters
+    are paths/trees, not dense dedup blobs), and min-label propagation
+    needs diameter rounds where contraction needs O(log² n): the
+    iterative loop's converge-or-raise fired at 100 vectors.  The
+    oracle replays the auto knn CTE chain restricted to mutual edges,
+    then the shared recursive-reach idiom.
+    Output: (vec_id, component)."""
+    import math
+
     from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
-        connected_components,
+        connected_components_star,
     )
     from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
         knn_graph,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < 8).select(
+    c = int(math.ceil(math.sqrt(emb.count())))
+    cents = emb.filter(F.col("vec_id") < c).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
     )
@@ -1013,7 +1205,7 @@ def mutual_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
     )
     nodes = emb.select(F.col("vec_id").alias("_id"))
-    return connected_components(edges, nodes).select(
+    return connected_components_star(edges, nodes).select(
         F.col("_id").alias("vec_id"), "component"
     )
 

@@ -1883,12 +1883,17 @@ def test_mutual_knn_components_are_valid_partition(spark):
     for c, members in groups.items():
         assert c == min(members)
 
+    import math
+
     from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
         knn_graph,
     )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    cents = emb.filter(F.col("vec_id") < 8).select(
+    # the registered query rides the sqrt-n-cell graph; the edge
+    # consistency check must use the SAME graph
+    c = int(math.ceil(math.sqrt(emb.count())))
+    cents = emb.filter(F.col("vec_id") < c).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
     )

@@ -999,3 +999,66 @@ def test_ivfadc_filtered_prefilters_on_the_code_index(emb, queries, tmp_path):
         for r in rows
     }
     assert got == want
+
+
+def test_bq_hamming_recall_and_refine(emb, queries, exact_topk):
+    """Binary quantization: sign-bit Hamming top-10 must beat random
+    recall by a wide margin (signs preserve direction coarsely), and
+    the exact-cosine refine of the Hamming top-50 must recall at
+    least as much as plain Hamming top-10 — the same
+    shortlist-then-refine contract the ADC rung pins.  Structure:
+    ≤ k rows per query, no self-matches, refine candidates ⊆ the
+    Hamming shortlist."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        bq_hamming_topk,
+        bq_refine_topk,
+    )
+
+    plain = bq_hamming_topk(emb, queries, k=10, dim=64).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in plain)
+    per_q: dict = {}
+    for r in plain:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+    shortlist = {
+        (r["query_id"], r["neighbor_id"])
+        for r in bq_hamming_topk(emb, queries, k=50, dim=64).collect()
+    }
+    refined = bq_refine_topk(emb, queries, k=10, shortlist=50, dim=64).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in refined} <= shortlist
+
+    r_plain = _recall(plain, exact_topk)
+    r_refined = _recall(refined, exact_topk)
+    n = emb.count()
+    random_recall = 10.0 / (n - 1)
+    assert r_plain > 5 * random_recall, (r_plain, random_recall)
+    assert r_refined >= r_plain, (r_refined, r_plain)
+
+
+def test_ivf_bq_serve_from_rest_equals_build(emb, queries, tmp_path):
+    """IVF-BQ honors the build-once-serve-many contract: a serve with
+    centroids=None/rebuild=False reads the at-rest layout + quantizer
+    artifact and returns exactly the build session's ranking."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_bq_topk,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    path = str(tmp_path / "ivf_bq")
+    built = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["hamming"], r["cell"])
+        for r in ivf_bq_topk(
+            emb, queries, cents, path, k=10, n_probe=2, dim=64
+        ).collect()
+    }
+    served = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["hamming"], r["cell"])
+        for r in ivf_bq_topk(
+            emb, queries, None, path, k=10, n_probe=2, dim=64, rebuild=False
+        ).collect()
+    }
+    assert built == served and built

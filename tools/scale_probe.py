@@ -260,11 +260,19 @@ PROBE_QUERIES = [
     # (inverted-index join, vocab-sized stats); alpha must track
     # bm25_doc_topk
     "query_likelihood_topk",
-    # r11: mutual-kNN CC — the knn candidate join (fixed c=8 here, so
-    # the PAIR leg is n²/c like the fixed twin) + diameter rounds of
-    # min-label propagation over the n·k mutual edge set; the probe
-    # watches the closure, the pair leg's scale path is the auto twin
+    # r11: mutual-kNN CC — first registration rode the fixed-c=8 pair
+    # leg + iterative CC and probed α 1.8 / 856 s ×10; now the √n-cell
+    # candidate join (~n^1.5) + star-contraction closure (mutual-kNN
+    # graphs are chain-shaped — O(log²) rounds, not diameter)
     "mutual_knn_components",
+    # r11: binary quantization — zero-shuffle codegen encode and the
+    # XOR+popcount broadcast-query scan; both must hold alpha ~ 1
+    "bq_embedding_codes",
+    "ann_bq_hamming_topk",
+    "ann_bq_refine_topk",
+    # r11: IVF-BQ — cell-pruned scan over d/8-byte codes, XOR+popcount
+    # scoring; alpha must track ann_ivf_persisted_topk
+    "ann_ivf_bq_topk",
 ]
 
 
