@@ -298,6 +298,49 @@ def main() -> None:
         "(0.98) while both 32x PQ rungs pay heavy quantization loss "
         "on unclusterable data."
     )
+    # BQ (r11): 1 bit/dim sign codes — at dim 64 that is 8 bytes per
+    # vector, the SAME byte budget as the PQ rungs, scored float-free
+    # by XOR+popcount; plus the Hamming-shortlist -> exact-cosine
+    # refine (bq_refine_topk) at R in {50, 200}.
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        bq_hamming_topk,
+        bq_refine_topk,
+    )
+
+    got_bq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in bq_hamming_topk(emb, queries, k=K, dim=64).collect()
+    }
+    pq_section["bq_hamming_full_scan_recall"] = round(
+        len(got_bq & exact) / len(exact), 4
+    )
+    bq_refine_rows = []
+    for shortlist in (50, 200):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in bq_refine_topk(
+                emb, queries, k=K, shortlist=shortlist, dim=64
+            ).collect()
+        }
+        release_cached_state(spark)
+        bq_refine_rows.append(
+            {
+                "shortlist": shortlist,
+                "recall_at_10": round(len(got & exact) / len(exact), 4),
+            }
+        )
+        print(json.dumps(bq_refine_rows[-1]), file=sys.stderr)
+    pq_section["bq_refine_curve"] = bq_refine_rows
+    pq_section["bq_note"] = (
+        "BQ packs 1 sign bit/dim - at dim 64 that is 8 bytes/vector, "
+        "the SAME byte budget as both PQ rungs, but scored by "
+        "XOR+popcount with no codebook, no LUT, and no training; "
+        "compare bq_hamming_full_scan_recall directly against the two "
+        "adc_full_scan rows for the budget-matched answer, and the "
+        "refine rows for what an exact re-rank of the Hamming top-R "
+        "recovers (the same RefineFlat dial as ivfadc_refine_curve)"
+    )
+
     pq_section["note"] = (
         "full-probe IVFADC recall equals the ADC-trained full-scan "
         "recall by construction (same scores, candidate set = whole "
