@@ -78,14 +78,15 @@ _PRIORITY: list[str] = [
     # newest driver row is still r6-vintage (the r10 rotation's
     # overflow tail — retired first this round, as demanded), then the
     # 49 r7-vintage rows (computed from the union of
-    # CORRECTNESS_r01-r10, latest row per query).  23 + 5 + 49 = 77 >
+    # CORRECTNESS_r01-r10, latest row per query).  24 + 5 + 49 = 78 >
     # the ~50-row driver budget, so the last ~12 r7 entries may age one
     # more round — new-query coverage outranks rotation freshness when
     # they clash.  A test asserts this list is duplicate-free.
-    # -- new in r11 (23) --
+    # -- new in r11 (24) --
     "knn_graph_edges",
     "knn_graph_edges_auto",
     "click_purchase_attribution",
+    "click_purchase_attribution_outer",
     "purchase_activity_context",
     "kneser_ney_bigram_scores",
     "ann_mmr_topk",

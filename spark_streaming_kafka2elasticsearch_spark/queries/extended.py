@@ -1389,3 +1389,55 @@ def purchase_activity_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_nearby_users", F.lit(0)).alias("n_nearby_users"),
         F.coalesce("nearby_value_sum", F.lit(0.0)).alias("nearby_value_sum"),
     )
+
+
+@register(
+    "click_purchase_attribution_outer",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+           FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id, c.click_id,
+       (p.p_us - c.c_us) // 1000000 AS secs_before
+FROM p LEFT JOIN c ON p.user_id = c.user_id
+  AND c.c_us >= p.p_us - 1800000000
+  AND c.c_us < p.p_us
+""",
+)
+def click_purchase_attribution_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LEFT-OUTER attribution twin: purchases with no qualifying
+    click emit one row with NULL click columns — the
+    conversion-without-attribution relation, and the oracle-checked
+    batch semantics of ``attribution_stream(how='left_outer')``
+    (whose watermark-delayed NULL flush a pytest pins).  Same hash
+    join + range conjunct as the inner twin; the outer side adds no
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    return (
+        p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.c_us >= p.p_us - 1_800_000_000)
+            & (c.c_us < p.p_us),
+            "left",
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            F.expr("(p_us - c_us) div 1000000").alias("secs_before"),
+        )
+    )

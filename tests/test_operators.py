@@ -1900,3 +1900,28 @@ def test_mutual_knn_components_are_valid_partition(spark):
     for r in knn_graph(emb, cents, k=5, n_probe=2).collect():
         if r["mutual"]:
             assert comp[r["src"]] == comp[r["dst"]]
+
+
+def test_attribution_outer_twin_supersets_inner(spark):
+    """Left-outer attribution: the inner pair set is preserved, and
+    every extra row is a purchase with NULL click columns that has no
+    inner match at all."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+    qs = all_queries()
+    inner = {
+        (r["purchase_id"], r["click_id"])
+        for r in qs["click_purchase_attribution"](spark, SF_DIR).collect()
+    }
+    outer_rows = qs["click_purchase_attribution_outer"](spark, SF_DIR).collect()
+    outer = {(r["purchase_id"], r["click_id"]) for r in outer_rows}
+    assert inner <= outer
+    matched = {p for (p, c) in inner}
+    for r in outer_rows:
+        if r["click_id"] is None:
+            assert r["secs_before"] is None
+            assert r["purchase_id"] not in matched
+    # every purchase appears at least once
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert len({p for (p, c) in outer}) == n_purch

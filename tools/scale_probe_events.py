@@ -50,6 +50,9 @@ PROBE_QUERIES = [
     # r11: time-bounded interval join keyed on user — per-user click
     # sets are replica-invariant, so alpha must hold ~ 1
     "click_purchase_attribution",
+    # r11: the left-outer twin — same hash join, outer side adds no
+    # shuffle; alpha must match the inner twin
+    "click_purchase_attribution_outer",
     # r11: binned range join with NO equi key.  The user-replica model
     # multiplies bucket DENSITY by F (timestamps unchanged), so the
     # true answer itself grows F× per purchase — total output F², and
