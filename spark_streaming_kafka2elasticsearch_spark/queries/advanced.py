@@ -885,6 +885,141 @@ def knn_graph_edges_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(emb, cents, k=5, n_probe=2)
 
 
+def _nndescent_cte(
+    k: int = 5,
+    k_build: int = 30,
+    rounds: int = 3,
+    occupancy: int = 32,
+    ring: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB CTE chain replaying operators/similarity.nn_descent_graph
+    bit-for-bit, ending in ``graph(src, dst, rank, mutual)`` — shared
+    by the nndescent registration, the re-pointed mutual-kNN
+    clustering, and the graph-ANN beam-search oracle (the
+    _BQ_CODES_CTE / _mmr_oracle convention).
+
+    Cross-engine exactness: the Rademacher plane signs replay as
+    ``sha256('srp:p:j')`` first-byte parity (probe-verified identical
+    to the hashlib literals Spark plants in the plan), the plane count
+    is the same ``greatest(1, ceil(log2(n/occupancy)))`` scalar
+    subquery Spark computes from one count(), the bucket id is an
+    exact sum of powers of two, and every score is DuckDB's
+    ``list_cosine_similarity`` — the probe-verified twin of the hoisted
+    sequential cosine fold.  Caller prefixes ``WITH `` (or
+    ``WITH RECURSIVE `` when composing with a reachability closure).
+
+    The multi-referenced CTE levels carry ``AS MATERIALIZED``: DuckDB
+    otherwise INLINES each reference, and with every round reading the
+    previous one ~5 times the inlined plan re-evaluates g0 5^rounds
+    times — the oracle ran minutes instead of ~2 s at sf0.01 (the
+    DuckDB face of the Catalyst unrolled-union re-execution gotcha).
+    """
+    odd = "'1','3','5','7','9','b','d','f'"
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"params AS (SELECT CAST(greatest(1, ceil(log2(count(*) / {occupancy}.0)))"
+        " AS INT) AS p, count(*) AS n FROM e)",
+        f"""planes AS (
+  SELECT pl.pid, j.j,
+         CASE WHEN substr(sha256('srp:' || pl.pid || ':' || j.j), 2, 1)
+              IN ({odd}) THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(generate_series(0, (SELECT p FROM params) - 1)) AS pid) pl
+  CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS j) j)""",
+        "plane_arrs AS (SELECT pid, list(s ORDER BY j) AS signs"
+        " FROM planes GROUP BY pid)",
+        """bkt AS MATERIALIZED (
+  SELECT e.vec_id, CAST(sum(CASE WHEN list_dot_product(e.v, pa.signs) >= 0
+         THEN power(2.0, (SELECT p FROM params) - 1 - pa.pid)
+         ELSE 0.0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN plane_arrs pa GROUP BY e.vec_id)""",
+        """bpair AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM bkt a JOIN bkt b USING (bucket) WHERE a.vec_id <> b.vec_id)""",
+        f"""ringp AS (
+  SELECT e.vec_id AS src, (e.vec_id + r.i) % (SELECT n FROM params) AS dst
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, {ring})) AS i) r
+  WHERE (e.vec_id + r.i) % (SELECT n FROM params) <> e.vec_id)""",
+        "cand0 AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM bpair"
+        " UNION ALL SELECT src, dst FROM ringp))",
+        f"""g0 AS MATERIALIZED (
+  SELECT c.src, c.dst FROM cand0 c
+  JOIN e es ON es.vec_id = c.src JOIN e ed ON ed.vec_id = c.dst
+  QUALIFY row_number() OVER (PARTITION BY c.src
+    ORDER BY list_cosine_similarity(es.v, ed.v) DESC, c.dst ASC) <= {k_build})""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"und{r} AS MATERIALIZED (SELECT src, dst FROM g{r - 1}"
+            f" UNION SELECT dst AS src, src AS dst FROM g{r - 1})"
+        )
+        ctes.append(
+            f"""cand{r} AS (SELECT DISTINCT src, dst FROM (
+  SELECT a.src, b.dst FROM und{r} a JOIN und{r} b ON a.dst = b.src
+  WHERE b.dst <> a.src
+  UNION ALL SELECT src, dst FROM g{r - 1}))"""
+        )
+        ctes.append(
+            f"""g{r} AS MATERIALIZED (
+  SELECT c.src, c.dst FROM cand{r} c
+  JOIN e es ON es.vec_id = c.src JOIN e ed ON ed.vec_id = c.dst
+  QUALIFY row_number() OVER (PARTITION BY c.src
+    ORDER BY list_cosine_similarity(es.v, ed.v) DESC, c.dst ASC) <= {k_build})"""
+        )
+    ctes.append(
+        f"""gg AS MATERIALIZED (
+  SELECT c.src, c.dst,
+         CAST(row_number() OVER (PARTITION BY c.src
+           ORDER BY list_cosine_similarity(es.v, ed.v) DESC, c.dst ASC)
+           AS INT) AS rank
+  FROM g{rounds} c
+  JOIN e es ON es.vec_id = c.src JOIN e ed ON ed.vec_id = c.dst
+  QUALIFY rank <= {k})"""
+    )
+    ctes.append(
+        "graph AS (SELECT g.src, g.dst, g.rank, (r.src IS NOT NULL) AS mutual"
+        " FROM gg g LEFT JOIN gg r ON r.src = g.dst AND r.dst = g.src)"
+    )
+    return ",\n".join(ctes)
+
+
+@register(
+    "knn_graph_edges_nndescent",
+    oracle="WITH "
+    + _nndescent_cte()
+    + "\nSELECT src, dst, rank, mutual FROM graph",
+)
+def knn_graph_edges_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph by fixed-round NN-Descent
+    (operators/similarity.nn_descent_graph; Dong et al., WWW'11) — the
+    LINEAR-work graph build that replaces the exact √n-cell
+    construction's n^1.5 regime (knn_graph_edges_auto, the last
+    plan-intrinsic super-linear entry on the r11 scale path):
+    auto-sized SRP buckets seed each node with ~32 locality candidates
+    (plane count = ⌈log2(n/32)⌉ keeps occupancy constant at ANY n), a
+    2-edge id ring rescues singleton buckets, then three
+    neighbor-of-neighbor refinement rounds over a 30-edge WORKING
+    graph (k_build — the paper's K; a 5-edge working graph stalls at
+    0.07 recall on this weakly-clustered data) converge to 0.946
+    recall vs the exact graph, ≥ 0.9 pinned in
+    tests/test_similarity_recall.py; the emitted edges are the top-5
+    of the converged lists.  Total work O(n·(32 + rounds·k_build²)) —
+    α ≈ 1 where the exact build probes 1.43.
+
+    Fully value-checked end-to-end: the hyperplanes replay as
+    sha256-byte-parity literals, the plane-count rule is a scalar
+    subquery, and every round is an unrolled CTE level with the
+    bit-exact cosine fold and (sim DESC, dst ASC) tie-break."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        nn_descent_graph,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return nn_descent_graph(
+        emb, k=5, k_build=30, dim=64, rounds=3, occupancy=32, ring=2
+    )
+
+
 #: Shared DuckDB CTE: sign-bit packing into ⌈64/32⌉ = 2 little-endian
 #: 32-bit words, replaying operators/similarity.bq_sign_code exactly
 #: (32-bit words because DuckDB overflow-checks ``1 << 63``).
@@ -1125,37 +1260,15 @@ def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mutual_knn_components",
-    # the knn_graph_edges_auto CTE chain (√n cells — the SCALE path;
-    # the first registration rode the fixed c=8 twin and probed at
-    # α 1.8 / 856 s ×10, the n²/c pair leg), restricted to MUTUAL
-    # edges, then the recursive-reach CC idiom from near_dup_clusters
-    oracle="""
-WITH RECURSIVE
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e
-      WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)),
-asn AS (
-  SELECT e.vec_id AS dst, c.cid AS cell, e.v
-  FROM e CROSS JOIN c
-  QUALIFY row_number() OVER (
-    PARTITION BY e.vec_id
-    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
-probe AS (
-  SELECT e.vec_id AS src, e.v AS qv, c.cid AS cell
-  FROM e CROSS JOIN c
-  QUALIFY row_number() OVER (
-    PARTITION BY e.vec_id
-    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) <= 2),
-knn AS (
-  SELECT p.src, a.dst
-  FROM probe p JOIN asn a USING (cell)
-  WHERE a.dst <> p.src
-  QUALIFY row_number() OVER (
-    PARTITION BY p.src
-    ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.dst ASC) <= 5),
-mutual AS (
-  SELECT g.src AS a, g.dst AS b
-  FROM knn g JOIN knn r ON r.src = g.dst AND r.dst = g.src),
+    # the shared NN-Descent CTE chain (r12: re-pointed from the
+    # n^1.5 exact √n-cell build onto the LINEAR fixed-round descent
+    # graph — VERDICT r11 item 1's consumer leg), restricted to
+    # MUTUAL edges, then the recursive-reach CC idiom from
+    # near_dup_clusters.
+    oracle="WITH RECURSIVE "
+    + _nndescent_cte()
+    + """,
+mutual AS (SELECT g.src AS a, g.dst AS b FROM graph g WHERE g.mutual),
 reach(node, label) AS (
   SELECT vec_id, vec_id FROM e
   UNION
@@ -1169,38 +1282,33 @@ def mutual_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     RECIPROCATED edges of the k-NN graph — the classic density-robust
     clustering rule (an edge survives iff each endpoint is in the
     other's top-k, which severs hub-induced bridges between clusters
-    that plain kNN-CC would merge; the same construction NN-Descent
-    and mutual-kNN spectral methods start from).  Composes knn_graph
-    — on the √n-cell SCALE path, after a fixed-c=8 first registration
-    probed at α 1.8 / 856 s at ×10 (the n²/c pair leg) — with the
-    existing min-label-propagation CC
-    (operators/dedup.connected_components_star): pair generation is
-    the cell-partitioned candidate join at ~n^1.5 work; the closure
-    is the large-star/small-star contraction — mutual-kNN graphs are
-    CHAIN-shaped (each node keeps ≤ k reciprocated edges, so clusters
-    are paths/trees, not dense dedup blobs), and min-label propagation
-    needs diameter rounds where contraction needs O(log² n): the
-    iterative loop's converge-or-raise fired at 100 vectors.  The
-    oracle replays the auto knn CTE chain restricted to mutual edges,
+    that plain kNN-CC would merge).  r12: the graph leg is the
+    fixed-round NN-DESCENT build (operators/similarity.
+    nn_descent_graph — LINEAR work, recall 0.946 vs exact, pinned
+    ≥ 0.9) instead of the exact √n-cell construction whose n^1.5 pair
+    leg made this query the #1 bench entry (13.7 s) and the last
+    plan-intrinsic super-linear scale path (α 1.02 on an n^1.5 build;
+    the r11 verdict's one scale-killer-class finding).  The closure is
+    unchanged: large-star/small-star contraction
+    (operators/dedup.connected_components_star) — mutual-kNN graphs
+    are CHAIN-shaped (each node keeps ≤ k reciprocated edges, so
+    clusters are paths/trees), and min-label propagation needs
+    diameter rounds where contraction needs O(log² n).  The oracle
+    replays the full descent CTE chain restricted to mutual edges,
     then the shared recursive-reach idiom.
     Output: (vec_id, component)."""
-    import math
-
     from spark_streaming_kafka2elasticsearch_spark.operators.dedup import (
         connected_components_star,
     )
     from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
-        knn_graph,
+        nn_descent_graph,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    c = int(math.ceil(math.sqrt(emb.count())))
-    cents = emb.filter(F.col("vec_id") < c).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("centroid_vec"),
-    )
     edges = (
-        knn_graph(emb, cents, k=5, n_probe=2)
+        nn_descent_graph(
+            emb, k=5, k_build=30, dim=64, rounds=3, occupancy=32, ring=2
+        )
         .filter(F.col("mutual"))
         .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
     )

@@ -1062,3 +1062,47 @@ def test_ivf_bq_serve_from_rest_equals_build(emb, queries, tmp_path):
         ).collect()
     }
     assert built == served and built
+
+
+def test_nn_descent_recall_vs_exact_graph(spark):
+    """VERDICT r11 item 1 done-criterion: the fixed-round NN-Descent
+    graph (linear work — SRP-bucket seed + ring rescue + 3
+    neighbor-of-neighbor rounds over a 30-edge working graph) must
+    reach ≥ 0.9 recall against the EXACT brute-force 5-NN graph at
+    sf0.1 (measured 0.946 on this data; a 5-edge working graph stalls
+    at 0.07 — the parameter sweep lives in the operator docstring).
+    The exact baseline is computed in DuckDB (4M scored pairs — the
+    external engine is the cheap way to hold the exact answer); the
+    approximate graph runs through the real Spark operator."""
+    import duckdb
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        nn_descent_graph,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = nn_descent_graph(
+        emb, k=5, k_build=30, dim=64, rounds=3, occupancy=32, ring=2
+    ).collect()
+    approx = {(r["src"], r["dst"]) for r in got}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    exact = set(
+        con.execute(
+            """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id, b.vec_id
+FROM e a JOIN e b ON a.vec_id <> b.vec_id
+QUALIFY row_number() OVER (PARTITION BY a.vec_id
+  ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id ASC) <= 5
+"""
+        ).fetchall()
+    )
+    n = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    assert len(approx) == n * 5  # every node ends with a full top-5
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"NN-Descent recall {recall:.3f} < 0.9"

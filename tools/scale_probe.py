@@ -260,11 +260,19 @@ PROBE_QUERIES = [
     # (inverted-index join, vocab-sized stats); alpha must track
     # bm25_doc_topk
     "query_likelihood_topk",
-    # r11: mutual-kNN CC — first registration rode the fixed-c=8 pair
-    # leg + iterative CC and probed α 1.8 / 856 s ×10; now the √n-cell
-    # candidate join (~n^1.5) + star-contraction closure (mutual-kNN
-    # graphs are chain-shaped — O(log²) rounds, not diameter)
+    # r12: mutual-kNN CC — re-pointed onto the NN-Descent graph
+    # (VERDICT r11 item 1): LINEAR descent build + star-contraction
+    # closure (chain-shaped graphs — O(log²) rounds, not diameter);
+    # alpha ~ 1 expected now, vs 1.02-on-n^1.5 when it rode the
+    # √n-cell exact build
     "mutual_knn_components",
+    # r12: fixed-round NN-Descent graph — SRP-bucket seed (plane count
+    # auto-grows with log n, occupancy pinned ~32), id-ring rescue,
+    # 3 neighbor-of-neighbor rounds over a 30-edge working graph; work
+    # O(n·(occ + rounds·k_build²)) ⇒ alpha ~ 1 expected — THE linear
+    # replacement for knn_graph_edges_auto's designed n^1.5 (its probe
+    # entry above stays as the exact-regime reference point)
+    "knn_graph_edges_nndescent",
     # r11: binary quantization — zero-shuffle codegen encode and the
     # XOR+popcount broadcast-query scan; both must hold alpha ~ 1
     "bq_embedding_codes",
