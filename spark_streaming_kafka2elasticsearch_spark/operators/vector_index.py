@@ -115,23 +115,133 @@ class VectorIndex:
             target_files_per_partition=target_files_per_cell,
         )
 
+    def build_bq(self, corpus: DataFrame, dim: int = 64) -> DataFrame:
+        """Lay the packed 1-bit sign codes down at rest
+        (``<path>/_bq`` — VERDICT r11 item 5): one codegen'd encode
+        scan, after which ``search(method='bq'|'bq_refine')`` serves
+        from the stored d/8-byte codes in a fresh session."""
+        return _sim.bq_persist_codes(
+            corpus,
+            self.path,
+            dim=dim,
+            corpus_id=self._cols["corpus_id"],
+            corpus_vec=self._cols["corpus_vec"],
+            fingerprint=self.fingerprint,
+            rebuild=True,
+        )
+
+    def build_graph(
+        self,
+        corpus: DataFrame,
+        k: int = 16,
+        k_build: int = 30,
+        rounds: int = 3,
+        occupancy: int = 32,
+        ring: int = 2,
+        dim: int = 64,
+    ) -> DataFrame:
+        """Build the at-rest NN-Descent edge list (``<path>/_graph``)
+        for graph-ANN beam serving (``search(method='graph')``)."""
+        return _sim.knn_graph_persist(
+            corpus,
+            self.path,
+            k=k,
+            k_build=k_build,
+            rounds=rounds,
+            occupancy=occupancy,
+            ring=ring,
+            dim=dim,
+            corpus_id=self._cols["corpus_id"],
+            corpus_vec=self._cols["corpus_vec"],
+            fingerprint=self.fingerprint,
+            rebuild=True,
+        )
+
     # -- serving -----------------------------------------------------------
 
     def search(
-        self, corpus: DataFrame, queries: DataFrame, k: int = 10, n_probe: int = 1
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 1,
+        method: str = "ivf",
+        dim: int = 64,
+        shortlist: int = 50,
+        beam: int = 8,
+        rounds: int = 3,
     ) -> DataFrame:
-        """Pruned top-k from the at-rest layout (multi-probe dial)."""
-        return _sim.ivf_persisted_topk(
-            corpus,
-            queries,
-            self._centroids,
-            self.path,
-            k=k,
-            n_probe=n_probe,
-            rebuild=False,
-            fingerprint=self.fingerprint,
-            **self._cols,
-        )
+        """Top-k from the at-rest layout.  ``method`` selects the
+        serving rung bound to this index directory:
+
+        * ``"ivf"`` (default) — cell-pruned exact scan (multi-probe
+          dial ``n_probe``);
+        * ``"bq"`` — XOR+popcount Hamming over the stored packed
+          codes (``build_bq`` first);
+        * ``"bq_refine"`` — Hamming ``shortlist`` from the stored
+          codes, exact-cosine re-rank of only those rows;
+        * ``"graph"`` — greedy beam search over the stored NN-Descent
+          edge list (``build_graph`` first; ``beam``/``rounds``
+          dials).
+
+        Every rung reads ITS artifact from the same directory — the
+        facade-vs-direct equality pytest covers all four."""
+        if method == "ivf":
+            return _sim.ivf_persisted_topk(
+                corpus,
+                queries,
+                self._centroids,
+                self.path,
+                k=k,
+                n_probe=n_probe,
+                rebuild=False,
+                fingerprint=self.fingerprint,
+                **self._cols,
+            )
+        if method in ("bq", "bq_refine"):
+            codes = _sim.bq_persist_codes(
+                None,
+                self.path,
+                dim=dim,
+                fingerprint=self.fingerprint,
+                spark=corpus.sparkSession,
+            )
+            if method == "bq":
+                return _sim.bq_hamming_topk(
+                    corpus,
+                    queries,
+                    k=k,
+                    dim=dim,
+                    corpus_codes=codes,
+                    **self._cols,
+                )
+            return _sim.bq_refine_topk(
+                corpus,
+                queries,
+                k=k,
+                shortlist=shortlist,
+                dim=dim,
+                corpus_codes=codes,
+                **self._cols,
+            )
+        if method == "graph":
+            edges = _sim.knn_graph_persist(
+                None,
+                self.path,
+                fingerprint=self.fingerprint,
+                spark=corpus.sparkSession,
+            )
+            return _sim.graph_beam_topk(
+                edges,
+                corpus,
+                queries,
+                k=k,
+                beam=beam,
+                rounds=rounds,
+                dim=dim,
+                **self._cols,
+            )
+        raise ValueError(f"unknown search method {method!r}")
 
     def range_search(
         self,

@@ -1020,6 +1020,172 @@ def knn_graph_edges_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _beam_cte(k: int = 10, beam: int = 8, rounds: int = 3) -> str:
+    """Unrolled greedy-beam-search CTE levels over the ``graph`` CTE
+    emitted by :func:`_nndescent_cte` — entry node = the min corpus
+    id in the query's SRP bucket (reusing the chain's bkt CTE);
+    each round expands the beam's undirected neighbors into the
+    visited set and re-picks the ``beam`` best visited by exact
+    cosine; ends with the final SELECT (top-``k`` of all visited,
+    self excluded).  MATERIALIZED for the same inline-blowup reason
+    as the descent chain."""
+    ctes = [
+        "q2 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8)",
+        "undg AS MATERIALIZED (SELECT src, dst FROM graph"
+        " UNION SELECT dst AS src, src AS dst FROM graph)",
+        # per-query SRP-bucket entry: reuses the descent chain's bkt
+        # CTE (same planes, same sizing rule); min-id bucket mate,
+        # global min id as the empty-bucket fallback
+        "qbk AS (SELECT vec_id AS query_id, bucket FROM bkt"
+        " WHERE vec_id < 8)",
+        "bmin AS (SELECT bucket, min(vec_id) AS bnode FROM bkt"
+        " GROUP BY bucket)",
+        "vis0 AS (SELECT q.query_id,"
+        " coalesce(m.bnode, (SELECT min(vec_id) FROM e)) AS node"
+        " FROM qbk q LEFT JOIN bmin m USING (bucket))",
+        "beam0 AS (SELECT query_id, node FROM vis0)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"fr{r} AS (SELECT DISTINCT b.query_id, u.dst AS node"
+            f" FROM beam{r - 1} b JOIN undg u ON u.src = b.node)"
+        )
+        ctes.append(
+            f"vis{r} AS MATERIALIZED (SELECT query_id, node FROM vis{r - 1}"
+            f" UNION SELECT query_id, node FROM fr{r})"
+        )
+        ctes.append(
+            f"""beam{r} AS MATERIALIZED (
+  SELECT v.query_id, v.node FROM vis{r} v
+  JOIN e ev ON ev.vec_id = v.node JOIN q2 ON q2.query_id = v.query_id
+  QUALIFY row_number() OVER (PARTITION BY v.query_id
+    ORDER BY list_cosine_similarity(q2.qv, ev.v) DESC, v.node ASC)
+    <= {beam})"""
+        )
+    tail = f"""
+SELECT v.query_id, v.node AS neighbor_id,
+       CAST(row_number() OVER (PARTITION BY v.query_id
+         ORDER BY list_cosine_similarity(q2.qv, ev.v) DESC, v.node ASC)
+         AS INT) AS rank,
+       list_cosine_similarity(q2.qv, ev.v) AS sim
+FROM vis{rounds} v
+JOIN e ev ON ev.vec_id = v.node JOIN q2 ON q2.query_id = v.query_id
+WHERE v.node <> v.query_id
+QUALIFY rank <= {k}"""
+    return ",\n".join(ctes) + tail
+
+
+@register(
+    "ann_graph_beam_topk",
+    oracle="WITH "
+    + _nndescent_cte(k=16)
+    + ",\n"
+    + _beam_cte(k=10, beam=8, rounds=3),
+)
+def ann_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN serving (operators/similarity.graph_beam_topk —
+    VERDICT r11 item 2): greedy beam search over the AT-REST
+    NN-Descent edge list, the HNSW-layer-0 idiom that completes the
+    build-graph→serve story the IVF family already has.  The k=16
+    graph (denser than the query-facing top-5 — degree ~18; beam
+    navigation stalls at 0.18 recall@10 on the sparse graph) is
+    persisted under the index directory with a fingerprint-stamped
+    meta (operators/similarity.knn_graph_persist), so this entry
+    times SERVING: a fresh call reads the stored edges, drops each
+    query into its SRP bucket's min-id node (the bucket is HNSW's
+    upper layers — entry already inside the query's neighborhood),
+    expands 3 beam-8 rounds, and ranks the visited set by exact
+    cosine — recall@10 0.962 at sf0.1 visiting ~151 of 2000 nodes,
+    the graph-ANN point on the published recall/cost curve (vs BQ
+    Hamming 0.176, BQ-refine@200 0.77, IVFADC-refine ~0.9 at their
+    respective costs).  Per-query state
+    is O(beam·degree·rounds) — CONSTANT in corpus size.  The oracle
+    replays graph build AND beam navigation as one unrolled CTE
+    chain."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        graph_beam_topk,
+        knn_graph_persist,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    path = _ivf_index_dir("ann_graph_beam_topk", sf_dir)
+    edges = knn_graph_persist(
+        emb, path, k=16, fingerprint=_emb_fingerprint(sf_dir)
+    )
+    return graph_beam_topk(edges, emb, queries, k=10, beam=8, rounds=3)
+
+
+@register(
+    "knn_graph_append_serve",
+    # The EXACT full-graph oracle (identical construction to
+    # knn_graph_edges): by the top-k merge property, append(old graph,
+    # delta) over the SAME fixed quantizer IS the full-corpus graph —
+    # the oracle checks exactly that incremental-maintenance contract
+    # (the ann_ivf_append_serve pattern, lifted to the edge relation).
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+asn AS (
+  SELECT e.vec_id AS dst, c.cid AS cell, e.v
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+probe AS (
+  SELECT e.vec_id AS src, e.v AS qv, c.cid AS cell
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) <= 2),
+edges AS (
+  SELECT p.src, a.dst,
+         CAST(row_number() OVER (
+           PARTITION BY p.src
+           ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.dst ASC)
+           AS INT) AS rank
+  FROM probe p JOIN asn a USING (cell)
+  WHERE a.dst <> p.src
+  QUALIFY rank <= 5)
+SELECT g.src, g.dst, g.rank, (r.src IS NOT NULL) AS mutual
+FROM edges g
+LEFT JOIN edges r ON r.src = g.dst AND r.dst = g.src
+""",
+)
+def knn_graph_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental kNN-graph maintenance
+    (operators/similarity.knn_graph_append — VERDICT r11 item 4): a
+    20 % delta (vec_id ≡ 3 mod 5) is appended onto the graph built
+    over the other 80 %, and the result must be BIT-EQUAL to the full
+    rebuild — which is exactly what the oracle computes (the whole-
+    corpus knn_graph CTE chain).  Top-k merge property over the fixed
+    quantizer: appending only adds candidates, so merged(old top-k ∪
+    delta-proportional join legs) == rebuild top-k; work is
+    |old|·|Δ|·n_probe/c + |Δ|·|cell|·n_probe + n·k, never the
+    rebuild's n²·n_probe/c pair leg.  Multi-probe (n_probe=2) fixed
+    c=8 cells — this entry also keeps the multiprobe fixed-cell graph
+    fully oracle-pinned."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_append,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    old = emb.filter(F.col("vec_id") % 5 != 3)
+    delta = emb.filter(F.col("vec_id") % 5 == 3)
+    old_edges = knn_graph(old, cents, k=5, n_probe=2).select("src", "dst")
+    return knn_graph_append(
+        old, delta, cents, old_edges, k=5, n_probe=2
+    )
+
+
 #: Shared DuckDB CTE: sign-bit packing into ⌈64/32⌉ = 2 little-endian
 #: 32-bit words, replaying operators/similarity.bq_sign_code exactly
 #: (32-bit words because DuckDB overflow-checks ``1 << 63``).
@@ -1098,6 +1264,54 @@ def ann_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_embedding"),
     )
     return bq_hamming_topk(emb, queries, k=10, dim=64)
+
+
+@register(
+    "ann_bq_persisted_topk",
+    # Identical oracle to ann_bq_hamming_topk: the at-rest codes
+    # round-trip changes the SCAN (d/8 bytes from parquet instead of
+    # an in-flight encode), never the distances or ranks.
+    oracle=_BQ_CODES_CTE
+    + """,
+q AS (SELECT vec_id AS query_id, code AS qc FROM codes WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, 2), i ->
+           bit_count(xor(q.qc[i], c.code[i])))) AS INT) AS hamming
+  FROM codes c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, hamming,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY hamming ASC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+)
+def ann_bq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-REST leg of the flat-BQ rung (VERDICT r11 item 5):
+    packed sign codes persisted under the index directory
+    (operators/similarity.bq_persist_codes — d/8 bytes/vector, the
+    at-rest payload by design, fingerprint-stamped meta) and the
+    Hamming top-10 served FROM the stored codes via
+    ``corpus_codes`` — the scan reads nothing but the code column.
+    Same oracle as the in-flight twin: the layout round-trip changes
+    the scan, never a distance or a rank (the
+    ann_ivf_persisted_topk doctrine applied to BQ)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        bq_hamming_topk,
+        bq_persist_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    path = _ivf_index_dir("ann_bq_persisted_topk", sf_dir)
+    codes = bq_persist_codes(
+        emb, path, dim=64, fingerprint=_emb_fingerprint(sf_dir)
+    )
+    return bq_hamming_topk(emb, queries, k=10, dim=64, corpus_codes=codes)
 
 
 @register(

@@ -364,3 +364,118 @@ def test_vector_index_facade_matches_direct_operators(spark, tmp_path):
     # quantizer is the whole handshake
     idx2 = VectorIndex(path)
     assert _rows(idx2.search(emb, queries, k=10, n_probe=2)) == want
+
+
+# ---------------------------------------------------------------------------
+# r12: at-rest BQ codes + NN-Descent edge list, and the VectorIndex
+# facade serving every rung from ONE directory (VERDICT r11 items 2/5)
+# ---------------------------------------------------------------------------
+
+
+def test_bq_codes_serve_from_rest_and_guard_fingerprint(spark, tmp_path):
+    """Flat-BQ at rest: persisted packed codes answer byte-identically
+    to the in-flight encode, a corpus=None call proves the serve path
+    never touches the float corpus for encoding, and a stale
+    fingerprint refuses to serve."""
+    import pytest as _pytest
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        bq_hamming_topk,
+        bq_persist_codes,
+        bq_refine_topk,
+    )
+
+    emb, path = _emb(spark), str(tmp_path / "bq_idx")
+    queries = _queries(emb)
+    inflight = _rows(bq_hamming_topk(emb, queries, k=10, dim=64))
+    bq_persist_codes(emb, path, dim=64, fingerprint="fp1", rebuild=True)
+    codes = bq_persist_codes(None, path, dim=64, fingerprint="fp1", spark=spark)
+    at_rest = _rows(
+        bq_hamming_topk(emb, queries, k=10, dim=64, corpus_codes=codes)
+    )
+    assert inflight == at_rest
+    refine_inflight = _rows(bq_refine_topk(emb, queries, k=5, shortlist=20))
+    refine_rest = _rows(
+        bq_refine_topk(emb, queries, k=5, shortlist=20, corpus_codes=codes)
+    )
+    assert refine_inflight == refine_rest
+    with _pytest.raises(ValueError, match="stale"):
+        bq_persist_codes(None, path, dim=64, fingerprint="fp2", spark=spark)
+
+
+def test_knn_graph_persist_serves_at_rest_without_rebuild(spark, tmp_path):
+    """The at-rest edge list round-trips bit-identically, and the
+    serve path (corpus=None) provably never re-runs descent — the
+    booby-trap idiom from the trained-quantizer fresh-session test."""
+    import pytest as _pytest
+
+    import spark_streaming_kafka2elasticsearch_spark.operators.similarity as sim
+
+    emb, path = _emb(spark), str(tmp_path / "graph_idx")
+    built = _rows(
+        sim.knn_graph_persist(
+            emb, path, k=8, fingerprint="fp1", rebuild=True
+        )
+    )
+    orig = sim.nn_descent_graph
+
+    def _no_rebuild(*a, **k):
+        raise AssertionError("serve path re-ran NN-Descent")
+
+    sim.nn_descent_graph = _no_rebuild
+    try:
+        served = _rows(
+            sim.knn_graph_persist(
+                None, path, k=8, fingerprint="fp1", spark=spark
+            )
+        )
+    finally:
+        sim.nn_descent_graph = orig
+    assert built == served
+    with _pytest.raises(ValueError, match="stale"):
+        sim.knn_graph_persist(None, path, k=8, fingerprint="fp2", spark=spark)
+
+
+def test_vector_index_facade_serves_every_rung_from_one_dir(spark, tmp_path):
+    """VectorIndex binds ivf + bq + bq_refine + graph serving to ONE
+    index directory, each method-for-method equal to the direct
+    operator calls over the same at-rest artifacts."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        bq_hamming_topk,
+        bq_persist_codes,
+        bq_refine_topk,
+        graph_beam_topk,
+        ivf_persisted_topk,
+        knn_graph_persist,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.vector_index import (
+        VectorIndex,
+    )
+
+    emb, path = _emb(spark), str(tmp_path / "multi_idx")
+    queries, cents = _queries(emb), _cents(emb)
+    idx = VectorIndex(path)
+    idx.build(emb, cents)
+    idx.build_bq(emb)
+    idx.build_graph(emb)
+
+    assert _rows(idx.search(emb, queries, k=10, n_probe=2)) == _rows(
+        ivf_persisted_topk(
+            emb, queries, cents, path, k=10, n_probe=2, rebuild=False
+        )
+    )
+    codes = bq_persist_codes(None, path, spark=spark)
+    assert _rows(idx.search(emb, queries, k=10, method="bq")) == _rows(
+        bq_hamming_topk(emb, queries, k=10, corpus_codes=codes)
+    )
+    assert _rows(
+        idx.search(emb, queries, k=5, method="bq_refine", shortlist=20)
+    ) == _rows(bq_refine_topk(emb, queries, k=5, shortlist=20, corpus_codes=codes))
+    edges = knn_graph_persist(None, path, spark=spark)
+    assert _rows(idx.search(emb, queries, k=5, method="graph")) == _rows(
+        graph_beam_topk(edges, emb, queries, k=5, beam=8, rounds=3)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown search method"):
+        idx.search(emb, queries, method="hnsw")

@@ -1106,3 +1106,34 @@ QUALIFY row_number() OVER (PARTITION BY a.vec_id
     assert len(approx) == n * 5  # every node ends with a full top-5
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"NN-Descent recall {recall:.3f} < 0.9"
+
+
+def test_knn_graph_append_equals_full_rebuild(spark):
+    """VERDICT r11 item 4 done-criterion: append-then-serve must be
+    BIT-EQUAL to full-rebuild-serve.  The fixed quantizer makes this
+    exact (top-k merge property: appending only adds candidates), so
+    the assertion is plain set equality over (src, dst, rank, mutual)
+    — the ann_ivf_append_serve contract lifted to the edge relation."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_append,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    old = emb.filter(F.col("vec_id") % 5 != 3)
+    delta = emb.filter(F.col("vec_id") % 5 == 3)
+    old_edges = knn_graph(old, cents, k=5, n_probe=2).select("src", "dst")
+    appended = {
+        tuple(r)
+        for r in knn_graph_append(
+            old, delta, cents, old_edges, k=5, n_probe=2
+        ).collect()
+    }
+    rebuilt = {
+        tuple(r) for r in knn_graph(emb, cents, k=5, n_probe=2).collect()
+    }
+    assert appended == rebuilt

@@ -273,6 +273,24 @@ PROBE_QUERIES = [
     # replacement for knn_graph_edges_auto's designed n^1.5 (its probe
     # entry above stays as the exact-regime reference point)
     "knn_graph_edges_nndescent",
+    # r12: graph-ANN beam serve — at-rest edge read + per-query
+    # SRP-bucket entry + 3 beam-8 rounds; per-query state
+    # O(beam·degree·rounds), CONSTANT in n ⇒ alpha ~ 1 (the graph
+    # build is NOT in this entry: it serves the persisted layout;
+    # probe harness rebuilds per factor via fingerprint mismatch, so
+    # measured alpha includes one descent build per factor — read the
+    # number against knn_graph_edges_nndescent's)
+    "ann_graph_beam_topk",
+    # r12: incremental graph append — old-graph build + Δ-proportional
+    # merge legs (|old|·|Δ|·np/c + |Δ|·|cell|·np + n·k rescore); the
+    # in-query old-graph build is n²np/c at fixed c=8, so alpha tracks
+    # knn_graph_edges' fixed-cell slope (the append legs themselves
+    # are the sub-quadratic part — this entry exists for the
+    # equality contract, not as the scale path)
+    "knn_graph_append_serve",
+    # r12: at-rest flat BQ — persisted-code scan + broadcast query
+    # codes; alpha must track ann_bq_hamming_topk (scan-bound)
+    "ann_bq_persisted_topk",
     # r11: binary quantization — zero-shuffle codegen encode and the
     # XOR+popcount broadcast-query scan; both must hold alpha ~ 1
     "bq_embedding_codes",
