@@ -5972,6 +5972,79 @@ def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q: Kneser–Ney document perplexity gate (CCNet-style LM filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kn_perplexity_quality_gate",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents),
+inst AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
+        FROM d WHERE len(t) >= 2)),
+bgf AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        FROM inst GROUP BY w1, w2),
+fw AS (SELECT w1, CAST(sum(c2) AS DOUBLE) AS c1,
+              CAST(count(*) AS DOUBLE) AS n1f
+       FROM bgf GROUP BY w1),
+bw AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n1b FROM bgf GROUP BY w2),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM bgf),
+terms AS (
+  SELECT i.doc_id,
+         CAST(round(ln((CAST(b.c2 AS DOUBLE) - 0.75) / f.c1
+               + (0.75 * f.n1f / f.c1) * (w.n1b / t.n_types)), 9)
+           AS DECIMAL(28,10)) AS term
+  FROM inst i JOIN bgf b USING (w1, w2)
+  JOIN fw f USING (w1) JOIN bw w USING (w2), t),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               sum(term) AS s
+        FROM terms GROUP BY doc_id)
+SELECT doc_id, n_bigrams, CAST(0 AS BIGINT) AS n_oov,
+       round(-(CAST(s AS DOUBLE)) / CAST(n_bigrams AS DOUBLE), 9) AS kn_nll,
+       (round(-(CAST(s AS DOUBLE)) / CAST(n_bigrams AS DOUBLE), 9)
+         <= 3.4) AS keep
+FROM agg
+""",
+)
+def kn_perplexity_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT Kneser–Ney LM quality gate (operators/text.
+    kn_bigram_model + kn_doc_scores — VERDICT r11 item 7): the
+    CCNet-style production filter the bigram-type scorer
+    (kneser_ney_bigram_scores) feeds.  Each document's bigram
+    instances are scored under the corpus-fit interpolated KN model,
+    the per-position ``round(ln(p), 9)`` terms ride an exact
+    DECIMAL(28,10) sum, and the gate keeps documents whose average
+    negative log-prob ``kn_nll ≤ 3.4`` (the corpus median is 3.386 —
+    log-space thresholding IS the perplexity gate, and ln stays in
+    the engine-probed cross-exact class where exp would not).
+    Self-scoring ⇒ ``n_oov = 0`` by construction here; the streaming
+    twin (streaming/jobs.kn_perplexity_gate_stream) scores arriving
+    docs against this model as a static artifact, where OOV bigrams
+    are excluded and counted.  One doc-side scan; all model tables
+    vocabulary-sized partial aggregates broadcast back under AQE."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        kn_bigram_model,
+        kn_doc_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = kn_bigram_model(docs)
+    scores = kn_doc_scores(docs, model)
+    return scores.select(
+        "doc_id",
+        "n_bigrams",
+        "n_oov",
+        "kn_nll",
+        (F.col("kn_nll") <= 3.4).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q: query-likelihood retrieval (Dirichlet-smoothed LM scoring)
 # ---------------------------------------------------------------------------
 

@@ -318,6 +318,68 @@ def dsir_gate_stream(
     )
 
 
+def kn_perplexity_gate_stream(
+    spark: SparkSession,
+    source: Any,
+    model: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    max_nll: float = 3.4,
+):
+    """Streaming Kneser–Ney PERPLEXITY gate — the LM-quality gate of
+    the crawl front door (VERDICT r11 item 7), the CCNet recipe run
+    the way production runs it: a bigram LM is fit ONCE on a curated
+    corpus (operators/text.kn_bigram_model — the static artifact,
+    like the DSIR weight table), and every arriving micro-batch of
+    documents is scored under it (operators/text.kn_doc_scores);
+    only documents with ``kn_nll ≤ max_nll`` (log-perplexity at most
+    the threshold) land in ``sink_dir``, carrying score and OOV
+    count.
+
+    Shape: ``foreachBatch`` over the SAME batch scorer the
+    oracle-green ``kn_perplexity_quality_gate`` query uses —
+    streaming = batch per micro-batch (pytest-pinned), correct
+    because a document's bigrams never span records.  OOV bigram
+    instances (routine against a static model) are excluded from the
+    sum and surfaced as ``n_oov``; documents with NO matched bigram
+    (< 2 tokens, fully OOV, empty) have no defined perplexity and
+    never pass the gate — the featureless-doc contract shared with
+    the DSIR gate.  The model is MATERIALIZED at gate setup (a lazy
+    kn_bigram_model relation would re-run the corpus-sized fit every
+    micro-batch); at 100 TB it is refit on a curation cadence.
+    Parquet append is at-least-once under retry; route through the
+    keyed-upsert sink for exactly-once.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        kn_doc_scores,
+    )
+
+    model = model.localCheckpoint(eager=True)
+    if not model.take(1):
+        raise ValueError(
+            "empty KN model — fit kn_bigram_model on a non-trivial corpus"
+        )
+
+    parsed = _parse_doc_stream(spark, source)
+
+    def score_and_gate(batch: DataFrame, batch_id: int) -> None:
+        scored = kn_doc_scores(batch, model, id_col="doc_id")
+        kept = batch.join(
+            scored.filter(F.col("kn_nll") <= max_nll), "doc_id"
+        )
+        kept.select(
+            "doc_id", "lang", "text", "n_bigrams", "n_oov", "kn_nll"
+        ).write.mode("append").parquet(sink_dir)
+
+    return (
+        parsed.writeStream.foreachBatch(score_and_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def _parse_vec_stream(spark: SparkSession, source: Any) -> DataFrame:
     """Front-door parse for EMBEDDING ingestion gates: the source's
     ``value`` JSON column → (vec_id, embedding array<double>).  The
@@ -653,6 +715,160 @@ def front_door_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def gated_attribution_stream(
+    spark: SparkSession,
+    events_source: Any,
+    sink_dir: str,
+    checkpoint_dir: str,
+    window: str = "30 minutes",
+):
+    """Front-door gates COMPOSED with interval-join attribution in one
+    job (VERDICT r11 item 8): a single raw event stream is screened —
+    validity (non-null user/timestamp, known event_type) plus
+    cross-batch FIRST-SEEN dedup on ``event_id`` (the stateful
+    exact-dup front-door leg, ``applyInPandasWithState``) — and each
+    micro-batch of survivors is attributed against EVERYTHING that
+    survived before it, inside the same ``foreachBatch``.
+
+    The incremental join identity that makes streaming ≡ batch: with
+    P/C the gated purchase/click sets and Δ the current batch,
+
+        Δoutput = ΔP ⋈ C_≤now  ∪  P_<now ⋈ ΔC
+
+    counts every qualifying (purchase, click) pair EXACTLY once —
+    a pair lands in the batch where its LATER side arrived — so the
+    union of all Δoutputs equals the oracle-checked batch interval
+    join (queries/extended.click_purchase_attribution) over the union
+    of survivors (pytest-pinned across ≥2 micro-batches).  Exactness
+    leans on the dedup gate: a replayed event_id would double-count
+    pairs, so the first-seen screen is load-bearing, not decorative.
+
+    Replay idempotency (the front_door_stream discipline): survivors
+    land under ``{sink_dir}/events`` and attribution pairs under
+    ``{sink_dir}/attribution``, both ``batch_id``-partitioned and
+    dynamically overwritten — an at-least-once retry replaces its own
+    partitions (the prior-batch state it reads back is unchanged), so
+    at-least-once × idempotent overwrite = effectively-once.
+
+    State at 100 TB: the landed event zone is the join state, bounded
+    by retention policy on the ``batch_id`` partitions (the watermark
+    analog of the native stream-stream twin, attribution_stream —
+    with the interval bound, partitions older than the window can
+    stop participating in the Δ join; kept simple here by joining the
+    full landed zone).  Returns the started StreamingQuery.
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import (
+        overwrite_partitions,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.stateful import (
+        streaming_first_seen,
+    )
+
+    ev_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+    parsed = (
+        events_source.load_stream(spark)
+        .select(
+            F.from_json(F.col("value").cast("string"), ev_schema).alias("e")
+        )
+        .select("e.*")
+    )
+    valid = parsed.filter(
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts_us").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    survivors = streaming_first_seen(
+        valid, key_col="event_id", value_cols=["user_id", "event_type", "ts_us"]
+    )
+    events_dir = os.path.join(sink_dir, "events")
+    attr_dir = os.path.join(sink_dir, "attribution")
+    win_us = _interval_to_us(window)
+
+    def attribute(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)
+        overwrite_partitions(
+            batch.withColumn("batch_id", F.lit(batch_id)),
+            events_dir,
+            ["batch_id"],
+        )
+        landed = spark.read.parquet(events_dir)
+        prev = landed.filter(F.col("batch_id") < batch_id)
+        upto = landed.filter(F.col("batch_id") <= batch_id)
+
+        def _p(df: DataFrame) -> DataFrame:
+            return df.filter(F.col("event_type") == "purchase").select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id"),
+                F.col("ts_us").alias("p_us"),
+            )
+
+        def _c(df: DataFrame) -> DataFrame:
+            return df.filter(F.col("event_type") == "click").select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts_us").alias("c_us"),
+            )
+
+        def _join(p: DataFrame, c: DataFrame) -> DataFrame:
+            return (
+                p.join(
+                    c,
+                    (p.user_id == c.c_user)
+                    & (c.c_us >= p.p_us - F.lit(win_us))
+                    & (c.c_us < p.p_us),
+                )
+                .select(
+                    "purchase_id",
+                    "user_id",
+                    "click_id",
+                    F.expr("(p_us - c_us) div 1000000").alias("secs_before"),
+                )
+            )
+
+        delta_out = _join(_p(batch), _c(upto)).union(
+            _join(_p(prev), _c(batch))
+        )
+        overwrite_partitions(
+            delta_out.withColumn("batch_id", F.lit(batch_id)),
+            attr_dir,
+            ["batch_id"],
+        )
+
+    return (
+        survivors.writeStream.foreachBatch(attribute)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _interval_to_us(window: str) -> int:
+    """``"30 minutes"`` → microseconds (the subset of interval units
+    the attribution jobs use)."""
+    qty, unit = window.split()
+    mult = {
+        "second": 1_000_000,
+        "seconds": 1_000_000,
+        "minute": 60_000_000,
+        "minutes": 60_000_000,
+        "hour": 3_600_000_000,
+        "hours": 3_600_000_000,
+    }[unit]
+    return int(qty) * mult
 
 
 def attribution_stream(

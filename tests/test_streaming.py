@@ -2407,3 +2407,194 @@ def test_attribution_stream_left_outer_emits_after_watermark(spark, tmp_path):
     got = {(r["purchase_id"], r["click_id"], r["secs_before"]) for r in rows}
     assert (201, None, None) in got, got
     assert (200, 100, 300) in got
+
+
+def test_kn_perplexity_gate_stream_matches_batch_scorer(spark, tmp_path):
+    """Streaming KN perplexity gate: micro-batches score under the
+    static bigram model inside foreachBatch, only docs at or below
+    the NLL threshold land in the sink, OOV bigrams are excluded but
+    counted, and the kept rows equal the BATCH scorer bit-for-bit
+    (streaming = batch per micro-batch)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        kn_bigram_model,
+        kn_doc_scores,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        kn_perplexity_gate_stream,
+    )
+
+    fit_corpus = spark.createDataFrame(
+        [
+            ("the cat sat on the mat",),
+            ("the cat sat on the rug",),
+            ("the dog sat on the mat",),
+            ("a dog ran in the park",),
+        ],
+        "text string",
+    )
+    model = kn_bigram_model(fit_corpus)
+
+    def doc(doc_id, text):
+        return json.dumps({"doc_id": doc_id, "lang": "en", "text": text})
+
+    rows = [
+        (1, "the cat sat on the mat"),      # in-domain: low NLL
+        (2, "a dog ran in the park"),       # in-domain
+        (3, "zx qq vv zx qq"),              # fully OOV: no score, no row
+        (4, "the cat ran in the mat"),      # mixed, some rarer bigrams
+    ]
+    batch_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        r["doc_id"]: (r["n_bigrams"], r["n_oov"], r["kn_nll"])
+        for r in kn_doc_scores(batch_docs, model).collect()
+    }
+    assert 3 not in batch  # fully-OOV doc has no defined perplexity
+    nlls = sorted(v[2] for v in batch.values())
+    thr = (nlls[0] + nlls[-1]) / 2  # split kept vs dropped
+    want_kept = {i for i, v in batch.items() if v[2] <= thr}
+    assert want_kept and want_kept != set(batch)
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    sink_dir = str(tmp_path / "sink")
+    q = kn_perplexity_gate_stream(
+        spark,
+        JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        model,
+        sink_dir,
+        str(tmp_path / "chk"),
+        max_nll=thr,
+    )
+    try:
+        write_batch_file(
+            str(src_dir), "b0.json", [doc(*rows[0]), doc(*rows[2])]
+        )
+        q.processAllAvailable()
+        write_batch_file(
+            str(src_dir), "b1.json", [doc(*rows[1]), doc(*rows[3])]
+        )
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["n_oov"], r["kn_nll"])
+            for r in spark.read.parquet(sink_dir).collect()
+        }
+    finally:
+        q.stop()
+    assert set(got) == want_kept
+    for i in want_kept:
+        assert got[i] == batch[i]  # bitwise: counts and NLL
+
+
+def test_kn_perplexity_gate_stream_rejects_empty_model(spark, tmp_path):
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        kn_bigram_model,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        kn_perplexity_gate_stream,
+    )
+
+    empty = kn_bigram_model(
+        spark.createDataFrame([("solo",)], "text string")
+    )
+    with pytest.raises(ValueError, match="empty KN model"):
+        kn_perplexity_gate_stream(
+            spark,
+            JsonDirSource(str(tmp_path / "src"), as_kafka_envelope=True),
+            empty,
+            str(tmp_path / "sink"),
+            str(tmp_path / "chk"),
+        )
+
+
+def test_gated_attribution_stream_matches_batch_join_over_union(
+    spark, tmp_path
+):
+    """Front-door gates ∘ interval-join attribution in ONE foreachBatch
+    (VERDICT r11 item 8): across two micro-batches — with a
+    cross-batch match, a redelivered duplicate event, and an invalid
+    row — the union of the per-batch Δ-join outputs must equal the
+    batch interval join over the gated union (every pair exactly
+    once, landing in the batch where its LATER side arrived)."""
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        gated_attribution_stream,
+    )
+
+    def ev(event_id, user_id, etype, ts_s):
+        return json.dumps(
+            {
+                "event_id": event_id,
+                "user_id": user_id,
+                "event_type": etype,
+                "ts_us": ts_s * 1_000_000,
+            }
+        )
+
+    b0 = [
+        ev(1, 7, "click", 100),
+        ev(2, 7, "purchase", 200),      # matches click 1 (same batch)
+        ev(3, 8, "click", 500),
+        ev(99, None, "click", 10),      # invalid: null user — gated out
+    ]
+    b1 = [
+        ev(4, 8, "purchase", 900),      # matches click 3 (CROSS batch)
+        ev(5, 7, "click", 150),         # matches purchase 2 (prev P, Δ C)
+        ev(3, 8, "click", 500),         # duplicate redelivery — gated out
+        ev(6, 9, "purchase", 5000),     # no click in window
+    ]
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    sink_dir = str(tmp_path / "sink")
+    q = gated_attribution_stream(
+        spark,
+        JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        sink_dir,
+        str(tmp_path / "chk"),
+        window="30 minutes",
+    )
+    try:
+        write_batch_file(str(src_dir), "b0.json", b0)
+        q.processAllAvailable()
+        write_batch_file(str(src_dir), "b1.json", b1)
+        q.processAllAvailable()
+        got = {
+            (r["purchase_id"], r["user_id"], r["click_id"], r["secs_before"])
+            for r in spark.read.parquet(f"{sink_dir}/attribution").collect()
+        }
+        landed = spark.read.parquet(f"{sink_dir}/events")
+    finally:
+        q.stop()
+
+    # gated union: invalid + duplicate rows absent, each event once
+    assert sorted(
+        (r["event_id"], r["batch_id"]) for r in landed.collect()
+    ) == [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)]
+    # batch twin over the gated union
+    p = landed.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("p_us"),
+    )
+    c = landed.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("c_us"),
+    )
+    want = {
+        (r["purchase_id"], r["user_id"], r["click_id"], r["secs_before"])
+        for r in p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.c_us >= p.p_us - 1_800_000_000)
+            & (c.c_us < p.p_us),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            F.expr("(p_us - c_us) div 1000000").alias("secs_before"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the expected pair set itself: same-batch, cross-batch, prev-P×ΔC
+    assert got == {(2, 7, 1, 100), (4, 8, 3, 400), (2, 7, 5, 50)}
