@@ -73,73 +73,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: rest.  Dicts preserve insertion order; rotate this list each round
 #: so every query gets a driver row within two rounds.
 _PRIORITY: list[str] = [
-    # round-11 rotation (VERDICT r10 item 5): head = queries NEW in r11
-    # (no driver row exists for them at all), then the 5 queries whose
-    # newest driver row is still r6-vintage (the r10 rotation's
-    # overflow tail — retired first this round, as demanded), then the
-    # 49 r7-vintage rows (computed from the union of
-    # CORRECTNESS_r01-r10, latest row per query).  24 + 5 + 49 = 78 >
-    # the ~50-row driver budget, so the last ~12 r7 entries may age one
-    # more round — new-query coverage outranks rotation freshness when
-    # they clash.  A test asserts this list is duplicate-free.
-    # -- new in r11 (24) --
-    "knn_graph_edges",
-    "knn_graph_edges_auto",
-    "click_purchase_attribution",
-    "click_purchase_attribution_outer",
-    "purchase_activity_context",
-    "kneser_ney_bigram_scores",
-    "ann_mmr_topk",
-    "query_likelihood_topk",
+    # round-12 rotation (VERDICT r11 item 3): head = queries NEW or
+    # CHANGED in r12 (5 new + 2 re-registered: mutual_knn_components
+    # re-pointed onto the NN-Descent graph, knn_graph_edges trimmed to
+    # n_probe=1 — both need fresh driver rows because their results
+    # changed), then ALL 28 queries whose newest driver row is still
+    # r7-vintage (the remaining rotation debt — retired completely
+    # this round, as demanded: 7 + 28 = 35 ≤ the ~50-row budget), then
+    # the 15 oldest r8-vintage rows to start on the next debt tier.
+    # 7 + 28 + 15 = 50.  A test asserts this list is duplicate-free.
+    # -- new in r12 (5) --
+    "knn_graph_edges_nndescent",
+    "ann_graph_beam_topk",
+    "knn_graph_append_serve",
+    "ann_bq_persisted_topk",
+    "kn_perplexity_quality_gate",
+    # -- re-registered in r12 (2) --
     "mutual_knn_components",
-    "parts_supplier_census",
-    "ivf_cell_stats",
-    "bq_embedding_codes",
-    "ann_bq_hamming_topk",
-    "ann_bq_refine_topk",
-    "ann_ivf_bq_topk",
-    "ann_ivfadc_refine_topk",
-    "ann_ivf_compact_serve",
-    "ann_ivf_filtered_topk",
-    "ann_range_search",
-    "bm25_doc_topk",
-    "hybrid_rrf_topk",
-    "ann_ivf_diverse_topk",
-    "weighted_reservoir_sample",
-    "ann_ivfadc_filtered_topk",
-    # -- r6-vintage (5) --
-    "unigram_logprob_scores",
-    "user_cohort_retention",
-    "user_daily_gapfill",
-    "user_running_distinct_types",
-    "weighted_avg_price_pandas",
-    # -- r7-vintage (49) --
-    "lang_token_stats_pandas",
-    "nation_revenue_reconciliation",
-    "events_last_error_asof",
-    "token_rarity_scores",
-    "deduped_corpus",
-    "near_dup_clusters_star",
-    "decontaminate_train_docs",
-    "ann_cosine_topk_pandas",
-    "ann_cosine_topk_lsh",
-    "multimodal_image_decode_real",
-    "multimodal_audio_decode_real",
-    "multimodal_video_frames",
-    "multimodal_audio_features",
-    "document_repetition_ratios",
-    "document_chunks",
-    "hashed_bow_embeddings",
-    "delta_corpus_dedup_check",
-    "exact_substring_dup_spans",
-    "exact_substring_dedup_corpus",
-    "near_dup_pagerank",
-    "embedding_dup_kcore",
+    "knn_graph_edges",
+    # -- r7-vintage (28) --
     "asof_purchase_prior_click",
     "daily_event_type_pivot",
     "string_functions_showcase",
     "date_functions_showcase",
-    "events_localtime_kolkata",
     "token_frequencies",
     "events_sliding_10min",
     "embedding_cosine_pairs",
@@ -148,21 +104,38 @@ _PRIORITY: list[str] = [
     "parts_by_brand",
     "lineitem_cube",
     "supplier_revenue_in_region",
+    "curated_orders",
+    "curated_orders_fused",
+    "products_sold_exploded",
+    "orders_enriched",
     "orders_merge_upsert",
     "lineitem_unpivot_measures",
     "user_event_scd2",
-    "orders_quality_report",
-    "distinct_users_sketch_rollup",
-    "events_zorder_keys",
     "user_state_asof",
     "quantity_price_correlation",
     "event_value_mad",
     "revenue_grouping_sets",
     "event_value_anomalies",
-    "curated_orders",
-    "curated_orders_fused",
-    "products_sold_exploded",
-    "orders_enriched",
+    "events_zorder_keys",
+    "orders_quality_report",
+    "distinct_users_sketch_rollup",
+    "events_localtime_kolkata",
+    # -- oldest r8-vintage (15) --
+    "user_sessionization",
+    "events_tumbling_2min",
+    "lineitem_filter_project",
+    "orders_deterministic_sample",
+    "suppliers_kept_waiting",
+    "shipping_priority",
+    "order_priority_late_ship",
+    "local_supplier_volume",
+    "national_market_share",
+    "customer_order_distribution",
+    "top_supplier",
+    "large_volume_customer",
+    "global_sales_opportunity",
+    "multimodal_video_decode_real",
+    "embedding_int8_quantized",
 ]
 
 

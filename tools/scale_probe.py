@@ -291,6 +291,11 @@ PROBE_QUERIES = [
     # r12: at-rest flat BQ — persisted-code scan + broadcast query
     # codes; alpha must track ann_bq_hamming_topk (scan-bound)
     "ann_bq_persisted_topk",
+    # r12: KN doc-perplexity gate — one doc-side instance scan joined
+    # to vocabulary-sized model aggregates (the kneser_ney/tfidf
+    # silhouette) + a per-doc decimal sum; alpha must track
+    # kneser_ney_bigram_scores
+    "kn_perplexity_quality_gate",
     # r11: binary quantization — zero-shuffle codegen encode and the
     # XOR+popcount broadcast-query scan; both must hold alpha ~ 1
     "bq_embedding_codes",
