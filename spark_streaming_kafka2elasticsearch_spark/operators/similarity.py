@@ -991,56 +991,72 @@ def knn_graph_append(
     def _assigned(b: DataFrame) -> DataFrame:
         return b.select(
             F.col("_id").alias("dst"),
+            F.col("_vec").alias("_nvec"),
             F.element_at("_probe", 1).alias("cell"),
+            F.col("_n").alias("_nn"),
         )
 
     def _probes(b: DataFrame) -> DataFrame:
         return b.select(
-            F.col("_id").alias("src"), F.explode("_probe").alias("cell")
+            F.col("_id").alias("src"),
+            F.col("_vec").alias("_qvec"),
+            F.explode("_probe").alias("cell"),
+            F.col("_n").alias("_qn"),
+        )
+
+    def _score(pairs: DataFrame) -> DataFrame:
+        # bit-exact hoisted cosine, vectors CARRIED through the cell
+        # join exactly like knn_graph's own pair leg — no candidate
+        # materialization, no join-back by id.
+        denom = F.col("_qn") * F.col("_nn")
+        return pairs.filter(F.col("src") != F.col("dst")).select(
+            "src",
+            "dst",
+            F.when(denom == 0, F.lit(None))
+            .otherwise(
+                dot_product(
+                    F.col("_qvec").cast("array<double>"),
+                    F.col("_nvec").cast("array<double>"),
+                )
+                / denom
+            )
+            .alias("_sim"),
         )
 
     # old sources meet ONLY the delta members of their probe cells;
-    # delta sources rank the full membership of theirs.
-    pairs_old_src = _probes(old_b).join(_assigned(new_b), "cell")
-    pairs_new_src = _probes(new_b).join(
-        _assigned(old_b).union(_assigned(new_b)), "cell"
+    # delta sources rank the full membership of theirs.  The three
+    # candidate sources are DISJOINT by construction — old edges are
+    # (old, old) pairs, leg 1 is (old, delta), leg 2 is (delta, ·) —
+    # and within a leg a (src, dst) pair occurs at most once (dst's
+    # assigned cell is unique), so no dedup is needed anywhere.
+    leg_old_src = _score(_probes(old_b).join(_assigned(new_b), "cell"))
+    leg_new_src = _score(
+        _probes(new_b).join(_assigned(old_b).union(_assigned(new_b)), "cell")
     )
-    cand = (
-        old_edges.select("src", "dst")
-        .union(pairs_old_src.select("src", "dst"))
-        .union(pairs_new_src.select("src", "dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-
+    # re-score the surviving old edges (n·k pairs) with the same fold
     full = old_b.select("_id", "_vec", "_n").union(
         new_b.select("_id", "_vec", "_n")
     )
-    src_side = full.select(
-        F.col("_id").alias("src"),
-        F.col("_vec").alias("_sv"),
-        F.col("_n").alias("_sn"),
-    )
-    dst_side = full.select(
-        F.col("_id").alias("dst"),
-        F.col("_vec").alias("_dv"),
-        F.col("_n").alias("_dn"),
-    )
-    scored = cand.join(src_side, "src").join(dst_side, "dst")
-    denom = F.col("_sn") * F.col("_dn")
-    sims = scored.select(
-        "src",
-        "dst",
-        F.when(denom == 0, F.lit(None))
-        .otherwise(
-            dot_product(
-                F.col("_sv").cast("array<double>"),
-                F.col("_dv").cast("array<double>"),
-            )
-            / denom
+    old_scored = _score(
+        old_edges.select("src", "dst")
+        .join(
+            full.select(
+                F.col("_id").alias("src"),
+                F.col("_vec").alias("_qvec"),
+                F.col("_n").alias("_qn"),
+            ),
+            "src",
         )
-        .alias("_sim"),
+        .join(
+            full.select(
+                F.col("_id").alias("dst"),
+                F.col("_vec").alias("_nvec"),
+                F.col("_n").alias("_nn"),
+            ),
+            "dst",
+        )
     )
+    sims = old_scored.union(leg_old_src).union(leg_new_src)
     w = Window.partitionBy("src").orderBy(F.desc("_sim"), F.asc("dst"))
     edges = (
         sims.withColumn("rank", F.row_number().over(w))
