@@ -1883,21 +1883,17 @@ def test_mutual_knn_components_are_valid_partition(spark):
     for c, members in groups.items():
         assert c == min(members)
 
-    import math
-
     from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
-        knn_graph,
+        nn_descent_graph,
     )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    # the registered query rides the sqrt-n-cell graph; the edge
-    # consistency check must use the SAME graph
-    c = int(math.ceil(math.sqrt(emb.count())))
-    cents = emb.filter(F.col("vec_id") < c).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("centroid_vec"),
+    # r12: the registered query rides the NN-Descent graph; the edge
+    # consistency check must use the SAME graph (same build params)
+    g = nn_descent_graph(
+        emb, k=5, k_build=30, dim=64, rounds=3, occupancy=32, ring=2
     )
-    for r in knn_graph(emb, cents, k=5, n_probe=2).collect():
+    for r in g.collect():
         if r["mutual"]:
             assert comp[r["src"]] == comp[r["dst"]]
 
