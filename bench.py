@@ -90,7 +90,14 @@ def main() -> None:
     # 7× phantom "regressions" on untouched code (VERDICT r7 item 4).
     # Per-query re-runs put the de-noising where the noise lives — the
     # heavy tail — and every extra run lands in spread/median.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "420"))
+    # r12: 420 -> 660.  Pass 1 alone reached ~430 s once the registry
+    # hit 223 queries (graph family added), so the 420 budget left 183
+    # queries single-run — exactly the r7 phantom-regression artifact
+    # again (22 of 37 flagged "regressions" in the first r12 bench were
+    # single-run cold times).  The artifact is persisted after pass 1
+    # and every 25 re-runs, so a driver-side kill still ships a
+    # complete pass.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "660"))
     max_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     t_start = time.time()
     runs: dict[str, list[float]] = {}
