@@ -510,6 +510,99 @@ def ivf_index_maintenance_stream(
     )
 
 
+def knn_graph_maintenance_stream(
+    spark: SparkSession,
+    source: Any,
+    centroids: DataFrame,
+    graph_path: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    n_probe: int = 2,
+):
+    """Streaming kNN-GRAPH maintenance — the continuous-ingestion twin
+    of the batch ``knn_graph_append`` (VERDICT r11 item 4's optional
+    streaming leg): each arriving micro-batch of vectors is merged
+    into the at-rest quantizer-structured graph, and by the top-k
+    merge property the maintained graph is BIT-EQUAL to a full
+    rebuild over everything ingested so far (pinned in
+    tests/test_streaming.py across ≥2 micro-batches — the
+    ivf_index_maintenance_stream contract lifted to the edge
+    relation).
+
+    Layout under ``graph_path``: ``corpus/`` (the ingested vectors,
+    ``batch_id``-partitioned, dynamically overwritten) and ``edges/``
+    (the current edge list, atomically rewritten per batch — edges
+    are a DERIVED relation whose rows change on append, unlike the
+    append-only IVF cells).  Starts from EMPTY: the first batch's
+    graph is a plain :func:`knn_graph` build.
+
+    Replay idempotency is carried by the id ANTI-JOIN, not by
+    partition overwrite alone: a redelivered vector id is dropped
+    before the merge (appending the same vector twice would put its
+    id in a node's top-k twice — exactly the double-count the
+    first-seen gate prevents for attribution pairs), so a retried
+    micro-batch is a no-op once its vectors have landed, and a crash
+    between the edge rewrite and the corpus landing is repaired on
+    replay (edges recompute identically from the un-landed delta).
+    The quantizer is pinned at setup — maintenance must never retrain
+    it (the ivf_index_maintenance_stream rule).
+
+    Returns the started StreamingQuery (caller stops it)."""
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_append,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import (
+        overwrite_partitions,
+    )
+
+    cents = centroids.localCheckpoint(eager=True)
+    parsed = _parse_vec_stream(spark, source)
+    corpus_dir = os.path.join(graph_path, "corpus")
+    edges_dir = os.path.join(graph_path, "edges")
+
+    def maintain(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates(["vec_id"])
+        if batch.isEmpty():
+            return
+        have = os.path.isdir(corpus_dir)
+        if have:
+            corpus = spark.read.parquet(corpus_dir).select(
+                "vec_id", "embedding"
+            )
+            delta = batch.join(
+                corpus.select("vec_id"), "vec_id", "left_anti"
+            ).localCheckpoint(eager=True)
+        else:
+            delta = batch.localCheckpoint(eager=True)
+        if delta.isEmpty():
+            return
+        if have:
+            old_edges = spark.read.parquet(edges_dir).select("src", "dst")
+            new_edges = knn_graph_append(
+                corpus, delta, cents, old_edges, k=k, n_probe=n_probe
+            )
+        else:
+            new_edges = knn_graph(delta, cents, k=k, n_probe=n_probe)
+        # Materialize BEFORE the overwrite: the append plan READS the
+        # edge files it is about to replace (the self-overwrite trap).
+        new_edges = new_edges.localCheckpoint(eager=True)
+        new_edges.write.mode("overwrite").parquet(edges_dir)
+        overwrite_partitions(
+            delta.withColumn("batch_id", F.lit(batch_id)),
+            corpus_dir,
+            ["batch_id"],
+        )
+
+    return (
+        parsed.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def front_door_stream(
     spark: SparkSession,
     source: Any,

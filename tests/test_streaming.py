@@ -2598,3 +2598,74 @@ def test_gated_attribution_stream_matches_batch_join_over_union(
     assert got == want
     # the expected pair set itself: same-batch, cross-batch, prev-P×ΔC
     assert got == {(2, 7, 1, 100), (4, 8, 3, 400), (2, 7, 5, 50)}
+
+
+def test_knn_graph_maintenance_stream_equals_full_rebuild(spark, tmp_path):
+    """Streaming graph maintenance: after two micro-batches (the
+    second containing a redelivered duplicate of a batch-0 vector),
+    the at-rest edge list must be BIT-EQUAL to a batch knn_graph
+    rebuild over every distinct ingested vector — the
+    ivf_index_maintenance contract lifted to the edge relation."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        knn_graph,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        knn_graph_maintenance_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    rows = {
+        r["vec_id"]: list(r["embedding"]) for r in emb.limit(40).collect()
+    }
+    ids = sorted(rows)
+    b0_ids, b1_ids = ids[:25], ids[25:]
+
+    def vec(i):
+        return json.dumps({"vec_id": i, "embedding": rows[i]})
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    graph_path = str(tmp_path / "graph")
+    q = knn_graph_maintenance_stream(
+        spark,
+        JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        cents,
+        graph_path,
+        str(tmp_path / "chk"),
+        k=5,
+        n_probe=2,
+    )
+    try:
+        write_batch_file(str(src_dir), "b0.json", [vec(i) for i in b0_ids])
+        q.processAllAvailable()
+        # batch 1 includes a REDELIVERED batch-0 vector: the anti-join
+        # must drop it or its id would double-occupy top-k slots
+        write_batch_file(
+            str(src_dir), "b1.json", [vec(i) for i in b1_ids] + [vec(b0_ids[0])]
+        )
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(f"{graph_path}/edges").collect()
+        }
+        n_corpus = (
+            spark.read.parquet(f"{graph_path}/corpus")
+            .select("vec_id")
+            .distinct()
+            .count()
+        )
+    finally:
+        q.stop()
+    assert n_corpus == len(ids)
+    full = emb.filter(F.col("vec_id").isin(ids))
+    want = {
+        tuple(r) for r in knn_graph(full, cents, k=5, n_probe=2).collect()
+    }
+    assert got == want
