@@ -1251,6 +1251,70 @@ codes AS (
 
 
 @register(
+    "bq_embedding_codes",
+    oracle=_BQ_CODES_CTE
+    + """
+SELECT c.vec_id, CAST(i.i - 1 AS INT) AS word_idx, c.code[i.i] AS word
+FROM codes c CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS i) i
+""",
+)
+def bq_embedding_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY quantization encode (operators/similarity.bq_sign_code):
+    one sign bit per dimension packed into 32-bit words — the 32×
+    rung of the quantization matrix (PQ 8 B + codebook, SQ8 d B + a
+    min/max grid, BQ d/8 B and NOTHING to train).  Zero-shuffle
+    codegen projection; every packed word is value-checked."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        bq_sign_code,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode(bq_sign_code("embedding", 64))
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("word_idx"),
+        F.col("col").alias("word"),
+    )
+
+
+@register(
+    "ann_bq_hamming_topk",
+    oracle=_BQ_CODES_CTE
+    + """,
+q AS (SELECT vec_id AS query_id, code AS qc FROM codes WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, 2), i ->
+           bit_count(xor(q.qc[i], c.code[i])))) AS INT) AS hamming
+  FROM codes c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, hamming,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY hamming ASC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+)
+def ann_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN serve
+    (operators/similarity.bq_hamming_topk): top-10 by XOR+popcount
+    Hamming distance over the packed sign bits — float-free scoring
+    at d/8 bytes per vector, the cheapest serving rung.  Integer
+    distances make ranking and tie-breaks trivially replayable."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        bq_hamming_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return bq_hamming_topk(emb, queries, k=10, dim=64)
+
+
+@register(
     "ann_bq_persisted_topk",
     # Identical oracle to ann_bq_hamming_topk: the at-rest codes
     # round-trip changes the SCAN (d/8 bytes from parquet instead of
