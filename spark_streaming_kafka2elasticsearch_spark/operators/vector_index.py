@@ -9,9 +9,14 @@ operator of a 100 TB corpus thinks about it::
 
     idx = VectorIndex(path, fingerprint=data_fingerprint(src))
     idx.build(corpus, centroids)            # one corpus scan, at rest
+    idx.build_bq(corpus)                    # packed 1-bit codes at rest
+    idx.build_graph(corpus)                 # NN-Descent edges at rest
     idx.append(delta)                       # daily increment
     idx.compact()                           # bound small files
     idx.search(queries, k=10, n_probe=2)    # pruned top-k
+    idx.search(queries, method="bq")        # XOR+popcount over codes
+    idx.search(queries, method="bq_refine") # Hamming shortlist + exact
+    idx.search(queries, method="graph")     # greedy beam over edges
     idx.range_search(queries, threshold=.3) # all above tau
     idx.filtered_search(queries, "lang = 'en'", k=10)
     idx.diverse_search(queries, k=10, per_cell=3)
