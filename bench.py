@@ -165,6 +165,7 @@ def main() -> None:
                 "spread": spread,
                 "n_runs": n_runs,
                 "regressions": regressions,
+                "regression_ref": ref_name,
                 "sf": sf,
                 "passes": passes_done,
                 "unit": "sec",
@@ -172,25 +173,45 @@ def main() -> None:
             }
         )
 
-    bench_local = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    bench_local = os.path.join(repo_dir, "BENCH_LOCAL.json")
+
+    # Regression reference = the PREVIOUS ROUND's driver artifact
+    # (highest-numbered BENCH_r*.json), NOT the rolling BENCH_LOCAL
+    # (VERDICT r12 item 1): a mid-round BENCH_LOCAL rewrite once reset
+    # the diff base and hid nine 1.5–1.9× r11→r12 shifts behind an
+    # empty `regressions` key — a rolling reference can ratchet real
+    # regressions into the baseline one round at a time, while the
+    # round artifact is immutable once committed.  BENCH_LOCAL remains
+    # the fallback for a repo with no round artifacts yet, and the
+    # suspicion ranking below reads the same pinned reference.
+    def _load_ref(path: str) -> dict[str, float]:
+        try:
+            with open(path) as f:
+                return {
+                    k: float(v)
+                    for k, v in json.load(f).get("queries", {}).items()
+                    if isinstance(v, (int, float)) and v > 0
+                }
+        except (FileNotFoundError, json.JSONDecodeError, AttributeError):
+            return {}
+
+    import glob as _glob
+
+    round_artifacts = sorted(
+        p
+        for p in _glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
     )
-    # The committed artifact from the last clean run, read BEFORE this
-    # run overwrites it: per-query reference timings let the outlier
-    # phase rank re-runs by SUSPICION (observed / reference) instead of
-    # raw cost — a 50× blow-up on a 1 s query outranks a 1.1× wobble
-    # on a 30 s query, which is exactly the phantom-regression shape
-    # the r9 artifact recorded on untouched code.
     ref: dict[str, float] = {}
-    try:
-        with open(bench_local) as f:
-            ref = {
-                k: float(v)
-                for k, v in json.load(f).get("queries", {}).items()
-                if isinstance(v, (int, float)) and v > 0
-            }
-    except (FileNotFoundError, json.JSONDecodeError, AttributeError):
-        pass
+    ref_name = None
+    for cand in [round_artifacts[-1]] if round_artifacts else []:
+        ref = _load_ref(cand)
+        ref_name = os.path.basename(cand)
+    if not ref:
+        ref = _load_ref(bench_local)
+        ref_name = "BENCH_LOCAL.json" if ref else None
+    print(f"regression reference: {ref_name}", file=sys.stderr)
     qmap = all_queries()
 
     def run_once(name: str) -> None:

@@ -888,9 +888,16 @@ def knn_graph_persist(
     if not rebuild and os.path.exists(meta_path):
         with open(meta_path) as fh:
             meta = _json.load(fh)
-        if meta.get("params") == params and (
-            fingerprint is None or meta.get("fingerprint") == fingerprint
-        ):
+        fp_ok = fingerprint is None or meta.get("fingerprint") == fingerprint
+        # Serve path (corpus=None): the FINGERPRINT is the staleness
+        # contract; the build params are descriptive metadata read back
+        # from the sidecar, not an input the caller must re-guess — a
+        # graph built with non-default build_graph(...) params must
+        # still serve through search(method="graph")'s defaulted call
+        # (ADVICE r12).  With a corpus in hand, a param mismatch means
+        # "build the layout this caller actually asked for" and falls
+        # through to the rebuild.
+        if fp_ok and (corpus is None or meta.get("params") == params):
             return ss.read.parquet(graph_dir)
     if corpus is None:
         raise ValueError(
@@ -1024,11 +1031,20 @@ def knn_graph_append(
         )
 
     # old sources meet ONLY the delta members of their probe cells;
-    # delta sources rank the full membership of theirs.  The three
-    # candidate sources are DISJOINT by construction — old edges are
+    # delta sources rank the full membership of theirs.  On the clean
+    # path the three candidate sources are DISJOINT — old edges are
     # (old, old) pairs, leg 1 is (old, delta), leg 2 is (delta, ·) —
     # and within a leg a (src, dst) pair occurs at most once (dst's
-    # assigned cell is unique), so no dedup is needed anywhere.
+    # assigned cell is unique).  The merged relation is nonetheless
+    # DEDUPED below (ADVICE r12): the streaming maintenance job's
+    # crash-replay contract hands this function an old_edges that may
+    # ALREADY contain the delta (job died between the edge rewrite and
+    # the corpus landing), so old_edges then holds (old, delta) and
+    # (delta, ·) pairs the join legs regenerate — without the dedup a
+    # duplicated pair takes two row_number slots and the maintained
+    # graph diverges from the rebuild.  Scores are deterministic per
+    # pair, so the dropDuplicates is a no-op on the clean path and
+    # makes the merge idempotent under replay.
     leg_old_src = _score(_probes(old_b).join(_assigned(new_b), "cell"))
     leg_new_src = _score(
         _probes(new_b).join(_assigned(old_b).union(_assigned(new_b)), "cell")
@@ -1056,7 +1072,11 @@ def knn_graph_append(
             "dst",
         )
     )
-    sims = old_scored.union(leg_old_src).union(leg_new_src)
+    sims = (
+        old_scored.union(leg_old_src)
+        .union(leg_new_src)
+        .dropDuplicates(["src", "dst"])
+    )
     w = Window.partitionBy("src").orderBy(F.desc("_sim"), F.asc("dst"))
     edges = (
         sims.withColumn("rank", F.row_number().over(w))
@@ -1075,6 +1095,46 @@ def knn_graph_append(
     )
 
 
+def _bucket_entry(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    dim: int,
+    entry_occupancy: int,
+) -> DataFrame:
+    """Per-query SRP-bucket entry for beam search: same plane-count
+    rule and literal hyperplanes as the descent seed, so the oracle
+    reuses the chain's bkt CTE verbatim.  bmin is a corpus-side
+    partial aggregate (2^p ≈ n/occupancy rows — AQE broadcasts it
+    while it is small; at the 10^9-corpus end it is a plain hash join
+    keyed on the bucket, still linear).  The global-min fallback
+    covers queries hashing into an empty bucket (impossible for
+    corpus-member queries)."""
+    import math
+
+    n = corpus.count()
+    p = max(1, math.ceil(math.log2(n / entry_occupancy)))
+    bmin = (
+        corpus.select(
+            F.col(corpus_id).alias("node"),
+            srp_bucket(F.col(corpus_vec), dim, p).alias("_b"),
+        )
+        .groupBy("_b")
+        .agg(F.min("node").alias("_bnode"))
+    )
+    qb = queries.select(
+        F.col(query_id).alias("query_id"),
+        srp_bucket(F.col(query_vec), dim, p).alias("_b"),
+    )
+    gmin = corpus.agg(F.min(corpus_id)).collect()[0][0]
+    return qb.join(bmin, "_b", "left").select(
+        "query_id", F.coalesce("_bnode", F.lit(gmin)).alias("node")
+    )
+
+
 def graph_beam_topk(
     edges: DataFrame,
     corpus: DataFrame,
@@ -1089,6 +1149,9 @@ def graph_beam_topk(
     entry_id: int | None = None,
     dim: int = 64,
     entry_occupancy: int = 32,
+    predicate: Column | str | None = None,
+    attrs: list[str] | None = None,
+    entry_mode: str = "bucket",
 ) -> DataFrame:
     """Graph-ANN SERVING: fixed-round greedy beam search over a kNN
     edge list — the HNSW-layer-0 idiom (Malkov & Yashunin 2016)
@@ -1124,6 +1187,27 @@ def graph_beam_topk(
     broadcast throughout.  A million queries = a million independent
     beam states advancing in the same three dataframe joins.
 
+    ``predicate`` (with the ``attrs`` columns it reads, carried from
+    the corpus) turns this into FILTERED graph-ANN — the filtered-HNSW
+    idiom (VERDICT r12 item 5): the beam NAVIGATES through
+    non-matching nodes unchanged (pruning them from traversal
+    disconnects the walk exactly when the filter is selective — the
+    known filtered-graph failure mode), and the predicate lands only
+    on the FINAL answer window, so every emitted row qualifies while
+    the visited set stays the unfiltered walk's.  Post-filtering a
+    plain top-k would instead return ~selectivity·k qualifying rows.
+
+    ``entry_mode="layer"`` replaces the SRP-bucket entry with the
+    two-layer HIERARCHICAL entry (VERDICT r12 item 7 — the actual
+    HNSW hierarchy): a deterministic ⌈√n⌉-node sampled layer (ids
+    ≡ 0 mod ⌊n/⌈√n⌉⌋ — the id grid, fully SQL-expressible) is scored
+    exactly per query and the argmax is the entry.  The layer scan is
+    O(√n) per query — still corpus-sublinear — and buys a
+    best-in-layer entry where the bucket entry only guarantees
+    same-bucket locality; measured on sf0.1 it reaches equal recall
+    one round earlier (the (visited, recall) points live in
+    tests/test_similarity_recall.py).
+
     Output: ``(query_id, neighbor_id, rank, sim)`` — the
     brute_force_topk serving schema.
     """
@@ -1136,6 +1220,7 @@ def graph_beam_topk(
         F.col(corpus_id).alias("node"),
         F.col(corpus_vec).cast("array<double>").alias("_v"),
         l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_n"),
+        *[F.col(a) for a in (attrs or [])],
     )
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1144,8 +1229,9 @@ def graph_beam_topk(
     def _scored(pairs: DataFrame) -> DataFrame:
         # Score (query, node) pairs once, at discovery time — the
         # similarity is deterministic, so the visited set CARRIES its
-        # sims forward and later beam selections are pure windows over
-        # state instead of re-joining the corpus every round.
+        # sims forward (and its filter attrs, for the predicate leg)
+        # and later beam selections are pure windows over state
+        # instead of re-joining the corpus every round.
         s = pairs.join(base, "node").join(F.broadcast(q), "query_id")
         denom = F.col("_qn") * F.col("_n")
         return s.select(
@@ -1154,38 +1240,87 @@ def graph_beam_topk(
             F.when(denom == 0, F.lit(None))
             .otherwise(dot_product(F.col("_qv"), F.col("_v")) / denom)
             .alias("_sim"),
+            *[F.col(a) for a in (attrs or [])],
         )
 
     if entry_id is not None:
         entry_df = q.select("query_id", F.lit(entry_id).alias("node"))
-    else:
-        # Per-query bucket entry: same plane-count rule and literal
-        # hyperplanes as the descent seed, so the oracle reuses the
-        # chain's bkt CTE verbatim.  bmin is a corpus-side partial
-        # aggregate (2^p ≈ n/occupancy rows — AQE broadcasts it while
-        # it is small; at the 10^9-corpus end it is a plain hash join
-        # keyed on the bucket, still linear).  The global-min fallback
-        # covers queries hashing into an empty bucket (impossible for
-        # corpus-member queries).
+    elif entry_mode in ("layer", "hybrid"):
+        # Two-layer hierarchical entry: exact top-1 over a ⌈√n⌉-node
+        # deterministic id-grid layer (node ≡ 0 mod ⌊n/⌈√n⌉⌋).  The
+        # layer×queries score is a broadcast cross product BY
+        # CONSTRUCTION (no equi key exists between a query and a layer
+        # sample) — both sides small by contract: |queries| × ⌈√n⌉
+        # rows, the PQ-ADC LUT allowlist reasoning.  O(√n) work per
+        # query, sublinear in the corpus, replayable in SQL as the
+        # same modulo grid + one QUALIFY window.
+        import math
+
+        n = corpus.count()
+        # the same ⌈√n⌉/⌊n/⌈√n⌉⌋ arithmetic the oracle's scalar
+        # subquery computes — IEEE sqrt + ceil in both engines
+        stride = max(1, n // math.ceil(math.sqrt(n)))
+        layer = base.select("node").filter(
+            F.col("node") % F.lit(stride) == 0
+        )
+        layer_pairs = layer.crossJoin(
+            F.broadcast(q.select("query_id"))
+        )
+        lw = Window.partitionBy("query_id").orderBy(
+            F.desc("_sim"), F.asc("node")
+        )
+        entry_df = (
+            _scored(layer_pairs)
+            .withColumn("_er", F.row_number().over(lw))
+            .filter(F.col("_er") == 1)
+            .select("query_id", "node")
+        )
+        if entry_mode == "hybrid":
+            # layer argmax ∪ SRP-bucket mate: two seeds per query —
+            # the grid buys a global best-of-√n foothold, the bucket
+            # buys same-plane-signs locality; measured on this corpus
+            # the bucket seed dominates (see the sweep in
+            # tests/test_similarity_recall.py)
+            entry_df = entry_df.union(
+                _bucket_entry(
+                    corpus, queries, corpus_id, corpus_vec,
+                    query_id, query_vec, dim, entry_occupancy,
+                )
+            ).distinct()
+    elif entry_mode == "bucket_argmax":
+        # Score the query's WHOLE SRP bucket (~occupancy mates) and
+        # enter at the argmax — the "upper layer" that actually helps
+        # on this corpus is the query's own bucket, scored exactly,
+        # not a global id grid (sweep in tests/test_similarity_recall)
         import math
 
         n = corpus.count()
         p = max(1, math.ceil(math.log2(n / entry_occupancy)))
-        bmin = (
-            corpus.select(
-                F.col(corpus_id).alias("node"),
-                srp_bucket(F.col(corpus_vec), dim, p).alias("_b"),
-            )
-            .groupBy("_b")
-            .agg(F.min("node").alias("_bnode"))
+        mates = corpus.select(
+            F.col(corpus_id).alias("node"),
+            srp_bucket(F.col(corpus_vec), dim, p).alias("_b"),
         )
         qb = queries.select(
             F.col(query_id).alias("query_id"),
             srp_bucket(F.col(query_vec), dim, p).alias("_b"),
         )
         gmin = corpus.agg(F.min(corpus_id)).collect()[0][0]
-        entry_df = qb.join(bmin, "_b", "left").select(
-            "query_id", F.coalesce("_bnode", F.lit(gmin)).alias("node")
+        cand = qb.join(mates, "_b", "left").select(
+            "query_id", F.coalesce("node", F.lit(gmin)).alias("node")
+        )
+        lw = Window.partitionBy("query_id").orderBy(
+            F.desc("_sim"), F.asc("node")
+        )
+        entry_df = (
+            _scored(cand)
+            .withColumn("_er", F.row_number().over(lw))
+            .filter(F.col("_er") == 1)
+            .select("query_id", "node")
+        )
+    else:
+        entry_df = _bucket_entry(
+            corpus, queries, corpus_id, corpus_vec,
+            query_id, query_vec, dim, entry_occupancy,
         )
 
     w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("node"))
@@ -1208,6 +1343,13 @@ def graph_beam_topk(
             .select("query_id", "node")
         )
     final = vis.filter(F.col("node") != F.col("query_id"))
+    if predicate is not None:
+        # score-and-keep: the predicate restricts the ANSWER window
+        # only — traversal above walked through non-matching nodes
+        # (attrs rode the visited state, so no corpus re-join here)
+        final = final.filter(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
     return (
         final.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

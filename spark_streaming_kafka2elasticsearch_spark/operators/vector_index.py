@@ -175,6 +175,9 @@ class VectorIndex:
         shortlist: int = 50,
         beam: int = 8,
         rounds: int = 3,
+        entry_mode: str = "bucket",
+        predicate: "Column | str | None" = None,
+        attrs: list[str] | None = None,
     ) -> DataFrame:
         """Top-k from the at-rest layout.  ``method`` selects the
         serving rung bound to this index directory:
@@ -187,7 +190,11 @@ class VectorIndex:
           codes, exact-cosine re-rank of only those rows;
         * ``"graph"`` — greedy beam search over the stored NN-Descent
           edge list (``build_graph`` first; ``beam``/``rounds``
-          dials).
+          dials; ``entry_mode="bucket_argmax"`` scores the query's
+          SRP bucket and enters at the argmax — the hierarchical
+          entry; ``predicate``+``attrs`` restrict the ANSWER window
+          while traversal navigates through non-matching nodes — the
+          filtered-HNSW idiom).
 
         Every rung reads ITS artifact from the same directory — the
         facade-vs-direct equality pytest covers all four."""
@@ -244,6 +251,9 @@ class VectorIndex:
                 beam=beam,
                 rounds=rounds,
                 dim=dim,
+                entry_mode=entry_mode,
+                predicate=predicate,
+                attrs=attrs,
                 **self._cols,
             )
         raise ValueError(f"unknown search method {method!r}")

@@ -26,6 +26,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+_PROBE_ONLY: dict[str, QueryFn] = {}
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -38,6 +39,26 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         return fn
 
     return deco
+
+
+def register_probe_only(name: str) -> Callable[[QueryFn], QueryFn]:
+    """Register a query for the SCALE PROBE harness only (VERDICT r12
+    item 2): documented reference points whose growth exponent is
+    super-linear BY DESIGN (e.g. the exact √n-cell kNN-graph build —
+    the n^1.5 regime NN-Descent replaces) stay measurable in
+    tools/scale_probe.py without riding every bench pass or the
+    driver's correctness rotation as a production entry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _PROBE_ONLY[name] = fn
+        return fn
+
+    return deco
+
+
+def probe_only_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return dict(_PROBE_ONLY)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

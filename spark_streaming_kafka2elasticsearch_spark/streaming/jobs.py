@@ -949,19 +949,40 @@ def gated_attribution_stream(
     )
 
 
+_INTERVAL_UNITS_US = {
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+    "day": 86_400_000_000,
+    "days": 86_400_000_000,
+}
+
+
 def _interval_to_us(window: str) -> int:
-    """``"30 minutes"`` → microseconds (the subset of interval units
-    the attribution jobs use)."""
-    qty, unit = window.split()
-    mult = {
-        "second": 1_000_000,
-        "seconds": 1_000_000,
-        "minute": 60_000_000,
-        "minutes": 60_000_000,
-        "hour": 3_600_000_000,
-        "hours": 3_600_000_000,
-    }[unit]
-    return int(qty) * mult
+    """``"30 minutes"`` → microseconds — the single-unit subset of
+    Spark's interval grammar the attribution jobs accept.  Rejections
+    name the supported grammar (ADVICE r12): the old bare
+    KeyError/ValueError at stream start gave callers no indication of
+    what ``window`` may contain."""
+    parts = window.split()
+    supported = ", ".join(sorted(set(_INTERVAL_UNITS_US)))
+    if len(parts) != 2 or not parts[0].lstrip("-").isdigit():
+        raise ValueError(
+            f"unsupported interval {window!r}: expected '<int> <unit>' "
+            f"with unit one of {supported} (compound intervals like "
+            "'1 day 2 hours' are not supported here — pre-convert to a "
+            "single unit)"
+        )
+    qty, unit = parts
+    if unit not in _INTERVAL_UNITS_US:
+        raise ValueError(
+            f"unsupported interval unit {unit!r} in {window!r}: "
+            f"expected one of {supported}"
+        )
+    return int(qty) * _INTERVAL_UNITS_US[unit]
 
 
 def attribution_stream(

@@ -479,3 +479,36 @@ def test_vector_index_facade_serves_every_rung_from_one_dir(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown search method"):
         idx.search(emb, queries, method="hnsw")
+
+
+def test_graph_serve_honors_non_default_build_params(spark, tmp_path):
+    """ADVICE r12 (low): a graph built with non-default build_graph
+    params must still serve through search(method='graph') — the serve
+    path validates the FINGERPRINT only and reads the build params
+    back from _graph_meta.json, instead of demanding the caller's
+    defaults equal the stored params."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        graph_beam_topk,
+        knn_graph_persist,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.vector_index import (
+        VectorIndex,
+    )
+
+    emb, path = _emb(spark), str(tmp_path / "param_idx")
+    queries = _queries(emb)
+    VectorIndex(path, fingerprint="fp1").build_graph(
+        emb, k=8, k_build=20, rounds=2
+    )
+    # fresh facade, default search dials — must serve the k=8 layout
+    idx = VectorIndex(path, fingerprint="fp1")
+    got = _rows(idx.search(emb, queries, k=5, method="graph"))
+    edges = knn_graph_persist(None, path, fingerprint="fp1", spark=spark)
+    assert got == _rows(graph_beam_topk(edges, emb, queries, k=5))
+    # a stale fingerprint still refuses on the serve path
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stale"):
+        VectorIndex(path, fingerprint="fp2").search(
+            emb, queries, k=5, method="graph"
+        )

@@ -2273,6 +2273,27 @@ def test_front_door_feeds_ivf_index_maintenance(spark, tmp_path):
     assert spark.read.parquet(index_path).count() == union.count()
 
 
+def test_interval_grammar_names_supported_units():
+    """ADVICE r12 (low): _interval_to_us accepts day units and rejects
+    unsupported grammar with an error NAMING what it accepts, instead
+    of a bare KeyError at stream start."""
+    import pytest as _pytest
+
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        _interval_to_us,
+    )
+
+    assert _interval_to_us("30 minutes") == 30 * 60_000_000
+    assert _interval_to_us("1 day") == 86_400_000_000
+    assert _interval_to_us("2 days") == 2 * 86_400_000_000
+    with _pytest.raises(ValueError, match="day, days, hour"):
+        _interval_to_us("90s")
+    with _pytest.raises(ValueError, match="compound"):
+        _interval_to_us("1 day 2 hours")
+    with _pytest.raises(ValueError, match="fortnight"):
+        _interval_to_us("3 fortnight")
+
+
 def test_attribution_stream_stream_join_matches_batch(spark, tmp_path):
     """STREAM-STREAM inner join (attribution_stream): clicks and
     purchases arrive as two separate file streams across multiple

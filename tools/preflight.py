@@ -106,9 +106,42 @@ def probe_transform_with_state() -> dict:
         }
 
 
+def check_plan_audit_coverage() -> dict:
+    """PLAN_AUDIT.json must cover the CURRENT registry (VERDICT r12
+    item 2): the r12 artifact was generated at 223 queries just before
+    a registry restore brought it back to 225, so two queries shipped
+    with no current audit row — the same silent-shrink class the
+    driver-style load probe catches for registrations.  A stale or
+    short audit is a red preflight; regenerate with
+    ``python tools/plan_audit.py``."""
+    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+
+    expected = len(all_queries())
+    try:
+        with open(os.path.join(REPO, "PLAN_AUDIT.json")) as f:
+            audit = json.load(f)
+        audited = set(audit.get("queries", {}))
+    except (FileNotFoundError, json.JSONDecodeError):
+        audited = set()
+    missing = sorted(set(all_queries()) - audited)
+    return {
+        "green": not missing and len(audited) == expected,
+        "registry_queries": expected,
+        "audited_queries": len(audited),
+        "missing_from_audit": missing[:20],
+        "stale_in_audit": sorted(audited - set(all_queries()))[:20],
+    }
+
+
 def main() -> None:
     out: dict = {"ts_note": "written by tools/preflight.py at round end"}
     out["transform_with_state"] = probe_transform_with_state()
+    out["plan_audit_coverage"] = check_plan_audit_coverage()
+    pac = out["plan_audit_coverage"]
+    print(
+        f"plan-audit coverage: {'GREEN' if pac['green'] else 'RED'} "
+        f"({pac['audited_queries']}/{pac['registry_queries']} audited)"
+    )
     if "--no-pytest" not in sys.argv:
         out["pytest"] = run_pytest()
         print(f"pytest: {'GREEN' if out['pytest']['green'] else 'RED'} "

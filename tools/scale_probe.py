@@ -246,7 +246,10 @@ PROBE_QUERIES = [
     # r11: kNN graph, √n-sized cells — candidate work ~n^1.5·n_probe
     # (per-cell occupancy held at √n), so alpha ≈ 1.5 is the DESIGN
     # slope here, like the semdedup intra-cluster scan; the fixed-c=8
-    # twin (knn_graph_edges) is n²/c and deliberately NOT probed
+    # twin (knn_graph_edges) is n²/c and deliberately NOT probed.
+    # PROBE-ONLY since r13 (VERDICT r12 item 3): kept as the exact
+    # reference point NN-Descent's alpha is read against, no longer a
+    # registered production entry.
     "knn_graph_edges_auto",
     # r11: Kneser-Ney bigram LM — all four statistics vocabulary-sized
     # after partial agg over ONE (w1,w2,c2) relation; must track
@@ -443,13 +446,19 @@ def main() -> None:
             build_scaled(f, d)
         dirs[f] = d
 
-    from spark_streaming_kafka2elasticsearch_spark.queries import all_queries
+    from spark_streaming_kafka2elasticsearch_spark.queries import (
+        all_queries,
+        probe_only_queries,
+    )
     from spark_streaming_kafka2elasticsearch_spark.session import (
     build_session,
     release_cached_state,
 )
 
-    qs = all_queries()
+    # Probe-only entries (knn_graph_edges_auto, the documented exact
+    # n^1.5 reference point) are measurable here without being
+    # registered production queries (VERDICT r12 item 3).
+    qs = all_queries() | probe_only_queries()
     probe_list = only or PROBE_QUERIES
     spark = build_session(master="local[32]", app_name="scale_probe")
     spark.range(1_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
