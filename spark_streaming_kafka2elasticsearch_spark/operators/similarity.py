@@ -924,6 +924,186 @@ def knn_graph_persist(
     return ss.read.parquet(graph_dir)
 
 
+def nn_descent_refresh(
+    old_edges: DataFrame,
+    corpus: DataFrame,
+    delta: DataFrame,
+    k: int = 16,
+    k_build: int = 30,
+    dim: int = 64,
+    rounds: int = 2,
+    occupancy: int = 32,
+    ring: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """BOUNDED-DELTA refresh of the NN-Descent graph (VERDICT r12
+    item 4): fold a delta into an existing descent graph WITHOUT the
+    full rebuild the trajectory-dependent structure otherwise needs.
+
+    ``old_edges`` is the at-rest graph over ``corpus \\ delta``
+    (``(src, dst, rank)`` — :func:`knn_graph_persist`'s layout;
+    contract: no delta id appears in it), ``corpus`` is the FULL
+    updated relation, ``delta`` its new rows.  Three delta-bounded
+    stages:
+
+    1. **Delta seeding** — the full corpus is SRP-bucketed with the
+       build's auto-sized plane rule (p from the NEW n); seed pairs
+       are every bucket pair INVOLVING a delta node, both directions,
+       plus the ±``ring`` id-window around each delta node (the build
+       ring's delta-touching slice, so tail-adjacent old nodes adopt
+       their new successors; contiguous-id contract as in the build).
+    2. **Touched-subgraph merge** — touched = delta ∪ old nodes that
+       received a seed candidate (≈ |Δ|·occupancy nodes — CONSTANT in
+       corpus size at fixed Δ, the whole point).  Each touched node
+       re-ranks (its old edge list ∪ its seed candidates) top
+       ``k_build``; untouched nodes keep their stored edges AND
+       ranks untouched.
+    3. **Descent rounds over the touched subgraph only** — ``rounds``
+       neighbor-of-neighbor sweeps where the two-hop join's SOURCE is
+       restricted to touched nodes but routes through the whole
+       current edge set (delta locality propagates via old nodes'
+       lists without rewriting them); top-``k_build`` kept per
+       touched node, localCheckpoint per round (the plan-explosion
+       discipline).  Finally touched nodes emit their top-``k`` and
+       the mutual flag recomputes over the unioned n·k edge relation.
+
+    Work: O(n) bucketing + O(|touched|·(occupancy + rounds·k_build²))
+    + the n·k mutual self-join — at a fixed delta the touched term is
+    constant, so the refresh is scan-bound linear (probed in
+    tools/scale_probe.py) where the rebuild re-pays the full descent.
+    Recall vs the full rebuild is pinned ≥ 0.9 in
+    tests/test_similarity_recall.py (trajectory-dependence means
+    exact equality is NOT the contract here, unlike the
+    fixed-quantizer :func:`knn_graph_append`).
+
+    Fully deterministic given (old graph, corpus, delta) — fixed
+    rounds, bit-exact hoisted cosine, (sim DESC, dst ASC) tie-breaks
+    — so build + refresh replay end-to-end as one oracle CTE chain.
+
+    Output: ``(src, dst, rank, mutual)`` — the :func:`knn_graph`
+    schema over the full corpus."""
+    import math
+
+    n = corpus.count()
+    if n < 2:
+        raise ValueError("nn_descent_refresh needs >= 2 vectors")
+    p = max(1, math.ceil(math.log2(n / occupancy)))
+    vec_d = F.col(corpus_vec).cast("array<double>")
+    base = corpus.select(
+        F.col(corpus_id).alias("_id"),
+        vec_d.alias("_v"),
+        l2_norm(vec_d).alias("_n"),
+        srp_bucket(F.col(corpus_vec), dim, p).alias("_bucket"),
+    ).persist()
+    delta_ids = delta.select(F.col(corpus_id).alias("_did")).distinct()
+
+    src_side = base.select(
+        F.col("_id").alias("src"),
+        F.col("_v").alias("_sv"),
+        F.col("_n").alias("_sn"),
+    )
+    dst_side = base.select(
+        F.col("_id").alias("dst"),
+        F.col("_v").alias("_dv"),
+        F.col("_n").alias("_dn"),
+    )
+
+    def _topk(cand: DataFrame, kk: int, with_rank: bool = False) -> DataFrame:
+        scored = cand.join(src_side, "src").join(dst_side, "dst")
+        denom = F.col("_sn") * F.col("_dn")
+        sims = scored.select(
+            "src",
+            "dst",
+            F.when(denom == 0, F.lit(None))
+            .otherwise(dot_product(F.col("_sv"), F.col("_dv")) / denom)
+            .alias("_sim"),
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("_sim"), F.asc("dst"))
+        ranked = sims.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= kk
+        )
+        if with_rank:
+            return ranked.select(
+                "src", "dst", F.col("rank").cast("int").alias("rank")
+            )
+        return ranked.select("src", "dst")
+
+    # -- 1. delta seeding ---------------------------------------------
+    dbkt = delta_ids.join(
+        base.select(F.col("_id").alias("_did"), "_bucket"), "_did"
+    )
+    mates = base.select(F.col("_id").alias("_mid"), "_bucket")
+    dpair = (
+        dbkt.join(mates, "_bucket")
+        .filter(F.col("_did") != F.col("_mid"))
+        .select(F.col("_did").alias("src"), F.col("_mid").alias("dst"))
+    )
+    seed = dpair.union(
+        dpair.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if ring > 0:
+        offs = [i for i in range(1, ring + 1)] + [-i for i in range(1, ring + 1)]
+        dring = delta_ids.select(
+            F.col("_did"),
+            F.explode(F.array(*[F.lit(i) for i in offs])).alias("_i"),
+        ).select(
+            "_did",
+            ((F.col("_did") + F.col("_i") + F.lit(n)) % F.lit(n)).alias("_o"),
+        ).filter(F.col("_did") != F.col("_o"))
+        seed = seed.union(
+            dring.select(F.col("_did").alias("src"), F.col("_o").alias("dst"))
+        ).union(
+            dring.select(F.col("_o").alias("src"), F.col("_did").alias("dst"))
+        )
+    seed = seed.distinct().localCheckpoint(eager=True)
+
+    # -- 2. touched-subgraph merge --------------------------------------
+    touched = seed.select("src").distinct().localCheckpoint(eager=True)
+    old_kept = old_edges.select("src", "dst", "rank")
+    untouched = old_kept.join(touched, "src", "left_anti").localCheckpoint(
+        eager=True
+    )
+    g = _topk(
+        old_kept.select("src", "dst").join(touched, "src").union(seed).distinct(),
+        k_build,
+    ).localCheckpoint(eager=True)
+
+    # -- 3. descent rounds over the touched subgraph -------------------
+    for _ in range(rounds):
+        current = g.union(untouched.select("src", "dst"))
+        und = current.union(
+            current.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        a = und.join(touched, "src").alias("a")
+        b = und.alias("b")
+        two_hop = (
+            a.join(b, F.col("a.dst") == F.col("b.src"))
+            .filter(F.col("b.dst") != F.col("a.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        g = _topk(two_hop.union(g).distinct(), k_build).localCheckpoint(
+            eager=True
+        )
+
+    edges = (
+        _topk(g, k, with_rank=True)
+        .union(untouched)
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+    rev = edges.select(
+        F.col("dst").alias("_r_src"), F.col("src").alias("_r_dst")
+    )
+    return edges.join(
+        rev,
+        (edges.src == rev._r_src) & (edges.dst == rev._r_dst),
+        "left",
+    ).select(
+        "src", "dst", "rank", F.col("_r_src").isNotNull().alias("mutual")
+    )
+
+
 def knn_graph_append(
     corpus_old: DataFrame,
     delta: DataFrame,

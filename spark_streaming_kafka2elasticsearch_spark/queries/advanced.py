@@ -872,6 +872,23 @@ def knn_graph_edges_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(emb, cents, k=5, n_probe=2)
 
 
+def _prefix_cte(cte_sql: str, prefix: str) -> str:
+    """Namespace every CTE name of a :func:`_nndescent_cte` chain with
+    ``prefix`` so two chains (e.g. the OLD-corpus build inside the
+    descent-refresh oracle) compose in one WITH block without name
+    collisions.  Token-wise (word-boundary) rewrite of the chain's
+    closed name set — table names (``embeddings``) and the es/ed/c/pa
+    aliases are untouched."""
+    import re as _re
+
+    return _re.sub(
+        r"\b(e|params|planes|plane_arrs|bkt|bpair|ringp|cand\d+|g\d+|"
+        r"und\d+|gg|graph)\b",
+        lambda m: prefix + m.group(1),
+        cte_sql,
+    )
+
+
 def _nndescent_cte(
     k: int = 5,
     k_build: int = 30,
@@ -879,6 +896,7 @@ def _nndescent_cte(
     occupancy: int = 32,
     ring: int = 2,
     dim: int = 64,
+    where: str = "",
 ) -> str:
     """DuckDB CTE chain replaying operators/similarity.nn_descent_graph
     bit-for-bit, ending in ``graph(src, dst, rank, mutual)`` — shared
@@ -903,8 +921,10 @@ def _nndescent_cte(
     DuckDB face of the Catalyst unrolled-union re-execution gotcha).
     """
     odd = "'1','3','5','7','9','b','d','f'"
+    src_where = f" WHERE {where}" if where else ""
     ctes = [
-        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        f" FROM embeddings{src_where})",
         f"params AS (SELECT CAST(greatest(1, ceil(log2(count(*) / {occupancy}.0)))"
         " AS INT) AS p, count(*) AS n FROM e)",
         f"""planes AS (
@@ -970,6 +990,119 @@ def _nndescent_cte(
     return ",\n".join(ctes)
 
 
+def _descent_refresh_cte(
+    k: int = 16,
+    k_build: int = 30,
+    rounds: int = 2,
+    occupancy: int = 32,
+    ring: int = 2,
+    n_delta: int = 100,
+) -> str:
+    """DuckDB CTE chain replaying operators/similarity.
+    nn_descent_refresh bit-for-bit over the FULL embeddings corpus
+    with delta = the ``n_delta`` highest ids, given the OLD graph's
+    chain prefixed ``o`` (``ogg(src, dst, rank)`` — the pre-mutual
+    ranked edges).  Ends with the final SELECT (touched nodes'
+    refreshed top-k ∪ untouched stored edges, mutual recomputed).
+    Same MATERIALIZED discipline as the build chain."""
+    odd = "'1','3','5','7','9','b','d','f'"
+    offs = ",".join(
+        str(i) for i in list(range(1, ring + 1)) + [-i for i in range(1, ring + 1)]
+    )
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        f"params AS (SELECT CAST(greatest(1, ceil(log2(count(*) / {occupancy}.0)))"
+        " AS INT) AS p, count(*) AS n FROM e)",
+        f"""planes AS (
+  SELECT pl.pid, j.j,
+         CASE WHEN substr(sha256('srp:' || pl.pid || ':' || j.j), 2, 1)
+              IN ({odd}) THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(generate_series(0, (SELECT p FROM params) - 1)) AS pid) pl
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j)""",
+        "plane_arrs AS (SELECT pid, list(s ORDER BY j) AS signs"
+        " FROM planes GROUP BY pid)",
+        """bkt AS MATERIALIZED (
+  SELECT e.vec_id, CAST(sum(CASE WHEN list_dot_product(e.v, pa.signs) >= 0
+         THEN power(2.0, (SELECT p FROM params) - 1 - pa.pid)
+         ELSE 0.0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN plane_arrs pa GROUP BY e.vec_id)""",
+        f"delta AS (SELECT vec_id FROM e"
+        f" WHERE vec_id >= (SELECT n FROM params) - {n_delta})",
+        """dpair AS (
+  SELECT d.vec_id AS src, m.vec_id AS dst
+  FROM delta d
+  JOIN bkt db ON db.vec_id = d.vec_id
+  JOIN bkt m ON m.bucket = db.bucket
+  WHERE m.vec_id <> d.vec_id)""",
+        f"""roff AS (
+  SELECT d.vec_id AS did,
+         (d.vec_id + s.i + (SELECT n FROM params)) % (SELECT n FROM params) AS o
+  FROM delta d CROSS JOIN (SELECT unnest([{offs}]) AS i) s)""",
+        """seed AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM dpair
+  UNION ALL SELECT dst AS src, src AS dst FROM dpair
+  UNION ALL SELECT did AS src, o AS dst FROM roff WHERE did <> o
+  UNION ALL SELECT o AS src, did AS dst FROM roff WHERE did <> o))""",
+        "touched AS MATERIALIZED (SELECT DISTINCT src FROM seed)",
+        """untouched AS MATERIALIZED (
+  SELECT g.src, g.dst, g.rank FROM ogg g
+  WHERE NOT EXISTS (SELECT 1 FROM touched t WHERE t.src = g.src))""",
+        """cand0 AS (SELECT DISTINCT src, dst FROM (
+  SELECT g.src, g.dst FROM ogg g JOIN touched t ON t.src = g.src
+  UNION ALL SELECT src, dst FROM seed))""",
+        f"""g0 AS MATERIALIZED (
+  SELECT c.src, c.dst FROM cand0 c
+  JOIN e es ON es.vec_id = c.src JOIN e ed ON ed.vec_id = c.dst
+  QUALIFY row_number() OVER (PARTITION BY c.src
+    ORDER BY list_cosine_similarity(es.v, ed.v) DESC, c.dst ASC) <= {k_build})""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"cur{r} AS (SELECT src, dst FROM g{r - 1}"
+            " UNION ALL SELECT src, dst FROM untouched)"
+        )
+        ctes.append(
+            f"und{r} AS MATERIALIZED (SELECT src, dst FROM cur{r}"
+            f" UNION SELECT dst AS src, src AS dst FROM cur{r})"
+        )
+        ctes.append(
+            f"""cand{r} AS (SELECT DISTINCT src, dst FROM (
+  SELECT a.src, b.dst FROM und{r} a
+  JOIN touched t ON t.src = a.src
+  JOIN und{r} b ON a.dst = b.src
+  WHERE b.dst <> a.src
+  UNION ALL SELECT src, dst FROM g{r - 1}))"""
+        )
+        ctes.append(
+            f"""g{r} AS MATERIALIZED (
+  SELECT c.src, c.dst FROM cand{r} c
+  JOIN e es ON es.vec_id = c.src JOIN e ed ON ed.vec_id = c.dst
+  QUALIFY row_number() OVER (PARTITION BY c.src
+    ORDER BY list_cosine_similarity(es.v, ed.v) DESC, c.dst ASC) <= {k_build})"""
+        )
+    ctes.append(
+        f"""tgg AS MATERIALIZED (
+  SELECT c.src, c.dst,
+         CAST(row_number() OVER (PARTITION BY c.src
+           ORDER BY list_cosine_similarity(es.v, ed.v) DESC, c.dst ASC)
+           AS INT) AS rank
+  FROM g{rounds} c
+  JOIN e es ON es.vec_id = c.src JOIN e ed ON ed.vec_id = c.dst
+  QUALIFY rank <= {k})"""
+    )
+    ctes.append(
+        "allg AS MATERIALIZED (SELECT src, dst, rank FROM tgg"
+        " UNION ALL SELECT src, dst, rank FROM untouched)"
+    )
+    tail = """
+SELECT g.src, g.dst, g.rank, (r.src IS NOT NULL) AS mutual
+FROM allg g
+LEFT JOIN allg r ON r.src = g.dst AND r.dst = g.src"""
+    return ",\n".join(ctes) + tail
+
+
+
 @register(
     "knn_graph_edges_nndescent",
     oracle="WITH "
@@ -1004,6 +1137,97 @@ def knn_graph_edges_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return nn_descent_graph(
         emb, k=5, k_build=30, dim=64, rounds=3, occupancy=32, ring=2
+    )
+
+
+def _refresh_old_graph_edges(spark, sf_dir: str, emb, m: int):
+    """The AT-REST old descent graph the refresh query maintains:
+    built once per (sf, corpus fingerprint) over the first ``m`` ids
+    (contiguous 0..m-1, so the build ring's modulo holds) and laid
+    down as parquet — the production shape: the thing being
+    incrementally refreshed already exists at rest, so the TIMED path
+    of knn_graph_descent_refresh is the delta-bounded refresh alone
+    (the knn_graph_append_serve doctrine applied to the descent
+    graph)."""
+    import json as _json
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        nn_descent_graph,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import (
+        write_table,
+    )
+
+    path = _ivf_index_dir("knn_graph_descent_refresh", sf_dir)
+    edges_dir = os.path.join(path, "old_graph")
+    meta_path = os.path.join(path, "_old_graph_meta.json")
+    fp = _emb_fingerprint(sf_dir)
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if _json.load(fh).get("fingerprint") == fp:
+                return spark.read.parquet(edges_dir)
+    old = emb.filter(F.col("vec_id") < m)
+    edges = nn_descent_graph(
+        old, k=16, k_build=30, dim=64, rounds=3, occupancy=32, ring=2
+    ).select("src", "dst", "rank")
+    write_table(edges, edges_dir)
+    os.makedirs(path, exist_ok=True)
+    with open(meta_path, "w") as fh:
+        _json.dump({"fingerprint": fp}, fh)
+    return spark.read.parquet(edges_dir)
+
+
+@register(
+    "knn_graph_descent_refresh",
+    # Old-corpus build chain (prefixed o — delta excluded via the
+    # scalar-subquery WHERE; its params CTE recounts the FILTERED
+    # relation, so plane sizing and the ring modulo replay the old
+    # build exactly) + the refresh chain over the full corpus.
+    oracle="WITH "
+    + _prefix_cte(
+        _nndescent_cte(
+            k=16,
+            where="vec_id < (SELECT count(*) - 100 FROM embeddings)",
+        ),
+        "o",
+    )
+    + ",\n"
+    + _descent_refresh_cte(
+        k=16, k_build=30, rounds=2, occupancy=32, ring=2, n_delta=100
+    ),
+)
+def knn_graph_descent_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-DELTA refresh of the NN-Descent graph
+    (operators/similarity.nn_descent_refresh — VERDICT r12 item 4):
+    the 100 highest ids arrive as the delta (new rows get new ids —
+    the append-at-the-tail production shape) against the AT-REST
+    descent graph over the first n−100 (built once per corpus
+    fingerprint), and the refresh seeds ONLY the delta into the
+    full-corpus SRP buckets (± the id ring), merges seed candidates
+    into the ~|Δ|·occupancy TOUCHED nodes' lists, and runs 2 descent
+    rounds whose two-hop source is restricted to touched nodes —
+    untouched nodes keep their stored edges and ranks bit-unchanged.
+    Work is bucketing (scan-bound) + touched·k_build² (constant at
+    fixed Δ) + the n·k mutual self-join, where the rebuild re-pays
+    the full descent; refresh-vs-rebuild recall is pinned ≥ 0.9 in
+    tests/test_similarity_recall.py (measured 0.928 at sf0.1, 0.998
+    at sf0.01 — the trajectory-dependent structure makes equality not
+    the contract, unlike the fixed-quantizer knn_graph_append_serve).
+    The oracle replays the OLD build and the refresh end-to-end as
+    one CTE chain — both stages fully value-checked."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        nn_descent_refresh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    m = n - 100
+    delta = emb.filter(F.col("vec_id") >= m)
+    old_edges = _refresh_old_graph_edges(spark, sf_dir, emb, m)
+    return nn_descent_refresh(
+        old_edges, emb, delta, k=16, k_build=30, dim=64, rounds=2,
+        occupancy=32, ring=2,
     )
 
 

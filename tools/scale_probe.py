@@ -294,6 +294,23 @@ PROBE_QUERIES = [
     # r12: at-rest flat BQ — persisted-code scan + broadcast query
     # codes; alpha must track ann_bq_hamming_topk (scan-bound)
     "ann_bq_persisted_topk",
+    # r13: bounded-delta descent refresh — full-corpus bucketing O(n)
+    # + |touched|·k_build² rounds (CONSTANT at the fixed 100-row
+    # delta) + the n·k mutual self-join; alpha ~ 1 expected (the
+    # scan/mutual legs), with the min-of-4 passes discounting the
+    # pass-1 at-rest old-graph build each scaled factor pays once via
+    # fingerprint mismatch
+    "knn_graph_descent_refresh",
+    # r13: filtered graph-beam serve — the unfiltered walk's plan plus
+    # a predicate on the final answer window (label rides the visited
+    # state); per-query state still constant in n, alpha must track
+    # ann_graph_beam_topk
+    "ann_graph_beam_filtered_topk",
+    # r13: hierarchical-entry beam serve — the ~occupancy-sized bucket
+    # argmax replaces the min-id entry (occupancy is HELD by the
+    # auto-p rule, so entry cost is constant in n); fewer walked nodes
+    # than the default rung at equal recall, alpha must track it
+    "ann_graph_beam_hier_topk",
     # r12: KN doc-perplexity gate — one doc-side instance scan joined
     # to vocabulary-sized model aggregates (the kneser_ney/tfidf
     # silhouette) + a per-doc decimal sum; alpha must track
