@@ -603,6 +603,117 @@ def knn_graph_maintenance_stream(
     )
 
 
+def descent_graph_maintenance_stream(
+    spark: SparkSession,
+    source: Any,
+    graph_path: str,
+    checkpoint_dir: str,
+    k: int = 16,
+    k_build: int = 30,
+    build_rounds: int = 3,
+    refresh_rounds: int = 2,
+    occupancy: int = 32,
+    ring: int = 2,
+    dim: int = 64,
+):
+    """Streaming maintenance for the NN-DESCENT graph — the
+    continuous-ingestion twin of the batch
+    :func:`operators.similarity.nn_descent_refresh` (VERDICT r12
+    item 4's optional streaming leg): the first micro-batch lays the
+    graph down with a full descent build, every later batch folds its
+    vectors in with the BOUNDED-DELTA refresh (seed into the SRP
+    buckets, merge into the touched nodes' lists, fixed rounds over
+    the touched subgraph) instead of rebuilding.
+
+    Same layout and idempotency story as
+    :func:`knn_graph_maintenance_stream` — ``corpus/``
+    batch_id-partitioned, ``edges/`` atomically rewritten, and the
+    first-seen id ANTI-JOIN making a redelivered batch a no-op —
+    but the equality contract is necessarily weaker: the refresh is
+    trajectory-dependent, so the pin (tests/test_streaming.py) is
+    streamed-maintenance ≡ the SEQUENTIAL batch refreshes over the
+    same splits (bit-equal), with refresh-vs-rebuild recall ≥ 0.9
+    carried by the operator's own pin.  The id ring only fires for
+    contiguous-id deltas (sparse ids: ring candidates miss the
+    corpus join and drop out — harmless), matching the operator's
+    documented contract.
+
+    Returns the started StreamingQuery (caller stops it)."""
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        nn_descent_graph,
+        nn_descent_refresh,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import (
+        overwrite_partitions,
+    )
+
+    parsed = _parse_vec_stream(spark, source)
+    corpus_dir = os.path.join(graph_path, "corpus")
+    edges_dir = os.path.join(graph_path, "edges")
+
+    def maintain(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates(["vec_id"])
+        if batch.isEmpty():
+            return
+        have = os.path.isdir(corpus_dir)
+        if have:
+            old_corpus = spark.read.parquet(corpus_dir).select(
+                "vec_id", "embedding"
+            )
+            delta = batch.join(
+                old_corpus.select("vec_id"), "vec_id", "left_anti"
+            ).localCheckpoint(eager=True)
+        else:
+            delta = batch.localCheckpoint(eager=True)
+        if delta.isEmpty():
+            return
+        if have:
+            old_edges = spark.read.parquet(edges_dir).select(
+                "src", "dst", "rank"
+            )
+            full = old_corpus.union(delta.select("vec_id", "embedding"))
+            new_edges = nn_descent_refresh(
+                old_edges,
+                full,
+                delta,
+                k=k,
+                k_build=k_build,
+                dim=dim,
+                rounds=refresh_rounds,
+                occupancy=occupancy,
+                ring=ring,
+            )
+        else:
+            new_edges = nn_descent_graph(
+                delta,
+                k=k,
+                k_build=k_build,
+                dim=dim,
+                rounds=build_rounds,
+                occupancy=occupancy,
+                ring=ring,
+            )
+        # Materialize BEFORE the overwrite: the refresh plan READS the
+        # edge files it is about to replace (the self-overwrite trap).
+        new_edges = new_edges.select("src", "dst", "rank").localCheckpoint(
+            eager=True
+        )
+        new_edges.write.mode("overwrite").parquet(edges_dir)
+        overwrite_partitions(
+            delta.withColumn("batch_id", F.lit(batch_id)),
+            corpus_dir,
+            ["batch_id"],
+        )
+
+    return (
+        parsed.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def front_door_stream(
     spark: SparkSession,
     source: Any,

@@ -2690,3 +2690,93 @@ def test_knn_graph_maintenance_stream_equals_full_rebuild(spark, tmp_path):
         tuple(r) for r in knn_graph(full, cents, k=5, n_probe=2).collect()
     }
     assert got == want
+
+
+def test_descent_graph_maintenance_stream_equals_batch_refresh(
+    spark, tmp_path
+):
+    """Streaming NN-Descent maintenance (descent_graph_maintenance
+    _stream): after two micro-batches — the second containing a
+    redelivered duplicate of a batch-0 vector the anti-join must drop
+    — the at-rest edge list must be BIT-EQUAL to the sequential batch
+    path (full descent build over batch 0, then nn_descent_refresh of
+    batch 1's distinct delta).  Equality is vs the refresh TRAJECTORY,
+    not a full rebuild — the operator's own ≥0.9 recall pin covers
+    refresh-vs-rebuild."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        nn_descent_graph,
+        nn_descent_refresh,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        descent_graph_maintenance_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = {
+        r["vec_id"]: list(r["embedding"]) for r in emb.limit(40).collect()
+    }
+    ids = sorted(rows)
+    b0_ids, b1_ids = ids[:25], ids[25:]
+
+    def vec(i):
+        return json.dumps({"vec_id": i, "embedding": rows[i]})
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    graph_path = str(tmp_path / "dgraph")
+    q = descent_graph_maintenance_stream(
+        spark,
+        JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        graph_path,
+        str(tmp_path / "chk"),
+        k=6,
+        k_build=12,
+        build_rounds=3,
+        refresh_rounds=2,
+        occupancy=32,
+        ring=2,
+        dim=64,
+    )
+    try:
+        write_batch_file(str(src_dir), "b0.json", [vec(i) for i in b0_ids])
+        q.processAllAvailable()
+        write_batch_file(
+            str(src_dir), "b1.json", [vec(i) for i in b1_ids] + [vec(b0_ids[0])]
+        )
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(f"{graph_path}/edges").collect()
+        }
+        n_corpus = (
+            spark.read.parquet(f"{graph_path}/corpus")
+            .select("vec_id")
+            .distinct()
+            .count()
+        )
+    finally:
+        q.stop()
+    assert n_corpus == len(ids)
+    old = emb.filter(F.col("vec_id").isin(b0_ids))
+    delta = emb.filter(F.col("vec_id").isin(b1_ids))
+    g0 = nn_descent_graph(
+        old, k=6, k_build=12, dim=64, rounds=3, occupancy=32, ring=2
+    ).select("src", "dst", "rank")
+    want = {
+        tuple(r)
+        for r in nn_descent_refresh(
+            g0,
+            emb.filter(F.col("vec_id").isin(ids)),
+            delta,
+            k=6,
+            k_build=12,
+            dim=64,
+            rounds=2,
+            occupancy=32,
+            ring=2,
+        ).select("src", "dst", "rank").collect()
+    }
+    assert got == want and got
