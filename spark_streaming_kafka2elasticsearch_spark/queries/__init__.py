@@ -94,69 +94,72 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: rest.  Dicts preserve insertion order; rotate this list each round
 #: so every query gets a driver row within two rounds.
 _PRIORITY: list[str] = [
-    # round-12 rotation (VERDICT r11 item 3): head = queries NEW or
-    # CHANGED in r12 (5 new + 2 re-registered: mutual_knn_components
-    # re-pointed onto the NN-Descent graph, knn_graph_edges trimmed to
-    # n_probe=1 — both need fresh driver rows because their results
-    # changed), then ALL 28 queries whose newest driver row is still
-    # r7-vintage (the remaining rotation debt — retired completely
-    # this round, as demanded: 7 + 28 = 35 ≤ the ~50-row budget), then
-    # the 15 oldest r8-vintage rows to start on the next debt tier.
-    # 7 + 28 + 15 = 50.  A test asserts this list is duplicate-free.
-    # -- new in r12 (5) --
-    "knn_graph_edges_nndescent",
-    "ann_graph_beam_topk",
+    # round-13 rotation (VERDICT r12 item 6): head = queries NEW or
+    # CHANGED in r13 (3 new graph entries + knn_graph_append_serve,
+    # whose merge gained the crash-replay dedup — output unchanged but
+    # the plan changed, so it gets a fresh row), then ALL 28 queries
+    # whose newest driver row is still r8-vintage (the oldest tier —
+    # retired completely this round, as demanded: 4 + 28 = 32 ≤ the
+    # ~50-row budget), then the 18 oldest r9-vintage rows to start on
+    # the next debt tier.  4 + 28 + 18 = 50.  A test asserts this
+    # list is duplicate-free.
+    # -- new in r13 (3) --
+    "knn_graph_descent_refresh",
+    "ann_graph_beam_filtered_topk",
+    "ann_graph_beam_hier_topk",
+    # -- changed in r13 (1) --
     "knn_graph_append_serve",
-    "ann_bq_persisted_topk",
-    "kn_perplexity_quality_gate",
-    # -- re-registered in r12 (2) --
-    "mutual_knn_components",
-    "knn_graph_edges",
-    # -- r7-vintage (28) --
-    "asof_purchase_prior_click",
-    "daily_event_type_pivot",
-    "string_functions_showcase",
-    "date_functions_showcase",
-    "token_frequencies",
-    "events_sliding_10min",
-    "embedding_cosine_pairs",
-    "embedding_cosine_pairs_fast",
-    "promo_revenue_share",
-    "parts_by_brand",
-    "lineitem_cube",
-    "supplier_revenue_in_region",
-    "curated_orders",
-    "curated_orders_fused",
-    "products_sold_exploded",
-    "orders_enriched",
-    "orders_merge_upsert",
-    "lineitem_unpivot_measures",
-    "user_event_scd2",
-    "user_state_asof",
-    "quantity_price_correlation",
-    "event_value_mad",
-    "revenue_grouping_sets",
-    "event_value_anomalies",
-    "events_zorder_keys",
-    "orders_quality_report",
-    "distinct_users_sketch_rollup",
-    "events_localtime_kolkata",
-    # -- oldest r8-vintage (15) --
-    "user_sessionization",
-    "events_tumbling_2min",
-    "lineitem_filter_project",
-    "orders_deterministic_sample",
-    "suppliers_kept_waiting",
-    "shipping_priority",
-    "order_priority_late_ship",
-    "local_supplier_volume",
-    "national_market_share",
-    "customer_order_distribution",
-    "top_supplier",
-    "large_volume_customer",
-    "global_sales_opportunity",
-    "multimodal_video_decode_real",
-    "embedding_int8_quantized",
+    # -- r8-vintage (28) --
+    "ann_ivf_persisted_topk_multiprobe",
+    "bpe_encode_documents",
+    "bpe_train_merges",
+    "bpe_vocab_after_training",
+    "discounted_revenue",
+    "dsir_budget_selection",
+    "dsir_importance_weights",
+    "dup_component_audit",
+    "embedding_abtt_postprocess",
+    "embedding_covariance",
+    "embedding_near_dup_clusters",
+    "embedding_pc_power_iteration",
+    "forecast_revenue_change",
+    "hard_negative_mining",
+    "image_near_dup_pairs",
+    "near_dup_lpa_communities",
+    "passage_retrieval_topk",
+    "quality_logistic_scores",
+    "returned_item_reporting",
+    "sequence_packing_plan",
+    "set_similarity_prefix_pairs",
+    "source_temperature_mix",
+    "tfidf_scores",
+    "token_budget_corpus_selection",
+    "training_shard_shuffle",
+    "volume_shipping",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    # -- oldest r9-vintage (18) --
+    "above_average_customers",
+    "active_parties_union",
+    "ann_cosine_topk",
+    # (ann_cosine_topk_ivf appears in the r9 driver artifact but is no
+    # longer a registered name — superseded by the persisted-IVF
+    # family; nation_party_setops takes its rotation slot)
+    "nation_party_setops",
+    "bpe_token_stats",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "dedup_exact_documents",
+    "document_fingerprints",
+    "document_scores_pandas",
+    "documents_curation_pipeline",
+    "embedding_l2_norms",
+    "embedding_near_dup_srp",
+    "events_json_props",
+    "events_props_map_keys",
+    "language_id_heuristic",
+    "lineitem_rollup",
+    "multimodal_image_features",
 ]
 
 
