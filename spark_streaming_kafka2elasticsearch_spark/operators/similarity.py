@@ -1275,6 +1275,127 @@ def knn_graph_append(
     )
 
 
+def knn_graph_delete(
+    corpus_new: DataFrame,
+    deleted_ids: DataFrame,
+    centroids: DataFrame,
+    old_edges: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """DELETE from the quantizer-structured kNN graph — the erasure
+    counterpart of :func:`knn_graph_append`, and like it EXACT: the
+    result is bit-equal to a full :func:`knn_graph` rebuild over
+    ``corpus \\ Δ`` (pinned by the consuming query's oracle).
+
+    Why deletion is harder than append, and still Δ-proportional: the
+    top-k merge property does NOT run backwards — removing a node
+    that OCCUPIED a top-k slot reopens the window to candidates the
+    old edge list no longer carries (they fell below rank k at build
+    time).  So the affected set is exactly the sources that LOSE an
+    edge: ``affected = {src : (src, d) ∈ old_edges, d ∈ Δ} \\ Δ``.
+    Those sources re-rank the FULL (post-delete) membership of their
+    probe cells — the same per-source computation the original build
+    did, restricted to |affected| ≈ |Δ|·k sources; every other
+    source's candidate set only lost members below its rank-k cut, so
+    its edges AND ranks carry over verbatim.  Sources in Δ drop
+    entirely; mutual flags recompute on the final n·k relation.
+
+    ``old_edges`` must carry ``(src, dst, rank)``; ``corpus_new`` is
+    the corpus AFTER the deletion (the deleted vectors' rows gone).
+
+    Output: ``(src, dst, rank, mutual)`` — the :func:`knn_graph`
+    schema, bit-identical to the rebuild."""
+    crows = (
+        centroids.select(centroid_id, centroid_vec)
+        .orderBy(centroid_id)
+        .collect()
+    )
+    if not crows:
+        raise ValueError("knn_graph_delete needs >= 1 centroid")
+    dele = deleted_ids.select(F.col(id_col).alias("_del")).distinct()
+
+    old_kept = old_edges.select("src", "dst", "rank")
+    # sources that lose an edge to a deleted dst (minus deleted srcs)
+    affected = (
+        old_kept.join(dele, old_kept.dst == dele._del)
+        .select("src")
+        .distinct()
+        .join(dele, F.col("src") == F.col("_del"), "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    survivors = (
+        old_kept.join(dele, old_kept.src == dele._del, "left_anti")
+        .join(affected, "src", "left_anti")
+    )
+
+    # re-rank the affected sources over their probe cells' post-delete
+    # membership — the knn_graph pair leg restricted to |affected| srcs
+    base = corpus_new.select(
+        F.col(corpus_id).alias("_id"),
+        F.col(corpus_vec).alias("_vec"),
+        l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_n"),
+    )
+    both = base.select(
+        "_id",
+        "_vec",
+        _fixed_probe_cells_expr(crows, "_vec", n_probe, "_n").alias("_probe"),
+        "_n",
+    )
+    assigned = both.select(
+        F.col("_id").alias("dst"),
+        F.col("_vec").alias("_nvec"),
+        F.element_at("_probe", 1).alias("cell"),
+        F.col("_n").alias("_nn"),
+    )
+    probes = (
+        both.join(affected, both._id == affected.src)
+        .select(
+            F.col("_id").alias("src"),
+            F.col("_vec").alias("_qvec"),
+            F.explode("_probe").alias("cell"),
+            F.col("_n").alias("_qn"),
+        )
+    )
+    pairs = probes.join(assigned, "cell").filter(F.col("src") != F.col("dst"))
+    denom = F.col("_qn") * F.col("_nn")
+    sims = pairs.select(
+        "src",
+        "dst",
+        F.when(denom == 0, F.lit(None))
+        .otherwise(
+            dot_product(
+                F.col("_qvec").cast("array<double>"),
+                F.col("_nvec").cast("array<double>"),
+            )
+            / denom
+        )
+        .alias("_sim"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("_sim"), F.asc("dst"))
+    recomputed = (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", F.col("rank").cast("int").alias("rank"))
+    )
+    edges = survivors.union(recomputed).localCheckpoint(eager=True)
+    rev = edges.select(
+        F.col("dst").alias("_r_src"), F.col("src").alias("_r_dst")
+    )
+    return edges.join(
+        rev,
+        (edges.src == rev._r_src) & (edges.dst == rev._r_dst),
+        "left",
+    ).select(
+        "src", "dst", "rank", F.col("_r_src").isNotNull().alias("mutual")
+    )
+
+
 def _bucket_entry(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1895,6 +2016,105 @@ def ivf_persisted_append(
         overwrite_partitions(assigned, path, ["cell", "batch_id"])
     else:
         write_table(assigned, path, partition_by=["cell"], mode="append")
+
+
+def ivf_persisted_delete(
+    deleted_ids: DataFrame,
+    path: str,
+    spark=None,
+    id_col: str = "vec_id",
+) -> list[int]:
+    """DELETE from the persisted IVF layout — the lifecycle op the
+    append/compact pair implies (user-deletion / GDPR erasure is the
+    standing production requirement): drop the given ids from the
+    cell-partitioned index WITHOUT a rebuild.
+
+    Mechanics: one pruned pass finds the cells that actually CONTAIN a
+    deleted id (the id→cell lookup is an inner join against the
+    index — cost |index ∩ Δ|, and at 100 TB the deleted ids' cells
+    are the only directories touched); those cell partitions are
+    atomically rewritten via dynamic partition overwrite with the
+    deleted rows anti-joined out, and a cell whose LAST row is deleted
+    has its directory removed explicitly (dynamic overwrite only
+    replaces partitions present in the written data — an emptied
+    partition would otherwise silently keep its old files: the
+    empty-partition trap).  Untouched cells keep their files
+    byte-identical, so concurrent serving retains partition pruning.
+
+    By assignment determinism, ``serve(layout minus Δ)`` is
+    BIT-EQUAL to a full rebuild over ``corpus \\ Δ`` — appending only
+    removed candidates, top-k over the shrunk cell equals the rebuild
+    (pinned by the consuming query's oracle).  Two-level
+    stream-maintained layouts keep their ``batch_id`` subpartitions
+    (rows carry the column through the rewrite).
+
+    Returns the list of touched cell ids (the compact() convention)."""
+    import os
+    import shutil
+
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import (
+        overwrite_partitions,
+    )
+
+    ss = spark or deleted_ids.sparkSession
+    dele = deleted_ids.select(
+        F.col(id_col).alias("neighbor_id")
+    ).distinct()
+    index = ss.read.parquet(path)
+    touched = sorted(
+        int(r["cell"])
+        for r in index.join(F.broadcast(dele), "neighbor_id")
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return []
+    two_level = "batch_id" in index.columns
+    remaining = (
+        index.filter(F.col("cell").isin(touched))
+        .join(F.broadcast(dele), "neighbor_id", "left_anti")
+        # Materialize BEFORE the overwrite: the remaining-rows plan
+        # READS the cell files it is about to replace (the
+        # self-overwrite trap).
+        .localCheckpoint(eager=True)
+    )
+    # Old partition inventory, captured BEFORE the overwrite mutates
+    # the directory tree (`index` is a lazy plan over `path`).
+    if two_level:
+        old_parts = {
+            (int(r["cell"]), int(r["batch_id"]))
+            for r in index.filter(F.col("cell").isin(touched))
+            .select("cell", "batch_id")
+            .distinct()
+            .collect()
+        }
+    if not remaining.isEmpty():
+        overwrite_partitions(
+            remaining,
+            path,
+            ["cell", "batch_id"] if two_level else ["cell"],
+        )
+    # Empty-partition sweep: a (sub)partition whose last row was
+    # deleted is absent from `remaining`, so the dynamic overwrite
+    # never replaced it — remove its directory explicitly.
+    if two_level:
+        kept = {
+            (int(r["cell"]), int(r["batch_id"]))
+            for r in remaining.select("cell", "batch_id").distinct().collect()
+        }
+        for cell, bid in old_parts - kept:
+            shutil.rmtree(
+                os.path.join(path, f"cell={cell}", f"batch_id={bid}"),
+                ignore_errors=True,
+            )
+    kept_cells = {
+        int(r["cell"]) for r in remaining.select("cell").distinct().collect()
+    }
+    for cell in touched:
+        if cell not in kept_cells:
+            shutil.rmtree(os.path.join(path, f"cell={cell}"), ignore_errors=True)
+    return touched
 
 
 def ivf_filtered_topk(

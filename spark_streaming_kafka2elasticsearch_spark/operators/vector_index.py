@@ -11,7 +11,9 @@ operator of a 100 TB corpus thinks about it::
     idx.build(corpus, centroids)            # one corpus scan, at rest
     idx.build_bq(corpus)                    # packed 1-bit codes at rest
     idx.build_graph(corpus)                 # NN-Descent edges at rest
-    idx.append(delta)                       # daily increment
+    idx.append(delta)                       # daily increment (IVF cells)
+    idx.delete(erased_ids)                  # GDPR erasure (touched cells only)
+    idx.refresh_graph(new_corpus, delta)    # bounded-delta graph refresh
     idx.compact()                           # bound small files
     idx.search(queries, k=10, n_probe=2)    # pruned top-k
     idx.search(queries, method="bq")        # XOR+popcount over codes
@@ -102,6 +104,19 @@ class VectorIndex:
             batch_id=batch_id,
         )
 
+    def delete(self, deleted_ids: DataFrame) -> list:
+        """Erase ids from the cell-partitioned layout (operators/
+        similarity.ivf_persisted_delete): only the cells containing a
+        deleted id are rewritten, an emptied cell's directory is
+        removed, and the post-delete serve is bit-equal to a rebuild
+        over the surviving corpus."""
+        return _sim.ivf_persisted_delete(
+            deleted_ids,
+            self.path,
+            spark=deleted_ids.sparkSession,
+            id_col=self._cols["corpus_id"],
+        )
+
     def compact(
         self, max_files_per_cell: int = 4, target_files_per_cell: int = 1
     ) -> list:
@@ -161,6 +176,56 @@ class VectorIndex:
             fingerprint=self.fingerprint,
             rebuild=True,
         )
+
+    def refresh_graph(
+        self,
+        corpus: DataFrame,
+        delta: DataFrame,
+        rounds: int = 2,
+        new_fingerprint: str | None = None,
+    ) -> DataFrame:
+        """Fold ``delta`` into the at-rest NN-Descent edge list with
+        the BOUNDED-DELTA refresh (operators/similarity.
+        nn_descent_refresh) instead of a rebuild: stored edges are
+        read, refreshed (build params come back from the meta
+        sidecar), and atomically rewritten with the meta re-stamped
+        (``new_fingerprint`` should describe ``corpus`` AFTER the
+        delta, so subsequent serves validate against the refreshed
+        state).  ``corpus`` is the FULL updated relation."""
+        import json as _json
+        import os
+
+        meta_path = os.path.join(self.path, _sim._GRAPH_META)
+        graph_dir = os.path.join(self.path, _sim._GRAPH_DIR)
+        with open(meta_path) as fh:
+            meta = _json.load(fh)
+        params = meta.get("params", {})
+        old_edges = _sim.knn_graph_persist(
+            None, self.path, fingerprint=self.fingerprint,
+            spark=corpus.sparkSession,
+        ).select("src", "dst", "rank")
+        refreshed = _sim.nn_descent_refresh(
+            old_edges,
+            corpus,
+            delta,
+            k=params.get("k", 16),
+            k_build=params.get("k_build", 30),
+            dim=params.get("dim", 64),
+            rounds=rounds,
+            occupancy=params.get("occupancy", 32),
+            ring=params.get("ring", 2),
+            corpus_id=self._cols["corpus_id"],
+            corpus_vec=self._cols["corpus_vec"],
+        # the refresh plan READS the edge files it replaces — the
+        # self-overwrite trap; materialize before the rewrite
+        ).localCheckpoint(eager=True)
+        refreshed.write.mode("overwrite").parquet(graph_dir)
+        if new_fingerprint is not None:
+            meta["fingerprint"] = new_fingerprint
+            self.fingerprint = new_fingerprint
+            with open(meta_path, "w") as fh:
+                _json.dump(meta, fh)
+        return corpus.sparkSession.read.parquet(graph_dir)
 
     # -- serving -----------------------------------------------------------
 

@@ -1573,6 +1573,215 @@ def knn_graph_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _full_graph_edges_at_rest(spark, sf_dir: str, emb, cents, query_name: str):
+    """The AT-REST full-corpus kNN graph a DELETE maintains: built once
+    per (sf, corpus fingerprint) with operators/similarity.knn_graph
+    (multiprobe, k=5) and laid down as (src, dst, rank) parquet —
+    deleting from an EXISTING at-rest graph is the production shape,
+    and it keeps knn_graph_delete_serve's TIMED path Δ-proportional
+    (the _append_old_graph_edges doctrine, erasure direction)."""
+    import json as _json
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        knn_graph,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import (
+        write_table,
+    )
+
+    path = _ivf_index_dir(query_name, sf_dir)
+    edges_dir = os.path.join(path, "full_graph")
+    meta_path = os.path.join(path, "_full_graph_meta.json")
+    fp = _emb_fingerprint(sf_dir)
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if _json.load(fh).get("fingerprint") == fp:
+                return spark.read.parquet(edges_dir)
+    edges = knn_graph(emb, cents, k=5, n_probe=2).select("src", "dst", "rank")
+    write_table(edges, edges_dir)
+    os.makedirs(path, exist_ok=True)
+    with open(meta_path, "w") as fh:
+        _json.dump({"fingerprint": fp}, fh)
+    return spark.read.parquet(edges_dir)
+
+
+def _delete_cond():
+    """The bounded erasure set both delete queries use: 100 ids at
+    sf0.1 (25 at sf0.01) — the daily GDPR/user-deletion increment,
+    fixed-size by contract like the append delta.  A function because
+    Column construction needs an active session (module import must
+    stay session-free)."""
+    return (F.col("vec_id") % 20 == 7) & (F.col("vec_id") < 2000)
+
+
+_DELETE_COND_SQL = "(vec_id % 20 = 7 AND vec_id < 2000)"
+
+
+@register(
+    "knn_graph_delete_serve",
+    # The EXACT post-delete rebuild oracle: the knn_graph multiprobe
+    # chain over the corpus MINUS the erasure set, with the quantizer
+    # still read from the FULL relation (the quantizer is a trained
+    # artifact — it outlives deletions; vec_id 7 is deleted from the
+    # corpus yet remains centroid 7).
+    oracle=f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, v FROM e0 WHERE NOT {_DELETE_COND_SQL}),
+c AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id < 8),
+asn AS (
+  SELECT e.vec_id AS dst, c.cid AS cell, e.v
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+probe AS (
+  SELECT e.vec_id AS src, e.v AS qv, c.cid AS cell
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) <= 2),
+edges AS (
+  SELECT p.src, a.dst,
+         CAST(row_number() OVER (
+           PARTITION BY p.src
+           ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.dst ASC)
+           AS INT) AS rank
+  FROM probe p JOIN asn a USING (cell)
+  WHERE a.dst <> p.src
+  QUALIFY rank <= 5)
+SELECT g.src, g.dst, g.rank, (r.src IS NOT NULL) AS mutual
+FROM edges g
+LEFT JOIN edges r ON r.src = g.dst AND r.dst = g.src
+""",
+)
+def knn_graph_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE from the quantizer-structured kNN graph
+    (operators/similarity.knn_graph_delete): a bounded erasure set
+    (vec_id ≡ 7 mod 20, id < 2000 — the user-deletion/GDPR increment)
+    is removed from the AT-REST full-corpus graph (built once per
+    corpus fingerprint), and the result must be BIT-EQUAL to the full
+    rebuild over the surviving corpus — which is exactly what the
+    oracle computes.  Deletion is the direction the top-k merge
+    property does NOT cover: a deleted node that occupied a top-k slot
+    reopens the window to candidates the edge list no longer carries,
+    so the |Δ|·k AFFECTED sources re-rank their probe cells'
+    post-delete membership while every other source's edges and ranks
+    carry over verbatim (their candidate sets only lost
+    below-the-cut members).  Work is |affected|·|cell|·n_probe —
+    Δ-proportional, never a rebuild.  The quantizer outlives the
+    erasure (centroid 7's vector stays in the quantizer artifact even
+    though corpus row 7 is gone — trained artifacts are not corpus
+    rows), which the oracle checks by reading centroids from the full
+    relation."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        knn_graph_delete,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    corpus_new = emb.filter(~_delete_cond())
+    deleted = emb.filter(_delete_cond()).select("vec_id")
+    old_edges = _full_graph_edges_at_rest(
+        spark, sf_dir, emb, cents, "knn_graph_delete_serve"
+    )
+    return knn_graph_delete(
+        corpus_new, deleted, cents, old_edges, k=5, n_probe=2
+    )
+
+
+@register(
+    "ann_ivf_delete_serve",
+    # Post-delete serve oracle: the persisted-IVF chain with the
+    # erasure set removed from the CANDIDATE side only — queries keep
+    # their quantizer cells (computed from the trained centroids, so
+    # even a deleted id can still ask for neighbors), and the
+    # quantizer reads from the full relation.
+    oracle=f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, v FROM e0 WHERE NOT {_DELETE_COND_SQL}),
+c AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id < 8),
+asn AS (
+  SELECT e.vec_id, c.cid AS cell, e.v
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+q AS (
+  SELECT e0.vec_id AS query_id, e0.v AS qv, c.cid AS cell
+  FROM e0 CROSS JOIN c
+  WHERE e0.vec_id < 8
+  QUALIFY row_number() OVER (
+    PARTITION BY e0.vec_id
+    ORDER BY list_cosine_similarity(e0.v, c.cv) DESC, c.cid ASC) = 1)
+SELECT q.query_id, q.cell, a.vec_id AS neighbor_id
+FROM q JOIN asn a USING (cell)
+WHERE a.vec_id <> q.query_id
+QUALIFY row_number() OVER (
+  PARTITION BY q.query_id
+  ORDER BY list_cosine_similarity(q.qv, a.v) DESC, a.vec_id ASC) <= 10
+""",
+)
+def ann_ivf_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE from the persisted IVF layout
+    (operators/similarity.ivf_persisted_delete): the bounded erasure
+    set is dropped from the cell-partitioned index — only the cells
+    that CONTAIN a deleted id are rewritten (dynamic partition
+    overwrite; an emptied partition's directory is removed explicitly
+    — the empty-partition trap), untouched cells keep their files
+    byte-identical — and the pruned serve over the post-delete layout
+    must equal the full rebuild over the surviving corpus, which the
+    oracle computes.  Queries keep their quantizer cells (the trained
+    centroids outlive deletions — even the deleted vec_id 7 can still
+    ask for neighbors), and the layout delete runs once per corpus
+    fingerprint so the TIMED path is the pruned serve."""
+    import json as _json
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_delete,
+        ivf_persisted_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    path = _ivf_index_dir("ann_ivf_delete_serve", sf_dir)
+    meta_path = os.path.join(path, "_delete_meta.json")
+    fp = _emb_fingerprint(sf_dir)
+    done = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            done = _json.load(fh).get("fingerprint") == fp
+    if not done:
+        ivf_persisted_topk(
+            emb,
+            queries.limit(0),
+            cents,
+            path,
+            k=1,
+            rebuild=True,
+            fingerprint=fp,
+        )
+        ivf_persisted_delete(
+            emb.filter(_delete_cond()).select("vec_id"), path, spark=spark
+        )
+        with open(meta_path, "w") as fh:
+            _json.dump({"fingerprint": fp}, fh)
+    return ivf_persisted_topk(
+        emb, queries, None, path, k=10, rebuild=False, fingerprint=fp
+    )
+
+
 #: Shared DuckDB CTE: sign-bit packing into ⌈64/32⌉ = 2 little-endian
 #: 32-bit words, replaying operators/similarity.bq_sign_code exactly
 #: (32-bit words because DuckDB overflow-checks ``1 << 63``).

@@ -481,6 +481,51 @@ def test_vector_index_facade_serves_every_rung_from_one_dir(spark, tmp_path):
         idx.search(emb, queries, method="hnsw")
 
 
+def test_vector_index_refresh_graph_equals_direct_operator(spark, tmp_path):
+    """VectorIndex.refresh_graph folds a delta into the at-rest edge
+    list with the bounded-delta refresh: result equals the direct
+    nn_descent_refresh call (params read back from the meta sidecar),
+    the layout is atomically rewritten, and a FRESH facade serves
+    from the refreshed state under the new fingerprint."""
+    from pyspark.sql import functions as SF
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        nn_descent_refresh,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.vector_index import (
+        VectorIndex,
+    )
+
+    emb, path = _emb(spark), str(tmp_path / "refresh_idx")
+    n = emb.count()
+    m = n - 50
+    old = emb.filter(SF.col("vec_id") < m)
+    delta = emb.filter(SF.col("vec_id") >= m)
+    idx = VectorIndex(path, fingerprint="fp_old")
+    idx.build_graph(old, k=8, k_build=16, rounds=2)
+    old_edges = spark.read.parquet(f"{path}/_graph").select(
+        "src", "dst", "rank"
+    ).localCheckpoint(eager=True)
+    got = _rows(idx.refresh_graph(emb, delta, new_fingerprint="fp_new"))
+    want = _rows(
+        nn_descent_refresh(
+            old_edges, emb, delta, k=8, k_build=16, dim=64, rounds=2,
+            occupancy=32, ring=2,
+        )
+    )
+    assert got == want
+    # fresh facade under the NEW fingerprint serves the refreshed graph
+    queries = _queries(emb)
+    fresh = VectorIndex(path, fingerprint="fp_new")
+    assert _rows(fresh.search(emb, queries, k=5, method="graph"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stale"):
+        VectorIndex(path, fingerprint="fp_old").search(
+            emb, queries, k=5, method="graph"
+        )
+
+
 def test_graph_serve_honors_non_default_build_params(spark, tmp_path):
     """ADVICE r12 (low): a graph built with non-default build_graph
     params must still serve through search(method='graph') — the serve

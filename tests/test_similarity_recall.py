@@ -1283,6 +1283,119 @@ def test_knn_graph_append_equals_full_rebuild(spark):
     assert appended == rebuilt
 
 
+def test_knn_graph_delete_equals_full_rebuild(spark):
+    """Erasure counterpart of the append pin: deleting a bounded id
+    set from the at-rest quantizer-structured graph must be BIT-EQUAL
+    to the full rebuild over the surviving corpus.  Deletion is the
+    direction the top-k merge property does NOT cover — the affected
+    sources (those losing an edge) re-rank their probe cells, everyone
+    else carries over verbatim."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_delete,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    dele_cond = F.col("vec_id") % 20 == 7
+    old_edges = knn_graph(emb, cents, k=5, n_probe=2).select(
+        "src", "dst", "rank"
+    ).localCheckpoint(eager=True)
+    got = {
+        tuple(r)
+        for r in knn_graph_delete(
+            emb.filter(~dele_cond),
+            emb.filter(dele_cond).select("vec_id"),
+            cents,
+            old_edges,
+            k=5,
+            n_probe=2,
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in knn_graph(emb.filter(~dele_cond), cents, k=5, n_probe=2).collect()
+    }
+    assert got == want and got
+    # no deleted id survives anywhere in the relation
+    deleted = {r.vec_id for r in emb.filter(dele_cond).select("vec_id").collect()}
+    assert not any(s in deleted or d in deleted for s, d, _, _ in got)
+
+
+def test_ivf_persisted_delete_rewrites_only_touched_cells(spark, tmp_path):
+    """ivf_persisted_delete: (a) the post-delete serve equals a fresh
+    rebuild over the surviving corpus; (b) cells without a deleted id
+    keep their files byte-identical (untouched directories); (c) a
+    cell whose LAST member is deleted has its directory removed (the
+    empty-partition trap — dynamic overwrite alone would leave its
+    stale files serving ghosts)."""
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        ivf_persisted_delete,
+        ivf_persisted_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    path = str(tmp_path / "del_idx")
+    ivf_persisted_topk(
+        emb, queries.limit(0), cents, path, k=1, rebuild=True, fingerprint="fp"
+    )
+    layout = spark.read.parquet(path).select("neighbor_id", "cell").collect()
+    by_cell: dict[int, list[int]] = {}
+    for r in layout:
+        by_cell.setdefault(int(r.cell), []).append(r.neighbor_id)
+    # smallest cell empties out entirely; one member of the largest
+    # cell goes too; every other cell must stay byte-identical
+    small = min(by_cell, key=lambda c: (len(by_cell[c]), c))
+    large = max(by_cell, key=lambda c: (len(by_cell[c]), c))
+    doomed = set(by_cell[small]) | {min(by_cell[large])}
+    untouched_files = {}
+    for c in by_cell:
+        if c not in (small, large):
+            d = os.path.join(path, f"cell={c}")
+            untouched_files[c] = sorted(
+                (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+                for f in os.listdir(d)
+            )
+    dele = emb.filter(F.col("vec_id").isin(sorted(doomed))).select("vec_id")
+    touched = ivf_persisted_delete(dele, path, spark=spark)
+    assert set(touched) == {small, large}
+    assert not os.path.exists(os.path.join(path, f"cell={small}"))
+    for c, files in untouched_files.items():
+        d = os.path.join(path, f"cell={c}")
+        assert sorted(
+            (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+        ) == files
+    got = {
+        tuple(r)
+        for r in ivf_persisted_topk(
+            emb, queries, None, path, k=10, rebuild=False, fingerprint="fp"
+        ).collect()
+    }
+    rebuilt_path = str(tmp_path / "rebuilt_idx")
+    survivors = emb.filter(~F.col("vec_id").isin(sorted(doomed)))
+    want = {
+        tuple(r)
+        for r in ivf_persisted_topk(
+            survivors, queries, cents, rebuilt_path, k=10, rebuild=True
+        ).collect()
+    }
+    assert got == want and got
+
+
 def test_knn_graph_append_idempotent_under_crash_replay(spark):
     """ADVICE r12 (medium): the streaming maintenance job can die
     between the edge-list rewrite and the corpus landing, so the

@@ -311,6 +311,16 @@ PROBE_QUERIES = [
     # auto-p rule, so entry cost is constant in n); fewer walked nodes
     # than the default rung at equal recall, alpha must track it
     "ann_graph_beam_hier_topk",
+    # r13: graph delete — |affected| ≈ |Δ|·k sources (fixed at the
+    # bounded erasure set) each re-rank their probe cells (|cell| =
+    # n/8 at fixed c) ⇒ total candidate work O(|Δ|·k·n/c), linear;
+    # min-of-4 discounts the pass-1 at-rest full-graph build per
+    # factor
+    "knn_graph_delete_serve",
+    # r13: IVF delete — the delete rewrites only touched cells once
+    # per fingerprint; the timed path is the pruned post-delete serve,
+    # alpha must track ann_ivf_persisted_topk
+    "ann_ivf_delete_serve",
     # r12: KN doc-perplexity gate — one doc-side instance scan joined
     # to vocabulary-sized model aggregates (the kneser_ney/tfidf
     # silhouette) + a per-doc decimal sum; alpha must track
