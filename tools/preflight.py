@@ -24,6 +24,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+sys.path.insert(0, REPO)  # the registry import in the plan-audit check
 
 
 def run_pytest() -> dict:
