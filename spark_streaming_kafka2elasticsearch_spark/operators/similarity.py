@@ -4534,6 +4534,94 @@ def bq_persist_codes(
     return ss.read.parquet(codes_dir)
 
 
+def _bq_meta_restamp(path: str, new_fingerprint: str | None) -> None:
+    import json as _json
+    import os
+
+    if new_fingerprint is None:
+        return
+    meta_path = os.path.join(path, _BQ_META)
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    meta["fingerprint"] = new_fingerprint
+    with open(meta_path, "w") as fh:
+        _json.dump(meta, fh)
+
+
+def bq_persist_append(
+    delta: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    new_fingerprint: str | None = None,
+) -> None:
+    """Incremental maintenance for the at-rest BQ codes — the
+    daily-increment primitive of the flat-BQ rung (the
+    :func:`ivf_persisted_append` doctrine at d/8 bytes/row): the delta
+    is encoded with the SAME codegen'd sign fold (encoding is per-row
+    deterministic and training-free — BQ has no quantizer that could
+    drift) and APPENDED as new parquet files; existing code files are
+    untouched, so ``serve(base ∪ delta)`` is byte-identical to a full
+    re-encode over the union — which is what the consuming query's
+    oracle checks.  ``new_fingerprint`` should describe the corpus
+    AFTER the append, so stale-guard serves validate against the
+    maintained state.  Cost: one scan of the DELTA."""
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import (
+        write_table,
+    )
+
+    dim = _bq_read_dim(path)
+    codes = delta.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        bq_sign_code(corpus_vec, dim).alias("code"),
+    )
+    write_table(codes, os.path.join(path, _BQ_CODES_SUBDIR), mode="append")
+    _bq_meta_restamp(path, new_fingerprint)
+
+
+def bq_persist_delete(
+    deleted_ids: DataFrame,
+    path: str,
+    spark=None,
+    id_col: str = "vec_id",
+    new_fingerprint: str | None = None,
+) -> None:
+    """DELETE from the at-rest BQ codes (erasure parity with
+    :func:`ivf_persisted_delete` / :func:`knn_graph_delete`): the code
+    relation is rewritten with the deleted ids anti-joined out.  The
+    layout is UNPARTITIONED by design (d/8 bytes/row — the whole
+    point of the rung is that a full pass is cheap), so unlike the
+    cell-partitioned IVF delete this IS a full rewrite of the code
+    files — of a payload 32× smaller than the vectors; at 100 TB of
+    float vectors the code relation is ~1.6 TB and the rewrite is one
+    scan-and-write.  Post-delete serving is bit-equal to re-encoding
+    the surviving corpus (codes are per-row deterministic)."""
+    import os
+
+    ss = spark or deleted_ids.sparkSession
+    codes_dir = os.path.join(path, _BQ_CODES_SUBDIR)
+    dele = deleted_ids.select(F.col(id_col).alias("neighbor_id")).distinct()
+    remaining = (
+        ss.read.parquet(codes_dir)
+        .join(F.broadcast(dele), "neighbor_id", "left_anti")
+        # the remaining-rows plan READS the files it replaces — the
+        # self-overwrite trap; materialize first
+        .localCheckpoint(eager=True)
+    )
+    remaining.write.mode("overwrite").parquet(codes_dir)
+    _bq_meta_restamp(path, new_fingerprint)
+
+
+def _bq_read_dim(path: str) -> int:
+    import json as _json
+    import os
+
+    with open(os.path.join(path, _BQ_META)) as fh:
+        return int(_json.load(fh).get("params", {}).get("dim", 64))
+
+
 def bq_refine_topk(
     corpus: DataFrame,
     queries: DataFrame,

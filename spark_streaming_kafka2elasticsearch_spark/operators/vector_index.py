@@ -150,6 +150,37 @@ class VectorIndex:
             rebuild=True,
         )
 
+    def append_bq(
+        self, delta: DataFrame, new_fingerprint: str | None = None
+    ) -> None:
+        """Append the delta's packed sign codes to the at-rest BQ
+        layout (encoding is training-free and per-row deterministic,
+        so the maintained codes are byte-equal to a full re-encode)."""
+        _sim.bq_persist_append(
+            delta,
+            self.path,
+            corpus_id=self._cols["corpus_id"],
+            corpus_vec=self._cols["corpus_vec"],
+            new_fingerprint=new_fingerprint,
+        )
+        if new_fingerprint is not None:
+            self.fingerprint = new_fingerprint
+
+    def delete_bq(
+        self, deleted_ids: DataFrame, new_fingerprint: str | None = None
+    ) -> None:
+        """Erase ids from the at-rest BQ codes (full rewrite of the
+        d/8-byte payload — the unpartitioned layout's cheap pass)."""
+        _sim.bq_persist_delete(
+            deleted_ids,
+            self.path,
+            spark=deleted_ids.sparkSession,
+            id_col=self._cols["corpus_id"],
+            new_fingerprint=new_fingerprint,
+        )
+        if new_fingerprint is not None:
+            self.fingerprint = new_fingerprint
+
     def build_graph(
         self,
         corpus: DataFrame,

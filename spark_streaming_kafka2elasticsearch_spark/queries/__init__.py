@@ -95,20 +95,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: so every query gets a driver row within two rounds.
 _PRIORITY: list[str] = [
     # round-13 rotation (VERDICT r12 item 6): head = queries NEW or
-    # CHANGED in r13 (5 new entries + knn_graph_append_serve, whose
+    # CHANGED in r13 (7 new entries + knn_graph_append_serve, whose
     # merge gained the crash-replay dedup — output unchanged but the
     # plan changed, so it gets a fresh row), then ALL 28 queries whose
     # newest driver row is still r8-vintage (the oldest tier — retired
-    # completely this round, as demanded: 6 + 28 = 34 ≤ the ~50-row
-    # budget), then the 16 oldest r9-vintage rows to start on the next
-    # debt tier.  6 + 28 + 16 = 50.  A test asserts this list is
+    # completely this round, as demanded: 8 + 28 = 36 ≤ the ~50-row
+    # budget), then the 14 oldest r9-vintage rows to start on the next
+    # debt tier.  8 + 28 + 14 = 50.  A test asserts this list is
     # duplicate-free.
-    # -- new in r13 (5) --
+    # -- new in r13 (7) --
     "knn_graph_descent_refresh",
     "ann_graph_beam_filtered_topk",
     "ann_graph_beam_hier_topk",
     "knn_graph_delete_serve",
     "ann_ivf_delete_serve",
+    "ann_bq_append_serve",
+    "ann_bq_delete_serve",
     # -- changed in r13 (1) --
     "knn_graph_append_serve",
     # -- r8-vintage (28) --
@@ -158,8 +160,6 @@ _PRIORITY: list[str] = [
     "embedding_l2_norms",
     "embedding_near_dup_srp",
     "events_json_props",
-    "events_props_map_keys",
-    "language_id_heuristic",
 ]
 
 

@@ -1911,6 +1911,155 @@ def ann_bq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_bq_append_serve",
+    # Identical oracle to ann_bq_persisted_topk: encoding is per-row
+    # deterministic and training-free, so codes(base) ∪ encode(delta)
+    # IS the full-corpus code relation — the oracle checks exactly
+    # that incremental-maintenance contract (the ann_ivf_append_serve
+    # doctrine at d/8 bytes).
+    oracle=_BQ_CODES_CTE
+    + """,
+q AS (SELECT vec_id AS query_id, code AS qc FROM codes WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, 2), i ->
+           bit_count(xor(q.qc[i], c.code[i])))) AS INT) AS hamming
+  FROM codes c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, hamming,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY hamming ASC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+)
+def ann_bq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance for the at-rest BQ codes
+    (operators/similarity.bq_persist_append): the 100-id tail delta is
+    encoded with the same codegen'd sign fold and APPENDED to the
+    stored code files (base codes built once per corpus fingerprint
+    over the first n−100 ids; existing files untouched), and the
+    Hamming serve from the maintained layout must equal the
+    full-corpus encode — which the oracle computes.  BQ is the EASY
+    corner of the maintenance matrix (no quantizer to drift, no
+    ranking state to merge — per-row determinism gives byte-equality
+    for free), which is itself the point on the curve: IVF appends
+    need a pinned quantizer, graph appends need the top-k merge
+    property, codes just append."""
+    import json as _json
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        bq_hamming_topk,
+        bq_persist_append,
+        bq_persist_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    m = n - 100
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    path = _ivf_index_dir("ann_bq_append_serve", sf_dir)
+    meta_path = os.path.join(path, "_append_meta.json")
+    fp = _emb_fingerprint(sf_dir)
+    done = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            done = _json.load(fh).get("fingerprint") == fp
+    if not done:
+        bq_persist_codes(
+            emb.filter(F.col("vec_id") < m), path, dim=64,
+            fingerprint=fp + ":base", rebuild=True,
+        )
+        bq_persist_append(
+            emb.filter(F.col("vec_id") >= m), path, new_fingerprint=fp
+        )
+        with open(meta_path, "w") as fh:
+            _json.dump({"fingerprint": fp}, fh)
+    codes = bq_persist_codes(None, path, dim=64, fingerprint=fp, spark=spark)
+    return bq_hamming_topk(emb, queries, k=10, dim=64, corpus_codes=codes)
+
+
+@register(
+    "ann_bq_delete_serve",
+    # The BQ chain over the SURVIVING corpus — queries (vec_id < 8)
+    # keep serving even where an id is erased from the candidate side.
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(0, 1), w ->
+           CAST(list_sum(list_transform(generate_series(1, 32), b ->
+             CASE WHEN w * 32 + b <= 64 AND v[w * 32 + b] > 0
+                  THEN (1::BIGINT << (b - 1)) ELSE 0::BIGINT END))
+             AS BIGINT)) AS code
+  FROM e),
+q AS (SELECT vec_id AS query_id, code AS qc FROM codes WHERE vec_id < 8),
+surv AS (SELECT * FROM codes WHERE NOT {_DELETE_COND_SQL}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, 2), i ->
+           bit_count(xor(q.qc[i], c.code[i])))) AS INT) AS hamming
+  FROM surv c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, hamming,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY hamming ASC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+)
+def ann_bq_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE from the at-rest BQ codes
+    (operators/similarity.bq_persist_delete): the bounded erasure set
+    is anti-joined out of the code relation and the files rewritten —
+    a FULL rewrite by design, of a payload 32× smaller than the
+    vectors (the unpartitioned d/8-byte layout trades partition-level
+    surgery for a trivially cheap full pass; contrast
+    ann_ivf_delete_serve's touched-cells-only rewrite).  The serve
+    from the post-delete codes must equal re-encoding the surviving
+    corpus — per-row determinism makes that byte-exact, and the
+    oracle computes it.  Deleted ids may still QUERY (query codes
+    encode in-flight from the trained-artifact side of the contract)."""
+    import json as _json
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        bq_hamming_topk,
+        bq_persist_codes,
+        bq_persist_delete,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    path = _ivf_index_dir("ann_bq_delete_serve", sf_dir)
+    meta_path = os.path.join(path, "_delete_meta.json")
+    fp = _emb_fingerprint(sf_dir)
+    done = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            done = _json.load(fh).get("fingerprint") == fp
+    if not done:
+        bq_persist_codes(
+            emb, path, dim=64, fingerprint=fp + ":full", rebuild=True
+        )
+        bq_persist_delete(
+            emb.filter(_delete_cond()).select("vec_id"), path,
+            spark=spark, new_fingerprint=fp,
+        )
+        with open(meta_path, "w") as fh:
+            _json.dump({"fingerprint": fp}, fh)
+    codes = bq_persist_codes(None, path, dim=64, fingerprint=fp, spark=spark)
+    return bq_hamming_topk(emb, queries, k=10, dim=64, corpus_codes=codes)
+
+
+@register(
     "ann_bq_refine_topk",
     oracle=_BQ_CODES_CTE
     + """,

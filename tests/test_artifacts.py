@@ -481,6 +481,45 @@ def test_vector_index_facade_serves_every_rung_from_one_dir(spark, tmp_path):
         idx.search(emb, queries, method="hnsw")
 
 
+def test_bq_append_and_delete_maintain_at_rest_codes(spark, tmp_path):
+    """BQ lifecycle at rest: append(base codes, delta) serves equal to
+    the full in-flight encode; delete(ids) serves equal to the
+    in-flight encode over the survivors — per-row-deterministic
+    encoding makes both byte-exact.  Exercised through the VectorIndex
+    facade (append_bq/delete_bq) with fingerprint re-stamping."""
+    from pyspark.sql import functions as SF
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        bq_hamming_topk,
+        bq_persist_codes,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.vector_index import (
+        VectorIndex,
+    )
+
+    emb, path = _emb(spark), str(tmp_path / "bq_lifecycle")
+    n = emb.count()
+    m = n - 50
+    queries = _queries(emb)
+    idx = VectorIndex(path, fingerprint="fp_base")
+    idx.build_bq(emb.filter(SF.col("vec_id") < m))
+    idx.append_bq(emb.filter(SF.col("vec_id") >= m), new_fingerprint="fp_full")
+    codes = bq_persist_codes(
+        None, path, fingerprint="fp_full", spark=spark
+    )
+    got = _rows(bq_hamming_topk(emb, queries, k=10, corpus_codes=codes))
+    want = _rows(bq_hamming_topk(emb, queries, k=10))
+    assert got == want
+    doomed = emb.filter(SF.col("vec_id") % 7 == 3).select("vec_id")
+    idx.delete_bq(doomed, new_fingerprint="fp_del")
+    codes2 = bq_persist_codes(None, path, fingerprint="fp_del", spark=spark)
+    got2 = _rows(bq_hamming_topk(emb, queries, k=10, corpus_codes=codes2))
+    want2 = _rows(
+        bq_hamming_topk(emb.filter(SF.col("vec_id") % 7 != 3), queries, k=10)
+    )
+    assert got2 == want2 and got2 != got
+
+
 def test_vector_index_refresh_graph_equals_direct_operator(spark, tmp_path):
     """VectorIndex.refresh_graph folds a delta into the at-rest edge
     list with the bounded-delta refresh: result equals the direct

@@ -321,6 +321,11 @@ PROBE_QUERIES = [
     # per fingerprint; the timed path is the pruned post-delete serve,
     # alpha must track ann_ivf_persisted_topk
     "ann_ivf_delete_serve",
+    # r13: BQ append/delete — maintenance once per fingerprint, timed
+    # path is the at-rest code scan; both must track
+    # ann_bq_persisted_topk (scan-bound alpha ~ 0)
+    "ann_bq_append_serve",
+    "ann_bq_delete_serve",
     # r12: KN doc-perplexity gate — one doc-side instance scan joined
     # to vocabulary-sized model aggregates (the kneser_ney/tfidf
     # silhouette) + a per-doc decimal sum; alpha must track
