@@ -1027,8 +1027,11 @@ def _descent_refresh_cte(
          THEN power(2.0, (SELECT p FROM params) - 1 - pa.pid)
          ELSE 0.0 END) AS BIGINT) AS bucket
   FROM e CROSS JOIN plane_arrs pa GROUP BY e.vec_id)""",
-        f"delta AS (SELECT vec_id FROM e"
-        f" WHERE vec_id >= (SELECT n FROM params) - {n_delta})",
+        # delta = the n_delta LARGEST ids (scale-honest at any id
+        # layout — "ids >= n - delta" silently grows with sparse
+        # replica id spaces, the r13 x30-probe lesson)
+        f"delta AS (SELECT vec_id FROM e WHERE vec_id >= (SELECT min(vec_id)"
+        f" FROM (SELECT vec_id FROM e ORDER BY vec_id DESC LIMIT {n_delta}) tt))",
         """dpair AS (
   SELECT d.vec_id AS src, m.vec_id AS dst
   FROM delta d
@@ -1140,15 +1143,18 @@ def knn_graph_edges_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _refresh_old_graph_edges(spark, sf_dir: str, emb, m: int):
+def _refresh_old_graph_edges(spark, sf_dir: str, emb, thresh: int):
     """The AT-REST old descent graph the refresh query maintains:
-    built once per (sf, corpus fingerprint) over the first ``m`` ids
-    (contiguous 0..m-1, so the build ring's modulo holds) and laid
-    down as parquet — the production shape: the thing being
-    incrementally refreshed already exists at rest, so the TIMED path
-    of knn_graph_descent_refresh is the delta-bounded refresh alone
-    (the knn_graph_append_serve doctrine applied to the descent
-    graph)."""
+    built once per (sf, corpus fingerprint) over the ids BELOW the
+    delta threshold and laid down as parquet — the production shape:
+    the thing being incrementally refreshed already exists at rest,
+    so the TIMED path of knn_graph_descent_refresh is the
+    delta-bounded refresh alone (the knn_graph_append_serve doctrine
+    applied to the descent graph).  On the driver testdata the old
+    ids are contiguous 0..m-1 so the build ring's modulo holds; on
+    sparse id spaces (the probe's replica layout) ring candidates
+    miss the corpus join and drop out — the operator's documented
+    contract."""
     import json as _json
     import os
 
@@ -1167,7 +1173,7 @@ def _refresh_old_graph_edges(spark, sf_dir: str, emb, m: int):
         with open(meta_path) as fh:
             if _json.load(fh).get("fingerprint") == fp:
                 return spark.read.parquet(edges_dir)
-    old = emb.filter(F.col("vec_id") < m)
+    old = emb.filter(F.col("vec_id") < thresh)
     edges = nn_descent_graph(
         old, k=16, k_build=30, dim=64, rounds=3, occupancy=32, ring=2
     ).select("src", "dst", "rank")
@@ -1188,7 +1194,8 @@ def _refresh_old_graph_edges(spark, sf_dir: str, emb, m: int):
     + _prefix_cte(
         _nndescent_cte(
             k=16,
-            where="vec_id < (SELECT count(*) - 100 FROM embeddings)",
+            where="vec_id < (SELECT min(vec_id) FROM (SELECT vec_id"
+            " FROM embeddings ORDER BY vec_id DESC LIMIT 100) tt)",
         ),
         "o",
     )
@@ -1221,10 +1228,19 @@ def knn_graph_descent_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    m = n - 100
-    delta = emb.filter(F.col("vec_id") >= m)
-    old_edges = _refresh_old_graph_edges(spark, sf_dir, emb, m)
+    # delta = the 100 LARGEST ids — scale-honest at any id layout
+    # ("ids >= n-100" silently grew to 97% of the corpus on the scale
+    # probe's sparse replica ids, degenerating the refresh toward a
+    # full build; the threshold form keeps the delta bounded at any n)
+    thresh = (
+        emb.select("vec_id")
+        .orderBy(F.col("vec_id").desc())
+        .limit(100)
+        .agg(F.min("vec_id"))
+        .collect()[0][0]
+    )
+    delta = emb.filter(F.col("vec_id") >= thresh)
+    old_edges = _refresh_old_graph_edges(spark, sf_dir, emb, thresh)
     return nn_descent_refresh(
         old_edges, emb, delta, k=16, k_build=30, dim=64, rounds=2,
         occupancy=32, ring=2,
@@ -1956,8 +1972,15 @@ def ann_bq_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    m = n - 100
+    # delta = the 100 LARGEST ids (threshold form — scale-honest at
+    # any id layout, the knn_graph_descent_refresh lesson)
+    m = (
+        emb.select("vec_id")
+        .orderBy(F.col("vec_id").desc())
+        .limit(100)
+        .agg(F.min("vec_id"))
+        .collect()[0][0]
+    )
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_embedding"),

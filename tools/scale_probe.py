@@ -296,10 +296,14 @@ PROBE_QUERIES = [
     "ann_bq_persisted_topk",
     # r13: bounded-delta descent refresh — full-corpus bucketing O(n)
     # + |touched|·k_build² rounds (CONSTANT at the fixed 100-row
-    # delta) + the n·k mutual self-join; alpha ~ 1 expected (the
-    # scan/mutual legs), with the min-of-4 passes discounting the
-    # pass-1 at-rest old-graph build each scaled factor pays once via
-    # fingerprint mismatch
+    # delta) + the n·k mutual self-join; measured nearly FLAT
+    # (7.4/7.0/7.7/10.0 s at 1/3/10/30x — alpha 0.02, alpha_10_30
+    # 0.24) once the delta was made threshold-based.  The first
+    # registration defined delta as "ids >= n-100", which on the
+    # probe's sparse replica id space silently grew to 97% of the
+    # corpus and degenerated the refresh toward a full build (x30
+    # 308 s, alpha_10_30 2.3) — the x30 stretch point is what caught
+    # it.  min-of-4 discounts the pass-1 at-rest old-graph build.
     "knn_graph_descent_refresh",
     # r13: filtered graph-beam serve — the unfiltered walk's plan plus
     # a predicate on the final answer window (label rides the visited
