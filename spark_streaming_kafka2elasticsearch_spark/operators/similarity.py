@@ -1060,6 +1060,28 @@ def nn_descent_refresh(
 
     # -- 2. touched-subgraph merge --------------------------------------
     touched = seed.select("src").distinct().localCheckpoint(eager=True)
+    # Every delta id must be touched or it silently vanishes from the
+    # output graph (zero seed candidates -> zero edges -> no neighbor
+    # list; ADVICE r13).  With ring > 0 the id-ring guarantees seeds,
+    # so this only fires at ring == 0 when a delta node shares its SRP
+    # bucket with nobody — an input the operator cannot serve, which
+    # must be an error, not a dropped node.  |Δ| is small by contract,
+    # so the anti-join check is a broadcast no-op on the green path.
+    orphans = [
+        r["_did"]
+        for r in delta_ids.join(
+            touched.select(F.col("src").alias("_did")), "_did", "left_anti"
+        )
+        .limit(5)
+        .collect()
+    ]
+    if orphans:
+        raise ValueError(
+            f"nn_descent_refresh: delta ids {orphans} have no seed "
+            "candidates (ring == 0 and no SRP-bucket mate) — they would "
+            "be dropped from the refreshed graph; use ring >= 1 or "
+            "rebuild"
+        )
     old_kept = old_edges.select("src", "dst", "rank")
     untouched = old_kept.join(touched, "src", "left_anti").localCheckpoint(
         eager=True
@@ -2023,6 +2045,7 @@ def ivf_persisted_delete(
     path: str,
     spark=None,
     id_col: str = "vec_id",
+    new_fingerprint: str | None = None,
 ) -> list[int]:
     """DELETE from the persisted IVF layout — the lifecycle op the
     append/compact pair implies (user-deletion / GDPR erasure is the
@@ -2048,6 +2071,13 @@ def ivf_persisted_delete(
     stream-maintained layouts keep their ``batch_id`` subpartitions
     (rows carry the column through the rewrite).
 
+    ``new_fingerprint`` (optional) restamps the at-rest quantizer
+    artifact so the mutated layout serves under a fingerprint that
+    describes the post-delete corpus — the same stale-guard semantics
+    :func:`bq_persist_delete` and the graph refresh already carry
+    (ADVICE r13: without it, the IVF rung silently diverged from its
+    siblings and kept serving under the pre-delete fingerprint).
+
     Returns the list of touched cell ids (the compact() convention)."""
     import os
     import shutil
@@ -2069,6 +2099,7 @@ def ivf_persisted_delete(
         .collect()
     )
     if not touched:
+        _ivf_meta_restamp(path, new_fingerprint)
         return []
     two_level = "batch_id" in index.columns
     remaining = (
@@ -2114,7 +2145,25 @@ def ivf_persisted_delete(
     for cell in touched:
         if cell not in kept_cells:
             shutil.rmtree(os.path.join(path, f"cell={cell}"), ignore_errors=True)
+    _ivf_meta_restamp(path, new_fingerprint)
     return touched
+
+
+def _ivf_meta_restamp(path: str, new_fingerprint: str | None) -> None:
+    """Re-save the at-rest quantizer under ``new_fingerprint`` (the
+    centroid VALUES are unchanged — a delete never retrains), mirroring
+    :func:`_bq_meta_restamp` so every lifecycle rung moves its
+    stale-guard in lockstep with its layout."""
+    if new_fingerprint is None:
+        return
+    from spark_streaming_kafka2elasticsearch_spark.operators.artifacts import (
+        load_centroids,
+        save_centroids,
+    )
+
+    crows = load_centroids(path)
+    if crows is not None:
+        save_centroids(path, crows, fingerprint=new_fingerprint)
 
 
 def ivf_filtered_topk(

@@ -104,18 +104,27 @@ class VectorIndex:
             batch_id=batch_id,
         )
 
-    def delete(self, deleted_ids: DataFrame) -> list:
+    def delete(
+        self, deleted_ids: DataFrame, new_fingerprint: str | None = None
+    ) -> list:
         """Erase ids from the cell-partitioned layout (operators/
         similarity.ivf_persisted_delete): only the cells containing a
         deleted id are rewritten, an emptied cell's directory is
         removed, and the post-delete serve is bit-equal to a rebuild
-        over the surviving corpus."""
-        return _sim.ivf_persisted_delete(
+        over the surviving corpus.  ``new_fingerprint`` restamps the
+        at-rest quantizer so the mutated layout serves under a
+        fingerprint describing the post-delete corpus — the same
+        semantics as ``delete_bq``/``append_bq`` (ADVICE r13)."""
+        touched = _sim.ivf_persisted_delete(
             deleted_ids,
             self.path,
             spark=deleted_ids.sparkSession,
             id_col=self._cols["corpus_id"],
+            new_fingerprint=new_fingerprint,
         )
+        if new_fingerprint is not None:
+            self.fingerprint = new_fingerprint
+        return touched
 
     def compact(
         self, max_files_per_cell: int = 4, target_files_per_cell: int = 1

@@ -628,7 +628,13 @@ def descent_graph_maintenance_stream(
     Same layout and idempotency story as
     :func:`knn_graph_maintenance_stream` — ``corpus/``
     batch_id-partitioned, ``edges/`` atomically rewritten, and the
-    first-seen id ANTI-JOIN making a redelivered batch a no-op —
+    first-seen id ANTI-JOIN making a redelivered batch a no-op — plus
+    a ``_batch_id`` stamp ON the edge rows (ADVICE r13): edges land
+    BEFORE the corpus partition, so a crash between the two would
+    otherwise make the replay refresh with old_edges that already
+    contain the delta (violating :func:`nn_descent_refresh`'s
+    precondition); a replay whose edge stamp is already current skips
+    the refresh and just lands the missing corpus partition —
     but the equality contract is necessarily weaker: the refresh is
     trajectory-dependent, so the pin (tests/test_streaming.py) is
     streamed-maintenance ≡ the SEQUENTIAL batch refreshes over the
@@ -670,9 +676,27 @@ def descent_graph_maintenance_stream(
         if delta.isEmpty():
             return
         if have:
-            old_edges = spark.read.parquet(edges_dir).select(
-                "src", "dst", "rank"
-            )
+            old_raw = spark.read.parquet(edges_dir)
+            # Replay guard (ADVICE r13): the edge rewrite lands BEFORE
+            # the corpus partition, so a crash between the two leaves
+            # edges one batch AHEAD of the corpus.  Edges carry the
+            # batch_id that produced them; a replayed batch whose stamp
+            # is already current must NOT refresh again — old_edges
+            # would contain the delta ids, violating
+            # nn_descent_refresh's precondition — it just lands the
+            # missing corpus partition and the pair reconciles.
+            if "_batch_id" in old_raw.columns:
+                applied = old_raw.agg(
+                    F.max("_batch_id").alias("b")
+                ).first()["b"]
+                if applied is not None and int(applied) >= int(batch_id):
+                    overwrite_partitions(
+                        delta.withColumn("batch_id", F.lit(batch_id)),
+                        corpus_dir,
+                        ["batch_id"],
+                    )
+                    return
+            old_edges = old_raw.select("src", "dst", "rank")
             full = old_corpus.union(delta.select("vec_id", "embedding"))
             new_edges = nn_descent_refresh(
                 old_edges,
@@ -697,8 +721,13 @@ def descent_graph_maintenance_stream(
             )
         # Materialize BEFORE the overwrite: the refresh plan READS the
         # edge files it is about to replace (the self-overwrite trap).
-        new_edges = new_edges.select("src", "dst", "rank").localCheckpoint(
-            eager=True
+        # The _batch_id stamp travels atomically WITH the edge rows —
+        # that is what makes the replay guard above crash-safe (a
+        # marker file written separately would reopen the window).
+        new_edges = (
+            new_edges.select("src", "dst", "rank")
+            .withColumn("_batch_id", F.lit(int(batch_id)))
+            .localCheckpoint(eager=True)
         )
         new_edges.write.mode("overwrite").parquet(edges_dir)
         overwrite_partitions(
@@ -1080,12 +1109,15 @@ def _interval_to_us(window: str) -> int:
     what ``window`` may contain."""
     parts = window.split()
     supported = ", ".join(sorted(set(_INTERVAL_UNITS_US)))
-    if len(parts) != 2 or not parts[0].lstrip("-").isdigit():
+    # parts[0].isdigit() (no lstrip) also rejects negative quantities:
+    # '-30 minutes' would otherwise flow negative microseconds into
+    # watermark/window arithmetic (ADVICE r13).
+    if len(parts) != 2 or not parts[0].isdigit() or int(parts[0]) < 1:
         raise ValueError(
-            f"unsupported interval {window!r}: expected '<int> <unit>' "
-            f"with unit one of {supported} (compound intervals like "
-            "'1 day 2 hours' are not supported here — pre-convert to a "
-            "single unit)"
+            f"unsupported interval {window!r}: expected '<positive int> "
+            f"<unit>' with unit one of {supported} (compound intervals "
+            "like '1 day 2 hours' are not supported here — pre-convert "
+            "to a single unit)"
         )
     qty, unit = parts
     if unit not in _INTERVAL_UNITS_US:

@@ -596,3 +596,41 @@ def test_graph_serve_honors_non_default_build_params(spark, tmp_path):
         VectorIndex(path, fingerprint="fp2").search(
             emb, queries, k=5, method="graph"
         )
+
+
+def test_ivf_delete_restamps_fingerprint(spark, tmp_path):
+    """ADVICE r13: after an IVF delete the mutated layout must serve
+    under a fingerprint describing the POST-delete corpus, like its
+    sibling lifecycle ops (delete_bq/append_bq/refresh_graph) — the
+    old fingerprint goes stale, the new one loads."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.artifacts import (
+        load_centroids,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.vector_index import (
+        VectorIndex,
+    )
+
+    emb = _emb(spark)
+    cents = _cents(emb)
+    path = str(tmp_path / "ivf_restamp")
+    idx = VectorIndex(path, fingerprint="fp_base")
+    idx.build(emb, cents)
+    assert load_centroids(path, expected_fingerprint="fp_base") is not None
+
+    doomed = emb.filter(F.col("vec_id") % 9 == 1).select("vec_id")
+    touched = idx.delete(doomed, new_fingerprint="fp_del")
+    assert touched  # the doomed ids live in at least one cell
+    assert idx.fingerprint == "fp_del"
+    # Old fingerprint is now STALE, the restamped one serves; the
+    # centroid VALUES are unchanged (delete never retrains).
+    assert load_centroids(path, expected_fingerprint="fp_base") is None
+    crows = load_centroids(path, expected_fingerprint="fp_del")
+    assert crows is not None and len(crows) == len(_rows(cents))
+
+    # No-op delete (ids absent from the index) still restamps: the
+    # caller's corpus description moved even if no cell was rewritten.
+    ghost = spark.range(10_000_000, 10_000_005).select(
+        F.col("id").alias("vec_id")
+    )
+    assert idx.delete(ghost, new_fingerprint="fp_del2") == []
+    assert load_centroids(path, expected_fingerprint="fp_del2") is not None

@@ -1431,3 +1431,45 @@ def test_knn_graph_append_idempotent_under_crash_replay(spark):
         ).collect()
     }
     assert replayed == rebuilt
+
+
+def test_nn_descent_refresh_rejects_orphan_delta_at_ring_zero(spark):
+    """ADVICE r13: at ring=0, a delta node that shares its SRP bucket
+    with NOBODY gets zero seed candidates and would silently vanish
+    from the refreshed graph (no neighbor list at all).  The operator
+    must raise instead of dropping the node; ring>=1 resolves it via
+    the id ring."""
+    import pytest as _pytest
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        nn_descent_graph,
+        nn_descent_refresh,
+    )
+
+    # 33 copies of v cluster in one SRP bucket; the delta vector -v
+    # flips the sign of EVERY plane dot, so its bucket is guaranteed
+    # disjoint from the cluster's — a bucket with no mates.
+    v = [1.0, 0.5, -0.25, 2.0, 0.75, -1.5, 0.3, 1.1]
+    old_rows = [(i, v) for i in range(33)]
+    old = spark.createDataFrame(old_rows, "vec_id long, embedding array<double>")
+    full_rows = old_rows + [(33, [-x for x in v])]
+    full = spark.createDataFrame(
+        full_rows, "vec_id long, embedding array<double>"
+    )
+    delta = full.filter(F.col("vec_id") == 33)
+    old_g = nn_descent_graph(
+        old, k=4, k_build=8, dim=8, rounds=2, occupancy=32, ring=2
+    ).select("src", "dst", "rank").localCheckpoint(eager=True)
+    with _pytest.raises(ValueError, match="no seed"):
+        nn_descent_refresh(
+            old_g, full, delta, k=4, k_build=8, dim=8, rounds=1,
+            occupancy=32, ring=0,
+        )
+    # ring >= 1 gives the orphan its id-ring seeds: every node —
+    # including the delta — emits a full neighbor list.
+    refreshed = nn_descent_refresh(
+        old_g, full, delta, k=4, k_build=8, dim=8, rounds=1,
+        occupancy=32, ring=1,
+    )
+    got = {(r.src, r.dst) for r in refreshed.collect()}
+    assert len({s for s, _ in got}) == 34

@@ -2292,6 +2292,13 @@ def test_interval_grammar_names_supported_units():
         _interval_to_us("1 day 2 hours")
     with _pytest.raises(ValueError, match="fortnight"):
         _interval_to_us("3 fortnight")
+    # ADVICE r13: negative/zero quantities must be rejected too — a
+    # '-30 minutes' that validates would flow negative microseconds
+    # into watermark/window arithmetic.
+    with _pytest.raises(ValueError, match="positive int"):
+        _interval_to_us("-30 minutes")
+    with _pytest.raises(ValueError, match="positive int"):
+        _interval_to_us("0 minutes")
 
 
 def test_attribution_stream_stream_join_matches_batch(spark, tmp_path):
@@ -2749,7 +2756,9 @@ def test_descent_graph_maintenance_stream_equals_batch_refresh(
         q.processAllAvailable()
         got = {
             tuple(r)
-            for r in spark.read.parquet(f"{graph_path}/edges").collect()
+            for r in spark.read.parquet(f"{graph_path}/edges")
+            .select("src", "dst", "rank")
+            .collect()
         }
         n_corpus = (
             spark.read.parquet(f"{graph_path}/corpus")
@@ -2779,4 +2788,125 @@ def test_descent_graph_maintenance_stream_equals_batch_refresh(
             ring=2,
         ).select("src", "dst", "rank").collect()
     }
+    assert got == want and got
+
+
+def test_descent_graph_maintenance_stream_replay_after_crash(
+    spark, tmp_path
+):
+    """The edges-before-corpus crash window (ADVICE r13): edges for
+    batch 1 already landed (stamped ``_batch_id=1``) but the corpus
+    partition did not.  On replay the maintain loop must SKIP the
+    refresh — old_edges already contain the delta ids, so refreshing
+    again would violate nn_descent_refresh's precondition — and just
+    land the missing corpus partition: edges afterwards are bit-equal
+    to the stamped set, corpus is complete."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        nn_descent_graph,
+        nn_descent_refresh,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        descent_graph_maintenance_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = {
+        r["vec_id"]: list(r["embedding"]) for r in emb.limit(36).collect()
+    }
+    ids = sorted(rows)
+    b0_ids, b1_ids = ids[:24], ids[24:]
+
+    def vec(i):
+        return json.dumps({"vec_id": i, "embedding": rows[i]})
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    graph_path = str(tmp_path / "dgraph")
+    chk = str(tmp_path / "chk")
+    kwargs = dict(
+        k=6,
+        k_build=12,
+        build_rounds=3,
+        refresh_rounds=2,
+        occupancy=32,
+        ring=2,
+        dim=64,
+    )
+    q = descent_graph_maintenance_stream(
+        spark,
+        JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        graph_path,
+        chk,
+        **kwargs,
+    )
+    try:
+        write_batch_file(str(src_dir), "b0.json", [vec(i) for i in b0_ids])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Emulate the crashed batch 1: its edge rewrite landed (stamped
+    # _batch_id=1), the corpus partition did not.
+    old = emb.filter(F.col("vec_id").isin(b0_ids))
+    delta = emb.filter(F.col("vec_id").isin(b1_ids))
+    g0 = nn_descent_graph(
+        old, k=6, k_build=12, dim=64, rounds=3, occupancy=32, ring=2
+    ).select("src", "dst", "rank")
+    refreshed = (
+        nn_descent_refresh(
+            g0,
+            emb.filter(F.col("vec_id").isin(ids)),
+            delta,
+            k=6,
+            k_build=12,
+            dim=64,
+            rounds=2,
+            occupancy=32,
+            ring=2,
+        )
+        .select("src", "dst", "rank")
+        .withColumn("_batch_id", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    refreshed.write.mode("overwrite").parquet(f"{graph_path}/edges")
+    want = {
+        tuple(r)
+        for r in refreshed.select("src", "dst", "rank").collect()
+    }
+
+    # Replay: restart on the same checkpoint; b1 arrives as batch 1.
+    write_batch_file(str(src_dir), "b1.json", [vec(i) for i in b1_ids])
+    q = descent_graph_maintenance_stream(
+        spark,
+        JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        graph_path,
+        chk,
+        **kwargs,
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(f"{graph_path}/edges")
+            .select("src", "dst", "rank")
+            .collect()
+        }
+        stamp = (
+            spark.read.parquet(f"{graph_path}/edges")
+            .agg(F.max("_batch_id").alias("b"))
+            .first()["b"]
+        )
+        n_corpus = (
+            spark.read.parquet(f"{graph_path}/corpus")
+            .select("vec_id")
+            .distinct()
+            .count()
+        )
+    finally:
+        q.stop()
+    assert n_corpus == len(ids)
+    assert stamp == 1
     assert got == want and got
