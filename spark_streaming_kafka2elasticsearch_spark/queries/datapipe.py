@@ -38,7 +38,11 @@ from spark_streaming_kafka2elasticsearch_spark.operators.text import (
     language_id_oracle_sql,
     text_quality,
 )
-from spark_streaming_kafka2elasticsearch_spark.queries import load_table, register
+from spark_streaming_kafka2elasticsearch_spark.queries import (
+    load_table,
+    register,
+    register_probe_only,
+)
 
 # ---------------------------------------------------------------------------
 # Dedup
@@ -1998,7 +2002,15 @@ def embedding_near_dup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (miss probability per planted pair ~5e-13 with 8×8 planes), and
     the similarity VALUES match bit-for-bit (sequential fold ≡
     list_cosine_similarity).  See srp_near_dup_pairs for why this
-    works at 0.9 but cannot at 0.35."""
+    works at 0.9 but cannot at 0.35.
+
+    Scale adjudication (r14, VERDICT r13 item 3): the fixed-p layout
+    makes pair work n²/2^p by construction, so its probe α 1.13 is
+    intrinsic — but the pin stays REGISTERED (not demoted) because it
+    is the family's only FULL value oracle: the recall proof requires
+    a bucket layout that does not move with sf, while the production
+    auto twin (α 0.96) sizes p from a Spark-side count and is
+    therefore rows-only.  The SCALE_PROBE row carries the same note."""
     from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
         srp_near_dup_pairs,
     )
@@ -3542,55 +3554,26 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "semdedup_keep_decisions",
-    oracle="""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-c AS (
-  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
-),
-scored AS (
-  SELECT e.vec_id, c.cid,
-         list_cosine_similarity(e.v, c.cv) AS sim,
-         row_number() OVER (
-           PARTITION BY e.vec_id
-           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
-         ) AS rn
-  FROM e CROSS JOIN c
-),
-assigned AS (
-  SELECT s.vec_id, s.cid AS cluster_id, e.v
-  FROM scored s JOIN e ON e.vec_id = s.vec_id WHERE s.rn = 1
-),
-best_prior AS (
-  SELECT b.vec_id, max(list_cosine_similarity(a.v, b.v)) AS max_intra_sim
-  FROM assigned a JOIN assigned b
-    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-  GROUP BY b.vec_id
-)
-SELECT assigned.vec_id, assigned.cluster_id, bp.max_intra_sim,
-       (bp.max_intra_sim IS NULL OR bp.max_intra_sim < 0.40) AS keep
-FROM assigned LEFT JOIN best_prior bp ON bp.vec_id = assigned.vec_id
-""",
-)
+@register_probe_only("semdedup_keep_decisions")
 def semdedup_keep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table: assign every vector to its
-    nearest of 8 deterministic centroids (the 8 lowest-id vectors — a
-    literal rule both engines can reproduce; production would feed
-    seeded KMeans centers), then prune any vector ≥ 0.40 cosine to a
-    lower-id clustermate.  Emits the full audit trail (vec_id,
-    cluster_id, max_intra_sim, keep), value-checked: the cosine folds
-    are the bit-deterministic sequential double ops shared with
-    embedding_cosine_pairs.
+    """SemDeDup with a FIXED 8-centroid layout — PROBE-ONLY since r14
+    (VERDICT r13 item 2): the intra-cluster pair scan is n²/c by
+    construction at fixed c, which probed α 1.50 — the registry's
+    worst plan-intrinsic super-linear shape, and the exact class
+    knn_graph_edges_auto was demoted for in r13.  The production path
+    is semdedup_keep_decisions_auto (c = ⌈√n⌉, α 0.61, registered with
+    the identical full value oracle), so the oracle family stays
+    covered; this pin remains as the documented scale-stable-layout
+    reference point the probe numbers are read against —
+    tools/scale_probe.py resolves it through probe_only_queries().
 
-    100 TB note: the intra-cluster pair scan is the cost center; with
-    c ≈ √n clusters it is ~n^1.5 total and embarrassingly parallel
-    across clusters.  The 8-centroid literal here keeps the oracle
-    deterministic at toy scale — the operator itself
-    (operators/similarity.semdedup_assignments) takes any centroid
-    table width."""
+    Original design: assign every vector to its nearest of 8
+    deterministic centroids (the 8 lowest-id vectors — a literal rule
+    both engines can reproduce; production would feed seeded KMeans
+    centers), then prune any vector ≥ 0.40 cosine to a lower-id
+    clustermate.  Emits the full audit trail (vec_id, cluster_id,
+    max_intra_sim, keep); the cosine folds are the bit-deterministic
+    sequential double ops shared with embedding_cosine_pairs."""
     from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
         semdedup_assignments,
     )
