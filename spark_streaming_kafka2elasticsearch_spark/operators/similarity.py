@@ -1126,6 +1126,204 @@ def nn_descent_refresh(
     )
 
 
+def nn_descent_delete(
+    old_edges: DataFrame,
+    corpus_new: DataFrame,
+    deleted_ids: DataFrame,
+    k: int = 16,
+    k_build: int = 30,
+    dim: int = 64,
+    rounds: int = 1,
+    occupancy: int = 32,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """DELETE from the NN-Descent graph — the last corner of the
+    maintenance matrix (VERDICT r13 item 4): the quantizer graph has
+    exact delete (:func:`knn_graph_delete`), the descent graph had
+    only the append-shaped :func:`nn_descent_refresh`.
+
+    Like the quantizer delete, erasure REOPENS the top-k window: a
+    deleted node that occupied a slot evicted candidates the stored
+    edge list no longer carries.  But the descent graph has no probe
+    cells to re-rank exactly, and its structure is
+    trajectory-dependent — so the contract is the refresh's, not the
+    append's: deterministic replay (full value oracle) plus
+    recall-vs-rebuild ≥ 0.9 (pinned in
+    tests/test_similarity_recall.py), NOT bit-equality to the
+    rebuild.
+
+    Δ-bounded stages, reusing the refresh's touched-source machinery:
+
+    1. **Tombstone** — edges whose src is deleted drop entirely;
+       ``touched`` = surviving sources holding ≥ 1 deleted dst
+       (≈ |Δ|·k nodes — constant in corpus size at fixed Δ).
+    2. **Re-seed** — each touched node's candidates are the SURVIVORS
+       of its old list plus its SRP-bucket mates in the post-delete
+       corpus (auto-p from the surviving n — the build's occupancy
+       rule), merged top-``k_build``.  Every other source's list
+       carries over verbatim, edges AND ranks (it held no deleted
+       dst, so deletion only removed candidates below its rank-k cut
+       — the exact-delete argument, which is why untouched carryover
+       loses no recall).
+    3. **Descent rounds over the touched subgraph** — ``rounds``
+       neighbor-of-neighbor sweeps with the SOURCE side restricted to
+       touched nodes, routing through the full current edge set
+       (untouched lists participate as routes without being
+       rewritten); top-``k_build`` per touched node, localCheckpoint
+       per round.  Finally touched nodes emit their top-``k`` and the
+       mutual flag recomputes over the unioned edge relation.
+
+    Work: O(n) bucketing + O(|touched|·(occupancy + k +
+    rounds·k_build²)) + the n·k mutual self-join — scan-bound linear
+    at fixed Δ (probed in tools/scale_probe.py), where a rebuild
+    re-pays the full descent.
+
+    Fully deterministic given (old graph, surviving corpus, Δ) —
+    fixed rounds, bit-exact hoisted cosine, (sim DESC, dst ASC)
+    tie-breaks — so build + delete replay end-to-end as one oracle
+    CTE chain (the ``knn_graph_descent_refresh`` composition).
+
+    ``old_edges``: ``(src, dst, rank)`` over the PRE-delete corpus;
+    ``corpus_new``: the corpus AFTER the deletion (deleted rows
+    gone); ``deleted_ids``: the tombstoned id set.
+
+    Output: ``(src, dst, rank, mutual)`` — the :func:`knn_graph`
+    schema over the surviving corpus."""
+    import math
+
+    n = corpus_new.count()
+    if n < 2:
+        raise ValueError("nn_descent_delete needs >= 2 surviving vectors")
+    p = max(1, math.ceil(math.log2(n / occupancy)))
+    vec_d = F.col(corpus_vec).cast("array<double>")
+    base = corpus_new.select(
+        F.col(corpus_id).alias("_id"),
+        vec_d.alias("_v"),
+        l2_norm(vec_d).alias("_n"),
+        srp_bucket(F.col(corpus_vec), dim, p).alias("_bucket"),
+    ).persist()
+    dele = deleted_ids.select(F.col(id_col).alias("_del")).distinct()
+
+    src_side = base.select(
+        F.col("_id").alias("src"),
+        F.col("_v").alias("_sv"),
+        F.col("_n").alias("_sn"),
+    )
+    dst_side = base.select(
+        F.col("_id").alias("dst"),
+        F.col("_v").alias("_dv"),
+        F.col("_n").alias("_dn"),
+    )
+
+    def _topk(cand: DataFrame, kk: int, with_rank: bool = False) -> DataFrame:
+        scored = cand.join(src_side, "src").join(dst_side, "dst")
+        denom = F.col("_sn") * F.col("_dn")
+        sims = scored.select(
+            "src",
+            "dst",
+            F.when(denom == 0, F.lit(None))
+            .otherwise(dot_product(F.col("_sv"), F.col("_dv")) / denom)
+            .alias("_sim"),
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("_sim"), F.asc("dst"))
+        ranked = sims.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= kk
+        )
+        if with_rank:
+            return ranked.select(
+                "src", "dst", F.col("rank").cast("int").alias("rank")
+            )
+        return ranked.select("src", "dst")
+
+    # -- 1. tombstone: deleted srcs drop; touched = srcs losing an edge
+    old_kept = old_edges.select("src", "dst", "rank").join(
+        dele, F.col("src") == F.col("_del"), "left_anti"
+    )
+    touched = (
+        old_kept.join(dele, old_kept.dst == dele._del)
+        .select("src")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    untouched = old_kept.join(touched, "src", "left_anti").localCheckpoint(
+        eager=True
+    )
+
+    # -- 2. re-seed: surviving old list ∪ SRP-bucket mates ------------
+    surv_list = (
+        old_kept.join(touched, "src")
+        .join(dele, old_kept.dst == dele._del, "left_anti")
+        .select("src", "dst")
+    )
+    tb = touched.join(
+        base.select(F.col("_id").alias("src"), "_bucket"), "src"
+    )
+    mates = base.select(F.col("_id").alias("_mid"), "_bucket")
+    bmate = (
+        tb.join(mates, "_bucket")
+        .filter(F.col("src") != F.col("_mid"))
+        .select("src", F.col("_mid").alias("dst"))
+    )
+    cand0 = surv_list.union(bmate).distinct().localCheckpoint(eager=True)
+    # Every touched node must have >= 1 surviving candidate or it
+    # would silently vanish from the output graph (the
+    # nn_descent_refresh orphan rule, erasure direction): possible
+    # only when its ENTIRE old list was deleted AND it is alone in
+    # its SRP bucket.
+    orphans = [
+        r["src"]
+        for r in touched.join(
+            cand0.select("src").distinct(), "src", "left_anti"
+        )
+        .limit(5)
+        .collect()
+    ]
+    if orphans:
+        raise ValueError(
+            f"nn_descent_delete: touched ids {orphans} have no surviving "
+            "candidates (entire edge list deleted and no SRP-bucket "
+            "mate) — they would be dropped from the graph; rebuild "
+            "instead"
+        )
+    g = _topk(cand0, k_build).localCheckpoint(eager=True)
+
+    # -- 3. descent rounds over the touched subgraph -------------------
+    for _ in range(rounds):
+        current = g.union(untouched.select("src", "dst"))
+        und = current.union(
+            current.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        a = und.join(touched, "src").alias("a")
+        b = und.alias("b")
+        two_hop = (
+            a.join(b, F.col("a.dst") == F.col("b.src"))
+            .filter(F.col("b.dst") != F.col("a.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        g = _topk(two_hop.union(g).distinct(), k_build).localCheckpoint(
+            eager=True
+        )
+
+    edges = (
+        _topk(g, k, with_rank=True)
+        .union(untouched)
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+    rev = edges.select(
+        F.col("dst").alias("_r_src"), F.col("src").alias("_r_dst")
+    )
+    return edges.join(
+        rev,
+        (edges.src == rev._r_src) & (edges.dst == rev._r_dst),
+        "left",
+    ).select(
+        "src", "dst", "rank", F.col("_r_src").isNotNull().alias("mutual")
+    )
+
+
 def knn_graph_append(
     corpus_old: DataFrame,
     delta: DataFrame,

@@ -1473,3 +1473,64 @@ def test_nn_descent_refresh_rejects_orphan_delta_at_ring_zero(spark):
     )
     got = {(r.src, r.dst) for r in refreshed.collect()}
     assert len({s for s, _ in got}) == 34
+
+
+def test_nn_descent_delete_recall_vs_full_rebuild(spark):
+    """VERDICT r13 item 4 done-criterion: deleting a bounded erasure
+    set from the NN-Descent graph (tombstone deleted srcs, touched
+    sources re-rank surviving list ∪ SRP-bucket mates + 1
+    touched-restricted descent round) must reach ≥ 0.9 edge-set
+    recall against the FULL rebuild over the surviving corpus.
+    Deleted ids must vanish from BOTH edge endpoints, untouched
+    sources carry their stored edges bit-unchanged, and every
+    survivor keeps a full k-list."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        nn_descent_delete,
+        nn_descent_graph,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cond = (F.col("vec_id") % 20 == 7) & (F.col("vec_id") < 2000)
+    survivors = emb.filter(~cond)
+    deleted = emb.filter(cond).select("vec_id")
+    n_del = deleted.count()
+    n_surv = survivors.count()
+    full_g = nn_descent_graph(
+        emb, k=16, k_build=30, dim=64, rounds=3, occupancy=32, ring=2
+    ).select("src", "dst", "rank").localCheckpoint(eager=True)
+    after = nn_descent_delete(
+        full_g, survivors, deleted, k=16, k_build=30, dim=64, rounds=1,
+        occupancy=32,
+    ).localCheckpoint(eager=True)
+    got = {(r.src, r.dst) for r in after.collect()}
+    del_ids = {r.vec_id for r in deleted.collect()}
+    assert n_del == 100
+    # no deleted id on either endpoint; every survivor has a full list
+    assert not {s for s, _ in got} & del_ids
+    assert not {d for _, d in got} & del_ids
+    assert len(got) == n_surv * 16
+    # Rebuild with the STANDARD build params (ring=2 — survivor ids
+    # have holes, so some ring candidates miss the corpus join and
+    # drop out, the documented contract; a ring=0 rebuild is NOT a
+    # valid reference on this data: it converges to a different local
+    # optimum that agrees with nothing, 0.054 even against the ring=2
+    # rebuild — measured before pinning this test).
+    rebuilt = {
+        (r.src, r.dst)
+        for r in nn_descent_graph(
+            survivors, k=16, k_build=30, dim=64, rounds=3, occupancy=32,
+            ring=2,
+        ).collect()
+    }
+    recall = len(got & rebuilt) / len(rebuilt)
+    assert recall >= 0.9, f"delete recall {recall:.3f} < 0.9"  # 0.932 measured
+    # untouched sources (no deleted dst in the old graph) carry their
+    # stored (src, dst, rank) rows bit-unchanged
+    old_rows = [
+        (r.src, r.dst, r.rank) for r in full_g.collect()
+    ]
+    touched_srcs = {s for s, d, _ in old_rows if d in del_ids} | del_ids
+    want_untouched = {t for t in old_rows if t[0] not in touched_srcs}
+    got_ranked = {(r.src, r.dst, r.rank) for r in after.collect()}
+    assert want_untouched <= got_ranked

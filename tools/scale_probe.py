@@ -343,6 +343,22 @@ PROBE_QUERIES = [
     # r11: IVF-BQ — cell-pruned scan over d/8-byte codes, XOR+popcount
     # scoring; alpha must track ann_ivf_persisted_topk
     "ann_ivf_bq_topk",
+    # r14: descent-graph delete — the last maintenance-matrix corner:
+    # O(n) survivor re-bucketing + |touched|·(k + occ + k_build²)
+    # re-rank/descent (touched ≈ |Δ|·k, CONSTANT at the bounded
+    # erasure set) + the n·k mutual self-join ⇒ alpha ≲ 1 expected,
+    # the refresh's slope in the erasure direction; min-of-4 discounts
+    # the pass-1 at-rest full-graph build (NN-Descent — linear, so the
+    # x30 stretch leg is NOT fixture-capped)
+    "knn_graph_descent_delete",
+    # r14 (VERDICT r13 item 5): the quantizer-graph delete's stretch
+    # twin — the registered knn_graph_delete_serve keeps its exact
+    # n²/c fixture (its oracle pins bit-equality to the exact
+    # rebuild), which capped its probe at x10; this probe-only twin
+    # builds the at-rest graph with NN-Descent and times the
+    # IDENTICAL serve path, so its x30 row carries the serve claim
+    # (alpha ~ the |Δ|·k·n/c slope, ≲ 1)
+    "knn_graph_delete_serve_probe",
 ]
 
 
