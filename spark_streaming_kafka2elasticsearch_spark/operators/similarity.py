@@ -1808,6 +1808,34 @@ def graph_beam_topk(
                     query_id, query_vec, dim, entry_occupancy,
                 )
             ).distinct()
+    elif entry_mode == "bucket_all":
+        # OUT-OF-CORPUS entry: seed the walk with the query's WHOLE
+        # SRP bucket (~occupancy mates, global-min fallback when
+        # empty) instead of one node.  A corpus-member query enters
+        # at itself and navigates outward, but a held-out query's
+        # single best bucket mate is often far on weakly-clustered
+        # data and the greedy walk cannot cross the graph (measured
+        # 0.31–0.34 recall@10 from single entries); seeding every
+        # mate makes round 1 an IVF-style probe of the entry
+        # neighborhood that the beam then REFINES along edges —
+        # occupancy is held by the auto-p rule, so entry cost stays
+        # constant in n.
+        import math
+
+        n = corpus.count()
+        p = max(1, math.ceil(math.log2(n / entry_occupancy)))
+        mates = corpus.select(
+            F.col(corpus_id).alias("node"),
+            srp_bucket(F.col(corpus_vec), dim, p).alias("_b"),
+        )
+        qb = queries.select(
+            F.col(query_id).alias("query_id"),
+            srp_bucket(F.col(query_vec), dim, p).alias("_b"),
+        )
+        gmin = corpus.agg(F.min(corpus_id)).collect()[0][0]
+        entry_df = qb.join(mates, "_b", "left").select(
+            "query_id", F.coalesce("node", F.lit(gmin)).alias("node")
+        )
     elif entry_mode == "bucket_argmax":
         # Score the query's WHOLE SRP bucket (~occupancy mates) and
         # enter at the argmax — the "upper layer" that actually helps

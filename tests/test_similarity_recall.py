@@ -1534,3 +1534,96 @@ def test_nn_descent_delete_recall_vs_full_rebuild(spark):
     want_untouched = {t for t in old_rows if t[0] not in touched_srcs}
     got_ranked = {(r.src, r.dst, r.rank) for r in after.collect()}
     assert want_untouched <= got_ranked
+
+
+def test_graph_beam_heldout_recall_and_empty_bucket_fallback(spark):
+    """VERDICT r13 item 7 done-criterion: recall for HELD-OUT query
+    vectors (removed from corpus and graph — the 100 TB serve-time
+    shape) and the empty-bucket fallback exercised directly.
+
+    Held-out sweep at sf0.1 (8 queries, vec_id ≡ 13 mod 250, vs exact
+    cosine top-10 over the surviving corpus):
+
+        bucket            beam=8  r=3: 0.3125   (single entry)
+        bucket_argmax     beam=8  r=3: 0.3375   (single entry)
+        bucket            beam=16 r=5: 0.675    (single-entry plateau)
+        bucket_argmax     beam=16 r=5: 0.675
+        bucket_all        beam=8  r=3: 0.60     (probe-then-refine)
+        bucket_all        beam=16 r=3: 0.725
+        bucket_all        beam=32 r=3: 0.9125   <- registered
+        bucket_all        beam=48 r=4: 0.95
+        Hamming-1 multiprobe entry, no walk:  0.2125
+
+    A held-out query cannot enter at itself (that self-entry is what
+    made the corpus-member sweep look easy), and on weakly-clustered
+    data the greedy walk cannot cross the graph from one far entry —
+    widening a SINGLE entry's beam plateaus at 0.675.  Seeding the
+    walk with the query's whole SRP bucket (entry_mode='bucket_all')
+    turns round 1 into an IVF-style probe the beam then refines:
+    0.9125 at beam=32 × 3 rounds, pinned here.  Visited count is
+    O(occupancy + beam·degree·rounds) — constant in n."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        brute_force_topk,
+        graph_beam_topk,
+        nn_descent_graph,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    held = (F.col("vec_id") % 250) == 13
+    corpus = emb.filter(~held)
+    queries = emb.filter(held).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    assert queries.count() == 8
+    edges = nn_descent_graph(
+        corpus, k=16, k_build=30, dim=64, rounds=3, occupancy=32, ring=2
+    ).localCheckpoint(eager=True)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(corpus, queries, k=10).collect()
+    }
+    got_all = {
+        (r.query_id, r.neighbor_id)
+        for r in graph_beam_topk(
+            edges, corpus, queries, k=10, beam=32, rounds=3,
+            entry_mode="bucket_all",
+        ).collect()
+    }
+    rec_all = len(got_all & exact) / len(exact)
+    assert rec_all >= 0.9, f"held-out bucket_all recall {rec_all:.3f} < 0.9"
+    # the single-entry rung is strictly weaker for held-out queries —
+    # the measured gap that justifies the whole-bucket seeding
+    got_one = {
+        (r.query_id, r.neighbor_id)
+        for r in graph_beam_topk(
+            edges, corpus, queries, k=10, beam=8, rounds=3,
+            entry_mode="bucket_argmax",
+        ).collect()
+    }
+    rec_one = len(got_one & exact) / len(exact)
+    assert rec_one < rec_all
+
+    # -- empty-bucket fallback (documented in graph_beam_topk) --------
+    # 33 copies of v occupy ONE SRP bucket; the query -v flips every
+    # plane sign, so its bucket is empty and the entry must fall back
+    # to the global min id — and still serve k rows.
+    v = [1.0, 0.5, -0.25, 2.0, 0.75, -1.5, 0.3, 1.1]
+    tiny = spark.createDataFrame(
+        [(i, v) for i in range(33)], "vec_id long, embedding array<double>"
+    )
+    tiny_edges = nn_descent_graph(
+        tiny, k=4, k_build=8, dim=8, rounds=2, occupancy=32, ring=2
+    ).select("src", "dst", "rank")
+    q_neg = spark.createDataFrame(
+        [(99, [-x for x in v])],
+        "query_id long, query_embedding array<double>",
+    )
+    for mode in ("bucket", "bucket_argmax", "bucket_all"):
+        out = graph_beam_topk(
+            tiny_edges, tiny, q_neg, k=4, beam=4, rounds=2,
+            dim=8, entry_mode=mode,
+        ).collect()
+        assert len(out) == 4, f"{mode}: fallback served {len(out)} rows"
+        assert all(r.query_id == 99 for r in out)
