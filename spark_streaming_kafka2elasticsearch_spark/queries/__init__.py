@@ -94,72 +94,68 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: rest.  Dicts preserve insertion order; rotate this list each round
 #: so every query gets a driver row within two rounds.
 _PRIORITY: list[str] = [
-    # round-13 rotation (VERDICT r12 item 6): head = queries NEW or
-    # CHANGED in r13 (7 new entries + knn_graph_append_serve, whose
-    # merge gained the crash-replay dedup — output unchanged but the
-    # plan changed, so it gets a fresh row), then ALL 28 queries whose
-    # newest driver row is still r8-vintage (the oldest tier — retired
-    # completely this round, as demanded: 8 + 28 = 36 ≤ the ~50-row
-    # budget), then the 14 oldest r9-vintage rows to start on the next
-    # debt tier.  8 + 28 + 14 = 50.  A test asserts this list is
-    # duplicate-free.
-    # -- new in r13 (7) --
-    "knn_graph_descent_refresh",
-    "ann_graph_beam_filtered_topk",
-    "ann_graph_beam_hier_topk",
-    "knn_graph_delete_serve",
-    "ann_ivf_delete_serve",
-    "ann_bq_append_serve",
-    "ann_bq_delete_serve",
-    # -- changed in r13 (1) --
-    "knn_graph_append_serve",
-    # -- r8-vintage (28) --
-    "ann_ivf_persisted_topk_multiprobe",
-    "bpe_encode_documents",
-    "bpe_train_merges",
-    "bpe_vocab_after_training",
-    "discounted_revenue",
-    "dsir_budget_selection",
-    "dsir_importance_weights",
-    "dup_component_audit",
-    "embedding_abtt_postprocess",
-    "embedding_covariance",
-    "embedding_near_dup_clusters",
-    "embedding_pc_power_iteration",
-    "forecast_revenue_change",
-    "hard_negative_mining",
-    "image_near_dup_pairs",
-    "near_dup_lpa_communities",
-    "passage_retrieval_topk",
-    "quality_logistic_scores",
-    "returned_item_reporting",
-    "sequence_packing_plan",
-    "set_similarity_prefix_pairs",
-    "source_temperature_mix",
-    "tfidf_scores",
-    "token_budget_corpus_selection",
-    "training_shard_shuffle",
-    "volume_shipping",
-    "winnowing_fingerprints",
-    "winnowing_overlap_pairs",
-    # -- oldest r9-vintage (18) --
-    "above_average_customers",
-    "active_parties_union",
-    "ann_cosine_topk",
-    # (ann_cosine_topk_ivf appears in the r9 driver artifact but is no
-    # longer a registered name — superseded by the persisted-IVF
-    # family; nation_party_setops takes its rotation slot)
-    "nation_party_setops",
-    "bpe_token_stats",
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "dedup_exact_documents",
-    "document_fingerprints",
-    "document_scores_pandas",
-    "documents_curation_pipeline",
-    "embedding_l2_norms",
-    "embedding_near_dup_srp",
-    "events_json_props",
+    # round-14 rotation (VERDICT r13 item 1): head = the 3 queries NEW
+    # in r14 (never driver-checked), then ALL 35 still-registered
+    # queries whose newest driver row is r9-vintage (the oldest tier —
+    # retired completely this round, as demanded; the 36th r9 name,
+    # ann_cosine_topk_ivf, is no longer a registered query, and
+    # semdedup_keep_decisions left the registry via the r14 probe-only
+    # demotion), then the 12 alphabetically-first r10-vintage rows to
+    # start on the next debt tier.  3 + 35 + 12 = 50.  A test asserts
+    # this list is duplicate-free.
+    # -- new in r14 (3) --
+    "knn_graph_descent_delete",
+    "ann_graph_beam_ooc_topk",
+    "ann_graph_beam_heldout_topk",
+    # -- r9-vintage (35) --
+    "ann_cosine_topk_ivf_fixed",
+    "ann_ivf_persisted_topk",
+    "ann_ivf_trained_topk",
+    "ann_pq_adc_topk",
+    "array_functions_showcase",
+    "ccnet_perplexity_buckets",
+    "events_props_map_keys",
+    "ivf_kmeans_codebook",
+    "language_id_heuristic",
+    "latest_event_per_user",
+    "lineitem_rollup",
+    "multimodal_image_features",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "order_status_distinct_customers",
+    "order_status_distinct_customers_approx",
+    "orders_dead_letter_split",
+    "pii_scrub_stats",
+    "pricing_summary",
+    "quantity_percentiles",
+    "quantity_percentiles_approx",
+    "revenue_by_nation",
+    "salted_brand_revenue",
+    "semantic_decontamination",
+    "simhash_fingerprints",
+    "simhash_near_dup_pairs",
+    "small_qty_order_revenue",
+    "sql_region_revenue",
+    "srp_buckets",
+    "stratified_sample_by_lang",
+    "text_quality_scores",
+    "token_stats_by_lang",
+    "top_orders_per_customer",
+    "url_dedup_canonical",
+    "window_functions_showcase",
+    # -- oldest r10-vintage (12) --
+    "ann_ivf_append_serve",
+    "ann_ivf_sq8_topk",
+    "ann_ivfadc_residual_topk",
+    "ann_ivfadc_topk",
+    "ann_pq_trained_topk",
+    "ann_sq8_adc_topk",
+    "bigram_counts",
+    "bigram_logprob_scores",
+    "bpe_merge_candidates",
+    "ccnet_filtered_corpus",
+    "chunk_level_dedup",
+    "corpus_summary_report",
 ]
 
 
