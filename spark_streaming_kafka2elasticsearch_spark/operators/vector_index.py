@@ -14,6 +14,7 @@ operator of a 100 TB corpus thinks about it::
     idx.append(delta)                       # daily increment (IVF cells)
     idx.delete(erased_ids)                  # GDPR erasure (touched cells only)
     idx.refresh_graph(new_corpus, delta)    # bounded-delta graph refresh
+    idx.delete_graph(survivors, erased_ids) # Δ-bounded graph erasure
     idx.compact()                           # bound small files
     idx.search(queries, k=10, n_probe=2)    # pruned top-k
     idx.search(queries, method="bq")        # XOR+popcount over codes
@@ -266,6 +267,57 @@ class VectorIndex:
             with open(meta_path, "w") as fh:
                 _json.dump(meta, fh)
         return corpus.sparkSession.read.parquet(graph_dir)
+
+    def delete_graph(
+        self,
+        corpus_new: DataFrame,
+        deleted_ids: DataFrame,
+        rounds: int = 1,
+        new_fingerprint: str | None = None,
+    ) -> DataFrame:
+        """Erase ids from the at-rest NN-Descent edge list with the
+        Δ-bounded delete (operators/similarity.nn_descent_delete —
+        the last maintenance-matrix corner, VERDICT r13 item 4)
+        instead of a rebuild: stored edges are read (build params
+        from the meta sidecar), deleted sources tombstoned, touched
+        sources re-ranked against their surviving lists ∪ SRP-bucket
+        mates with ``rounds`` touched-restricted descent rounds, and
+        the result atomically rewritten with the meta re-stamped.
+        ``corpus_new`` is the corpus AFTER the deletion."""
+        import json as _json
+        import os
+
+        meta_path = os.path.join(self.path, _sim._GRAPH_META)
+        graph_dir = os.path.join(self.path, _sim._GRAPH_DIR)
+        with open(meta_path) as fh:
+            meta = _json.load(fh)
+        params = meta.get("params", {})
+        old_edges = _sim.knn_graph_persist(
+            None, self.path, fingerprint=self.fingerprint,
+            spark=corpus_new.sparkSession,
+        ).select("src", "dst", "rank")
+        after = _sim.nn_descent_delete(
+            old_edges,
+            corpus_new,
+            deleted_ids,
+            k=params.get("k", 16),
+            k_build=params.get("k_build", 30),
+            dim=params.get("dim", 64),
+            rounds=rounds,
+            occupancy=params.get("occupancy", 32),
+            corpus_id=self._cols["corpus_id"],
+            corpus_vec=self._cols["corpus_vec"],
+            id_col=self._cols["corpus_id"],
+        # the delete plan READS the edge files it replaces — the
+        # self-overwrite trap; materialize before the rewrite
+        ).localCheckpoint(eager=True)
+        after.write.mode("overwrite").parquet(graph_dir)
+        if new_fingerprint is not None:
+            meta["fingerprint"] = new_fingerprint
+            self.fingerprint = new_fingerprint
+            with open(meta_path, "w") as fh:
+                _json.dump(meta, fh)
+        return corpus_new.sparkSession.read.parquet(graph_dir)
 
     # -- serving -----------------------------------------------------------
 

@@ -743,6 +743,148 @@ def descent_graph_maintenance_stream(
     )
 
 
+def descent_graph_erasure_stream(
+    spark: SparkSession,
+    source: Any,
+    graph_path: str,
+    checkpoint_dir: str,
+    k: int = 16,
+    k_build: int = 30,
+    dim: int = 64,
+    occupancy: int = 32,
+    rounds: int = 1,
+):
+    """Streaming ERASURE for the at-rest NN-Descent graph — GDPR
+    deletion requests arriving as a stream (``{"vec_id": N}``
+    envelopes), the erasure twin of
+    :func:`descent_graph_maintenance_stream` and the streaming leg of
+    operators/similarity.nn_descent_delete (VERDICT r13 item 4).
+    Each micro-batch of ids is tombstoned out of the layout the
+    maintenance stream writes (``corpus/`` batch_id-partitioned,
+    ``edges/`` stamped): deleted sources drop, touched sources
+    re-rank against survivors, untouched rows carry verbatim — then
+    ONLY the corpus partitions containing a deleted id are rewritten
+    (dynamic partition overwrite + the emptied-partition rmtree, the
+    ivf_persisted_delete surgery).
+
+    Replay idempotency: ids already absent from the corpus are
+    dropped by an anti-join (a redelivered or unknown id is a no-op),
+    and an ``_erase_batch_id`` stamp on the edge rows closes the
+    edges-before-corpus crash window exactly as the maintenance
+    stream's ``_batch_id`` does — a replay whose stamp is current
+    skips the graph recompute and just finishes the corpus surgery.
+    The stamp column is WRITER-SCOPED on purpose: both streams'
+    micro-batch sequences start at 0 from their own checkpoint, so
+    guarding the first erasure batch against the ingest stream's
+    ``_batch_id=0`` stamp would silently skip the delete (the bug the
+    bit-equality test below caught).  The streamed result is pinned
+    BIT-EQUAL to the sequential batch deletes over the same splits
+    (tests/test_streaming.py).
+
+    Single-writer contract: at most one maintenance OR erasure stream
+    per graph directory at a time; each rewrite carries only its own
+    writer's stamp, so switching writers resets the other's replay
+    guard to the safe recompute path.  The descent structure is
+    trajectory-dependent, so concurrently interleaving writers is a
+    rebuild, not a merge.
+
+    Returns the started StreamingQuery (caller stops it)."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        nn_descent_delete,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import (
+        overwrite_partitions,
+    )
+
+    id_schema = T.StructType([T.StructField("vec_id", T.LongType())])
+    parsed = (
+        source.load_stream(spark)
+        .select(
+            F.from_json(F.col("value").cast("string"), id_schema).alias("v")
+        )
+        .select("v.*")
+    )
+    corpus_dir = os.path.join(graph_path, "corpus")
+    edges_dir = os.path.join(graph_path, "edges")
+
+    def erase(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates(["vec_id"])
+        if batch.isEmpty() or not os.path.isdir(corpus_dir):
+            return
+        corpus = spark.read.parquet(corpus_dir)
+        dele = (
+            batch.join(corpus.select("vec_id"), "vec_id", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if dele.isEmpty():
+            return
+        survivors = corpus.select("vec_id", "embedding").join(
+            dele, "vec_id", "left_anti"
+        )
+        old_raw = spark.read.parquet(edges_dir)
+        applied = None
+        if "_erase_batch_id" in old_raw.columns:
+            applied = old_raw.agg(
+                F.max("_erase_batch_id").alias("b")
+            ).first()["b"]
+        if applied is None or int(applied) < int(batch_id):
+            new_edges = (
+                nn_descent_delete(
+                    old_raw.select("src", "dst", "rank"),
+                    survivors,
+                    dele,
+                    k=k,
+                    k_build=k_build,
+                    dim=dim,
+                    rounds=rounds,
+                    occupancy=occupancy,
+                )
+                .select("src", "dst", "rank")
+                .withColumn("_erase_batch_id", F.lit(int(batch_id)))
+                # the delete plan READS the edge files it replaces —
+                # the self-overwrite trap; materialize first
+                .localCheckpoint(eager=True)
+            )
+            new_edges.write.mode("overwrite").parquet(edges_dir)
+        # corpus surgery AFTER the stamped edge rewrite (the crash
+        # window then replays into the stamp-guard above): only the
+        # batch_id partitions holding a deleted id are rewritten
+        touched = {
+            int(r["batch_id"])
+            for r in corpus.join(dele, "vec_id", "left_semi")
+            .select("batch_id")
+            .distinct()
+            .collect()
+        }
+        remaining = (
+            corpus.filter(F.col("batch_id").isin(sorted(touched)))
+            .join(dele, "vec_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not remaining.isEmpty():
+            overwrite_partitions(remaining, corpus_dir, ["batch_id"])
+        kept = {
+            int(r["batch_id"])
+            for r in remaining.select("batch_id").distinct().collect()
+        }
+        for bid in touched - kept:
+            shutil.rmtree(
+                os.path.join(corpus_dir, f"batch_id={bid}"),
+                ignore_errors=True,
+            )
+
+    return (
+        parsed.writeStream.foreachBatch(erase)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def front_door_stream(
     spark: SparkSession,
     source: Any,

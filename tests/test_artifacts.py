@@ -634,3 +634,50 @@ def test_ivf_delete_restamps_fingerprint(spark, tmp_path):
     )
     assert idx.delete(ghost, new_fingerprint="fp_del2") == []
     assert load_centroids(path, expected_fingerprint="fp_del2") is not None
+
+
+def test_vector_index_delete_graph_equals_direct_operator(spark, tmp_path):
+    """VectorIndex.delete_graph (VERDICT r13 item 4, facade leg):
+    erases ids from the at-rest edge list with the Δ-bounded descent
+    delete — result equals the direct nn_descent_delete call (params
+    read back from the meta sidecar), deleted ids vanish from both
+    endpoints, the layout is atomically rewritten, and a FRESH facade
+    serves from the post-delete state under the new fingerprint."""
+    from pyspark.sql import functions as SF
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        nn_descent_delete,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.vector_index import (
+        VectorIndex,
+    )
+
+    emb, path = _emb(spark), str(tmp_path / "delete_graph_idx")
+    idx = VectorIndex(path, fingerprint="fp_full")
+    idx.build_graph(emb, k=8, k_build=16, rounds=2)
+    old_edges = spark.read.parquet(f"{path}/_graph").select(
+        "src", "dst", "rank"
+    ).localCheckpoint(eager=True)
+    doomed = emb.filter(SF.col("vec_id") % 7 == 3).select("vec_id")
+    survivors = emb.filter(SF.col("vec_id") % 7 != 3)
+    got = _rows(idx.delete_graph(survivors, doomed, new_fingerprint="fp_del"))
+    want = _rows(
+        nn_descent_delete(
+            old_edges, survivors, doomed, k=8, k_build=16, dim=64,
+            rounds=1, occupancy=32,
+        )
+    )
+    assert got == want
+    del_ids = {r.vec_id for r in doomed.collect()}
+    assert not {r[0] for r in got} & del_ids
+    assert not {r[1] for r in got} & del_ids
+    queries = _queries(survivors)
+    fresh = VectorIndex(path, fingerprint="fp_del")
+    served = fresh.search(survivors, queries, k=5, method="graph").collect()
+    assert served and not {r.neighbor_id for r in served} & del_ids
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stale"):
+        VectorIndex(path, fingerprint="fp_full").search(
+            survivors, queries, k=5, method="graph"
+        )

@@ -2910,3 +2910,256 @@ def test_descent_graph_maintenance_stream_replay_after_crash(
     assert n_corpus == len(ids)
     assert stamp == 1
     assert got == want and got
+
+
+def test_descent_graph_erasure_stream_equals_batch_deletes(spark, tmp_path):
+    """Streaming GDPR erasure (descent_graph_erasure_stream): after an
+    ingest batch lays the graph down and two erasure micro-batches
+    arrive — the second containing a REDELIVERED id from the first
+    (must be a no-op via the corpus anti-join) and an UNKNOWN id —
+    the at-rest edge list must be BIT-EQUAL to the sequential batch
+    path (descent build, then nn_descent_delete per erasure batch),
+    and the corpus partitions must have the deleted rows surgically
+    removed."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        nn_descent_delete,
+        nn_descent_graph,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        descent_graph_erasure_stream,
+        descent_graph_maintenance_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = {
+        r["vec_id"]: list(r["embedding"]) for r in emb.limit(40).collect()
+    }
+    ids = sorted(rows)
+
+    def vec(i):
+        return json.dumps({"vec_id": i, "embedding": rows[i]})
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    graph_path = str(tmp_path / "egraph")
+    q = descent_graph_maintenance_stream(
+        spark,
+        JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        graph_path,
+        str(tmp_path / "chk_ingest"),
+        k=6,
+        k_build=12,
+        build_rounds=3,
+        refresh_rounds=2,
+        occupancy=32,
+        ring=2,
+        dim=64,
+    )
+    try:
+        write_batch_file(str(src_dir), "b0.json", [vec(i) for i in ids])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    e0 = ids[3:8]
+    e1 = ids[20:24]
+    del_dir = tmp_path / "dels"
+    del_dir.mkdir()
+    qe = descent_graph_erasure_stream(
+        spark,
+        JsonDirSource(str(del_dir), as_kafka_envelope=True),
+        graph_path,
+        str(tmp_path / "chk_erase"),
+        k=6,
+        k_build=12,
+        dim=64,
+        occupancy=32,
+        rounds=1,
+    )
+    try:
+        write_batch_file(
+            str(del_dir), "e0.json", [json.dumps({"vec_id": i}) for i in e0]
+        )
+        qe.processAllAvailable()
+        write_batch_file(
+            str(del_dir),
+            "e1.json",
+            [json.dumps({"vec_id": i}) for i in e1]
+            + [json.dumps({"vec_id": e0[0]})]      # redelivered
+            + [json.dumps({"vec_id": 999_999})],   # unknown
+        )
+        qe.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(f"{graph_path}/edges")
+            .select("src", "dst", "rank")
+            .collect()
+        }
+        corpus_ids = {
+            r.vec_id
+            for r in spark.read.parquet(f"{graph_path}/corpus").collect()
+        }
+    finally:
+        qe.stop()
+
+    survive1 = [i for i in ids if i not in e0]
+    survive2 = [i for i in survive1 if i not in e1]
+    assert corpus_ids == set(survive2)
+    g0 = nn_descent_graph(
+        emb.filter(F.col("vec_id").isin(ids)),
+        k=6, k_build=12, dim=64, rounds=3, occupancy=32, ring=2,
+    ).select("src", "dst", "rank")
+    d1 = nn_descent_delete(
+        g0,
+        emb.filter(F.col("vec_id").isin(survive1)),
+        spark.createDataFrame([(i,) for i in e0], "vec_id long"),
+        k=6, k_build=12, dim=64, rounds=1, occupancy=32,
+    ).select("src", "dst", "rank").localCheckpoint(eager=True)
+    d2 = nn_descent_delete(
+        d1,
+        emb.filter(F.col("vec_id").isin(survive2)),
+        spark.createDataFrame([(i,) for i in e1], "vec_id long"),
+        k=6, k_build=12, dim=64, rounds=1, occupancy=32,
+    ).select("src", "dst", "rank")
+    want = {tuple(r) for r in d2.collect()}
+    assert got == want and got
+
+
+def test_descent_graph_erasure_stream_replay_and_writer_scoped_stamp(
+    spark, tmp_path
+):
+    """The erasure stream's edges-before-corpus crash window plus the
+    WRITER-SCOPED stamp contract.  Phase 1 (replay): edges for erasure
+    batch 0 already landed (stamped ``_erase_batch_id=0``) but the
+    corpus surgery did not — on replay the erase loop must skip the
+    recompute (its own stamp is current; the ingest stream's
+    ``_batch_id=0`` stamp must NOT be what satisfies the guard) and
+    just finish the corpus surgery: edges bit-equal to the stamped
+    set, deleted ids gone from the corpus.  Phase 2 (writer switch):
+    the erasure rewrite dropped the maintenance stream's ``_batch_id``
+    column, so a LATER maintenance batch on the original checkpoint
+    must fall through its own guard (applied=None → safe recompute)
+    and fold new vectors in — bit-equal to the sequential
+    nn_descent_refresh over the post-erasure state."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        nn_descent_delete,
+        nn_descent_refresh,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        descent_graph_erasure_stream,
+        descent_graph_maintenance_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = {
+        r["vec_id"]: list(r["embedding"]) for r in emb.limit(40).collect()
+    }
+    ids = sorted(rows)
+    b0_ids, b1_ids = ids[:32], ids[32:]
+    e0 = b0_ids[5:10]
+
+    def vec(i):
+        return json.dumps({"vec_id": i, "embedding": rows[i]})
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    graph_path = str(tmp_path / "rgraph")
+    chk_ingest = str(tmp_path / "chk_ingest")
+    kwargs = dict(
+        k=6, k_build=12, build_rounds=3, refresh_rounds=2,
+        occupancy=32, ring=2, dim=64,
+    )
+    q = descent_graph_maintenance_stream(
+        spark, JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        graph_path, chk_ingest, **kwargs,
+    )
+    try:
+        write_batch_file(str(src_dir), "b0.json", [vec(i) for i in b0_ids])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Emulate crashed erasure batch 0: stamped edge rewrite landed,
+    # corpus surgery did not (e0 still present in corpus/).
+    survive1 = [i for i in b0_ids if i not in e0]
+    deleted = nn_descent_delete(
+        spark.read.parquet(f"{graph_path}/edges").select("src", "dst", "rank"),
+        emb.filter(F.col("vec_id").isin(survive1)),
+        spark.createDataFrame([(i,) for i in e0], "vec_id long"),
+        k=6, k_build=12, dim=64, rounds=1, occupancy=32,
+    ).select("src", "dst", "rank").withColumn(
+        "_erase_batch_id", F.lit(0)
+    ).localCheckpoint(eager=True)
+    deleted.write.mode("overwrite").parquet(f"{graph_path}/edges")
+    want_edges = {
+        tuple(r) for r in deleted.select("src", "dst", "rank").collect()
+    }
+
+    del_dir = tmp_path / "dels"
+    del_dir.mkdir()
+    qe = descent_graph_erasure_stream(
+        spark, JsonDirSource(str(del_dir), as_kafka_envelope=True),
+        graph_path, str(tmp_path / "chk_erase"),
+        k=6, k_build=12, dim=64, occupancy=32, rounds=1,
+    )
+    try:
+        write_batch_file(
+            str(del_dir), "e0.json", [json.dumps({"vec_id": i}) for i in e0]
+        )
+        qe.processAllAvailable()
+        edges_after = spark.read.parquet(f"{graph_path}/edges")
+        got_edges = {
+            tuple(r)
+            for r in edges_after.select("src", "dst", "rank").collect()
+        }
+        stamp = edges_after.agg(
+            F.max("_erase_batch_id").alias("b")
+        ).first()["b"]
+        corpus_ids = {
+            r.vec_id
+            for r in spark.read.parquet(f"{graph_path}/corpus").collect()
+        }
+    finally:
+        qe.stop()
+    assert got_edges == want_edges and got_edges   # skip path: no recompute
+    assert stamp == 0
+    assert corpus_ids == set(survive1)             # surgery finished
+
+    # Phase 2: writer switch back to maintenance — _batch_id column is
+    # gone from edges/, so its guard must take the safe recompute path.
+    want_refreshed = {
+        tuple(r)
+        for r in nn_descent_refresh(
+            deleted.select("src", "dst", "rank"),
+            emb.filter(F.col("vec_id").isin(survive1 + b1_ids)),
+            emb.filter(F.col("vec_id").isin(b1_ids)),
+            k=6, k_build=12, dim=64, rounds=2, occupancy=32, ring=2,
+        ).select("src", "dst", "rank").collect()
+    }
+    write_batch_file(str(src_dir), "b1.json", [vec(i) for i in b1_ids])
+    q = descent_graph_maintenance_stream(
+        spark, JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        graph_path, chk_ingest, **kwargs,
+    )
+    try:
+        q.processAllAvailable()
+        got_refreshed = {
+            tuple(r)
+            for r in spark.read.parquet(f"{graph_path}/edges")
+            .select("src", "dst", "rank")
+            .collect()
+        }
+        n_corpus = (
+            spark.read.parquet(f"{graph_path}/corpus")
+            .select("vec_id").distinct().count()
+        )
+    finally:
+        q.stop()
+    assert n_corpus == len(survive1) + len(b1_ids)
+    assert got_refreshed == want_refreshed and got_refreshed
