@@ -6110,3 +6110,320 @@ def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# At-rest MinHash-LSH index lifecycle (operators/lsh_index) — r14: the
+# dedup family's maintenance matrix, mirroring the ANN rungs' at-rest
+# build + append + delete + serve story.  All three entries share the
+# md5 Kirsch–Mitzenmacher hash family so the ENTIRE lifecycle stays
+# DuckDB-value-checkable (the minhash_near_dup_pairs doctrine), and all
+# fixtures are fingerprint-keyed untimed builds (_ivf_index_dir
+# doctrine): the TIMED paths are the delta append derivation, the
+# post-surgery derivation, and the serve-time probe.
+# ---------------------------------------------------------------------------
+
+
+def _lsh_pairs_oracle(docs_where: str) -> str:
+    """The minhash_near_dup_pairs full-pipeline oracle (signatures →
+    16-band slices → 2..256 census → candidate pairs → exact-Jaccard
+    verify ≥ 0.1), parameterized by a document filter — the rebuild
+    the maintained index must equal."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents{docs_where}
+),
+sh_all AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(toks[i : i + 2], ' ')
+         ))) AS s
+  FROM toks
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT) | 1 AS h2
+  FROM sh_all
+),
+mh AS (
+  SELECT doc_id, i.i AS i, min((h1 + i.i * h2) & 4294967295) AS g
+  FROM hashes CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+  GROUP BY doc_id, i.i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band_id,
+         string_agg(CAST(g AS VARCHAR), ',' ORDER BY i) AS slice
+  FROM mh GROUP BY doc_id, i // 4
+),
+census AS (
+  SELECT band_id, slice FROM bands
+  GROUP BY band_id, slice HAVING count(*) BETWEEN 2 AND 256
+),
+in_bucket AS (
+  SELECT b.doc_id, b.band_id, b.slice
+  FROM bands b JOIN census USING (band_id, slice)
+),
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM in_bucket a
+  JOIN in_bucket b
+    ON a.band_id = b.band_id AND a.slice = b.slice
+   AND a.doc_id < b.doc_id
+),
+cand_ids AS (
+  SELECT id_a AS id FROM cand_pairs UNION SELECT id_b FROM cand_pairs
+),
+kept AS (
+  SELECT s.doc_id, s.s FROM sh_all s JOIN cand_ids c ON s.doc_id = c.id
+),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS i
+  FROM cand_pairs p
+  JOIN kept a ON a.doc_id = p.id_a
+  JOIN kept b ON b.doc_id = p.id_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
+"""
+
+
+#: Shared index params — the registered minhash_near_dup_pairs config,
+#: so every lifecycle oracle is the same rebuild chain.
+_LSH_IDX_PARAMS = dict(
+    k_shingle=3, num_hashes=64, bands=16, hash_family="md5",
+    max_bucket_size=256, n_parts=16,
+)
+
+_LSH_DELETE_COND_SQL = " WHERE NOT (doc_id % 20 = 7 AND doc_id < 2000)"
+
+
+def _lsh_docs_fp(sf_dir: str) -> str:
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.artifacts import (
+        data_fingerprint,
+    )
+
+    return data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _lsh_fixture(spark, sf_dir, query_name, docs_subset, want_fp):
+    """Fingerprint-keyed untimed index fixture: (re)built only when the
+    meta sidecar is missing or stamped for another corpus."""
+    import json as _json
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.lsh_index import (
+        minhash_lsh_persist,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.queries.advanced import (
+        _ivf_index_dir,
+    )
+
+    path = _ivf_index_dir(query_name, sf_dir)
+    meta_path = os.path.join(path, "_lsh_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if _json.load(fh).get("fingerprint") == want_fp:
+                return path, False
+    minhash_lsh_persist(
+        docs_subset, path, fingerprint=want_fp, **_LSH_IDX_PARAMS
+    )
+    return path, True
+
+
+@register("minhash_lsh_index_append_pairs", oracle=_lsh_pairs_oracle(""))
+def minhash_lsh_index_append_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND to the at-rest MinHash-LSH dedup index
+    (operators/lsh_index.minhash_lsh_pairs_with_delta): a FIXED-SIZE
+    document delta (doc_id ≡ 3 mod 5, id < 2000 — the bounded daily
+    increment, same contract as knn_graph_append_serve) folds into the
+    index built over the REST of the corpus (once per docs
+    fingerprint, untimed), and the derived near-dup pairs must equal
+    the one-shot rebuild over the full corpus — exactly what the
+    oracle computes.  Exact by construction: signature and band rows
+    are per-document deterministic, so union-of-deltas ≡ rebuild (no
+    trajectory, unlike the descent graph).  The TIMED path pays
+    shingling + 64 hash functions for the DELTA ONLY; the indexed
+    corpus contributes |docs|·bands fixed-width parquet rows — the
+    100 TB shape, where the text-side job is the dominant cost and
+    must never rerun for already-indexed documents.  The disk-mutating
+    append (blind parquet append into id-hash partitions, first-seen
+    anti-join for replay) is pinned in tests/test_lsh_index.py; this
+    entry times the repeatable functional twin."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.lsh_index import (
+        minhash_lsh_pairs_with_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta_cond = (F.col("doc_id") % 5 == 3) & (F.col("doc_id") < 2000)
+    old = docs.filter(~delta_cond)
+    delta = docs.filter(delta_cond)
+    fp = _lsh_docs_fp(sf_dir)
+    path, _ = _lsh_fixture(
+        spark, sf_dir, "minhash_lsh_index_append_pairs", old, fp
+    )
+    return minhash_lsh_pairs_with_delta(
+        spark, path, docs, delta, min_jaccard=0.1, expected_fingerprint=fp
+    )
+
+
+@register(
+    "minhash_lsh_index_delete_pairs",
+    oracle=_lsh_pairs_oracle(_LSH_DELETE_COND_SQL),
+)
+def minhash_lsh_index_delete_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE from the at-rest MinHash-LSH dedup index
+    (operators/lsh_index.minhash_lsh_delete): the bounded erasure set
+    (doc_id ≡ 7 mod 20, id < 2000 — the GDPR increment, the ANN
+    delete entries' contract) is surgically removed — touched id-hash
+    partitions computed FROM THE IDS ALONE (no index scan), rewritten
+    via dynamic partition overwrite, emptied directories rmtree'd
+    (the ivf_persisted_delete trap) — and the derived pairs must
+    equal the rebuild over the SURVIVORS, which the oracle computes.
+    The surgery runs once per corpus fingerprint (ann_ivf_delete_serve
+    doctrine); the TIMED path is the post-delete pair derivation over
+    the maintained band table."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.lsh_index import (
+        minhash_lsh_delete,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    del_cond = (F.col("doc_id") % 20 == 7) & (F.col("doc_id") < 2000)
+    fp = _lsh_docs_fp(sf_dir)
+    done_fp = fp + ":deleted"
+    import json as _json
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.queries.advanced import (
+        _ivf_index_dir,
+    )
+
+    path = _ivf_index_dir("minhash_lsh_index_delete_pairs", sf_dir)
+    meta_path = os.path.join(path, "_lsh_meta.json")
+    done = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            done = _json.load(fh).get("fingerprint") == done_fp
+    if not done:
+        path, _ = _lsh_fixture(
+            spark, sf_dir, "minhash_lsh_index_delete_pairs", docs, fp
+        )
+        minhash_lsh_delete(
+            spark, path, docs.filter(del_cond).select("doc_id"),
+            new_fingerprint=done_fp,
+        )
+    survivors = docs.filter(~del_cond)
+    return minhash_lsh_pairs(
+        spark, path, survivors, min_jaccard=0.1,
+        expected_fingerprint=done_fp,
+    )
+
+
+@register(
+    "minhash_lsh_probe_matches",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+sh_all AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(toks[i : i + 2], ' ')
+         ))) AS s
+  FROM toks
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT) | 1 AS h2
+  FROM sh_all
+),
+mh AS (
+  SELECT doc_id, i.i AS i, min((h1 + i.i * h2) & 4294967295) AS g
+  FROM hashes CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+  GROUP BY doc_id, i.i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band_id,
+         string_agg(CAST(g AS VARCHAR), ',' ORDER BY i) AS slice
+  FROM mh GROUP BY doc_id, i // 4
+),
+idx AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+qry AS (SELECT * FROM bands WHERE doc_id % 3 = 0 AND doc_id < 3000),
+census AS (
+  SELECT band_id, slice FROM idx
+  GROUP BY band_id, slice HAVING count(*) <= 256
+),
+cand AS (
+  SELECT DISTINCT q.doc_id AS query_id, i.doc_id AS match_id
+  FROM qry q
+  JOIN census c ON q.band_id = c.band_id AND q.slice = c.slice
+  JOIN idx i ON i.band_id = c.band_id AND i.slice = c.slice
+),
+qsh AS (
+  SELECT s.doc_id, s.s FROM sh_all s
+  WHERE s.doc_id % 3 = 0 AND s.doc_id < 3000
+),
+msh AS (SELECT s.doc_id, s.s FROM sh_all s WHERE s.doc_id % 3 <> 0),
+qsz AS (SELECT doc_id, count(*) AS n FROM qsh GROUP BY doc_id),
+msz AS (SELECT doc_id, count(*) AS n FROM msh GROUP BY doc_id),
+inter AS (
+  SELECT p.query_id, p.match_id, count(*) AS i
+  FROM cand p
+  JOIN qsh a ON a.doc_id = p.query_id
+  JOIN msh b ON b.doc_id = p.match_id AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT query_id, match_id,
+       CAST(i AS DOUBLE) / (qa.n + qb.n - i) AS jaccard
+FROM inter
+JOIN qsz qa ON qa.doc_id = query_id
+JOIN msz qb ON qb.doc_id = match_id
+WHERE CAST(i AS DOUBLE) / (qa.n + qb.n - i) >= 0.1
+""",
+)
+def minhash_lsh_probe_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE-TIME probe of the at-rest MinHash-LSH index
+    (operators/lsh_index.minhash_lsh_probe): a bounded batch of
+    incoming documents (doc_id ≡ 0 mod 3, id < 3000 — the per-batch
+    ingest-gate load, fixed size by contract) is matched against the
+    index over the REST of the corpus without recomputing a single
+    corpus signature.  Census gate over INDEX members only (a hot
+    boilerplate bucket is skipped before its member list exists; a
+    probe landing in it reports no match there — gate semantics, and
+    unlike the pair census there is no lower bound: a singleton
+    bucket can still match a query).  Per-query text work is the
+    query batch's shingling only; matched members' text is read for
+    the exact verify via a candidate semi-join.  This is the
+    streaming near-dup gate's (streaming/jobs.near_dup_gate_stream)
+    batch twin with the corpus side at rest."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.lsh_index import (
+        minhash_lsh_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    queries = docs.filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 3000)
+    )
+    fp = _lsh_docs_fp(sf_dir)
+    path, _ = _lsh_fixture(
+        spark, sf_dir, "minhash_lsh_probe_matches", corpus, fp
+    )
+    return minhash_lsh_probe(
+        spark, path, queries, corpus, min_jaccard=0.1,
+        expected_fingerprint=fp,
+    )

@@ -359,6 +359,19 @@ PROBE_QUERIES = [
     # IDENTICAL serve path, so its x30 row carries the serve claim
     # (alpha ~ the |Δ|·k·n/c slope, ≲ 1)
     "knn_graph_delete_serve_probe",
+    # r14: at-rest MinHash-LSH index lifecycle (operators/lsh_index).
+    # Append: text work is the FIXED delta only; the growth terms are
+    # the at-rest band-table scan (n·bands fixed-width rows) and the
+    # census/pair legs minhash_near_dup_pairs already carries (its
+    # probed alpha 0.73/0.74) ⇒ expect alpha ≈ that derivation slope,
+    # ≲ 1.  Delete: same derivation over survivors post-surgery (the
+    # surgery itself is untimed per-fingerprint) ⇒ same expectation.
+    # Probe: FIXED query batch against a growing index — census scan
+    # is O(n) fixed-width, candidate/verify work is per-query-bounded
+    # by the bucket cap ⇒ alpha ≲ 1, scan-bound.
+    "minhash_lsh_index_append_pairs",
+    "minhash_lsh_index_delete_pairs",
+    "minhash_lsh_probe_matches",
 ]
 
 
