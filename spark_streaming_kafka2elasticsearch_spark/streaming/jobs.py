@@ -197,6 +197,118 @@ def near_dup_gate_stream(
     )
 
 
+def lsh_gate_ingest_stream(
+    spark: SparkSession,
+    source: Any,
+    index_path: str,
+    checkpoint_dir: str,
+    static_corpus: DataFrame | None = None,
+    min_jaccard: float = 0.5,
+):
+    """Streaming near-dup ingestion gate over the AT-REST MinHash-LSH
+    index (operators/lsh_index) — the maintained-table upgrade
+    :func:`near_dup_gate_stream`'s docstring promises for 100 TB: the
+    corpus side of the screen is never recomputed; each micro-batch
+    pays shingling + hashing for its OWN documents only, probes the
+    persisted band table, and the accepted survivors are folded back
+    into the index so the next batch screens against them too.
+
+    Per micro-batch: (1) first-seen gate — batch ids already in the
+    index's signature table are dropped (a redelivered or duplicate
+    document is a no-op; one column-pruned id scan); (2) probe the
+    fresh documents against the index (census over index members,
+    exact-Jaccard verify against matched members' text only); (3)
+    documents with NO match at ``min_jaccard`` survive; (4) survivors'
+    text lands in ``index_path/corpus/`` (batch_id-partitioned dynamic
+    overwrite — the landed deduped corpus AND the verify text store
+    for later probes); (5) survivors are appended to the index.
+    Intra-batch near-dup pairs both land — the same contract as
+    near_dup_gate_stream (the screen is batch-vs-corpus; exact dups
+    within a batch are the upstream exact-dup gate's job).
+
+    Crash-replay is idempotent WITHOUT a stamp, by write order: the
+    corpus partition lands BEFORE the index append.  A crash between
+    them replays into step 1 with the batch still absent from the
+    index — identical hits recompute (the probe's match side is the
+    index alone), the partition overwrite is idempotent, the append
+    retries; a crash after the append replays into an empty fresh set
+    and returns with everything already landed.  (Contrast
+    descent_graph_erasure_stream, whose recompute is NOT
+    redelivery-stable and therefore needs the ``_erase_batch_id``
+    stamp.)
+
+    ``static_corpus`` supplies (doc_id, text) for documents the index
+    was BUILT over (their text predates the stream's landed zone);
+    pass None when the index has no pre-stream text.  The caller
+    persists the initial index (operators/lsh_index.minhash_lsh_persist)
+    over a NON-EMPTY initial corpus before starting the stream (a
+    zero-row partitioned parquet layout has no readable schema).
+
+    Returns the started StreamingQuery (caller stops it)."""
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.lsh_index import (
+        minhash_lsh_append,
+        minhash_lsh_probe,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import (
+        overwrite_partitions,
+    )
+
+    parsed = _parse_doc_stream(spark, source)
+    corpus_dir = os.path.join(index_path, "corpus")
+    sig_dir = os.path.join(index_path, "signatures")
+
+    def screen(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates(["doc_id"])
+        if batch.isEmpty():
+            return
+        indexed_ids = spark.read.parquet(sig_dir).select("doc_id")
+        fresh = batch.join(indexed_ids, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if fresh.isEmpty():
+            return
+        texts = [static_corpus] if static_corpus is not None else []
+        if os.path.isdir(corpus_dir):
+            texts.append(
+                spark.read.parquet(corpus_dir).select("doc_id", "text")
+            )
+        if texts:
+            corpus_texts = texts[0]
+            for t in texts[1:]:
+                corpus_texts = corpus_texts.unionByName(t)
+            hits = (
+                minhash_lsh_probe(
+                    spark,
+                    index_path,
+                    fresh.select("doc_id", "text"),
+                    corpus_texts,
+                    min_jaccard=min_jaccard,
+                )
+                .select(F.col("query_id").alias("doc_id"))
+                .distinct()
+            )
+            survivors = fresh.join(hits, "doc_id", "left_anti")
+        else:
+            survivors = fresh
+        survivors = survivors.localCheckpoint(eager=True)
+        if survivors.isEmpty():
+            return
+        overwrite_partitions(
+            survivors.withColumn("batch_id", F.lit(int(batch_id))),
+            corpus_dir,
+            ["batch_id"],
+        )
+        minhash_lsh_append(index_path, survivors.select("doc_id", "text"))
+
+    return (
+        parsed.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def tokenize_ingest_stream(
     spark: SparkSession,
     source: Any,

@@ -3163,3 +3163,114 @@ def test_descent_graph_erasure_stream_replay_and_writer_scoped_stamp(
         q.stop()
     assert n_corpus == len(survive1) + len(b1_ids)
     assert got_refreshed == want_refreshed and got_refreshed
+
+
+def test_lsh_gate_ingest_stream_equals_sequential_gate(spark, tmp_path):
+    """Streaming LSH ingest gate (lsh_gate_ingest_stream): two
+    micro-batches — the second REDELIVERING accepted and rejected docs
+    from the first (accepted → dropped by the signature first-seen
+    gate; rejected → re-probed and re-rejected; both no-ops) — must
+    leave the at-rest index band table and the landed corpus
+    partitions EQUAL to the sequential batch gate (probe → anti-join →
+    append) over the same splits, and the gate must actually gate
+    (at least one document rejected for a corpus near-dup)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.lsh_index import (
+        minhash_lsh_append,
+        minhash_lsh_persist,
+        minhash_lsh_probe,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        lsh_gate_ingest_stream,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", "text")
+    )
+    init = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 4 == 1)
+    b2 = docs.filter(F.col("doc_id") % 4 == 2)
+    redelivered = b1.orderBy("doc_id").limit(5)
+    params = dict(
+        k_shingle=3, num_hashes=64, bands=16, hash_family="md5", n_parts=8
+    )
+
+    def envelopes(df):
+        return [
+            json.dumps(
+                {"doc_id": r.doc_id, "lang": r.lang, "text": r.text}
+            )
+            for r in df.collect()
+        ]
+
+    # streamed
+    s_path = str(tmp_path / "s_idx")
+    minhash_lsh_persist(init, s_path, fingerprint="fp0", **params)
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    q = lsh_gate_ingest_stream(
+        spark,
+        JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        s_path,
+        str(tmp_path / "chk"),
+        static_corpus=init,
+        min_jaccard=0.1,
+    )
+    try:
+        write_batch_file(str(src_dir), "b1.json", envelopes(b1))
+        q.processAllAvailable()
+        write_batch_file(
+            str(src_dir),
+            "b2.json",
+            envelopes(b2) + envelopes(redelivered),
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # sequential twin
+    t_path = str(tmp_path / "t_idx")
+    minhash_lsh_persist(init, t_path, fingerprint="fp0", **params)
+    corpus_texts = init
+    survivor_sets = []
+    for batch in (b1, b2.unionByName(redelivered)):
+        batch = batch.select("doc_id", "text").dropDuplicates(["doc_id"])
+        indexed = spark.read.parquet(f"{t_path}/signatures").select("doc_id")
+        fresh = batch.join(indexed, "doc_id", "left_anti")
+        hits = (
+            minhash_lsh_probe(
+                spark, t_path, fresh, corpus_texts, min_jaccard=0.1
+            )
+            .select(F.col("query_id").alias("doc_id"))
+            .distinct()
+        )
+        surv = fresh.join(hits, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        survivor_sets.append({r.doc_id for r in surv.collect()})
+        minhash_lsh_append(t_path, surv)
+        corpus_texts = corpus_texts.unionByName(surv)
+
+    got_bands = {
+        tuple(r)
+        for r in spark.read.parquet(f"{s_path}/bands")
+        .select("doc_id", "band_id", "band_hash")
+        .collect()
+    }
+    want_bands = {
+        tuple(r)
+        for r in spark.read.parquet(f"{t_path}/bands")
+        .select("doc_id", "band_id", "band_hash")
+        .collect()
+    }
+    assert got_bands == want_bands and got_bands
+    landed = spark.read.parquet(f"{s_path}/corpus")
+    by_batch = {
+        int(r.batch_id): set()
+        for r in landed.select("batch_id").distinct().collect()
+    }
+    for r in landed.select("doc_id", "batch_id").collect():
+        by_batch[int(r.batch_id)].add(r.doc_id)
+    assert by_batch == {0: survivor_sets[0], 1: survivor_sets[1]}
+    n_b1, n_b2 = b1.count(), b2.count()
+    assert len(survivor_sets[0]) < n_b1 or len(survivor_sets[1]) < n_b2
