@@ -1241,7 +1241,31 @@ def bm25_scores(
         F.col(id_col).alias(query_id),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).distinct()
+    return bm25_scores_from_stats(
+        tf, doclen, df_t, stats, qterms, k1=k1, b=b,
+        id_col=id_col, query_id=query_id,
+    )
 
+
+def bm25_scores_from_stats(
+    tf: DataFrame,
+    doclen: DataFrame,
+    df_t: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id: str = "query_doc_id",
+) -> DataFrame:
+    """The BM25 scoring core over PRE-COMPUTED relations — factored out
+    of :func:`bm25_scores` so the at-rest inverted index
+    (operators/bm25_index) serves with the IDENTICAL expression
+    shapes (idf, tf component, round-9, DECIMAL(28,10) sum) and its
+    results stay bit-equal to the from-scratch operator and its
+    DuckDB oracle.  Inputs: ``tf (id, tok, tf)``, ``doclen (id, dl)``,
+    ``df_t (tok, df)``, ``stats`` (1 row: n_docs DOUBLE, avgdl
+    DOUBLE), ``qterms (query_id, tok)``."""
     term = (
         tf.join(F.broadcast(qterms), "tok")
         .join(df_t, "tok")

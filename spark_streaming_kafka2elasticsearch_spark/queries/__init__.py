@@ -94,22 +94,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: rest.  Dicts preserve insertion order; rotate this list each round
 #: so every query gets a driver row within two rounds.
 _PRIORITY: list[str] = [
-    # round-14 rotation (VERDICT r13 item 1): head = the 6 queries NEW
+    # round-14 rotation (VERDICT r13 item 1): head = the 9 queries NEW
     # in r14 (never driver-checked), then ALL 35 still-registered
     # queries whose newest driver row is r9-vintage (the oldest tier —
     # retired completely this round, as demanded; the 36th r9 name,
     # ann_cosine_topk_ivf, is no longer a registered query, and
     # semdedup_keep_decisions left the registry via the r14 probe-only
-    # demotion), then the 9 alphabetically-first r10-vintage rows to
-    # start on the next debt tier.  6 + 35 + 9 = 50.  A test asserts
+    # demotion), then the 6 alphabetically-first r10-vintage rows to
+    # start on the next debt tier.  9 + 35 + 6 = 50.  A test asserts
     # this list is duplicate-free.
-    # -- new in r14 (6) --
+    # -- new in r14 (9) --
     "knn_graph_descent_delete",
     "ann_graph_beam_ooc_topk",
     "ann_graph_beam_heldout_topk",
     "minhash_lsh_index_append_pairs",
     "minhash_lsh_index_delete_pairs",
     "minhash_lsh_probe_matches",
+    "bm25_index_serve_topk",
+    "bm25_index_append_serve_topk",
+    "bm25_index_delete_serve_topk",
     # -- r9-vintage (35) --
     "ann_cosine_topk_ivf_fixed",
     "ann_ivf_persisted_topk",
@@ -146,16 +149,13 @@ _PRIORITY: list[str] = [
     "top_orders_per_customer",
     "url_dedup_canonical",
     "window_functions_showcase",
-    # -- oldest r10-vintage (9) --
+    # -- oldest r10-vintage (6) --
     "ann_ivf_append_serve",
     "ann_ivf_sq8_topk",
     "ann_ivfadc_residual_topk",
     "ann_ivfadc_topk",
     "ann_pq_trained_topk",
     "ann_sq8_adc_topk",
-    "bigram_counts",
-    "bigram_logprob_scores",
-    "bpe_merge_candidates",
 ]
 
 

@@ -372,6 +372,16 @@ PROBE_QUERIES = [
     "minhash_lsh_index_append_pairs",
     "minhash_lsh_index_delete_pairs",
     "minhash_lsh_probe_matches",
+    # r14: at-rest BM25 inverted index (operators/bm25_index).  All
+    # three time a term-hash-pruned serve over a FIXED 5-query batch:
+    # matched-postings volume grows with corpus df of the query terms
+    # (linear in n on the replica corpus), the local pre-rank bounds
+    # the sort legs ⇒ alpha ≲ 1, postings-scan-bound.  Append adds a
+    # fixed-delta tokenize; delete adds a broadcast tombstone
+    # anti-join (|tombs| fixed) — neither changes the slope.
+    "bm25_index_serve_topk",
+    "bm25_index_append_serve_topk",
+    "bm25_index_delete_serve_topk",
 ]
 
 
