@@ -247,6 +247,30 @@ def bm25_index_delete(
     return n
 
 
+def bm25_index_reconcile(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Recompute the meta counters from ground truth — ``n_docs`` and
+    ``sum_dl`` are DERIVABLE (one column-pruned scan of the doclen
+    table minus tombstones); the meta copy exists only so serving
+    never pays that scan.  A crash between a maintenance append's
+    parquet writes and its meta rewrite leaves the counters one batch
+    stale; the streaming jobs call this at start (safe to run
+    anytime), which squares them.  Returns the reconciled
+    ``(n_docs, sum_dl)`` and rewrites the meta only when it drifted."""
+    meta = _read_meta(path)
+    dl = spark.read.parquet(os.path.join(path, _DL_DIR)).select(
+        "doc_id", "dl"
+    )
+    tombs = _tombstones(spark, path)
+    if tombs is not None:
+        dl = dl.join(F.broadcast(tombs), "doc_id", "left_anti")
+    row = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).first()
+    n_docs, sum_dl = int(row["n"] or 0), int(row["s"] or 0)
+    if (meta["n_docs"], meta["sum_dl"]) != (n_docs, sum_dl):
+        meta["n_docs"], meta["sum_dl"] = n_docs, sum_dl
+        _write_meta(path, meta)
+    return n_docs, sum_dl
+
+
 def bm25_index_compact(spark: SparkSession, path: str) -> int:
     """Drop tombstoned rows from the layout and clear the tombstone
     table — the segment merge.  Returns the number of ids compacted
@@ -262,11 +286,13 @@ def bm25_index_compact(spark: SparkSession, path: str) -> int:
     n = tombs.count()
     for sub in (_POST_DIR, _DL_DIR):
         subdir = os.path.join(path, sub)
-        live = (
-            spark.read.parquet(subdir)
-            .join(tombs, "doc_id", "left_anti")
-            .localCheckpoint(eager=True)
-        )
+        live = spark.read.parquet(subdir).join(tombs, "doc_id", "left_anti")
+        if sub == _POST_DIR:
+            # fold away any replay-window duplicate rows (see the
+            # serve-side dedup note) so the compacted layout equals a
+            # fresh build exactly
+            live = live.dropDuplicates(["doc_id", "tok"])
+        live = live.localCheckpoint(eager=True)
         live.write.mode("overwrite").partitionBy("part").parquet(subdir)
     shutil.rmtree(os.path.join(path, _TOMB_DIR), ignore_errors=True)
     return n
@@ -364,10 +390,18 @@ def bm25_index_topk(
         n_docs += int(row["n"] or 0)
         sum_dl += int(row["s"] or 0)
     # matched postings for a term are its complete live posting list,
-    # so this count is the term's global df over the served corpus
-    tf = tf.join(
-        F.broadcast(qterms.select("tok").distinct()), "tok"
-    ).persist()
+    # so this count is the term's global df over the served corpus.
+    # The (doc_id, tok) dedup is the replay armor: a maintenance-
+    # stream crash between the postings append and the doclen append
+    # (the gate table) makes the replay re-append identical tf rows —
+    # tokenization is deterministic, so collapsing duplicates here
+    # restores exactly the once-appended relation, and the window
+    # needs no stamp.  It runs on the pruned+matched subset only.
+    tf = (
+        tf.join(F.broadcast(qterms.select("tok").distinct()), "tok")
+        .dropDuplicates(["doc_id", "tok"])
+        .persist()
+    )
     df_t = tf.groupBy("tok").agg(
         F.countDistinct("doc_id").alias("df")
     )

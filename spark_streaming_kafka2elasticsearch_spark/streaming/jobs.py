@@ -997,6 +997,107 @@ def descent_graph_erasure_stream(
     )
 
 
+def bm25_index_maintenance_stream(
+    spark: SparkSession,
+    source: Any,
+    index_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming maintenance for the at-rest BM25 inverted index
+    (operators/bm25_index): each micro-batch of document envelopes
+    ``{doc_id, lang, text}`` is folded in with
+    :func:`bm25_index_append` — delta-only tokenization, blind
+    parquet appends into the term-hash partitions, exact counter
+    bumps.  Replay idempotency needs no stamp; the three crash
+    windows each have a structural answer (pinned in
+    tests/test_streaming.py):
+
+    * redelivered completed batch — the append's first-seen gate
+      (doclen ∪ tombstone anti-join) drops every id: no-op;
+    * crash between the postings append and the doclen append (the
+      gate table) — the replay re-appends IDENTICAL tf rows
+      (tokenization is deterministic) and the serve path's
+      (doc_id, tok) dedup collapses them, so the double-append is
+      invisible downstream and compaction folds it away at rest;
+    * crash after both appends but before the meta rewrite — the
+      counters run one batch stale; :func:`bm25_index_reconcile`
+      recomputes them from the doclen table (they are derivable
+      ground truth — the meta copy only spares serving the scan) and
+      is called here at every stream start.
+
+    The caller persists the initial index over a NON-EMPTY corpus
+    before starting (zero-row partitioned parquet has no readable
+    schema).  Returns the started StreamingQuery."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.bm25_index import (
+        bm25_index_append,
+        bm25_index_reconcile,
+    )
+
+    parsed = _parse_doc_stream(spark, source)
+    bm25_index_reconcile(spark, index_path)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates(["doc_id"])
+        if batch.isEmpty():
+            return
+        bm25_index_append(index_path, batch.select("doc_id", "text"))
+
+    return (
+        parsed.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def bm25_index_erasure_stream(
+    spark: SparkSession,
+    source: Any,
+    index_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming GDPR erasure for the at-rest BM25 index — deletion
+    requests as ``{"doc_id": N}`` envelopes, the erasure twin of
+    :func:`bm25_index_maintenance_stream`.  Each batch runs
+    :func:`bm25_index_delete`: an O(|Δ|) tombstone append plus exact
+    counter decrements, no postings rewrite (compaction is a separate
+    batch maintenance window).  Naturally idempotent — a redelivered
+    or unknown id anti-joins the tombstone/doclen tables to nothing,
+    so counters can never double-decrement — with the same
+    meta-lands-last crash window as the maintenance stream: the
+    reconcile-at-start call (which also subtracts tombstoned rows)
+    squares the counters before new batches flow.
+
+    Returns the started StreamingQuery."""
+    from pyspark.sql import types as T
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.bm25_index import (
+        bm25_index_delete,
+        bm25_index_reconcile,
+    )
+
+    id_schema = T.StructType([T.StructField("doc_id", T.LongType())])
+    parsed = (
+        source.load_stream(spark)
+        .select(
+            F.from_json(F.col("value").cast("string"), id_schema).alias("v")
+        )
+        .select("v.*")
+    )
+    bm25_index_reconcile(spark, index_path)
+
+    def erase(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates(["doc_id"])
+        if batch.isEmpty():
+            return
+        bm25_index_delete(spark, index_path, batch.select("doc_id"))
+
+    return (
+        parsed.writeStream.foreachBatch(erase)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def front_door_stream(
     spark: SparkSession,
     source: Any,

@@ -3274,3 +3274,207 @@ def test_lsh_gate_ingest_stream_equals_sequential_gate(spark, tmp_path):
     assert by_batch == {0: survivor_sets[0], 1: survivor_sets[1]}
     n_b1, n_b2 = b1.count(), b2.count()
     assert len(survivor_sets[0]) < n_b1 or len(survivor_sets[1]) < n_b2
+
+
+def test_bm25_maintenance_and_erasure_streams_equal_batch(spark, tmp_path):
+    """BM25 index maintenance + erasure streams: two ingest batches
+    (second redelivers first-batch docs — first-seen no-op), then two
+    erasure batches (second redelivers an erased id and an unknown id
+    — anti-join no-ops), must leave serving bit-equal to the
+    from-scratch operator over (init ∪ ingested) − erased, with the
+    meta counters exactly matching ground truth."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.bm25_index import (
+        bm25_index_persist,
+        bm25_index_topk,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        bm25_scores,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        bm25_index_erasure_stream,
+        bm25_index_maintenance_stream,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", "text")
+    )
+    init = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 4 == 1)
+    b2 = docs.filter(F.col("doc_id") % 4 == 2)
+    b1_ids = [r.doc_id for r in b1.select("doc_id").collect()]
+    erase_ids = b1_ids[:7]
+
+    path = str(tmp_path / "bidx")
+    bm25_index_persist(init, path, n_parts=8, fingerprint="fp0")
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    q = bm25_index_maintenance_stream(
+        spark,
+        JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        path,
+        str(tmp_path / "chk_ingest"),
+    )
+    try:
+        write_batch_file(
+            str(src_dir), "b1.json",
+            [json.dumps({"doc_id": r.doc_id, "lang": r.lang, "text": r.text})
+             for r in b1.collect()],
+        )
+        q.processAllAvailable()
+        write_batch_file(
+            str(src_dir), "b2.json",
+            [json.dumps({"doc_id": r.doc_id, "lang": r.lang, "text": r.text})
+             for r in b2.collect()]
+            + [json.dumps({"doc_id": r.doc_id, "lang": r.lang, "text": r.text})
+               for r in b1.limit(4).collect()],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    del_dir = tmp_path / "dels"
+    del_dir.mkdir()
+    qe = bm25_index_erasure_stream(
+        spark,
+        JsonDirSource(str(del_dir), as_kafka_envelope=True),
+        path,
+        str(tmp_path / "chk_erase"),
+    )
+    try:
+        write_batch_file(
+            str(del_dir), "e0.json",
+            [json.dumps({"doc_id": i}) for i in erase_ids[:4]],
+        )
+        qe.processAllAvailable()
+        write_batch_file(
+            str(del_dir), "e1.json",
+            [json.dumps({"doc_id": i}) for i in erase_ids[4:]]
+            + [json.dumps({"doc_id": erase_ids[0]})]   # redelivered
+            + [json.dumps({"doc_id": 999_999})],       # unknown
+        )
+        qe.processAllAvailable()
+    finally:
+        qe.stop()
+
+    survivors = (
+        init.unionByName(b1.select("doc_id", "text"))
+        .unionByName(b2.select("doc_id", "text"))
+        .filter(~F.col("doc_id").isin(erase_ids))
+    )
+    queries = survivors.filter(F.col("doc_id") < 20)
+    got = bm25_index_topk(spark, path, queries, k=10)
+    scored = bm25_scores(survivors, queries).filter(
+        F.col("query_doc_id") != F.col("doc_id")
+    )
+    from pyspark.sql import Window as W
+
+    part_w = W.partitionBy(F.spark_partition_id(), "query_doc_id").orderBy(
+        F.desc("score_dec"), F.asc("doc_id")
+    )
+    local = scored.withColumn("_lr", F.row_number().over(part_w)).filter(
+        F.col("_lr") <= 10
+    )
+    w = W.partitionBy("query_doc_id").orderBy(
+        F.desc("score_dec"), F.asc("doc_id")
+    )
+    want = (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_doc_id", "doc_id",
+            F.col("rank").cast("int").alias("rank"), "score",
+        )
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    } and got.count() > 0
+    meta = json.load(open(f"{path}/_bm25_meta.json"))
+    truth = (
+        spark.read.parquet(f"{path}/doclens")
+        .join(
+            spark.read.parquet(f"{path}/tombstones"), "doc_id", "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .first()
+    )
+    assert (meta["n_docs"], meta["sum_dl"]) == (
+        int(truth["n"]), int(truth["s"])
+    )
+
+
+def test_bm25_maintenance_crash_windows(spark, tmp_path):
+    """The two partial-write crash windows have structural answers:
+    (a) postings landed / doclens missing → the replay double-appends
+    identical tf rows, the serve-side (doc_id, tok) dedup hides them,
+    and compaction folds them away at rest; (b) appends landed / meta
+    stale → bm25_index_reconcile restores the counters from the
+    doclen ground truth (it runs at every stream start)."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.bm25_index import (
+        _tf_dl,
+        bm25_index_append,
+        bm25_index_compact,
+        bm25_index_persist,
+        bm25_index_reconcile,
+        bm25_index_topk,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        bm25_scores,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    init = docs.filter(F.col("doc_id") % 3 == 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 1)
+    full = init.unionByName(delta)
+    queries = full.filter(F.col("doc_id") < 10)
+
+    # (a) emulate the crashed append: postings landed, doclens did not
+    path = str(tmp_path / "cidx")
+    bm25_index_persist(init, path, n_parts=8, fingerprint="fp0")
+    tf, _dl = _tf_dl(delta, "doc_id", "text", 8)
+    tf.write.mode("append").partitionBy("part").parquet(f"{path}/postings")
+    # replay: the gate (doclens) re-admits the delta → double postings
+    assert bm25_index_append(path, delta) == delta.count()
+    dup = (
+        spark.read.parquet(f"{path}/postings")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+    assert dup > 0  # the window is real
+    got = bm25_index_topk(spark, path, queries, k=10)
+    ref_path = str(tmp_path / "ref")
+    bm25_index_persist(full, ref_path, n_parts=8, fingerprint="fp0")
+    want = bm25_index_topk(spark, ref_path, queries, k=10)
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    } and got.count() > 0
+    bm25_index_compact(spark, path)
+    got_rows = {
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/postings")
+        .select("doc_id", "tok", "tf", "part")
+        .collect()
+    }
+    want_rows = {
+        tuple(r)
+        for r in spark.read.parquet(f"{ref_path}/postings")
+        .select("doc_id", "tok", "tf", "part")
+        .collect()
+    }
+    assert got_rows == want_rows
+
+    # (b) stale meta counters → reconcile restores ground truth
+    meta = json.load(open(f"{path}/_bm25_meta.json"))
+    true_pair = (meta["n_docs"], meta["sum_dl"])
+    meta["n_docs"] -= 5
+    meta["sum_dl"] -= 123
+    json.dump(meta, open(f"{path}/_bm25_meta.json", "w"))
+    assert bm25_index_reconcile(spark, path) == true_pair
+    meta2 = json.load(open(f"{path}/_bm25_meta.json"))
+    assert (meta2["n_docs"], meta2["sum_dl"]) == true_pair
