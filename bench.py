@@ -97,13 +97,13 @@ def main() -> None:
     # single-run cold times).  The artifact is persisted after pass 1
     # and every 25 re-runs, so a driver-side kill still ships a
     # complete pass.
-    # r13: 660 -> 750; r14: 750 -> 800.  The budget grows with the
-    # registry (239 queries as of r14: +knn_graph_descent_delete, the
-    # two beam serving rungs, the three minhash_lsh_index entries and
-    # the three bm25_index entries, −semdedup_keep_decisions demoted;
-    # the r12 lesson: a pass 1 that blows the budget ships single-run
-    # cold times and manufactures phantom regressions).
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "800"))
+    # r13: 660 -> 750; r14: 750 -> 820.  The budget grows with the
+    # registry (242 queries as of r14: +knn_graph_descent_delete, the
+    # two beam serving rungs, and the LSH/BM25/KN-LM index lifecycle
+    # triples, −semdedup_keep_decisions demoted; the r12 lesson: a
+    # pass 1 that blows the budget ships single-run cold times and
+    # manufactures phantom regressions).
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "820"))
     max_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     t_start = time.time()
     runs: dict[str, list[float]] = {}

@@ -1433,6 +1433,14 @@ def kn_bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     tfidf/bigram_logprob silhouette.  The result is a maintained
     model artifact: fit on a curation cadence, served to batch and
     streaming scorers alike (the dsir_fit_weights doctrine)."""
+    return kn_model_from_counts(bigram_count_relation(docs, text_col))
+
+
+def bigram_count_relation(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The ``(w1, w2, c2)`` bigram count relation — the ONE corpus
+    scan every bigram-LM artifact derives from, factored out so the
+    at-rest LM index (operators/lm_index) computes delta segments
+    with the identical expression shapes."""
     bigrams = F.when(
         F.size(F.col("tokens")) >= 2,
         F.expr(
@@ -1445,7 +1453,15 @@ def kn_bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .select(F.explode(bigrams).alias("bg"))
         .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
-    bgf = rel.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    return rel.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+
+
+def kn_model_from_counts(bgf: DataFrame) -> DataFrame:
+    """KN model statistics from a ``(w1, w2, c2)`` count relation —
+    the derivation half of :func:`kn_bigram_model`, shared with the
+    at-rest LM index so a model served from maintained count segments
+    is bit-equal to one fit from scratch (fw/bw/|types| are pure
+    functions of the merged counts)."""
     fw = bgf.groupBy("w1").agg(
         F.sum("c2").cast("double").alias("c1"),
         F.count(F.lit(1)).cast("double").alias("n1f"),

@@ -94,16 +94,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: rest.  Dicts preserve insertion order; rotate this list each round
 #: so every query gets a driver row within two rounds.
 _PRIORITY: list[str] = [
-    # round-14 rotation (VERDICT r13 item 1): head = the 9 queries NEW
-    # in r14 (never driver-checked), then ALL 35 still-registered
+    # round-14 rotation (VERDICT r13 item 1): head = the 12 queries
+    # NEW in r14 (never driver-checked), then ALL 35 still-registered
     # queries whose newest driver row is r9-vintage (the oldest tier —
     # retired completely this round, as demanded; the 36th r9 name,
     # ann_cosine_topk_ivf, is no longer a registered query, and
     # semdedup_keep_decisions left the registry via the r14 probe-only
-    # demotion), then the 6 alphabetically-first r10-vintage rows to
-    # start on the next debt tier.  9 + 35 + 6 = 50.  A test asserts
+    # demotion), then the 3 alphabetically-first r10-vintage rows to
+    # start on the next debt tier.  12 + 35 + 3 = 50.  A test asserts
     # this list is duplicate-free.
-    # -- new in r14 (9) --
+    # -- new in r14 (12) --
     "knn_graph_descent_delete",
     "ann_graph_beam_ooc_topk",
     "ann_graph_beam_heldout_topk",
@@ -113,6 +113,9 @@ _PRIORITY: list[str] = [
     "bm25_index_serve_topk",
     "bm25_index_append_serve_topk",
     "bm25_index_delete_serve_topk",
+    "kn_lm_index_gate_served",
+    "kn_lm_index_append_gate",
+    "kn_lm_index_delete_gate",
     # -- r9-vintage (35) --
     "ann_cosine_topk_ivf_fixed",
     "ann_ivf_persisted_topk",
@@ -149,13 +152,10 @@ _PRIORITY: list[str] = [
     "top_orders_per_customer",
     "url_dedup_canonical",
     "window_functions_showcase",
-    # -- oldest r10-vintage (6) --
+    # -- oldest r10-vintage (3) --
     "ann_ivf_append_serve",
     "ann_ivf_sq8_topk",
     "ann_ivfadc_residual_topk",
-    "ann_ivfadc_topk",
-    "ann_pq_trained_topk",
-    "ann_sq8_adc_topk",
 ]
 
 

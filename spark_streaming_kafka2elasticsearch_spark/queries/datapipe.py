@@ -6641,3 +6641,195 @@ def bm25_index_delete_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_index_topk(
         spark, path, queries, k=10, expected_fingerprint=done_fp
     )
+
+
+# ---------------------------------------------------------------------------
+# At-rest bigram-LM count index (operators/lm_index) — r14: the text
+# family's maintenance rung.  Counts are ADDITIVE — the one algebraic
+# property the LSH/BM25 layouts lack — so maintenance is the LSM
+# trade: appends and deletions are blind count-delta segments
+# (deletions NEGATIVE), the served relation is a vocabulary-sized
+# merge (never a corpus scan), and a fully-erased bigram type
+# vanishes from n1f/n1b/|types| exactly as a refit would drop it.
+# ---------------------------------------------------------------------------
+
+
+def _kn_gate_oracle(docs_where: str) -> str:
+    """The kn_perplexity_quality_gate oracle chain parameterized by a
+    document filter — model fit AND scoring both over the filtered
+    corpus (self-scoring, n_oov = 0 by construction)."""
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents{docs_where}),
+inst AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
+        FROM d WHERE len(t) >= 2)),
+bgf AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        FROM inst GROUP BY w1, w2),
+fw AS (SELECT w1, CAST(sum(c2) AS DOUBLE) AS c1,
+              CAST(count(*) AS DOUBLE) AS n1f
+       FROM bgf GROUP BY w1),
+bw AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n1b FROM bgf GROUP BY w2),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM bgf),
+terms AS (
+  SELECT i.doc_id,
+         CAST(round(ln((CAST(b.c2 AS DOUBLE) - 0.75) / f.c1
+               + (0.75 * f.n1f / f.c1) * (w.n1b / t.n_types)), 9)
+           AS DECIMAL(28,10)) AS term
+  FROM inst i JOIN bgf b USING (w1, w2)
+  JOIN fw f USING (w1) JOIN bw w USING (w2), t),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               sum(term) AS s
+        FROM terms GROUP BY doc_id)
+SELECT doc_id, n_bigrams, CAST(0 AS BIGINT) AS n_oov,
+       round(-(CAST(s AS DOUBLE)) / CAST(n_bigrams AS DOUBLE), 9) AS kn_nll,
+       (round(-(CAST(s AS DOUBLE)) / CAST(n_bigrams AS DOUBLE), 9)
+         <= 3.4) AS keep
+FROM agg
+"""
+
+
+def _lm_fixture(spark, sf_dir, query_name, docs_subset, want_fp):
+    """Fingerprint-keyed untimed LM-index fixture (the _lsh_fixture
+    doctrine)."""
+    import json as _json
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.lm_index import (
+        kn_index_persist,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.queries.advanced import (
+        _ivf_index_dir,
+    )
+
+    path = _ivf_index_dir(query_name, sf_dir)
+    meta_path = os.path.join(path, "_lm_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if _json.load(fh).get("fingerprint") == want_fp:
+                return path
+    kn_index_persist(docs_subset, path, n_parts=16, fingerprint=want_fp)
+    return path
+
+
+def _kn_gate_output(scores):
+    return scores.select(
+        "doc_id",
+        "n_bigrams",
+        "n_oov",
+        "kn_nll",
+        (F.col("kn_nll") <= 3.4).alias("keep"),
+    )
+
+
+@register("kn_lm_index_gate_served", oracle=_kn_gate_oracle(""))
+def kn_lm_index_gate_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KN perplexity gate SERVED from the at-rest count index
+    (operators/lm_index): the model is derived from the maintained
+    segments by a VOCABULARY-sized merge (segment dedup → per-key
+    integer sum → HAVING > 0 → kn_model_from_counts) instead of the
+    corpus text scan the from-scratch fit pays — at 100 TB the fit
+    scan is the dominant cost and this entry is the one-scan (scoring
+    only) twin of kn_perplexity_quality_gate's two-scan plan.  Scores
+    and keep decisions are bit-equal to the from-scratch gate, which
+    is exactly what the oracle computes."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.lm_index import (
+        kn_index_model,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        kn_doc_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = _lsh_docs_fp(sf_dir)
+    path = _lm_fixture(spark, sf_dir, "kn_lm_index_gate_served", docs, fp)
+    model = kn_index_model(spark, path, expected_fingerprint=fp)
+    return _kn_gate_output(kn_doc_scores(docs, model))
+
+
+@register("kn_lm_index_append_gate", oracle=_kn_gate_oracle(""))
+def kn_lm_index_append_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL APPEND onto the at-rest LM count index: a
+    fixed-size document delta (doc_id ≡ 3 mod 5, id < 2000 — the
+    bounded daily increment) joins the merge as one more in-flight
+    segment — delta-only text scan, counts additive so maintained ≡
+    refit EXACTLY — and the gate over the full corpus under the
+    served model must equal the from-scratch gate the oracle
+    computes.  The disk-mutating append (blind segment add behind the
+    doclog/removed first-seen gate, deterministic content-derived
+    _seg id that makes a crashed double-write dedup away) is pinned
+    in tests/test_lm_index.py; this times the repeatable functional
+    twin."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.lm_index import (
+        kn_index_model,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        kn_doc_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta_cond = (F.col("doc_id") % 5 == 3) & (F.col("doc_id") < 2000)
+    old = docs.filter(~delta_cond)
+    delta = docs.filter(delta_cond)
+    fp = _lsh_docs_fp(sf_dir)
+    path = _lm_fixture(spark, sf_dir, "kn_lm_index_append_gate", old, fp)
+    model = kn_index_model(
+        spark, path, delta_docs=delta, expected_fingerprint=fp
+    )
+    return _kn_gate_output(kn_doc_scores(docs, model))
+
+
+_KN_DELETE_WHERE = " WHERE NOT (doc_id % 20 = 7 AND doc_id < 2000)"
+
+
+@register(
+    "kn_lm_index_delete_gate", oracle=_kn_gate_oracle(_KN_DELETE_WHERE)
+)
+def kn_lm_index_delete_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE-SEGMENT DELETE on the at-rest LM count index: the
+    bounded erasure set (doc_id ≡ 7 mod 20, id < 2000 — the GDPR
+    increment) is erased by appending its NEGATED counts as a
+    deletion segment — O(|Δ|) text work on the documents being erased
+    (read from the corpus store before they leave it), no rewrite —
+    and the merge's exact integer sums make fully-erased bigram types
+    vanish from n1f/n1b/|types| precisely as a refit on the survivors
+    would, which is what the oracle computes (model fit AND scoring
+    over the surviving corpus).  The delete runs once per corpus
+    fingerprint; the TIMED path is the vocabulary-sized merge + the
+    scoring scan.  Compaction equality and the erased-id permanence
+    contract are pinned in tests/test_lm_index.py."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.lm_index import (
+        kn_index_delete,
+        kn_index_model,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        kn_doc_scores,
+    )
+    import json as _json
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.queries.advanced import (
+        _ivf_index_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    del_cond = (F.col("doc_id") % 20 == 7) & (F.col("doc_id") < 2000)
+    survivors = docs.filter(~del_cond)
+    fp = _lsh_docs_fp(sf_dir)
+    done_fp = fp + ":deleted"
+    path = _ivf_index_dir("kn_lm_index_delete_gate", sf_dir)
+    meta_path = os.path.join(path, "_lm_meta.json")
+    done = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            done = _json.load(fh).get("fingerprint") == done_fp
+    if not done:
+        _lm_fixture(spark, sf_dir, "kn_lm_index_delete_gate", docs, fp)
+        kn_index_delete(
+            path, docs.filter(del_cond), new_fingerprint=done_fp
+        )
+    model = kn_index_model(spark, path, expected_fingerprint=done_fp)
+    return _kn_gate_output(kn_doc_scores(survivors, model))

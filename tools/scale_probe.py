@@ -382,6 +382,16 @@ PROBE_QUERIES = [
     "bm25_index_serve_topk",
     "bm25_index_append_serve_topk",
     "bm25_index_delete_serve_topk",
+    # r14: at-rest bigram-LM count index (operators/lm_index).  All
+    # three replace the from-scratch fit's corpus text scan with a
+    # vocabulary-sized segment merge, then pay the scoring scan over
+    # the gated corpus — the scoring scan is corpus-linear by
+    # definition (every doc is scored), so alpha ≈ the
+    # kn_perplexity_quality_gate slope MINUS its fit-scan share;
+    # expect ≲ 1, merge work growing with distinct bigram types.
+    "kn_lm_index_gate_served",
+    "kn_lm_index_append_gate",
+    "kn_lm_index_delete_gate",
 ]
 
 
