@@ -1098,6 +1098,176 @@ def bm25_index_erasure_stream(
     )
 
 
+def kn_lm_index_maintenance_stream(
+    spark: SparkSession,
+    source: Any,
+    index_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming maintenance for the at-rest bigram-LM count index
+    (operators/lm_index): each micro-batch of ``{doc_id, lang, text}``
+    envelopes is folded in as one count segment
+    (:func:`kn_index_append` — delta-only text scan, blind parquet
+    add) and its text lands in ``index_path/corpus/``
+    (batch_id-partitioned dynamic overwrite) so the erasure stream
+    can look erased documents' text back up.  Replay idempotency is
+    structural twice over: the doclog/removed first-seen gate drops
+    redelivered ids, and a crash between the segment write and the
+    doclog write replays into an IDENTICAL deterministic ``_seg``
+    that the merge dedups — counts can never double.  The corpus
+    partition overwrite is idempotent by keying.
+
+    The caller persists the initial index over a NON-EMPTY corpus
+    before starting.  Returns the started StreamingQuery."""
+    import os
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.lm_index import (
+        kn_index_append,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import (
+        overwrite_partitions,
+    )
+
+    parsed = _parse_doc_stream(spark, source)
+    corpus_dir = os.path.join(index_path, "corpus")
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates(["doc_id"]).localCheckpoint(eager=True)
+        if batch.isEmpty():
+            return
+        # One landed copy per doc: a LATER batch redelivering an
+        # already-landed document must not land it in a second
+        # partition (the erasure semi-join would then see duplicate
+        # text rows and double-negate its counts).  Keyed by the
+        # landed corpus itself, and landed BEFORE the index append so
+        # every crash window replays cleanly (partition overwrite is
+        # idempotent; the append's own gates handle the rest).
+        fresh = batch.select("doc_id", "text")
+        if os.path.isdir(corpus_dir):
+            fresh = fresh.join(
+                spark.read.parquet(corpus_dir).select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+        fresh = fresh.localCheckpoint(eager=True)
+        if not fresh.isEmpty():
+            overwrite_partitions(
+                fresh.withColumn("batch_id", F.lit(int(batch_id))),
+                corpus_dir,
+                ["batch_id"],
+            )
+        kn_index_append(index_path, batch.select("doc_id", "text"))
+
+    return (
+        parsed.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def kn_lm_index_erasure_stream(
+    spark: SparkSession,
+    source: Any,
+    index_path: str,
+    checkpoint_dir: str,
+    static_corpus: DataFrame | None = None,
+):
+    """Streaming GDPR erasure for the at-rest bigram-LM count index —
+    ``{"doc_id": N}`` envelopes, the erasure twin of
+    :func:`kn_lm_index_maintenance_stream`.  Deletion needs the
+    documents' TEXT (the negated count segment is computed from it),
+    so each batch's ids are joined back to the text stores FIRST —
+    the stream's own landed ``corpus/`` partitions plus the optional
+    ``static_corpus`` for documents indexed before the stream — then
+    :func:`kn_index_delete` appends the negative segment, and LAST
+    the landed corpus partitions holding the erased ids are
+    surgically rewritten (dynamic overwrite + emptied-partition
+    rmtree) so the text itself is gone.  That ordering is the GDPR
+    ordering — read, negate, then destroy — and makes replay safe:
+    the removed-table gate turns a redelivered id into a count no-op,
+    while the corpus surgery (idempotent by keying) always re-runs to
+    completion, closing the negate-landed/text-not-yet-destroyed
+    crash window.  Unknown ids no-op at every step.
+
+    Returns the started StreamingQuery."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.lm_index import (
+        kn_index_delete,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.sources.writer import (
+        overwrite_partitions,
+    )
+
+    id_schema = T.StructType([T.StructField("doc_id", T.LongType())])
+    parsed = (
+        source.load_stream(spark)
+        .select(
+            F.from_json(F.col("value").cast("string"), id_schema).alias("v")
+        )
+        .select("v.*")
+    )
+    corpus_dir = os.path.join(index_path, "corpus")
+
+    def erase(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates(["doc_id"]).localCheckpoint(eager=True)
+        if batch.isEmpty():
+            return
+        texts = [static_corpus] if static_corpus is not None else []
+        landed = None
+        if os.path.isdir(corpus_dir):
+            landed = spark.read.parquet(corpus_dir)
+            texts.append(landed.select("doc_id", "text"))
+        if not texts:
+            return
+        corpus_texts = texts[0]
+        for t in texts[1:]:
+            corpus_texts = corpus_texts.unionByName(t)
+        # dropDuplicates: a doc present in more than one text store
+        # (static + landed, or any landed duplication) must negate its
+        # counts exactly once
+        gone = corpus_texts.join(batch, "doc_id", "left_semi").dropDuplicates(
+            ["doc_id"]
+        )
+        kn_index_delete(index_path, gone)
+        if landed is None:
+            return
+        touched = {
+            int(r["batch_id"])
+            for r in landed.join(batch, "doc_id", "left_semi")
+            .select("batch_id")
+            .distinct()
+            .collect()
+        }
+        if not touched:
+            return
+        remaining = (
+            landed.filter(F.col("batch_id").isin(sorted(touched)))
+            .join(batch, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not remaining.isEmpty():
+            overwrite_partitions(remaining, corpus_dir, ["batch_id"])
+        kept = {
+            int(r["batch_id"])
+            for r in remaining.select("batch_id").distinct().collect()
+        }
+        for bid in touched - kept:
+            shutil.rmtree(
+                os.path.join(corpus_dir, f"batch_id={bid}"),
+                ignore_errors=True,
+            )
+
+    return (
+        parsed.writeStream.foreachBatch(erase)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def front_door_stream(
     spark: SparkSession,
     source: Any,

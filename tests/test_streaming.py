@@ -3478,3 +3478,108 @@ def test_bm25_maintenance_crash_windows(spark, tmp_path):
     assert bm25_index_reconcile(spark, path) == true_pair
     meta2 = json.load(open(f"{path}/_bm25_meta.json"))
     assert (meta2["n_docs"], meta2["sum_dl"]) == true_pair
+
+
+def test_kn_lm_index_streams_equal_batch(spark, tmp_path):
+    """LM-index maintenance + erasure streams: ingest two batches
+    (second redelivers first-batch docs — doclog no-op), then erase in
+    two batches (second redelivers an erased id and an unknown id —
+    removed-gate no-ops), looking erased docs' text up from the
+    stream's own landed corpus and the static pre-stream corpus.  The
+    merged counts must equal the one-scan relation over the surviving
+    live corpus, and the erased documents' text must be surgically
+    gone from the landed partitions."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.lm_index import (
+        kn_index_counts,
+        kn_index_persist,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.operators.text import (
+        bigram_count_relation,
+    )
+    from spark_streaming_kafka2elasticsearch_spark.streaming.jobs import (
+        kn_lm_index_erasure_stream,
+        kn_lm_index_maintenance_stream,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", "text")
+    )
+    init = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 4 == 1)
+    b2 = docs.filter(F.col("doc_id") % 4 == 2)
+    b1_ids = [r.doc_id for r in b1.select("doc_id").collect()]
+    init_ids = [r.doc_id for r in init.select("doc_id").collect()]
+    # erase a mix: some stream-landed docs, one static-corpus doc
+    erase_ids = b1_ids[:5] + [init_ids[0]]
+
+    path = str(tmp_path / "lmx")
+    kn_index_persist(init, path, n_parts=8, fingerprint="fp0")
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    q = kn_lm_index_maintenance_stream(
+        spark,
+        JsonDirSource(str(src_dir), as_kafka_envelope=True),
+        path,
+        str(tmp_path / "chk_ingest"),
+    )
+    try:
+        write_batch_file(
+            str(src_dir), "b1.json",
+            [json.dumps({"doc_id": r.doc_id, "lang": r.lang, "text": r.text})
+             for r in b1.collect()],
+        )
+        q.processAllAvailable()
+        write_batch_file(
+            str(src_dir), "b2.json",
+            [json.dumps({"doc_id": r.doc_id, "lang": r.lang, "text": r.text})
+             for r in b2.collect()]
+            + [json.dumps({"doc_id": r.doc_id, "lang": r.lang, "text": r.text})
+               for r in b1.limit(3).collect()],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    del_dir = tmp_path / "dels"
+    del_dir.mkdir()
+    qe = kn_lm_index_erasure_stream(
+        spark,
+        JsonDirSource(str(del_dir), as_kafka_envelope=True),
+        path,
+        str(tmp_path / "chk_erase"),
+        static_corpus=init,
+    )
+    try:
+        write_batch_file(
+            str(del_dir), "e0.json",
+            [json.dumps({"doc_id": i}) for i in erase_ids[:3]],
+        )
+        qe.processAllAvailable()
+        write_batch_file(
+            str(del_dir), "e1.json",
+            [json.dumps({"doc_id": i}) for i in erase_ids[3:]]
+            + [json.dumps({"doc_id": erase_ids[0]})]   # redelivered
+            + [json.dumps({"doc_id": 999_999})],       # unknown
+        )
+        qe.processAllAvailable()
+    finally:
+        qe.stop()
+
+    live = (
+        init.unionByName(b1.select("doc_id", "text"))
+        .unionByName(b2.select("doc_id", "text"))
+        .filter(~F.col("doc_id").isin(erase_ids))
+    )
+    got = {tuple(r) for r in kn_index_counts(spark, path).collect()}
+    want = {tuple(r) for r in bigram_count_relation(live).collect()}
+    assert got == want and got
+    landed_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{path}/corpus").collect()
+    }
+    assert not landed_ids & set(erase_ids)          # text destroyed
+    assert landed_ids == {
+        r.doc_id for r in b1.unionByName(b2).collect()
+    } - set(erase_ids)
