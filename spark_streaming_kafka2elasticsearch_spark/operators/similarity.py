@@ -638,6 +638,181 @@ def knn_graph(
     )
 
 
+#: Collected-(id, vec, norm) byte ceiling below which candidate-pair
+#: cosine scoring runs through the broadcast-matrix Arrow kernel
+#: instead of two vector-attach joins + the interpreted HOF dot fold.
+#: The gate is DATA-SIZE derived (n·(dim+2)·8 bytes — the same
+#: "collect the small side" contract as the k-means/centroid
+#: collects), never a core-count constant: at 100 TB the corpus blows
+#: the ceiling and the join path runs unchanged.  Env-tunable for
+#: clusters with bigger executors.
+_PAIR_SCORE_BROADCAST_BYTES = 64 << 20
+
+
+def _pair_score_broadcast_bytes() -> int:
+    import os
+
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_PAIR_SCORE_BROADCAST_BYTES",
+            str(_PAIR_SCORE_BROADCAST_BYTES),
+        )
+    )
+
+
+def _make_pair_topk(base: DataFrame, n: int, dim: int):
+    """Factory for the descent-family ``_topk(cand, kk, with_rank)``:
+    score an id-pair relation ``(src, dst)`` against ``base``
+    (``_id``, ``_v`` double vector, ``_n`` hoisted norm) and keep each
+    src's top-``kk`` by (sim DESC, dst ASC).
+
+    Two bit-identical scoring strategies (guide §4.2 / §8: shuffle
+    ids, not payloads; hand batches to vectorized native code):
+
+    * **broadcast-matrix Arrow kernel** — when the collected
+      ``(id, vec, norm)`` state fits ``_pair_score_broadcast_bytes()``:
+      ``base`` is collected once, shipped as a numpy matrix broadcast,
+      and a ``mapInArrow`` kernel computes the cosine with the SAME
+      IEEE op sequence as the Catalyst fold (products then a
+      sequential index-order accumulation seeded at 0.0 — numpy
+      element-wise double ops are the same IEEE binary64 ops, applied
+      j = 0..dim−1 exactly like the ``aggregate`` left fold), the SAME
+      hoisted norms (taken verbatim from the collected ``_n`` column —
+      computed by the Catalyst fold itself), the same zero-denominator
+      NULL guard (explicit Arrow null mask, never NaN), and the
+      inner-join drop semantics for pair ids absent from ``base``
+      (found-mask filter — ring candidates outside a sparse id space
+      must vanish exactly like they fall out of the equi-join).
+      Replaces two joins + a per-pair interpreted fold (HOFs are
+      CodegenFallback) with one Python crossing of 16 bytes/pair.
+    * **join + fold** — the original shape, kept verbatim for corpora
+      above the ceiling (the 100 TB path: vectors live in the
+      partitioned base relation and attach by id) and for any base
+      with NULL vectors/norms (the kernel's numeric fast path cannot
+      represent element-level NULLs; the fold's NULL algebra must
+      win).
+
+    The strategy is chosen once per operator invocation; every
+    ``_topk`` call in the build/refresh/delete loops reuses it.
+    """
+    src_side = base.select(
+        F.col("_id").alias("src"),
+        F.col("_v").alias("_sv"),
+        F.col("_n").alias("_sn"),
+    )
+    dst_side = base.select(
+        F.col("_id").alias("dst"),
+        F.col("_v").alias("_dv"),
+        F.col("_n").alias("_dn"),
+    )
+
+    scorer = None
+    if n * (dim + 2) * 8 <= _pair_score_broadcast_bytes():
+        scorer = _broadcast_matrix_scorer(base)
+
+    def _score(cand: DataFrame) -> DataFrame:
+        if scorer is not None:
+            return scorer(cand)
+        scored = cand.join(src_side, "src").join(dst_side, "dst")
+        denom = F.col("_sn") * F.col("_dn")
+        return scored.select(
+            "src",
+            "dst",
+            F.when(denom == 0, F.lit(None))
+            .otherwise(dot_product(F.col("_sv"), F.col("_dv")) / denom)
+            .alias("_sim"),
+        )
+
+    def _topk(cand: DataFrame, kk: int, with_rank: bool = False) -> DataFrame:
+        sims = _score(cand)
+        w = Window.partitionBy("src").orderBy(F.desc("_sim"), F.asc("dst"))
+        ranked = sims.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= kk
+        )
+        if with_rank:
+            return ranked.select(
+                "src", "dst", F.col("rank").cast("int").alias("rank")
+            )
+        return ranked.select("src", "dst")
+
+    return _topk
+
+
+def _broadcast_matrix_scorer(base: DataFrame):
+    """Build the broadcast-matrix Arrow scorer over ``base``
+    (``_id``, ``_v``, ``_n``), or return None when the collected state
+    contains NULLs (vector, element, or norm) — the join+fold path
+    must handle those through Catalyst's NULL algebra."""
+    import numpy as np
+
+    rows = base.select("_id", "_v", "_n").collect()
+    if any(r["_v"] is None or r["_n"] is None for r in rows):
+        return None
+    ids = np.fromiter((r["_id"] for r in rows), dtype=np.int64, count=len(rows))
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    try:
+        mat = np.array([rows[i]["_v"] for i in order], dtype=np.float64)
+    except (TypeError, ValueError):  # element-level NULL
+        return None
+    norms = np.fromiter(
+        (rows[order[i]]["_n"] for i in range(len(rows))),
+        dtype=np.float64,
+        count=len(rows),
+    )
+    spark = base.sparkSession
+    b_state = spark.sparkContext.broadcast((ids, mat, norms))
+    n_ids = len(rows)
+
+    def scorer(cand: DataFrame) -> DataFrame:
+        pair = cand.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+
+        def kernel(batches):
+            import pyarrow as pa
+
+            bids, bmat, bnorms = b_state.value
+            ndim = bmat.shape[1]
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                s = batch.column(0).to_numpy(zero_copy_only=False)
+                d = batch.column(1).to_numpy(zero_copy_only=False)
+                si = np.searchsorted(bids, s)
+                di = np.searchsorted(bids, d)
+                np.clip(si, 0, n_ids - 1, out=si)
+                np.clip(di, 0, n_ids - 1, out=di)
+                found = (bids[si] == s) & (bids[di] == d)
+                if not found.all():
+                    s, d, si, di = s[found], d[found], si[found], di[found]
+                if len(s) == 0:
+                    continue
+                a = bmat[si]
+                b = bmat[di]
+                acc = np.zeros(len(s), dtype=np.float64)
+                for j in range(ndim):
+                    acc += a[:, j] * b[:, j]
+                den = bnorms[si] * bnorms[di]
+                null_mask = den == 0.0
+                np.divide(acc, den, out=acc, where=~null_mask)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(s, type=pa.int64()),
+                        pa.array(d, type=pa.int64()),
+                        pa.array(acc, type=pa.float64(), mask=null_mask),
+                    ],
+                    names=["src", "dst", "_sim"],
+                )
+
+        return pair.mapInArrow(
+            kernel, schema="src long, dst long, _sim double"
+        )
+
+    return scorer
+
+
 def nn_descent_graph(
     corpus: DataFrame,
     k: int = 5,
@@ -729,41 +904,10 @@ def nn_descent_graph(
         srp_bucket(F.col(corpus_vec), dim, p).alias("_bucket"),
     ).persist()
 
-    src_side = base.select(
-        F.col("_id").alias("src"),
-        F.col("_v").alias("_sv"),
-        F.col("_n").alias("_sn"),
-    )
-    dst_side = base.select(
-        F.col("_id").alias("dst"),
-        F.col("_v").alias("_dv"),
-        F.col("_n").alias("_dn"),
-    )
-
-    def _topk(
-        cand: DataFrame, kk: int, with_rank: bool = False
-    ) -> DataFrame:
-        # Score candidate id pairs: join the vectors back in by id,
-        # bit-exact hoisted cosine (same fold + zero guard as
-        # cosine_similarity, norms computed once per row in `base`).
-        scored = cand.join(src_side, "src").join(dst_side, "dst")
-        denom = F.col("_sn") * F.col("_dn")
-        sims = scored.select(
-            "src",
-            "dst",
-            F.when(denom == 0, F.lit(None))
-            .otherwise(dot_product(F.col("_sv"), F.col("_dv")) / denom)
-            .alias("_sim"),
-        )
-        w = Window.partitionBy("src").orderBy(F.desc("_sim"), F.asc("dst"))
-        ranked = sims.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= kk
-        )
-        if with_rank:
-            return ranked.select(
-                "src", "dst", F.col("rank").cast("int").alias("rank")
-            )
-        return ranked.select("src", "dst")
+    # Scoring strategy chosen once per build (broadcast-matrix Arrow
+    # kernel vs join + fold — see _make_pair_topk); the per-round
+    # window/rank logic is identical either way.
+    _topk = _make_pair_topk(base, n, dim)
 
     # -- seed: bucket mates ∪ id ring --------------------------------
     bpair = (
@@ -792,21 +936,47 @@ def nn_descent_graph(
     g = _topk(cand.distinct(), k_build).localCheckpoint(eager=True)
 
     # -- fixed descent rounds ----------------------------------------
-    for _ in range(rounds):
-        und = g.union(
-            g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        a = und.alias("a")
-        b = und.alias("b")
-        two_hop = (
+    # Incremental local join (Dong et al. §2.3, the "new/old" split):
+    # a two-hop pair whose BOTH hops already existed in the previous
+    # round's undirected edge set was generated and scored in that
+    # round; every candidate that beat it there — the previous top-k —
+    # is still present via the ``∪ g`` term, so it can never enter
+    # this round's top-``k_build`` and dropping it is OUTPUT-IDENTICAL
+    # (guide §2.3: don't regenerate pairs you have already
+    # adjudicated).  Only pairs touching at least one NEW undirected
+    # edge are generated: rounds near convergence emit a small
+    # fraction of the full n·(2k)² join, which is where the descent
+    # build's distinct/shuffle time was measured to live.
+    def _hops(left: DataFrame, right: DataFrame) -> DataFrame:
+        a = left.alias("a")
+        b = right.alias("b")
+        return (
             a.join(b, F.col("a.dst") == F.col("b.src"))
             .filter(F.col("b.dst") != F.col("a.src"))
             .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
         )
-        nxt = _topk(
+
+    prev_und = None
+    for _ in range(rounds):
+        # One checkpointed undirected edge set per round, reused by
+        # both hop legs, the new/old split, and the next round.
+        und = (
+            g.union(
+                g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if prev_und is None:
+            two_hop = _hops(und, und)
+        else:
+            new_und = und.join(prev_und, ["src", "dst"], "left_anti")
+            old_und = und.join(prev_und, ["src", "dst"], "left_semi")
+            two_hop = _hops(new_und, und).union(_hops(old_und, new_und))
+        g = _topk(
             two_hop.union(g).distinct(), k_build
         ).localCheckpoint(eager=True)
-        g = nxt
+        prev_und = und
 
     # -- final rank + mutual flag: top-k of the converged working
     #    lists --------------------------------------------------------
@@ -998,36 +1168,9 @@ def nn_descent_refresh(
     ).persist()
     delta_ids = delta.select(F.col(corpus_id).alias("_did")).distinct()
 
-    src_side = base.select(
-        F.col("_id").alias("src"),
-        F.col("_v").alias("_sv"),
-        F.col("_n").alias("_sn"),
-    )
-    dst_side = base.select(
-        F.col("_id").alias("dst"),
-        F.col("_v").alias("_dv"),
-        F.col("_n").alias("_dn"),
-    )
-
-    def _topk(cand: DataFrame, kk: int, with_rank: bool = False) -> DataFrame:
-        scored = cand.join(src_side, "src").join(dst_side, "dst")
-        denom = F.col("_sn") * F.col("_dn")
-        sims = scored.select(
-            "src",
-            "dst",
-            F.when(denom == 0, F.lit(None))
-            .otherwise(dot_product(F.col("_sv"), F.col("_dv")) / denom)
-            .alias("_sim"),
-        )
-        w = Window.partitionBy("src").orderBy(F.desc("_sim"), F.asc("dst"))
-        ranked = sims.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= kk
-        )
-        if with_rank:
-            return ranked.select(
-                "src", "dst", F.col("rank").cast("int").alias("rank")
-            )
-        return ranked.select("src", "dst")
+    # Shared scoring strategy (broadcast-matrix Arrow kernel vs
+    # join + fold — _make_pair_topk); chosen once per refresh.
+    _topk = _make_pair_topk(base, n, dim)
 
     # -- 1. delta seeding ---------------------------------------------
     dbkt = delta_ids.join(
@@ -1206,36 +1349,9 @@ def nn_descent_delete(
     ).persist()
     dele = deleted_ids.select(F.col(id_col).alias("_del")).distinct()
 
-    src_side = base.select(
-        F.col("_id").alias("src"),
-        F.col("_v").alias("_sv"),
-        F.col("_n").alias("_sn"),
-    )
-    dst_side = base.select(
-        F.col("_id").alias("dst"),
-        F.col("_v").alias("_dv"),
-        F.col("_n").alias("_dn"),
-    )
-
-    def _topk(cand: DataFrame, kk: int, with_rank: bool = False) -> DataFrame:
-        scored = cand.join(src_side, "src").join(dst_side, "dst")
-        denom = F.col("_sn") * F.col("_dn")
-        sims = scored.select(
-            "src",
-            "dst",
-            F.when(denom == 0, F.lit(None))
-            .otherwise(dot_product(F.col("_sv"), F.col("_dv")) / denom)
-            .alias("_sim"),
-        )
-        w = Window.partitionBy("src").orderBy(F.desc("_sim"), F.asc("dst"))
-        ranked = sims.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= kk
-        )
-        if with_rank:
-            return ranked.select(
-                "src", "dst", F.col("rank").cast("int").alias("rank")
-            )
-        return ranked.select("src", "dst")
+    # Shared scoring strategy (broadcast-matrix Arrow kernel vs
+    # join + fold — _make_pair_topk); chosen once per delete.
+    _topk = _make_pair_topk(base, n, dim)
 
     # -- 1. tombstone: deleted srcs drop; touched = srcs losing an edge
     old_kept = old_edges.select("src", "dst", "rank").join(
