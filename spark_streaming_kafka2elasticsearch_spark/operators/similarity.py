@@ -570,36 +570,66 @@ def knn_graph(
         _fixed_probe_cells_expr(crows, "_vec", n_probe, "_n").alias("_probe"),
         "_n",
     )
-    assigned = both.select(
-        F.col("_id").alias("dst"),
-        F.col("_vec").alias("_nvec"),
-        F.element_at("_probe", 1).alias("cell"),
-        F.col("_n").alias("_nn"),
-    )
-    probes = both.select(
-        F.col("_id").alias("src"),
-        F.col("_vec").alias("_qvec"),
-        F.explode("_probe").alias("cell"),
-        F.col("_n").alias("_qn"),
-    )
-    pairs = probes.join(assigned, "cell").filter(F.col("src") != F.col("dst"))
-    # bit-exact hoisted cosine: same dot fold, same norm·norm product,
-    # same zero guard as functions.vectors.cosine_similarity — the
-    # norms are just computed once per row instead of once per pair
-    denom = F.col("_qn") * F.col("_nn")
-    sims = pairs.select(
-        "src",
-        "dst",
-        F.when(denom == 0, F.lit(None))
-        .otherwise(
-            dot_product(
-                F.col("_qvec").cast("array<double>"),
-                F.col("_nvec").cast("array<double>"),
-            )
-            / denom
+    # Pair scoring strategy (the descent-family contract,
+    # _make_pair_topk): when the corpus fits the broadcast ceiling the
+    # cell join carries ONLY ids (+cell) and the cosine runs through
+    # the bit-exact broadcast-matrix Arrow kernel — shuffle 16 bytes
+    # per candidate pair instead of two full vectors, no interpreted
+    # per-pair HOF fold (guide §2.3 / §4.2).  Above the ceiling the
+    # original vector-carrying join + hoisted fold runs verbatim (the
+    # 100 TB path).
+    scorer = _bounded_matrix_scorer(
+        base.select(
+            "_id", F.col("_vec").cast("array<double>").alias("_v"), "_n"
         )
-        .alias("_sim"),
     )
+    if scorer is not None:
+        assigned = both.select(
+            F.col("_id").alias("dst"),
+            F.element_at("_probe", 1).alias("cell"),
+        )
+        probes = both.select(
+            F.col("_id").alias("src"),
+            F.explode("_probe").alias("cell"),
+        )
+        pairs = probes.join(assigned, "cell").filter(
+            F.col("src") != F.col("dst")
+        )
+        sims = scorer(pairs.select("src", "dst"))
+    else:
+        assigned = both.select(
+            F.col("_id").alias("dst"),
+            F.col("_vec").alias("_nvec"),
+            F.element_at("_probe", 1).alias("cell"),
+            F.col("_n").alias("_nn"),
+        )
+        probes = both.select(
+            F.col("_id").alias("src"),
+            F.col("_vec").alias("_qvec"),
+            F.explode("_probe").alias("cell"),
+            F.col("_n").alias("_qn"),
+        )
+        pairs = probes.join(assigned, "cell").filter(
+            F.col("src") != F.col("dst")
+        )
+        # bit-exact hoisted cosine: same dot fold, same norm·norm
+        # product, same zero guard as functions.vectors.
+        # cosine_similarity — the norms are just computed once per row
+        # instead of once per pair
+        denom = F.col("_qn") * F.col("_nn")
+        sims = pairs.select(
+            "src",
+            "dst",
+            F.when(denom == 0, F.lit(None))
+            .otherwise(
+                dot_product(
+                    F.col("_qvec").cast("array<double>"),
+                    F.col("_nvec").cast("array<double>"),
+                )
+                / denom
+            )
+            .alias("_sim"),
+        )
     # local pre-rank (the bm25/brute-force discipline): a node's
     # candidates live in at most n_probe cell partitions, so keeping
     # the per-(partition, src) top-k first shrinks the global window's
@@ -743,12 +773,44 @@ def _broadcast_matrix_scorer(base: DataFrame):
     (``_id``, ``_v``, ``_n``), or return None when the collected state
     contains NULLs (vector, element, or norm) — the join+fold path
     must handle those through Catalyst's NULL algebra."""
+    rows = base.select("_id", "_v", "_n").collect()
+    return _scorer_from_rows(base.sparkSession, rows)
+
+
+def _bounded_matrix_scorer(base: DataFrame):
+    """Gate + build the broadcast-matrix Arrow scorer for callers that
+    do NOT already know ``|base|`` (the quantizer-graph family, whose
+    operators never count the corpus): a ``limit(max_n + 1)`` collect
+    bounded by :func:`_pair_score_broadcast_bytes` decides the strategy
+    without a separate count job — if the corpus exceeds the ceiling
+    the bounded collect is abandoned (≤ the ceiling in bytes, by
+    construction) and the caller keeps the vector-carrying join plan
+    (the 100 TB path).  Returns a scorer or None."""
+    head = base.select("_v").take(1)
+    if not head or head[0]["_v"] is None:
+        return None
+    dim = len(head[0]["_v"])
+    max_n = _pair_score_broadcast_bytes() // ((dim + 2) * 8)
+    rows = base.select("_id", "_v", "_n").limit(max_n + 1).collect()
+    if len(rows) > max_n:
+        return None
+    return _scorer_from_rows(base.sparkSession, rows)
+
+
+def _scorer_from_rows(spark, rows):
+    """The broadcast-matrix Arrow scorer over pre-collected
+    ``(_id, _v, _n)`` rows (see :func:`_make_pair_topk` for the
+    bit-equality contract), or None when the state contains NULLs."""
     import numpy as np
 
-    rows = base.select("_id", "_v", "_n").collect()
-    if any(r["_v"] is None or r["_n"] is None for r in rows):
+    if not rows or any(r["_v"] is None or r["_n"] is None for r in rows):
         return None
-    ids = np.fromiter((r["_id"] for r in rows), dtype=np.int64, count=len(rows))
+    try:
+        ids = np.fromiter(
+            (r["_id"] for r in rows), dtype=np.int64, count=len(rows)
+        )
+    except (TypeError, ValueError):  # non-integral id space
+        return None
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
     try:
@@ -760,7 +822,6 @@ def _broadcast_matrix_scorer(base: DataFrame):
         dtype=np.float64,
         count=len(rows),
     )
-    spark = base.sparkSession
     b_state = spark.sparkContext.broadcast((ids, mat, norms))
     n_ids = len(rows)
 
@@ -1561,38 +1622,80 @@ def knn_graph_append(
     # graph diverges from the rebuild.  Scores are deterministic per
     # pair, so the dropDuplicates is a no-op on the clean path and
     # makes the merge idempotent under replay.
-    leg_old_src = _score(_probes(old_b).join(_assigned(new_b), "cell"))
-    leg_new_src = _score(
-        _probes(new_b).join(_assigned(old_b).union(_assigned(new_b)), "cell")
-    )
-    # re-score the surviving old edges (n·k pairs) with the same fold
     full = old_b.select("_id", "_vec", "_n").union(
         new_b.select("_id", "_vec", "_n")
     )
-    old_scored = _score(
-        old_edges.select("src", "dst")
-        .join(
-            full.select(
+    # Pair scoring strategy (the knn_graph contract): under the
+    # broadcast ceiling the three candidate legs stay id-only, the
+    # dedup runs BEFORE scoring (scores are a pure deterministic
+    # function of the pair, so dedup-then-score ≡ score-then-dedup),
+    # and ONE Arrow-kernel pass scores the merged relation; above it
+    # the vector-carrying joins + hoisted fold run verbatim.
+    scorer = _bounded_matrix_scorer(
+        full.select(
+            "_id", F.col("_vec").cast("array<double>").alias("_v"), "_n"
+        )
+    )
+    if scorer is not None:
+
+        def _ids_only(b: DataFrame, what: str) -> DataFrame:
+            if what == "assigned":
+                return b.select(
+                    F.col("_id").alias("dst"),
+                    F.element_at("_probe", 1).alias("cell"),
+                )
+            return b.select(
                 F.col("_id").alias("src"),
-                F.col("_vec").alias("_qvec"),
-                F.col("_n").alias("_qn"),
-            ),
-            "src",
+                F.explode("_probe").alias("cell"),
+            )
+
+        leg1 = _ids_only(old_b, "probes").join(
+            _ids_only(new_b, "assigned"), "cell"
         )
-        .join(
-            full.select(
-                F.col("_id").alias("dst"),
-                F.col("_vec").alias("_nvec"),
-                F.col("_n").alias("_nn"),
-            ),
-            "dst",
+        leg2 = _ids_only(new_b, "probes").join(
+            _ids_only(old_b, "assigned").union(_ids_only(new_b, "assigned")),
+            "cell",
         )
-    )
-    sims = (
-        old_scored.union(leg_old_src)
-        .union(leg_new_src)
-        .dropDuplicates(["src", "dst"])
-    )
+        pairs = (
+            old_edges.select("src", "dst")
+            .union(leg1.select("src", "dst"))
+            .union(leg2.select("src", "dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        sims = scorer(pairs)
+    else:
+        leg_old_src = _score(_probes(old_b).join(_assigned(new_b), "cell"))
+        leg_new_src = _score(
+            _probes(new_b).join(
+                _assigned(old_b).union(_assigned(new_b)), "cell"
+            )
+        )
+        # re-score the surviving old edges (n·k pairs), same fold
+        old_scored = _score(
+            old_edges.select("src", "dst")
+            .join(
+                full.select(
+                    F.col("_id").alias("src"),
+                    F.col("_vec").alias("_qvec"),
+                    F.col("_n").alias("_qn"),
+                ),
+                "src",
+            )
+            .join(
+                full.select(
+                    F.col("_id").alias("dst"),
+                    F.col("_vec").alias("_nvec"),
+                    F.col("_n").alias("_nn"),
+                ),
+                "dst",
+            )
+        )
+        sims = (
+            old_scored.union(leg_old_src)
+            .union(leg_new_src)
+            .dropDuplicates(["src", "dst"])
+        )
     w = Window.partitionBy("src").orderBy(F.desc("_sim"), F.asc("dst"))
     edges = (
         sims.withColumn("rank", F.row_number().over(w))
@@ -1683,36 +1786,60 @@ def knn_graph_delete(
         _fixed_probe_cells_expr(crows, "_vec", n_probe, "_n").alias("_probe"),
         "_n",
     )
-    assigned = both.select(
-        F.col("_id").alias("dst"),
-        F.col("_vec").alias("_nvec"),
-        F.element_at("_probe", 1).alias("cell"),
-        F.col("_n").alias("_nn"),
+    # Pair scoring strategy (the knn_graph contract): id-only cell
+    # join + broadcast-matrix Arrow kernel under the ceiling, the
+    # vector-carrying join + hoisted fold verbatim above it.
+    scorer = _bounded_matrix_scorer(
+        base.select(
+            "_id", F.col("_vec").cast("array<double>").alias("_v"), "_n"
+        )
     )
-    probes = (
-        both.join(affected, both._id == affected.src)
-        .select(
+    if scorer is not None:
+        assigned = both.select(
+            F.col("_id").alias("dst"),
+            F.element_at("_probe", 1).alias("cell"),
+        )
+        probes = both.join(affected, both._id == affected.src).select(
             F.col("_id").alias("src"),
-            F.col("_vec").alias("_qvec"),
             F.explode("_probe").alias("cell"),
-            F.col("_n").alias("_qn"),
         )
-    )
-    pairs = probes.join(assigned, "cell").filter(F.col("src") != F.col("dst"))
-    denom = F.col("_qn") * F.col("_nn")
-    sims = pairs.select(
-        "src",
-        "dst",
-        F.when(denom == 0, F.lit(None))
-        .otherwise(
-            dot_product(
-                F.col("_qvec").cast("array<double>"),
-                F.col("_nvec").cast("array<double>"),
+        pairs = probes.join(assigned, "cell").filter(
+            F.col("src") != F.col("dst")
+        )
+        sims = scorer(pairs.select("src", "dst"))
+    else:
+        assigned = both.select(
+            F.col("_id").alias("dst"),
+            F.col("_vec").alias("_nvec"),
+            F.element_at("_probe", 1).alias("cell"),
+            F.col("_n").alias("_nn"),
+        )
+        probes = (
+            both.join(affected, both._id == affected.src)
+            .select(
+                F.col("_id").alias("src"),
+                F.col("_vec").alias("_qvec"),
+                F.explode("_probe").alias("cell"),
+                F.col("_n").alias("_qn"),
             )
-            / denom
         )
-        .alias("_sim"),
-    )
+        pairs = probes.join(assigned, "cell").filter(
+            F.col("src") != F.col("dst")
+        )
+        denom = F.col("_qn") * F.col("_nn")
+        sims = pairs.select(
+            "src",
+            "dst",
+            F.when(denom == 0, F.lit(None))
+            .otherwise(
+                dot_product(
+                    F.col("_qvec").cast("array<double>"),
+                    F.col("_nvec").cast("array<double>"),
+                )
+                / denom
+            )
+            .alias("_sim"),
+        )
     w = Window.partitionBy("src").orderBy(F.desc("_sim"), F.asc("dst"))
     recomputed = (
         sims.withColumn("rank", F.row_number().over(w))
