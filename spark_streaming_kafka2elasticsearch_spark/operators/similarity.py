@@ -3135,6 +3135,176 @@ def _pq_validate(
     return n_sub, sub_dim
 
 
+def _pq_encode_cols_arrow(
+    df: DataFrame,
+    guarded_vec: Column,
+    by_m: dict[int, list[tuple[int, list[float]]]],
+    n_sub: int,
+    sub_dim: int,
+    keep: list[str],
+    cell_crows=None,
+    keep_slices: bool = False,
+) -> DataFrame:
+    """The ``mapInArrow`` execution of the PQ encode stage — see
+    :func:`_pq_encode_cols` for the bit-equality contract.  Receives
+    the GUARDED double vector column (the in-plan ``raise_error``
+    length assertion evaluates in the projection feeding the kernel,
+    so misdimensioned/NULL vectors still fail as
+    ``SparkRuntimeException`` before any batch is formed)."""
+    import numpy as np
+
+    total_dim = n_sub * sub_dim
+    src = df.select(*[F.col(c) for c in keep], guarded_vec.alias("_venc"))
+
+    subs = []
+    for m in range(n_sub):
+        entries = sorted(by_m[m])
+        subs.append(
+            (
+                np.array([c for c, _ in entries], dtype=np.int32),
+                np.array(
+                    [[float(x) for x in cw] for _, cw in entries],
+                    dtype=np.float64,
+                ),
+                np.array(
+                    [
+                        literal_l2_norm([float(x) for x in cw])
+                        for _, cw in entries
+                    ],
+                    dtype=np.float64,
+                ),
+            )
+        )
+    cells = None
+    if cell_crows is not None:
+        cells = (
+            np.array([int(r[0]) for r in cell_crows], dtype=np.int64),
+            np.array(
+                [[float(x) for x in r[1]] for r in cell_crows],
+                dtype=np.float64,
+            ),
+            np.array(
+                [literal_l2_norm([float(x) for x in r[1]]) for r in cell_crows],
+                dtype=np.float64,
+            ),
+        )
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructType,
+    )
+
+    out_schema = StructType([src.schema[c] for c in keep])
+    if cell_crows is not None:
+        out_schema = out_schema.add("cell", LongType())
+    if keep_slices:
+        for m in range(n_sub):
+            out_schema = out_schema.add(f"_sl{m}", ArrayType(DoubleType()))
+    # nullable=False matches the Catalyst projection's schema exactly
+    # (F.array of non-null casts is non-nullable) — keeps at-rest
+    # parquet schemas and union nullability identical across paths.
+    out_schema = out_schema.add("_codes", ArrayType(IntegerType()), False)
+
+    nk = len(keep)
+    b_state = df.sparkSession.sparkContext.broadcast((subs, cells))
+
+    def _argmax_codes(slc: "np.ndarray", ids, mat, ncw):
+        # dots/norm via the SAME sequential j-order accumulation as the
+        # Catalyst folds (seeded 0.0; numpy element-wise double ops are
+        # the identical IEEE binary64 ops).
+        n_rows, d = slc.shape
+        acc = np.zeros(n_rows, dtype=np.float64)
+        dots = np.zeros((n_rows, mat.shape[0]), dtype=np.float64)
+        for j in range(d):
+            col = slc[:, j]
+            acc = acc + col * col
+            dots = dots + col[:, None] * mat[None, :, j]
+        nrow = np.sqrt(acc)
+        denom = nrow[:, None] * ncw[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = dots / denom
+        # NULL sims (zero denominator) rank LOWEST; NaN sims rank
+        # HIGHEST (Spark's NaN ordering) — both resolve ties to the
+        # lowest code because ids are sorted ascending and argmax
+        # returns the first maximum.
+        key[np.isnan(key)] = np.inf
+        key[denom == 0.0] = -np.inf
+        return ids[np.argmax(key, axis=1)]
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        bsubs, bcells = b_state.value
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            vcol = batch.column(nk)
+            flat = vcol.flatten()
+            vals = flat.to_numpy(zero_copy_only=False)
+            if vals.shape[0] != n_rows * total_dim:
+                raise ValueError(
+                    "PQ encode kernel: ragged vector batch past the "
+                    "in-plan guard"
+                )
+            mat_rows = vals.reshape(n_rows, total_dim)
+            out_cols = list(batch.columns[:nk])
+            if bcells is not None:
+                cids, cmat, cnorm = bcells
+                out_cols.append(
+                    pa.array(
+                        _argmax_codes(mat_rows, cids, cmat, cnorm),
+                        type=pa.int64(),
+                    )
+                )
+            if keep_slices:
+                # Re-slice the ORIGINAL Arrow values (gather), so
+                # element-level NULLs survive verbatim in the emitted
+                # slices exactly as F.slice would carry them.
+                row_base = np.arange(n_rows, dtype=np.int64) * total_dim
+                for m in range(n_sub):
+                    idx = (
+                        row_base[:, None]
+                        + np.arange(
+                            m * sub_dim, (m + 1) * sub_dim, dtype=np.int64
+                        )[None, :]
+                    ).ravel()
+                    sl_vals = flat.take(pa.array(idx))
+                    offsets = pa.array(
+                        np.arange(
+                            0, (n_rows + 1) * sub_dim, sub_dim, dtype=np.int32
+                        )
+                    )
+                    out_cols.append(
+                        pa.ListArray.from_arrays(offsets, sl_vals)
+                    )
+            codes_np = np.empty((n_rows, n_sub), dtype=np.int32)
+            for m in range(n_sub):
+                ids, mmat, mncw = bsubs[m]
+                codes_np[:, m] = _argmax_codes(
+                    mat_rows[:, m * sub_dim : (m + 1) * sub_dim],
+                    ids,
+                    mmat,
+                    mncw,
+                )
+            codes_offsets = pa.array(
+                np.arange(0, (n_rows + 1) * n_sub, n_sub, dtype=np.int32)
+            )
+            out_cols.append(
+                pa.ListArray.from_arrays(
+                    codes_offsets, pa.array(codes_np.ravel(), type=pa.int32())
+                )
+            )
+            yield pa.RecordBatch.from_arrays(
+                out_cols, names=[f.name for f in out_schema.fields]
+            )
+
+    return src.mapInArrow(kernel, out_schema)
+
+
 def _pq_encode_cols(
     df: DataFrame,
     codebooks: list[tuple[int, int, list[float]]],
@@ -3169,7 +3339,24 @@ def _pq_encode_cols(
     limit(1) probe fails fast on the first row, but a misdimensioned
     vector further in would otherwise SILENTLY encode over truncated
     ``F.slice`` outputs (ADVICE r10); the guard is one O(1) ``size``
-    comparison per row, no extra job."""
+    comparison per row, no extra job.
+
+    Two bit-identical execution strategies (guide §4.2): the default
+    is an ``mapInArrow`` kernel that streams the guarded double
+    vectors through numpy with the SAME IEEE op sequence as the
+    Catalyst folds (sequential j-order accumulation for every dot and
+    norm, driver-side ``literal_l2_norm`` codeword norms — the exact
+    values the literal tree would constant-fold), the same argmax
+    semantics (NULL sims rank lowest, ties → lowest code — a
+    degenerate slice, zero-norm or NULL/NaN-poisoned, yields
+    all-equal sims and therefore the LOWEST code in both engines),
+    and the in-plan guard untouched upstream of the kernel.  The
+    codebook state it broadcasts is M·K·sub_dim doubles — small BY
+    CONTRACT at any corpus scale, so unlike the pair scorer this path
+    needs no size gate; the corpus itself streams through in batches.
+    ``SPARK_GRAFT_PQ_ENCODE_ARROW=0`` restores the interpreted
+    literal-fold projection (kept verbatim below as the fallback and
+    the semantics reference)."""
     by_m: dict[int, list[tuple[int, list[float]]]] = {}
     for m, code, cw in codebooks:
         by_m.setdefault(m, []).append((code, cw))
@@ -3186,6 +3373,12 @@ def _pq_encode_cols(
             )
         ).cast("array<double>")
     )
+    import os
+
+    if os.environ.get("SPARK_GRAFT_PQ_ENCODE_ARROW", "1") != "0":
+        return _pq_encode_cols_arrow(
+            df, v, by_m, n_sub, sub_dim, keep, cell_crows, keep_slices
+        )
     s1_cols = [F.col(c) for c in keep] + [v.alias("_venc")] + [
         F.slice(v, m * sub_dim + 1, sub_dim).alias(f"_sl{m}")
         for m in range(n_sub)
