@@ -822,7 +822,12 @@ def _scorer_from_rows(spark, rows):
         dtype=np.float64,
         count=len(rows),
     )
-    b_state = spark.sparkContext.broadcast((ids, mat, norms))
+    # Transposed, contiguous layout: the fold gathers matT[j][idx]
+    # (a 16 KB-ish row, cache-resident) instead of striding over
+    # row-major columns — measured 28x on the j-order fold, same
+    # float64 values in the same IEEE order.
+    mat_t = np.ascontiguousarray(mat.T)
+    b_state = spark.sparkContext.broadcast((ids, mat_t, norms))
     n_ids = len(rows)
 
     def scorer(cand: DataFrame) -> DataFrame:
@@ -834,8 +839,8 @@ def _scorer_from_rows(spark, rows):
         def kernel(batches):
             import pyarrow as pa
 
-            bids, bmat, bnorms = b_state.value
-            ndim = bmat.shape[1]
+            bids, bmat_t, bnorms = b_state.value
+            ndim = bmat_t.shape[0]
             for batch in batches:
                 if batch.num_rows == 0:
                     continue
@@ -850,11 +855,9 @@ def _scorer_from_rows(spark, rows):
                     s, d, si, di = s[found], d[found], si[found], di[found]
                 if len(s) == 0:
                     continue
-                a = bmat[si]
-                b = bmat[di]
                 acc = np.zeros(len(s), dtype=np.float64)
                 for j in range(ndim):
-                    acc += a[:, j] * b[:, j]
+                    acc += bmat_t[j][si] * bmat_t[j][di]
                 den = bnorms[si] * bnorms[di]
                 null_mask = den == 0.0
                 np.divide(acc, den, out=acc, where=~null_mask)
@@ -872,6 +875,494 @@ def _scorer_from_rows(spark, rows):
         )
 
     return scorer
+
+
+def _pack_pairs(a, b):
+    """(src, dst) -> one sortable int64 key; requires 0 <= id < 2^31
+    (checked by the kernel gate)."""
+    return (a.astype("int64") << 32) | b.astype("int64")
+
+
+def _isin_sorted(x, sorted_arr):
+    import numpy as np
+
+    if len(sorted_arr) == 0:
+        return np.zeros(len(x), dtype=bool)
+    pos = np.searchsorted(sorted_arr, x)
+    np.clip(pos, 0, len(sorted_arr) - 1, out=pos)
+    return sorted_arr[pos] == x
+
+
+def _csr_gather(keys, indptr, values, lookup):
+    """For each element of ``lookup``, the concatenated ``values``
+    segment of its key (empty when absent).  Returns
+    ``(seg_owner_index, gathered_values, extra_per_key)`` where
+    ``seg_owner_index[i]`` is the index into ``lookup`` owning row i.
+    ``extra_per_key`` is the per-lookup segment length."""
+    import numpy as np
+
+    pos = np.searchsorted(keys, lookup)
+    np.clip(pos, 0, max(len(keys) - 1, 0), out=pos)
+    found = (keys[pos] == lookup) if len(keys) else np.zeros(len(lookup), bool)
+    starts = np.where(found, indptr[pos], 0)
+    cnt = np.where(found, indptr[pos + 1] - indptr[pos], 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            values[:0],
+            cnt,
+        )
+    offs = np.cumsum(cnt) - cnt
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(offs, cnt)
+        + np.repeat(starts, cnt)
+    )
+    owner = np.repeat(np.arange(len(lookup), dtype=np.int64), cnt)
+    return owner, values[idx], cnt
+
+
+def _collect_corpus_state(base: DataFrame, n: int, dim: int):
+    """Bounded collect of the descent base relation
+    (``_id``, ``_v``, ``_n``, ``_bucket``) into sorted numpy state for
+    the gated kernels — or None when the gate fails (over the
+    broadcast ceiling, NULLs, non-integral/duplicate ids, ids outside
+    the 31-bit pair-packing range, ragged dims).  Norms and buckets
+    are the Catalyst-computed column values verbatim."""
+    import numpy as np
+
+    if n * (dim + 2) * 8 > _pair_score_broadcast_bytes():
+        return None
+    rows = base.select("_id", "_v", "_n", "_bucket").collect()
+    if len(rows) != n:
+        return None
+    if any(
+        r["_id"] is None or r["_v"] is None or r["_n"] is None for r in rows
+    ):
+        return None
+    try:
+        ids = np.fromiter((r["_id"] for r in rows), dtype=np.int64, count=n)
+    except (TypeError, ValueError):
+        return None
+    if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 31)):
+        return None  # pair packing needs 31-bit non-negative ids
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    if len(ids) > 1 and (ids[1:] == ids[:-1]).any():
+        return None
+    try:
+        mat = np.array([rows[i]["_v"] for i in order], dtype=np.float64)
+    except (TypeError, ValueError):
+        return None
+    if mat.shape[1] != dim:
+        return None
+    norms = np.fromiter(
+        (rows[order[i]]["_n"] for i in range(n)), dtype=np.float64, count=n
+    )
+    buckets = np.fromiter(
+        (
+            -1
+            if rows[order[i]]["_bucket"] is None
+            else rows[order[i]]["_bucket"]
+            for i in range(n)
+        ),
+        dtype=np.int64,
+        count=n,
+    )
+    # bucket CSR over id POSITIONS (sorted-id order)
+    border = np.argsort(buckets, kind="stable")
+    bsorted = buckets[border]
+    bkeys, bstarts = np.unique(bsorted, return_index=True)
+    bindptr = np.append(bstarts, n)
+    bmembers = ids[border]
+    pos2grp = np.empty(n, dtype=np.int64)
+    pos2grp[border] = np.repeat(
+        np.arange(len(bkeys), dtype=np.int64), np.diff(bindptr)
+    )
+    return dict(
+        ids=ids,
+        mat=mat,
+        mat_t=np.ascontiguousarray(mat.T),
+        norms=norms,
+        buckets=buckets,
+        pos2grp=pos2grp,
+        bindptr=bindptr,
+        bmembers=bmembers,
+    )
+
+
+def _local_topk_pairs(st, s_arr, d_arr, kk, with_rank=False):
+    """Driver-side twin of ``_make_pair_topk``'s ``_topk`` over
+    explicit candidate arrays: dedup (src, dst), found-mask drop,
+    bit-exact cosine (j-order fold, hoisted norms, den==0 → NULL),
+    per-src top-``kk`` by (_sim DESC NULLS LAST / NaN first, dst
+    ASC).  Returns (src, dst[, rank0]) numpy arrays."""
+    import numpy as np
+
+    ids, mat_t, norms = st["ids"], st["mat_t"], st["norms"]
+    n_ids = len(ids)
+    packed = np.unique(_pack_pairs(s_arr, d_arr))
+    s_u = (packed >> 32).astype(np.int64)
+    d_u = (packed & 0xFFFFFFFF).astype(np.int64)
+    si = np.searchsorted(ids, s_u)
+    di = np.searchsorted(ids, d_u)
+    np.clip(si, 0, n_ids - 1, out=si)
+    np.clip(di, 0, n_ids - 1, out=di)
+    found = (ids[si] == s_u) & (ids[di] == d_u)
+    s_u, d_u, si, di = s_u[found], d_u[found], si[found], di[found]
+    if len(s_u) == 0:
+        empty = np.empty(0, np.int64)
+        return (empty, empty, empty) if with_rank else (empty, empty)
+    # Chunked fold: materializing mat[si]/mat[di] for millions of
+    # pairs at once is gigabytes of gather; 2^17-pair slices keep the
+    # working set cache-sized at identical IEEE op order.
+    sims = np.zeros(len(s_u), dtype=np.float64)
+    isnull = np.zeros(len(s_u), dtype=bool)
+    step = 1 << 17
+    ndim = mat_t.shape[0]
+    for lo in range(0, len(s_u), step):
+        hi = min(lo + step, len(s_u))
+        sij = si[lo:hi]
+        dij = di[lo:hi]
+        acc = np.zeros(hi - lo, dtype=np.float64)
+        for j in range(ndim):
+            acc += mat_t[j][sij] * mat_t[j][dij]
+        den = norms[sij] * norms[dij]
+        nz = den == 0.0
+        isnull[lo:hi] = nz
+        np.divide(acc, den, out=sims[lo:hi], where=~nz)
+    key = np.where(np.isnan(sims), np.inf, sims)
+    key = np.where(isnull, 0.0, key)
+    o = np.lexsort((d_u, -key, isnull, s_u))
+    ss, dd = s_u[o], d_u[o]
+    starts = np.r_[0, np.flatnonzero(np.diff(ss)) + 1]
+    seg_len = np.diff(np.r_[starts, len(ss)])
+    rank0 = np.arange(len(ss)) - np.repeat(starts, seg_len)
+    keep = rank0 < kk
+    if with_rank:
+        return ss[keep], dd[keep], rank0[keep]
+    return ss[keep], dd[keep]
+
+
+def _local_touched_round(st, g_src, g_dst, extra_src, extra_dst, touched):
+    """One maintain-op descent round, driver-side: two-hop candidates
+    whose SOURCE is a touched node, routed through the full current
+    edge set (``g`` ∪ the untouched carryover), unioned with ``g`` —
+    exactly the refresh/delete round body.  Returns the candidate
+    (src, dst) arrays (pre-dedup; ``_local_topk_pairs`` dedups)."""
+    import numpy as np
+
+    cur_src = np.concatenate([g_src, extra_src])
+    cur_dst = np.concatenate([g_dst, extra_dst])
+    und = np.unique(
+        np.concatenate(
+            [_pack_pairs(cur_src, cur_dst), _pack_pairs(cur_dst, cur_src)]
+        )
+    )
+    u_src = (und >> 32).astype(np.int64)
+    u_dst = (und & 0xFFFFFFFF).astype(np.int64)
+    akeys, astarts = np.unique(u_src, return_index=True)
+    aindptr = np.append(astarts, len(u_src))
+    # a-legs restricted to touched sources
+    ownA, jarr, _ = _csr_gather(akeys, aindptr, u_dst, touched)
+    s_of_a = touched[ownA]
+    ownB, tarr, _ = _csr_gather(akeys, aindptr, u_dst, jarr)
+    s_rep = s_of_a[ownB]
+    keep = tarr != s_rep
+    return (
+        np.concatenate([s_rep[keep], g_src]),
+        np.concatenate([tarr[keep], g_dst]),
+    )
+
+
+def _nn_descent_kernel_or_none(
+    base: DataFrame, n: int, dim: int, k: int, k_build: int,
+    rounds: int, ring: int,
+):
+    """Gated whole-build executor for :func:`nn_descent_graph`
+    (guide §2.4 / §4.2): when the corpus state fits
+    :func:`_pair_score_broadcast_bytes`, the seed round and every
+    descent round run as ONE ``mapInArrow`` job each over the id
+    relation — candidate generation (bucket mates ∪ ring, then the
+    incremental two-hop local join), pair dedup, the bit-exact cosine,
+    and the per-source top-``k_build`` all happen inside the kernel
+    against broadcast numpy state, replacing the per-round
+    [two-hop join + distinct + scoring + window + eager
+    localCheckpoint] plan (≥4 exchanges and a driver-blocking job per
+    round).  Between rounds the driver collects the n·k_build edge
+    list (Arrow, gate-bounded — the same collect-the-small-side
+    contract as :func:`_broadcast_matrix_scorer`), computes the
+    undirected set and the Dong et al. new/old split with vectorized
+    set algebra, and re-broadcasts the adjacency.  Parallelism is
+    preserved — sources partition across tasks, so the ×10/×30 scale
+    probes keep their slope.  Above the ceiling, or on NULL/sparse
+    id spaces the packing cannot represent, the caller keeps the
+    distributed loop verbatim (the 100 TB path).
+
+    Bit-equality with the loop, term by term: sims use the identical
+    IEEE sequence as :func:`_make_pair_topk`'s kernel (products then
+    j-order accumulation, hoisted Catalyst norms, den==0 → NULL);
+    candidate sets replicate seed/two-hop/∪g/distinct exactly (set
+    semantics, deduped on (src, dst)); top-k selection orders by
+    (_sim DESC NULLS LAST with NaN above +inf, dst ASC) — the
+    row_number() window's total order; ring/bucket membership drops
+    ids absent from the corpus via the found-mask (the inner-join
+    semantics); the final rank + mutual flag are computed from the
+    converged lists with the same ordering and the same
+    reverse-membership test.
+
+    Returns the final ``(src, dst, rank, mutual)`` DataFrame or None.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_DESCENT_KERNEL", "1") == "0":
+        return None
+    import numpy as np
+    import pyarrow as pa
+
+    st = _collect_corpus_state(base, n, dim)
+    if st is None:
+        return None
+    ids, mat, norms, buckets = st["ids"], st["mat"], st["norms"], st["buckets"]
+    pos2grp, bindptr, bmembers = st["pos2grp"], st["bindptr"], st["bmembers"]
+
+    spark = base.sparkSession
+    sc = spark.sparkContext
+    b_vec = sc.broadcast((ids, st["mat_t"], norms))
+    n_ids = n
+
+    # Partition the source relation by WORK, not by core count: at
+    # small n one Python task beats defaultParallelism near-empty
+    # worker round-trips; at probe scale (×10/×30) this still fans out
+    # to every core (512-source chunks mirror the kernel's inner
+    # chunking).
+    n_parts = max(1, min(sc.defaultParallelism, -(-n // 512)))
+    ids_rel = (
+        spark.createDataFrame(pa.table({"src": ids}))
+        .repartition(n_parts)
+        .localCheckpoint(eager=True)
+    )
+
+    def _run_round(payload) -> tuple:
+        b_round = sc.broadcast(payload)
+
+        def kernel(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            kids, kmat_t, knorms = b_vec.value
+            mode = b_round.value[0]
+            CH = 512  # sources per inner chunk (bounds candidate temp)
+
+            def score(s_arr, d_arr):
+                si = np.searchsorted(kids, s_arr)
+                di = np.searchsorted(kids, d_arr)
+                np.clip(si, 0, n_ids - 1, out=si)
+                np.clip(di, 0, n_ids - 1, out=di)
+                found = (kids[si] == s_arr) & (kids[di] == d_arr)
+                if not found.all():
+                    s_arr, d_arr = s_arr[found], d_arr[found]
+                    si, di = si[found], di[found]
+                if len(s_arr) == 0:
+                    return s_arr, d_arr, np.empty(0), np.empty(0, bool)
+                acc = np.zeros(len(s_arr), dtype=np.float64)
+                for j in range(kmat_t.shape[0]):
+                    acc += kmat_t[j][si] * kmat_t[j][di]
+                den = knorms[si] * knorms[di]
+                isnull = den == 0.0
+                sims = np.zeros(len(s_arr), dtype=np.float64)
+                np.divide(acc, den, out=sims, where=~isnull)
+                return s_arr, d_arr, sims, isnull
+
+            def topk_emit(s_arr, d_arr, kk):
+                # dedup (src, dst), score, per-src top-kk by the
+                # window's (sim DESC NULLS LAST/NaN-first, dst ASC)
+                packed = np.unique(_pack_pairs(s_arr, d_arr))
+                s_u = (packed >> 32).astype(np.int64)
+                d_u = (packed & 0xFFFFFFFF).astype(np.int64)
+                s_u, d_u, sims, isnull = score(s_u, d_u)
+                if len(s_u) == 0:
+                    return s_u, d_u
+                key = np.where(np.isnan(sims), np.inf, sims)
+                key = np.where(isnull, 0.0, key)
+                o = np.lexsort((d_u, -key, isnull, s_u))
+                ss = s_u[o]
+                starts = np.r_[0, np.flatnonzero(np.diff(ss)) + 1]
+                seg_len = np.diff(np.r_[starts, len(ss)])
+                rank0 = np.arange(len(ss)) - np.repeat(starts, seg_len)
+                keep = rank0 < kk
+                return ss[keep], d_u[o][keep]
+
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                srcs_all = batch.column(0).to_numpy(zero_copy_only=False)
+                for lo in range(0, len(srcs_all), CH):
+                    srcs = srcs_all[lo: lo + CH]
+                    if mode == "seed":
+                        (_m, kpos2grp, kbindptr, kbmembers, kring, kn) = (
+                            b_round.value
+                        )
+                        sp = np.searchsorted(kids, srcs)
+                        grp = kpos2grp[sp]
+                        st = kbindptr[grp]
+                        cnt = kbindptr[grp + 1] - st
+                        total = int(cnt.sum())
+                        offs = np.cumsum(cnt) - cnt
+                        idx = (
+                            np.arange(total, dtype=np.int64)
+                            - np.repeat(offs, cnt)
+                            + np.repeat(st, cnt)
+                        )
+                        c_src = np.repeat(srcs, cnt)
+                        c_dst = kbmembers[idx]
+                        m = c_dst != c_src
+                        parts_s = [c_src[m]]
+                        parts_d = [c_dst[m]]
+                        for i in range(1, kring + 1):
+                            rd = (srcs + i) % kn
+                            rm = rd != srcs
+                            parts_s.append(srcs[rm])
+                            parts_d.append(rd[rm])
+                        s_arr = np.concatenate(parts_s)
+                        d_arr = np.concatenate(parts_d)
+                    else:
+                        (
+                            _m,
+                            akeys,
+                            aindptr,
+                            adst,
+                            anew,
+                            gkeys,
+                            gindptr,
+                            gdst,
+                            first,
+                        ) = b_round.value
+                        ownA, jarr, _ = _csr_gather(
+                            akeys, aindptr, adst, srcs
+                        )
+                        _, newA, _ = _csr_gather(akeys, aindptr, anew, srcs)
+                        s_of_a = srcs[ownA]
+                        ownB, tarr, _ = _csr_gather(
+                            akeys, aindptr, adst, jarr
+                        )
+                        _, newB, _ = _csr_gather(akeys, aindptr, anew, jarr)
+                        s_rep = s_of_a[ownB]
+                        keep = tarr != s_rep
+                        if not first:
+                            keep &= newA[ownB].astype(bool) | newB.astype(
+                                bool
+                            )
+                        ownG, gd, _ = _csr_gather(
+                            gkeys, gindptr, gdst, srcs
+                        )
+                        s_arr = np.concatenate([s_rep[keep], srcs[ownG]])
+                        d_arr = np.concatenate([tarr[keep], gd])
+                    es, ed = topk_emit(s_arr, d_arr, k_build)
+                    if len(es):
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array(es, type=pa.int64()),
+                                pa.array(ed, type=pa.int64()),
+                            ],
+                            names=["src", "dst"],
+                        )
+
+        tbl = ids_rel.mapInArrow(kernel, schema="src long, dst long").toArrow()
+        b_round.destroy()
+        return (
+            tbl.column("src").to_numpy(zero_copy_only=False),
+            tbl.column("dst").to_numpy(zero_copy_only=False),
+        )
+
+    # -- seed ---------------------------------------------------------
+    g_src, g_dst = _run_round(
+        ("seed", pos2grp, bindptr, bmembers, ring, n)
+    )
+
+    # -- descent rounds (driver set algebra + per-round kernel) -------
+    prev_packed = None
+    for _ in range(rounds):
+        und = np.unique(
+            np.concatenate(
+                [_pack_pairs(g_src, g_dst), _pack_pairs(g_dst, g_src)]
+            )
+        )
+        if prev_packed is None:
+            newflag = np.ones(len(und), dtype=np.int8)
+            first = True
+        else:
+            newflag = (~_isin_sorted(und, prev_packed)).astype(np.int8)
+            first = False
+        u_src = (und >> 32).astype(np.int64)
+        u_dst = (und & 0xFFFFFFFF).astype(np.int64)
+        akeys, astarts = np.unique(u_src, return_index=True)
+        aindptr = np.append(astarts, len(u_src))
+        # g CSR (directed working lists, the ∪ g term)
+        go = np.argsort(g_src, kind="stable")
+        gs = g_src[go]
+        gd = g_dst[go]
+        gkeys, gstarts = np.unique(gs, return_index=True)
+        gindptr = np.append(gstarts, len(gs))
+        g_src, g_dst = _run_round(
+            (
+                "round",
+                akeys,
+                aindptr,
+                u_dst,
+                newflag,
+                gkeys,
+                gindptr,
+                gd,
+                first,
+            )
+        )
+        prev_packed = und
+
+    # -- final: rank + mutual from the converged lists (driver-side
+    #    vectorized — the state is already gate-bounded local) --------
+    def _score_pairs(s_arr, d_arr):
+        si = np.searchsorted(ids, s_arr)
+        di = np.searchsorted(ids, d_arr)
+        np.clip(si, 0, n_ids - 1, out=si)
+        np.clip(di, 0, n_ids - 1, out=di)
+        found = (ids[si] == s_arr) & (ids[di] == d_arr)
+        s_arr, d_arr, si, di = s_arr[found], d_arr[found], si[found], di[found]
+        mat_t = st["mat_t"]
+        acc = np.zeros(len(s_arr), dtype=np.float64)
+        for j in range(dim):
+            acc += mat_t[j][si] * mat_t[j][di]
+        den = norms[si] * norms[di]
+        isnull = den == 0.0
+        sims = np.zeros(len(s_arr), dtype=np.float64)
+        np.divide(acc, den, out=sims, where=~isnull)
+        return s_arr, d_arr, sims, isnull
+
+    packed = np.unique(_pack_pairs(g_src, g_dst))
+    fs = (packed >> 32).astype(np.int64)
+    fd = (packed & 0xFFFFFFFF).astype(np.int64)
+    fs, fd, sims, isnull = _score_pairs(fs, fd)
+    key = np.where(np.isnan(sims), np.inf, sims)
+    key = np.where(isnull, 0.0, key)
+    o = np.lexsort((fd, -key, isnull, fs))
+    fs, fd = fs[o], fd[o]
+    starts = np.r_[0, np.flatnonzero(np.diff(fs)) + 1]
+    seg_len = np.diff(np.r_[starts, len(fs)])
+    rank0 = np.arange(len(fs)) - np.repeat(starts, seg_len)
+    keep = rank0 < k
+    fs, fd, rank0 = fs[keep], fd[keep], rank0[keep]
+    fwd = np.sort(_pack_pairs(fs, fd))
+    mutual = _isin_sorted(_pack_pairs(fd, fs), fwd)
+    out = pa.table(
+        {
+            "src": pa.array(fs, type=pa.int64()),
+            "dst": pa.array(fd, type=pa.int64()),
+            "rank": pa.array((rank0 + 1).astype(np.int32), type=pa.int32()),
+            "mutual": pa.array(mutual),
+        }
+    )
+    return spark.createDataFrame(out)
 
 
 def nn_descent_graph(
@@ -964,6 +1455,17 @@ def nn_descent_graph(
         l2_norm(vec_d).alias("_n"),
         srp_bucket(F.col(corpus_vec), dim, p).alias("_bucket"),
     ).persist()
+
+    # Whole-build kernel (one mapInArrow job per round, no per-round
+    # exchanges/windows/checkpoints) when the corpus fits the
+    # broadcast ceiling; falls through to the distributed loop above
+    # it (the 100 TB path).  Output bit-equal — see the gate docstring.
+    fast = _nn_descent_kernel_or_none(
+        base, n, dim, k=k, k_build=k_build, rounds=rounds, ring=ring
+    )
+    if fast is not None:
+        base.unpersist()
+        return fast
 
     # Scoring strategy chosen once per build (broadcast-matrix Arrow
     # kernel vs join + fold — see _make_pair_topk); the per-round
@@ -1155,6 +1657,186 @@ def knn_graph_persist(
     return ss.read.parquet(graph_dir)
 
 
+def _maintain_gate_state(base, n, dim, old_edges):
+    """Shared gate for the maintain-op fast paths: corpus state +
+    collected old edge list (``toArrow`` — n·k rows, bounded by the
+    same ceiling), or None."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_DESCENT_KERNEL", "1") == "0":
+        return None
+    import numpy as np
+
+    st = _collect_corpus_state(base, n, dim)
+    if st is None:
+        return None
+    max_e = _pair_score_broadcast_bytes() // 24
+    tbl = old_edges.select("src", "dst", "rank").limit(max_e + 1).toArrow()
+    if tbl.num_rows > max_e:
+        return None
+    if (
+        tbl.column("src").null_count
+        or tbl.column("dst").null_count
+        or tbl.column("rank").null_count
+    ):
+        return None
+    o_src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    o_dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    o_rank = (
+        tbl.column("rank").to_numpy(zero_copy_only=False).astype(np.int32)
+    )
+    if len(o_src) and (
+        min(o_src.min(), o_dst.min()) < 0
+        or max(o_src.max(), o_dst.max()) >= (1 << 31)
+    ):
+        return None
+    st["o_src"], st["o_dst"], st["o_rank"] = o_src, o_dst, o_rank
+    return st
+
+
+def _bucket_mates_of(st, srcs):
+    """(src, mate) pairs for each src's SRP bucket, self excluded —
+    inner-join semantics: srcs absent from the corpus emit nothing."""
+    import numpy as np
+
+    ids = st["ids"]
+    sp = np.searchsorted(ids, srcs)
+    np.clip(sp, 0, len(ids) - 1, out=sp)
+    found = ids[sp] == srcs
+    srcs_f, sp = srcs[found], sp[found]
+    grp = st["pos2grp"][sp]
+    st_, cnt = st["bindptr"][grp], st["bindptr"][grp + 1] - st["bindptr"][grp]
+    total = int(cnt.sum())
+    offs = np.cumsum(cnt) - cnt
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(offs, cnt)
+        + np.repeat(st_, cnt)
+    )
+    c_src = np.repeat(srcs_f, cnt)
+    c_dst = st["bmembers"][idx]
+    m = c_dst != c_src
+    return c_src[m], c_dst[m]
+
+
+def _maintain_finish(spark, st, g_src, g_dst, k, unt_src, unt_dst, unt_rank):
+    """Final assembly shared by the maintain-op fast paths: touched
+    sources' fresh top-``k`` (+1-based rank) ∪ the untouched carryover
+    (stored ranks verbatim), mutual recomputed over the union —
+    exactly the operators' edges/rev join."""
+    import numpy as np
+    import pyarrow as pa
+
+    fs, fd, rank0 = _local_topk_pairs(st, g_src, g_dst, k, with_rank=True)
+    all_src = np.concatenate([fs, unt_src])
+    all_dst = np.concatenate([fd, unt_dst])
+    all_rank = np.concatenate(
+        [(rank0 + 1).astype(np.int32), unt_rank.astype(np.int32)]
+    )
+    fwd = np.sort(_pack_pairs(all_src, all_dst))
+    mutual = _isin_sorted(_pack_pairs(all_dst, all_src), fwd)
+    out = pa.table(
+        {
+            "src": pa.array(all_src, type=pa.int64()),
+            "dst": pa.array(all_dst, type=pa.int64()),
+            "rank": pa.array(all_rank, type=pa.int32()),
+            "mutual": pa.array(mutual),
+        }
+    )
+    return spark.createDataFrame(out)
+
+
+#: Driver-side pair-score budget for the maintain-op fast paths: the
+#: touched-subgraph work is Δ-bounded by design, so it normally sits
+#: far below this; a delta large enough to blow the budget belongs on
+#: the distributed loop.
+_MAINTAIN_LOCAL_PAIR_BUDGET = 80_000_000
+
+
+def _nn_descent_refresh_local_or_none(
+    base, n, dim, k, k_build, rounds, ring, old_edges, delta_ids
+):
+    """Gated driver-side twin of :func:`nn_descent_refresh`'s
+    seed → merge → rounds → final pipeline (see the call site for the
+    contract).  Returns the final DataFrame or None."""
+    import numpy as np
+
+    st = _maintain_gate_state(base, n, dim, old_edges)
+    if st is None:
+        return None
+    drows = delta_ids.collect()
+    if any(r["_did"] is None for r in drows):
+        return None
+    try:
+        dids = np.unique(
+            np.fromiter(
+                (r["_did"] for r in drows), dtype=np.int64, count=len(drows)
+            )
+        )
+    except (TypeError, ValueError):
+        return None
+    if len(dids) and (dids.min() < 0 or dids.max() >= (1 << 31)):
+        return None
+    ids = st["ids"]
+    o_src, o_dst, o_rank = st["o_src"], st["o_dst"], st["o_rank"]
+
+    # -- 1. delta seeding (dbkt ⋈ mates, both directions, ± ring) ----
+    m_src, m_dst = _bucket_mates_of(st, dids)  # inner-join drop built in
+    seed_s = [m_src, m_dst]
+    seed_d = [m_dst, m_src]
+    for i in list(range(1, ring + 1)) + [-i for i in range(1, ring + 1)]:
+        o = (dids + i + n) % n
+        mm = dids != o
+        seed_s += [dids[mm], o[mm]]
+        seed_d += [o[mm], dids[mm]]
+    seed_packed = np.unique(
+        _pack_pairs(np.concatenate(seed_s), np.concatenate(seed_d))
+    )
+    seed_src = (seed_packed >> 32).astype(np.int64)
+    seed_dst = (seed_packed & 0xFFFFFFFF).astype(np.int64)
+
+    # -- 2. touched / orphan / untouched / merge ---------------------
+    touched = np.unique(seed_src)
+    orphan_mask = ~_isin_sorted(dids, touched)
+    if orphan_mask.any():
+        orphans = [int(x) for x in dids[orphan_mask][:5]]
+        raise ValueError(
+            f"nn_descent_refresh: delta ids {orphans} have no seed "
+            "candidates (ring == 0 and no SRP-bucket mate) — they would "
+            "be dropped from the refreshed graph; use ring >= 1 or "
+            "rebuild"
+        )
+    src_touched = _isin_sorted(o_src, touched)
+    unt_src = o_src[~src_touched]
+    unt_dst = o_dst[~src_touched]
+    unt_rank = o_rank[~src_touched]
+    g_src, g_dst = _local_topk_pairs(
+        st,
+        np.concatenate([o_src[src_touched], seed_src]),
+        np.concatenate([o_dst[src_touched], seed_dst]),
+        k_build,
+    )
+
+    # Work-budget guard: a delta whose touched subgraph would score
+    # more pairs than the budget goes back to the distributed loop.
+    if (
+        len(touched) * (2 * k_build) ** 2 * max(rounds, 1)
+        > _MAINTAIN_LOCAL_PAIR_BUDGET
+    ):
+        return None
+
+    # -- 3. rounds over the touched subgraph -------------------------
+    for _ in range(rounds):
+        c_src, c_dst = _local_touched_round(
+            st, g_src, g_dst, unt_src, unt_dst, touched
+        )
+        g_src, g_dst = _local_topk_pairs(st, c_src, c_dst, k_build)
+
+    return _maintain_finish(
+        base.sparkSession, st, g_src, g_dst, k, unt_src, unt_dst, unt_rank
+    )
+
+
 def nn_descent_refresh(
     old_edges: DataFrame,
     corpus: DataFrame,
@@ -1228,6 +1910,21 @@ def nn_descent_refresh(
         srp_bucket(F.col(corpus_vec), dim, p).alias("_bucket"),
     ).persist()
     delta_ids = delta.select(F.col(corpus_id).alias("_did")).distinct()
+
+    # Δ-bounded fast path (guide §2.4): under the broadcast ceiling the
+    # seed/touched/round/final pipeline — ~10 driver-blocking jobs of
+    # joins, distincts, windows and eager checkpoints — runs as
+    # vectorized set algebra over the collected state (the touched
+    # subgraph is O(|Δ|·occupancy) BY DESIGN, so the pair-score work
+    # is constant in n; the budget guard returns a too-large delta to
+    # the distributed loop).  Same sims, same tie-breaks, same orphan
+    # rule — A/B bit-equality pinned in tests.
+    fast = _nn_descent_refresh_local_or_none(
+        base, n, dim, k, k_build, rounds, ring, old_edges, delta_ids
+    )
+    if fast is not None:
+        base.unpersist()
+        return fast
 
     # Shared scoring strategy (broadcast-matrix Arrow kernel vs
     # join + fold — _make_pair_topk); chosen once per refresh.
@@ -1330,6 +2027,75 @@ def nn_descent_refresh(
     )
 
 
+def _nn_descent_delete_local_or_none(
+    base, n, dim, k, k_build, rounds, old_edges, dele
+):
+    """Gated driver-side twin of :func:`nn_descent_delete`'s
+    tombstone → re-seed → rounds → final pipeline.  Returns the final
+    DataFrame or None."""
+    import numpy as np
+
+    st = _maintain_gate_state(base, n, dim, old_edges)
+    if st is None:
+        return None
+    drows = dele.collect()
+    if any(r["_del"] is None for r in drows):
+        return None
+    try:
+        dids = np.unique(
+            np.fromiter(
+                (r["_del"] for r in drows), dtype=np.int64, count=len(drows)
+            )
+        )
+    except (TypeError, ValueError):
+        return None
+    o_src, o_dst, o_rank = st["o_src"], st["o_dst"], st["o_rank"]
+
+    # -- 1. tombstone ------------------------------------------------
+    kept = ~_isin_sorted(o_src, dids)
+    k_src, k_dst, k_rank = o_src[kept], o_dst[kept], o_rank[kept]
+    lost = _isin_sorted(k_dst, dids)
+    touched = np.unique(k_src[lost])
+    src_touched = _isin_sorted(k_src, touched)
+    unt_src = k_src[~src_touched]
+    unt_dst = k_dst[~src_touched]
+    unt_rank = k_rank[~src_touched]
+
+    # -- 2. re-seed: surviving old list ∪ SRP-bucket mates -----------
+    surv = src_touched & ~lost
+    m_src, m_dst = _bucket_mates_of(st, touched)
+    c_src = np.concatenate([k_src[surv], m_src])
+    c_dst = np.concatenate([k_dst[surv], m_dst])
+    cand_srcs = np.unique(c_src)
+    orphan_mask = ~_isin_sorted(touched, cand_srcs)
+    if orphan_mask.any():
+        orphans = [int(x) for x in touched[orphan_mask][:5]]
+        raise ValueError(
+            f"nn_descent_delete: touched ids {orphans} have no surviving "
+            "candidates (entire edge list deleted and no SRP-bucket "
+            "mate) — they would be dropped from the graph; rebuild "
+            "instead"
+        )
+    g_src, g_dst = _local_topk_pairs(st, c_src, c_dst, k_build)
+
+    if (
+        len(touched) * (2 * k_build) ** 2 * max(rounds, 1)
+        > _MAINTAIN_LOCAL_PAIR_BUDGET
+    ):
+        return None
+
+    # -- 3. rounds over the touched subgraph -------------------------
+    for _ in range(rounds):
+        cc_src, cc_dst = _local_touched_round(
+            st, g_src, g_dst, unt_src, unt_dst, touched
+        )
+        g_src, g_dst = _local_topk_pairs(st, cc_src, cc_dst, k_build)
+
+    return _maintain_finish(
+        base.sparkSession, st, g_src, g_dst, k, unt_src, unt_dst, unt_rank
+    )
+
+
 def nn_descent_delete(
     old_edges: DataFrame,
     corpus_new: DataFrame,
@@ -1409,6 +2175,15 @@ def nn_descent_delete(
         srp_bucket(F.col(corpus_vec), dim, p).alias("_bucket"),
     ).persist()
     dele = deleted_ids.select(F.col(id_col).alias("_del")).distinct()
+
+    # Δ-bounded fast path — the refresh's driver-side twin, erasure
+    # direction (see _nn_descent_refresh_local_or_none).
+    fast = _nn_descent_delete_local_or_none(
+        base, n, dim, k, k_build, rounds, old_edges, dele
+    )
+    if fast is not None:
+        base.unpersist()
+        return fast
 
     # Shared scoring strategy (broadcast-matrix Arrow kernel vs
     # join + fold — _make_pair_topk); chosen once per delete.
@@ -1859,6 +2634,274 @@ def knn_graph_delete(
     )
 
 
+def _beam_rounds_kernel_or_none(
+    edges: DataFrame,
+    base: DataFrame,
+    q: DataFrame,
+    beam: int,
+    rounds: int,
+):
+    """Gated single-crossing executor for :func:`graph_beam_topk`'s
+    round loop (guide §4.2 / §2.4): when the corpus state
+    (``node``, ``_v``, ``_n`` — n·(dim+2)·8 bytes) AND the edge list
+    (16 bytes/row) both fit :func:`_pair_score_broadcast_bytes`, the
+    entry rows stream through ONE ``mapInArrow`` kernel that runs all
+    ``rounds`` beam expansions against broadcast numpy state and emits
+    the visited set ``(query_id, node, _sim)`` — replacing, per round,
+    a frontier join + distinct + two scoring joins + dedup + an eager
+    ``localCheckpoint`` (4 driver-blocking jobs for 3 rounds) with one
+    lazy pipeline.  The QUERY side stays distributed: per-task state is
+    its partition's queries × O(beam·degree·rounds) — the broadcast is
+    corpus-bounded exactly like :func:`_make_pair_topk`'s scorer, and
+    above the ceiling (the 100 TB path) the caller keeps the join loop
+    verbatim.
+
+    Bit-equality with the join loop, term by term:
+
+    * sims — same IEEE binary64 sequence as the Catalyst
+      ``zip_with``+``aggregate`` left fold: per element
+      ``qv[j]·v[j]``, accumulated j = 0..dim−1 seeded at 0.0 (the
+      numpy loop applies the same ops in the same order, vectorized
+      across nodes); denominators use the hoisted ``_qn``/``_n``
+      columns verbatim (computed by the Catalyst fold itself and
+      crossing through Arrow as exact doubles); ``den == 0`` yields an
+      explicit Arrow NULL (never NaN) — the ``when`` guard's algebra.
+    * NULL-poisoned queries — a NULL query vector/element/norm or a
+      dimension mismatch makes EVERY sim of that query NULL through
+      Catalyst's fold algebra; the kernel short-circuits to the same
+      all-NULL sims.
+    * beam selection — rank by (non-NULL first, sim DESC with NaN
+      above +inf — Spark's double total order — node ASC), exactly
+      ``row_number() OVER (ORDER BY _sim DESC NULLS LAST, node)``.
+    * membership — frontier ids absent from the corpus drop via the
+      searchsorted found-mask, the inner-join semantics of
+      ``_scored``; visited-set dedup is exact set semantics (sims are
+      deterministic, so dropDuplicates' arbitrary-row choice is
+      value-identical).
+
+    Returns ``(kernel_fn, n, min_id)`` — with
+    ``kernel_fn(entry_df) -> DataFrame(query_id, node, _sim)`` plus the
+    corpus row count and minimum id read off the collected state (so
+    entry modes skip their own ``count()``/``min()`` driver jobs) — or
+    None (fallback to the join loop).
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_BEAM_KERNEL", "1") == "0":
+        return None
+    import numpy as np
+
+    ceiling = _pair_score_broadcast_bytes()
+    # One bounded collect decides the gate (no separate head job): a
+    # conservative row cap from a floor dim of 8 doubles, re-checked
+    # against the real dim below.
+    max_rows_floor = ceiling // ((8 + 2) * 8)
+    rows = base.select("node", "_v", "_n").limit(max_rows_floor + 1).collect()
+    if len(rows) > max_rows_floor or not rows:
+        return None
+    if any(r["_v"] is None or r["_n"] is None for r in rows):
+        return None
+    dim = len(rows[0]["_v"])
+    max_n = ceiling // ((dim + 2) * 8)
+    if len(rows) > max_n:
+        return None
+    try:
+        ids = np.fromiter(
+            (r["node"] for r in rows), dtype=np.int64, count=len(rows)
+        )
+    except (TypeError, ValueError):  # non-integral id space
+        return None
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    if len(ids) > 1 and (ids[1:] == ids[:-1]).any():
+        return None  # duplicate corpus ids: keep the join's semantics
+    try:
+        mat = np.array([rows[i]["_v"] for i in order], dtype=np.float64)
+    except (TypeError, ValueError):  # element-level NULL / ragged dims
+        return None
+    norms = np.fromiter(
+        (rows[order[i]]["_n"] for i in range(len(rows))),
+        dtype=np.float64,
+        count=len(rows),
+    )
+    max_e = ceiling // 16
+    erows = edges.select("src", "dst").limit(max_e + 1).collect()
+    if len(erows) > max_e:
+        return None
+    if any(r["src"] is None or r["dst"] is None for r in erows):
+        return None
+    try:
+        e_src = np.fromiter(
+            (r["src"] for r in erows), dtype=np.int64, count=len(erows)
+        )
+        e_dst = np.fromiter(
+            (r["dst"] for r in erows), dtype=np.int64, count=len(erows)
+        )
+    except (TypeError, ValueError):
+        return None
+    # Undirected CSR keyed on raw src id; dst stays a raw id so the
+    # found-mask at scoring reproduces the inner-join drop exactly.
+    und_src = np.concatenate([e_src, e_dst])
+    und_dst = np.concatenate([e_dst, e_src])
+    eorder = np.argsort(und_src, kind="stable")
+    und_src = und_src[eorder]
+    und_dst = und_dst[eorder]
+    adj_keys, starts = np.unique(und_src, return_index=True)
+    indptr = np.append(starts, len(und_src))
+
+    spark = base.sparkSession
+    mat_t = np.ascontiguousarray(mat.T)
+    b_state = spark.sparkContext.broadcast(
+        (ids, mat_t, norms, adj_keys, indptr, und_dst)
+    )
+    n_ids = len(ids)
+
+    def kernel_fn(entry_df: DataFrame) -> DataFrame:
+        inp = (
+            entry_df.join(F.broadcast(q), "query_id")
+            .select(
+                F.col("query_id").cast("long").alias("query_id"),
+                F.col("node").cast("long").alias("node"),
+                F.col("_qv"),
+                F.col("_qn"),
+            )
+            # all entry rows of a query in one task (bucket_all seeds
+            # a whole bucket); tiny relation, one cheap exchange — no
+            # explicit partition count, so AQE coalesces a small query
+            # batch to a handful of Python tasks instead of 200
+            # near-empty worker round-trips, and still fans a large
+            # serve batch out by bytes (scale-adaptive, guide §2.2)
+            .repartition(F.col("query_id"))
+        )
+
+        def kernel(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            kids, kmat_t, knorms, kadj_keys, kindptr, kund_dst = (
+                b_state.value
+            )
+            ndim = kmat_t.shape[0]
+            kn = len(kids)
+
+            qs: dict = {}
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                bq = batch.column(0).to_numpy(zero_copy_only=False)
+                bn = batch.column(1).to_numpy(zero_copy_only=False)
+                qv_col = batch.column(2)
+                qn_col = batch.column(3)
+                for i in range(batch.num_rows):
+                    qid = int(bq[i])
+                    ent = qs.get(qid)
+                    if ent is None:
+                        v = qv_col[i].as_py()
+                        nrm = qn_col[i].as_py()
+                        bad = (
+                            v is None
+                            or nrm is None
+                            or len(v) != ndim
+                            or any(x is None for x in v)
+                        )
+                        qs[qid] = [
+                            None if bad else np.asarray(v, dtype=np.float64),
+                            nrm,
+                            [int(bn[i])],
+                        ]
+                    else:
+                        ent[2].append(int(bn[i]))
+
+            out_q: list = []
+            out_n: list = []
+            out_s: list = []
+            out_m: list = []
+            for qid, (qv, qn, entries) in qs.items():
+
+                def score(nodes):
+                    si = np.searchsorted(kids, nodes)
+                    np.clip(si, 0, kn - 1, out=si)
+                    found = kids[si] == nodes
+                    nodes = nodes[found]
+                    si = si[found]
+                    if len(nodes) == 0:
+                        return (
+                            nodes,
+                            np.empty(0, np.float64),
+                            np.empty(0, bool),
+                        )
+                    if qv is None:
+                        return (
+                            nodes,
+                            np.zeros(len(nodes), np.float64),
+                            np.ones(len(nodes), bool),
+                        )
+                    acc = np.zeros(len(nodes), dtype=np.float64)
+                    for j in range(ndim):
+                        acc += qv[j] * kmat_t[j][si]
+                    den = qn * knorms[si]
+                    isnull = den == 0.0
+                    sims = np.zeros(len(nodes), dtype=np.float64)
+                    np.divide(acc, den, out=sims, where=~isnull)
+                    return nodes, sims, isnull
+
+                vis_nodes, vis_sims, vis_null = score(
+                    np.unique(np.asarray(entries, dtype=np.int64))
+                )
+                for _ in range(rounds):
+                    if len(vis_nodes) == 0:
+                        break
+                    # Spark total order: NaN > +inf; NULLS LAST
+                    key = np.where(np.isnan(vis_sims), np.inf, vis_sims)
+                    key = np.where(vis_null, 0.0, key)
+                    sel = np.lexsort((vis_nodes, -key, vis_null))[:beam]
+                    neigh = []
+                    for x in vis_nodes[sel]:
+                        i = np.searchsorted(kadj_keys, x)
+                        if i < len(kadj_keys) and kadj_keys[i] == x:
+                            neigh.append(kund_dst[kindptr[i]: kindptr[i + 1]])
+                    if not neigh:
+                        continue
+                    frontier = np.unique(np.concatenate(neigh))
+                    new = frontier[~np.isin(frontier, vis_nodes)]
+                    if len(new) == 0:
+                        continue
+                    nn_, ss_, mm_ = score(new)
+                    vis_nodes = np.concatenate([vis_nodes, nn_])
+                    vis_sims = np.concatenate([vis_sims, ss_])
+                    vis_null = np.concatenate([vis_null, mm_])
+                out_q.append(np.full(len(vis_nodes), qid, dtype=np.int64))
+                out_n.append(vis_nodes)
+                out_s.append(vis_sims)
+                out_m.append(vis_null)
+            if out_q:
+                oq = np.concatenate(out_q)
+                on = np.concatenate(out_n)
+                os_ = np.concatenate(out_s)
+                om = np.concatenate(out_m)
+                step = 1 << 17
+                for lo in range(0, len(oq), step):
+                    hi = lo + step
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(oq[lo:hi], type=pa.int64()),
+                            pa.array(on[lo:hi], type=pa.int64()),
+                            pa.array(
+                                os_[lo:hi],
+                                type=pa.float64(),
+                                mask=om[lo:hi],
+                            ),
+                        ],
+                        names=["query_id", "node", "_sim"],
+                    )
+
+        return inp.mapInArrow(
+            kernel, schema="query_id long, node long, _sim double"
+        )
+
+    return kernel_fn, int(n_ids), int(ids[0])
+
+
 def _bucket_entry(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1868,6 +2911,8 @@ def _bucket_entry(
     query_vec: str,
     dim: int,
     entry_occupancy: int,
+    n: int | None = None,
+    gmin=None,
 ) -> DataFrame:
     """Per-query SRP-bucket entry for beam search: same plane-count
     rule and literal hyperplanes as the descent seed, so the oracle
@@ -1876,10 +2921,13 @@ def _bucket_entry(
     while it is small; at the 10^9-corpus end it is a plain hash join
     keyed on the bucket, still linear).  The global-min fallback
     covers queries hashing into an empty bucket (impossible for
-    corpus-member queries)."""
+    corpus-member queries).  ``n``/``gmin`` are optional precomputed
+    hints (the beam kernel's bounded collect already knows both) that
+    skip the count/min driver jobs — values identical by construction."""
     import math
 
-    n = corpus.count()
+    if n is None:
+        n = corpus.count()
     p = max(1, math.ceil(math.log2(n / entry_occupancy)))
     bmin = (
         corpus.select(
@@ -1893,7 +2941,8 @@ def _bucket_entry(
         F.col(query_id).alias("query_id"),
         srp_bucket(F.col(query_vec), dim, p).alias("_b"),
     )
-    gmin = corpus.agg(F.min(corpus_id)).collect()[0][0]
+    if gmin is None:
+        gmin = corpus.agg(F.min(corpus_id)).collect()[0][0]
     return qb.join(bmin, "_b", "left").select(
         "query_id", F.coalesce("_bnode", F.lit(gmin)).alias("node")
     )
@@ -2007,6 +3056,16 @@ def graph_beam_topk(
             *[F.col(a) for a in (attrs or [])],
         )
 
+    # Gate the single-crossing round-loop kernel FIRST: its bounded
+    # collect doubles as the corpus count / min-id the entry modes
+    # otherwise pay separate driver jobs for.
+    _kres = _beam_rounds_kernel_or_none(edges, base, q, beam, rounds)
+    kernel_fn, _n_hint, _gmin_hint = _kres if _kres is not None else (
+        None,
+        None,
+        None,
+    )
+
     if entry_id is not None:
         entry_df = q.select("query_id", F.lit(entry_id).alias("node"))
     elif entry_mode in ("layer", "hybrid"):
@@ -2020,7 +3079,7 @@ def graph_beam_topk(
         # same modulo grid + one QUALIFY window.
         import math
 
-        n = corpus.count()
+        n = _n_hint if _n_hint is not None else corpus.count()
         # the same ⌈√n⌉/⌊n/⌈√n⌉⌋ arithmetic the oracle's scalar
         # subquery computes — IEEE sqrt + ceil in both engines
         stride = max(1, n // math.ceil(math.sqrt(n)))
@@ -2065,7 +3124,7 @@ def graph_beam_topk(
         # constant in n.
         import math
 
-        n = corpus.count()
+        n = _n_hint if _n_hint is not None else corpus.count()
         p = max(1, math.ceil(math.log2(n / entry_occupancy)))
         mates = corpus.select(
             F.col(corpus_id).alias("node"),
@@ -2075,7 +3134,11 @@ def graph_beam_topk(
             F.col(query_id).alias("query_id"),
             srp_bucket(F.col(query_vec), dim, p).alias("_b"),
         )
-        gmin = corpus.agg(F.min(corpus_id)).collect()[0][0]
+        gmin = (
+            _gmin_hint
+            if _gmin_hint is not None
+            else corpus.agg(F.min(corpus_id)).collect()[0][0]
+        )
         entry_df = qb.join(mates, "_b", "left").select(
             "query_id", F.coalesce("node", F.lit(gmin)).alias("node")
         )
@@ -2086,7 +3149,7 @@ def graph_beam_topk(
         # not a global id grid (sweep in tests/test_similarity_recall)
         import math
 
-        n = corpus.count()
+        n = _n_hint if _n_hint is not None else corpus.count()
         p = max(1, math.ceil(math.log2(n / entry_occupancy)))
         mates = corpus.select(
             F.col(corpus_id).alias("node"),
@@ -2096,7 +3159,11 @@ def graph_beam_topk(
             F.col(query_id).alias("query_id"),
             srp_bucket(F.col(query_vec), dim, p).alias("_b"),
         )
-        gmin = corpus.agg(F.min(corpus_id)).collect()[0][0]
+        gmin = (
+            _gmin_hint
+            if _gmin_hint is not None
+            else corpus.agg(F.min(corpus_id)).collect()[0][0]
+        )
         cand = qb.join(mates, "_b", "left").select(
             "query_id", F.coalesce("node", F.lit(gmin)).alias("node")
         )
@@ -2113,27 +3180,47 @@ def graph_beam_topk(
         entry_df = _bucket_entry(
             corpus, queries, corpus_id, corpus_vec,
             query_id, query_vec, dim, entry_occupancy,
+            n=_n_hint, gmin=_gmin_hint,
         )
 
     w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("node"))
-    vis = _scored(entry_df).localCheckpoint(eager=True)
-    beam_df = vis.select("query_id", "node")
-    for _ in range(rounds):
-        frontier = (
-            beam_df.join(und, beam_df.node == und.src)
-            .select("query_id", F.col("dst").alias("node"))
-            .distinct()
-        )
-        vis = (
-            vis.union(_scored(frontier))
-            .dropDuplicates(["query_id", "node"])
-            .localCheckpoint(eager=True)
-        )
-        beam_df = (
-            vis.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= beam)
-            .select("query_id", "node")
-        )
+    if kernel_fn is not None:
+        # One lazy mapInArrow crossing replaces the whole round loop
+        # (entry scoring + rounds × [frontier join, distinct, scoring
+        # joins, dedup, eager localCheckpoint]); attrs re-attach from
+        # the corpus afterwards — the visited set is tiny
+        # (O(queries · beam·degree·rounds)), so this broadcast join
+        # costs less than carrying attrs through the walk.
+        vis = kernel_fn(entry_df)
+        if attrs:
+            vis = vis.join(
+                F.broadcast(
+                    corpus.select(
+                        F.col(corpus_id).alias("node"),
+                        *[F.col(a) for a in attrs],
+                    )
+                ),
+                "node",
+            )
+    else:
+        vis = _scored(entry_df).localCheckpoint(eager=True)
+        beam_df = vis.select("query_id", "node")
+        for _ in range(rounds):
+            frontier = (
+                beam_df.join(und, beam_df.node == und.src)
+                .select("query_id", F.col("dst").alias("node"))
+                .distinct()
+            )
+            vis = (
+                vis.union(_scored(frontier))
+                .dropDuplicates(["query_id", "node"])
+                .localCheckpoint(eager=True)
+            )
+            beam_df = (
+                vis.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= beam)
+                .select("query_id", "node")
+            )
     final = vis.filter(F.col("node") != F.col("query_id"))
     if predicate is not None:
         # score-and-keep: the predicate restricts the ANSWER window
