@@ -264,28 +264,27 @@ def minhash_signatures_wide(
             .bitwiseOR(F.lit(1))
             .alias("_h2"),
         )
-        mask = F.lit((1 << 32) - 1)
-        hashed = halves.select(
+        # One selectExpr parse for all 64 K-M columns: the per-column
+        # Column-API form costs ~6 py4j round-trips each (~400 gateway
+        # calls per invocation — measured seconds of driver chatter
+        # under host contention); the SQL strings parse to the
+        # identical Add/Multiply/BitwiseAnd trees in one call.
+        hashed = halves.selectExpr(
             "_id",
             *[
-                (F.col("_h1") + F.lit(i) * F.col("_h2"))
-                .bitwiseAND(mask)
-                .alias(f"_h{i}")
+                f"(_h1 + {i} * _h2) & 4294967295 AS _h{i}"
                 for i in range(num_hashes)
             ],
         )
     elif hash_family == "xxhash64":
-        hashed = exploded.select(
+        hashed = exploded.selectExpr(
             "_id",
-            *[
-                F.xxhash64(F.col("_sh"), F.lit(i)).alias(f"_h{i}")
-                for i in range(num_hashes)
-            ],
+            *[f"xxhash64(_sh, {i}) AS _h{i}" for i in range(num_hashes)],
         )
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
     return hashed.groupBy("_id").agg(
-        *[F.min(f"_h{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+        *[F.expr(f"min(_h{i}) AS mh_{i}") for i in range(num_hashes)]
     )
 
 
@@ -359,17 +358,19 @@ def minhash_lsh_candidate_pairs(
         df, id_col, text_col, k_shingle, num_hashes, hash_family
     )
 
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.xxhash64(
-                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("band_hash"),
+    # One parse for the whole band array (the Column-API struct build
+    # cost ~10 py4j round-trips per band).
+    band_sql = ", ".join(
+        "struct({b} AS band_id, xxhash64({cols}) AS band_hash)".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
         )
         for b in range(bands)
-    ]
-    banded = sig.select(
-        "_id", F.explode(F.array(*band_structs)).alias("band")
+    )
+    banded = sig.selectExpr(
+        "_id", f"explode(array({band_sql})) AS band"
     ).select("_id", "band.band_id", "band.band_hash").persist()
 
     # Pass 1 — bounded-memory bucket census (partial agg: each task
@@ -1025,6 +1026,10 @@ def connected_components(
     several — so hitting ``max_iter`` with changes still flowing raises
     ``RuntimeError`` instead of returning truncated labels.
     """
+    fast = _cc_local_or_none(edges, nodes, id_a, id_b, node_col, max_iter)
+    if fast is not None:
+        return fast
+
     # Symmetrize with ONE pass over the (typically expensive) edge
     # pipeline: explode each row into both directions.  A
     # union(select, swapped-select) would reference the un-materialized
@@ -1092,6 +1097,191 @@ def connected_components(
     return final.select(F.col("_n").alias(node_col), F.col("_lbl").alias("component"))
 
 
+def _cc_collect_or_none(edges, nodes, id_a, id_b, node_col):
+    """Shared gate for the CC local twins: bounded Arrow collect of
+    the pair relation and the node relation into int64 arrays (node
+    multiplicity preserved — the output carries one row per input
+    node row, exactly like the join pipeline), or None when the gate
+    fails (oversized, NULLs, non-integral or 31-bit-unrepresentable
+    ids, or the kill switch)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_CC_LOCAL", "1") == "0":
+        return None
+    import numpy as np
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        _pair_score_broadcast_bytes,
+    )
+
+    cap = _pair_score_broadcast_bytes() // 16
+    et = edges.select(id_a, id_b).limit(cap + 1).toArrow()
+    if et.num_rows > cap:
+        return None
+    if et.column(0).null_count or et.column(1).null_count:
+        return None
+    nt = nodes.select(node_col).limit(cap + 1).toArrow()
+    if nt.num_rows > cap or nt.column(0).null_count:
+        return None
+    try:
+        ea = et.column(0).to_numpy(zero_copy_only=False).astype(
+            np.int64, casting="safe"
+        )
+        eb = et.column(1).to_numpy(zero_copy_only=False).astype(
+            np.int64, casting="safe"
+        )
+        nn = nt.column(0).to_numpy(zero_copy_only=False).astype(
+            np.int64, casting="safe"
+        )
+    except (TypeError, ValueError):
+        return None
+    vals = [x for x in (ea, eb, nn) if len(x)]
+    if vals and (
+        min(v.min() for v in vals) < 0
+        or max(v.max() for v in vals) >= (1 << 31)
+    ):
+        return None
+    return ea, eb, nn
+
+
+def _cc_local_or_none(edges, nodes, id_a, id_b, node_col, max_iter):
+    """Gated driver-side twin of :func:`connected_components`'s
+    min-label-propagation loop (guide §2.4): the per-round
+    [edge join + groupBy-min + left join + changed-count] plan —
+    ~4 driver-blocking jobs per round, rounds = diameter — runs as
+    vectorized ``np.minimum.at`` sweeps over the collected pair
+    relation.  The ROUND SEMANTICS are simulated exactly (labels only
+    propagate across direct edges BETWEEN labeled nodes, simultaneous
+    update per round, converged-or-RuntimeError after ``max_iter``),
+    so outputs — including the non-convergence contract — are
+    value-identical.  Above the collect ceiling the join loop runs
+    verbatim (the 100 TB path)."""
+    import numpy as np
+    import pyarrow as pa
+
+    got = _cc_collect_or_none(edges, nodes, id_a, id_b, node_col)
+    if got is None:
+        return None
+    ea, eb, nn = got
+    uniq = np.unique(nn)
+    # Symmetrized direct edges between LABELED nodes only — the join
+    # loop's propagation surface.
+    s = np.concatenate([ea, eb])
+    d = np.concatenate([eb, ea])
+    m = np.isin(s, uniq) & np.isin(d, uniq)
+    s, d = s[m], d[m]
+    si = np.searchsorted(uniq, s)
+    di = np.searchsorted(uniq, d)
+    labels = uniq.copy()
+    changed = True
+    for _ in range(max_iter):
+        nbl = np.full(len(uniq), np.iinfo(np.int64).max)
+        if len(si):
+            np.minimum.at(nbl, di, labels[si])
+        new = np.minimum(labels, nbl)
+        changed = bool((new != labels).any())
+        labels = new
+        if not changed:
+            break
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (graph diameter exceeds the round budget); raise "
+            "max_iter or use connected_components_star for deep graphs"
+        )
+    comp = labels[np.searchsorted(uniq, nn)]
+    out = pa.table(
+        {
+            node_col: pa.array(nn, type=pa.int64()),
+            "component": pa.array(comp, type=pa.int64()),
+        }
+    )
+    return edges.sparkSession.createDataFrame(out)
+
+
+def _cc_star_local_or_none(edges, nodes, id_a, id_b, node_col, max_iter):
+    """Gated driver-side twin of :func:`connected_components_star`:
+    the alternating large-star/small-star edge-set contraction is
+    simulated round for round with packed-pair set algebra (each
+    Spark round is 2 eager checkpoints + 2 exceptAll convergence
+    probes — ~6 driver-blocking jobs), including the
+    converged-or-RuntimeError contract and the final
+    left-join/coalesce labeling.  Edge rewrites are integer set ops —
+    no float enters — so the fixpoint is value-identical."""
+    import numpy as np
+    import pyarrow as pa
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        _pack_pairs,
+    )
+
+    got = _cc_collect_or_none(edges, nodes, id_a, id_b, node_col)
+    if got is None:
+        return None
+    ea, eb, nn = got
+    m = ea != eb
+    cur = np.unique(_pack_pairs(ea[m], eb[m]))
+
+    def unpack(p):
+        return (p >> 32).astype(np.int64), (p & 0xFFFFFFFF).astype(np.int64)
+
+    def mins_for(u, v):
+        # min neighbor per distinct u (dense over the sorted uniques)
+        uu = np.unique(u)
+        mn = np.full(len(uu), np.iinfo(np.int64).max)
+        np.minimum.at(mn, np.searchsorted(uu, u), v)
+        return uu, mn
+
+    def large_star(p):
+        u, v = unpack(p)
+        sym = np.unique(np.concatenate([p, _pack_pairs(v, u)]))
+        su, sv = unpack(sym)
+        uu, mn = mins_for(su, sv)
+        keep = sv > su
+        ku, kv = su[keep], sv[keep]
+        m_of = mn[np.searchsorted(uu, ku)]
+        return np.unique(_pack_pairs(kv, np.minimum(ku, m_of)))
+
+    def small_star(p):
+        u, v = unpack(p)
+        ou = np.maximum(u, v)
+        ov = np.minimum(u, v)
+        op = np.unique(_pack_pairs(ou, ov))
+        su, sv = unpack(op)
+        uu, mn = mins_for(su, sv)
+        m_of = mn[np.searchsorted(uu, su)]
+        nbrs = _pack_pairs(sv, m_of)
+        selfe = np.unique(_pack_pairs(su, m_of))
+        allp = np.unique(np.concatenate([nbrs, selfe]))
+        au, av = unpack(allp)
+        return allp[au != av]
+
+    converged = False
+    for _ in range(max_iter):
+        nxt = small_star(large_star(cur))
+        if len(nxt) == len(cur) and np.array_equal(nxt, cur):
+            converged = True
+            break
+        cur = nxt
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    su, sv = unpack(cur)
+    # stars: node -> component min; roots/isolated label themselves
+    pos = np.searchsorted(su, nn)
+    np.clip(pos, 0, max(len(su) - 1, 0), out=pos)
+    hit = (su[pos] == nn) if len(su) else np.zeros(len(nn), bool)
+    comp = np.where(hit, sv[pos] if len(sv) else 0, nn)
+    out = pa.table(
+        {
+            node_col: pa.array(nn, type=pa.int64()),
+            "component": pa.array(comp, type=pa.int64()),
+        }
+    )
+    return edges.sparkSession.createDataFrame(out)
+
+
 def connected_components_star(
     edges: DataFrame,
     nodes: DataFrame,
@@ -1133,6 +1323,11 @@ def connected_components_star(
     algorithm's cost model (GraphX/GraphFrames checkpoint the same
     way).
     """
+    fast = _cc_star_local_or_none(
+        edges, nodes, id_a, id_b, node_col, max_iter
+    )
+    if fast is not None:
+        return fast
 
     def large_star(e: DataFrame) -> DataFrame:
         # e is always checkpointed here, so the double read is from
@@ -1213,6 +1408,249 @@ def connected_components_star(
     return out
 
 
+def _edges_collect_or_none(edges, id_a, id_b):
+    """Bounded Arrow collect of a pair relation into int64 arrays for
+    the iterative-graph local twins, or None (gate/kill switch)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_CC_LOCAL", "1") == "0":
+        return None
+    import numpy as np
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        _pair_score_broadcast_bytes,
+    )
+
+    cap = _pair_score_broadcast_bytes() // 16
+    et = edges.select(id_a, id_b).limit(cap + 1).toArrow()
+    if et.num_rows > cap:
+        return None
+    if et.column(0).null_count or et.column(1).null_count:
+        return None
+    try:
+        ea = et.column(0).to_numpy(zero_copy_only=False).astype(
+            np.int64, casting="safe"
+        )
+        eb = et.column(1).to_numpy(zero_copy_only=False).astype(
+            np.int64, casting="safe"
+        )
+    except (TypeError, ValueError):
+        return None
+    if len(ea) and (
+        min(ea.min(), eb.min()) < 0 or max(ea.max(), eb.max()) >= (1 << 31)
+    ):
+        return None
+    return ea, eb
+
+
+def _sym_unique(ea, eb):
+    """Symmetrized distinct directed edge arrays (the explode+distinct
+    result), sorted by src."""
+    import numpy as np
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        _pack_pairs,
+    )
+
+    p = np.unique(
+        np.concatenate([_pack_pairs(ea, eb), _pack_pairs(eb, ea)])
+    )
+    return (p >> 32).astype(np.int64), (p & 0xFFFFFFFF).astype(np.int64)
+
+
+def _csr_of(src_sorted, dst):
+    import numpy as np
+
+    keys, starts = np.unique(src_sorted, return_index=True)
+    return keys, np.append(starts, len(src_sorted)), dst
+
+
+def _neighbors_of(keys, indptr, dst, lookup):
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        _csr_gather,
+    )
+
+    owner, vals, _ = _csr_gather(keys, indptr, dst, lookup)
+    return owner, vals
+
+
+def _kcore_local_or_none(edges, k, id_a, id_b, rounds):
+    """Gated driver-side twin of :func:`kcore`'s fixed-round peel —
+    integer degree census + dead-set drop per round, value-identical
+    (all-integer; one eager Spark job per round becomes one numpy
+    sweep)."""
+    import numpy as np
+    import pyarrow as pa
+
+    got = _edges_collect_or_none(edges, id_a, id_b)
+    if got is None:
+        return None
+    ea, eb = got
+    su, sv = _sym_unique(ea, eb)
+    for _ in range(rounds):
+        if len(su) == 0:
+            break
+        uu, cnt = np.unique(su, return_counts=True)
+        dead = uu[cnt < k]
+        if len(dead) == 0:
+            break  # fixed point: remaining rounds are no-ops
+        m = ~_np_isin_sorted(su, dead) & ~_np_isin_sorted(sv, dead)
+        su, sv = su[m], sv[m]
+    uu, cnt = np.unique(su, return_counts=True)
+    out = pa.table(
+        {
+            "node": pa.array(uu, type=pa.int64()),
+            "core_degree": pa.array(cnt.astype(np.int64), type=pa.int64()),
+        }
+    )
+    return edges.sparkSession.createDataFrame(out)
+
+
+def _np_isin_sorted(x, sorted_arr):
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        _isin_sorted,
+    )
+
+    return _isin_sorted(x, sorted_arr)
+
+
+def _bfs_local_or_none(edges, seeds, id_a, id_b, seed_col, max_hops):
+    """Gated driver-side twin of :func:`bfs_hops`' level-synchronous
+    frontier loop (same prev-two anti-join semantics, same early
+    stop) — integer-exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    got = _edges_collect_or_none(edges, id_a, id_b)
+    if got is None:
+        return None
+    st = seeds.select(seed_col).limit(1_000_001).toArrow()
+    if st.num_rows > 1_000_000 or st.column(0).null_count:
+        return None
+    try:
+        s0 = np.unique(
+            st.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64, casting="safe"
+            )
+        )
+    except (TypeError, ValueError):
+        return None
+    su, sv = _sym_unique(*got)
+    keys, indptr, dst = _csr_of(su, sv)
+    out_n = [s0]
+    out_h = [np.zeros(len(s0), dtype=np.int32)]
+    prev2 = None
+    frontier = s0
+    for h in range(1, max_hops + 1):
+        _, vals = _neighbors_of(keys, indptr, dst, frontier)
+        nxt = np.unique(vals)
+        nxt = nxt[~_np_isin_sorted(nxt, frontier)]
+        if prev2 is not None:
+            nxt = nxt[~_np_isin_sorted(nxt, prev2)]
+        if len(nxt) == 0:
+            break
+        out_n.append(nxt)
+        out_h.append(np.full(len(nxt), h, dtype=np.int32))
+        prev2, frontier = frontier, nxt
+    out = pa.table(
+        {
+            "_n": pa.array(np.concatenate(out_n), type=pa.int64()),
+            "hops": pa.array(np.concatenate(out_h), type=pa.int32()),
+        }
+    )
+    return edges.sparkSession.createDataFrame(out)
+
+
+def _lpa_local_or_none(edges, nodes, id_a, id_b, node_col, rounds):
+    """Gated driver-side twin of :func:`label_propagation`'s
+    fixed-round synchronous majority vote (count-desc, label-asc
+    tie-break) — integer-exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        _pack_pairs,
+    )
+
+    got = _cc_collect_or_none(edges, nodes, id_a, id_b, node_col)
+    if got is None:
+        return None
+    ea, eb, nn = got
+    uniq = np.unique(nn)
+    if len(uniq) != len(nn):
+        return None  # duplicate spine rows duplicate votes: fall back
+    su, sv = _sym_unique(ea, eb)
+    # votes flow dst-label -> src; both endpoints must be labeled
+    # (inner join on _dst, left join back on _src restricted to spine)
+    m = _np_isin_sorted(sv, uniq) & _np_isin_sorted(su, uniq)
+    vs, vd = su[m], sv[m]
+    vd_idx = np.searchsorted(uniq, vd)
+    vs_idx = np.searchsorted(uniq, vs)
+    lab = uniq.copy()
+    for _ in range(rounds):
+        votes = _pack_pairs(vs_idx, np.searchsorted(uniq, lab[vd_idx]))
+        pv, cnt = np.unique(votes, return_counts=True)
+        p_src = (pv >> 32).astype(np.int64)
+        p_lab = uniq[(pv & 0xFFFFFFFF).astype(np.int64)]
+        # winner per src: max count, then min label
+        o = np.lexsort((p_lab, -cnt, p_src))
+        ps = p_src[o]
+        starts = np.r_[0, np.flatnonzero(np.diff(ps)) + 1]
+        w_src = ps[starts]
+        w_lab = p_lab[o][starts]
+        new = uniq.copy()
+        new[w_src] = w_lab
+        lab = new
+    comp = lab[np.searchsorted(uniq, nn)]
+    out = pa.table(
+        {
+            node_col: pa.array(nn, type=pa.int64()),
+            "community": pa.array(comp, type=pa.int64()),
+        }
+    )
+    return edges.sparkSession.createDataFrame(out)
+
+
+def _triangles_local_or_none(edges, id_a, id_b):
+    """Gated driver-side twin of :func:`triangle_counts`'s
+    edge-iterator enumeration (a<b<c wedges closed against the edge
+    set) — integer-exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        _csr_gather,
+        _pack_pairs,
+    )
+
+    got = _edges_collect_or_none(edges, id_a, id_b)
+    if got is None:
+        return None
+    ea, eb = got
+    m = ea < eb
+    p = np.unique(_pack_pairs(ea[m], eb[m]))
+    a = (p >> 32).astype(np.int64)
+    b = (p & 0xFFFFFFFF).astype(np.int64)
+    packed_set = p  # sorted
+    # wedges: per edge (a, b), every c in N_out(b)
+    keys, starts = np.unique(a, return_index=True)
+    indptr = np.append(starts, len(a))
+    ownW, c_arr, _ = _csr_gather(keys, indptr, b, b)
+    wa = a[ownW]
+    wb = b[ownW]
+    closed = _np_isin_sorted(_pack_pairs(wa, c_arr), packed_set)
+    ta, tb, tc = wa[closed], wb[closed], c_arr[closed]
+    nodes_all = np.concatenate([ta, tb, tc])
+    uu, cnt = np.unique(nodes_all, return_counts=True)
+    out = pa.table(
+        {
+            "node": pa.array(uu, type=pa.int64()),
+            "n_triangles": pa.array(cnt.astype(np.int64), type=pa.int64()),
+        }
+    )
+    return edges.sparkSession.createDataFrame(out)
+
+
 def bfs_hops(
     edges: DataFrame,
     seeds: DataFrame,
@@ -1250,6 +1688,9 @@ def bfs_hops(
     is exact; nodes further than the cap are simply absent, which is
     the point of a radius audit).
     """
+    fast = _bfs_local_or_none(edges, seeds, id_a, id_b, seed_col, max_hops)
+    if fast is not None:
+        return fast
     e = (
         edges.select(
             F.explode(
@@ -1373,6 +1814,10 @@ def triangle_counts(
     makes id-orientation safe here; the degree-oriented variant is a
     pre-sort away if an uncapped graph ever feeds it.
     """
+    if materialize:
+        fast = _triangles_local_or_none(edges, id_a, id_b)
+        if fast is not None:
+            return fast
     e = (
         edges.select(F.col(id_a).alias("_a"), F.col(id_b).alias("_b"))
         .filter(F.col("_a") < F.col("_b"))
@@ -1913,6 +2358,88 @@ def _symmetrize_edges(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
     )
 
 
+def _pagerank_local_or_none(
+    edges, nodes, id_a, id_b, node_col, damping, iterations, n
+):
+    """Gated driver-side twin of :func:`pagerank`'s decimal-exact
+    iteration.  Every arithmetic step is replayed with EXACT integer
+    arithmetic at the same scales (contributions at scale 30 as
+    arbitrary-precision Python ints, everything else scale-16/14
+    int64), the same HALF_UP roundings at the same points, and the
+    same double→decimal literal protocol for 1/deg and the teleport
+    term — decimal arithmetic is order-free, so driver-side summation
+    is value-identical to the shuffle.  Output strings follow the
+    General Decimal Arithmetic to-string rule, the same rule Java
+    BigDecimal.toString applies to Spark's Decimal(18,16)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_CC_LOCAL", "1") == "0":
+        return None
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pyarrow as pa
+
+    got = _cc_collect_or_none(edges, nodes, id_a, id_b, node_col)
+    if got is None:
+        return None
+    ea, eb, nn = got
+    uniq = np.unique(nn)
+    if len(uniq) != len(nn):
+        return None  # duplicate spine rows duplicate contributions
+    q14 = Decimal("1e-14")
+    base = Decimal(float(1 - Decimal(damping)) / n).quantize(
+        q14, ROUND_HALF_UP
+    )
+    r_init = Decimal(1.0 / n).quantize(q14, ROUND_HALF_UP)
+    d2 = int(
+        Decimal(damping).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100
+    )
+    base18 = int(base.scaleb(14)) * 10**4
+
+    su, sv = _sym_unique(ea, eb)
+    # inv_deg per source over the FULL symmetric edge set (degree is
+    # not spine-restricted), via the double→round14→decimal(16,14)
+    # protocol of the plan
+    dkeys, dcnt = np.unique(su, return_counts=True)
+    inv14 = np.empty(len(dkeys), dtype=np.int64)
+    for i, dv in enumerate(dcnt):
+        x = 1.0 / float(dv)
+        r14d = float(Decimal(repr(x)).quantize(q14, ROUND_HALF_UP))
+        inv14[i] = int(
+            Decimal(repr(r14d)).quantize(q14, ROUND_HALF_UP).scaleb(14)
+        )
+    # contributions flow src→dst, both endpoints spine members
+    m = _np_isin_sorted(su, uniq) & _np_isin_sorted(sv, uniq)
+    cs, cd = su[m], sv[m]
+    cs_pos = np.searchsorted(uniq, cs)
+    cd_pos = np.searchsorted(uniq, cd)
+    cinv = inv14[np.searchsorted(dkeys, cs)]
+
+    r16 = [int(r_init.scaleb(16))] * len(uniq)
+    for _ in range(iterations):
+        sums30 = [0] * len(uniq)
+        for j in range(len(cs)):
+            sums30[cd_pos[j]] += r16[cs_pos[j]] * int(cinv[j])
+        new = [0] * len(uniq)
+        for i in range(len(uniq)):
+            s16 = (sums30[i] + 5 * 10**13) // 10**14  # round 30→16
+            total18 = base18 + d2 * s16
+            new[i] = (total18 + 50) // 100  # round 18→16
+        r16 = new
+    vals = [
+        str(Decimal(v).scaleb(-16)) for v in
+        (r16[i] for i in np.searchsorted(uniq, nn))
+    ]
+    out = pa.table(
+        {
+            node_col: pa.array(nn, type=pa.int64()),
+            "pr_score": pa.array(vals, type=pa.string()),
+        }
+    )
+    return edges.sparkSession.createDataFrame(out)
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,
@@ -1972,6 +2499,11 @@ def pagerank(
         return nodes.select(
             F.col(node_col), F.lit(None).cast("string").alias("pr_score")
         )
+    fast = _pagerank_local_or_none(
+        edges, nodes, id_a, id_b, node_col, damping, iterations, n
+    )
+    if fast is not None:
+        return fast
     q14 = Decimal("1e-14")
     # Decimal(float) is the EXACT binary expansion — the same value
     # DuckDB's round(0.15/n, 14) sees — not the shortest repr.  Both
@@ -2078,6 +2610,9 @@ def label_propagation(
     ``checkpoint_every`` rounds, and the loop ends in one eager
     materialization that releases the edge blocks.
     """
+    fast = _lpa_local_or_none(edges, nodes, id_a, id_b, node_col, rounds)
+    if fast is not None:
+        return fast
     e = _symmetrize_edges(edges, id_a, id_b)
     spine = nodes.select(F.col(node_col).alias("_n")).localCheckpoint(eager=True)
     lab = spine.select("_n", F.col("_n").alias("_l"))
@@ -2153,6 +2688,9 @@ def kcore(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     del checkpoint_every  # every round materializes exactly once now
+    fast = _kcore_local_or_none(edges, k, id_a, id_b, rounds)
+    if fast is not None:
+        return fast
     e = (
         edges.select(
             F.explode(

@@ -95,20 +95,20 @@ def _band_relation(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     buckets by grouping on the slice values; operators/dedup.py:318
     doctrine), so the per-shingle hash family never constrains it."""
     rows_per_band = num_hashes // bands
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.xxhash64(
-                *[
-                    F.col(f"mh_{b * rows_per_band + r}")
-                    for r in range(rows_per_band)
-                ]
-            ).alias("band_hash"),
+    # One parse for the whole band array (the Column-API struct build
+    # costs ~10 py4j round-trips per band; operators/dedup.py:362
+    # doctrine) — identical struct/xxhash64 trees.
+    band_sql = ", ".join(
+        "struct({b} AS band_id, xxhash64({cols}) AS band_hash)".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
         )
         for b in range(bands)
-    ]
-    return sig.select(
-        "_id", F.explode(F.array(*band_structs)).alias("band")
+    )
+    return sig.selectExpr(
+        "_id", f"explode(array({band_sql})) AS band"
     ).select("_id", "band.band_id", "band.band_hash")
 
 

@@ -14,6 +14,8 @@ Two tiers, per the standard ANN playbook:
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -211,14 +213,20 @@ def _plane_signs(plane_id: int, dim: int) -> list[int]:
     """Deterministic Rademacher hyperplane: component j of plane p is
     ±1 from a byte of sha256(p, j).  Computed driver-side once — the
     plane is a constant, so it belongs in the plan as literals, not as
-    per-row hash evaluations."""
+    per-row hash evaluations.  Memoized: the same (plane, dim) is
+    re-derived by every srp_bucket call in a session."""
+    return list(_plane_signs_cached(plane_id, dim))
+
+
+@functools.lru_cache(maxsize=4096)
+def _plane_signs_cached(plane_id: int, dim: int) -> tuple[int, ...]:
     import hashlib
 
     out = []
     for j in range(dim):
         h = hashlib.sha256(f"srp:{plane_id}:{j}".encode()).digest()
         out.append(1 if h[0] & 1 else -1)
-    return out
+    return tuple(out)
 
 
 def _hyperplane_sign(vec: Column, plane_id: int, dim: int) -> Column:
@@ -227,8 +235,18 @@ def _hyperplane_sign(vec: Column, plane_id: int, dim: int) -> Column:
     fold stays one compact expression (a fully unrolled ±element_at
     chain was tried and blew janino's 64 KB method limit, forcing an
     interpreted fallback with a noisy stack).  Left fold ⇒
-    deterministic, partition-independent summation."""
-    signs = F.array(*[F.lit(float(s)) for s in _plane_signs(plane_id, dim)])
+    deterministic, partition-independent summation.  The sign array is
+    built by ONE ``F.expr`` parse (a single py4j call yielding the
+    same CreateArray-of-literals tree): both the per-element
+    ``F.array(F.lit(s)...)`` form and ``F.lit(list)`` (which delegates
+    to it) cost ~40 ms of gateway chatter per plane — ~0.25 s of
+    driver time per srp_bucket call at 6 planes, paid by every
+    SRP-seeded operator invocation."""
+    signs = F.expr(
+        "array("
+        + ",".join(f"{float(s)}D" for s in _plane_signs(plane_id, dim))
+        + ")"
+    )
     dot = F.aggregate(
         F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
         F.lit(0.0),
