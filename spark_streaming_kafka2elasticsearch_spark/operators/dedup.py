@@ -1030,70 +1030,137 @@ def connected_components(
     if fast is not None:
         return fast
 
+    # Distributed loop, restructured for the 100 TB path (guide
+    # §2.2/§2.4, VERDICT r14 item 3).  Three changes vs the classic
+    # per-round shape, all value-identical:
+    #
+    # * ONE join + ONE partial-agg groupBy per round instead of
+    #   join + groupBy + left-join: the spine-restricted symmetric
+    #   edge set is augmented with a SELF-LOOP per spine node, so
+    #   ``min over (own ∪ neighbors)`` is a single aggregation and the
+    #   evolving labels relation is referenced ONCE per round (which
+    #   is what lets rounds chain lazily at all).
+    # * rounds chain LAZILY and materialize once per
+    #   ``checkpoint_every`` block — one driver-blocking job per k
+    #   rounds instead of a persist + changed-count action per round.
+    # * the changed-check runs once per block.  Min-label propagation
+    #   is MONOTONE (labels only decrease), so "no change across a
+    #   whole block" ⟺ "the block's first round already changed
+    #   nothing" — block-level equality detects exactly the same
+    #   convergence the per-round check did, and extra lazy rounds
+    #   past the fixpoint are no-ops that cannot alter the output.
+    #   The non-convergence CONTRACT is preserved exactly: converged
+    #   within max_iter ⟺ labels after max_iter-1 rounds equal labels
+    #   after max_iter rounds (monotonicity again), which the final
+    #   single-round step checks verbatim.
+    #
     # Symmetrize with ONE pass over the (typically expensive) edge
-    # pipeline: explode each row into both directions.  A
-    # union(select, swapped-select) would reference the un-materialized
-    # pipeline twice and execute it twice in the first job — measured
-    # ~2× the whole near-dup pipeline cost at the 10× probe scale.
+    # pipeline: explode each row into both directions (a
+    # union(select, swapped-select) would execute the un-materialized
+    # pipeline twice).  Propagation only ever flows between LABELED
+    # nodes (the old left-join semantics), so the edge set is
+    # spine-restricted up front — at 100 TB this also shrinks every
+    # round's shuffle to the spine's neighborhood.
+    spine = (
+        nodes.select(F.col(node_col).alias("_n"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")),
+                F.struct(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")),
+            )
+        ).alias("_e")
+    ).select("_e._src", "_e._dst")
     e = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")),
-                    F.struct(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")),
-                )
-            ).alias("_e")
-        )
-        .select("_e._src", "_e._dst")
+        sym.join(spine.select(F.col("_n").alias("_src")), "_src")
+        .join(spine.select(F.col("_n").alias("_dst")), "_dst")
+        .select("_src", "_dst")
+        .union(spine.select(F.col("_n").alias("_src"), F.col("_n").alias("_dst")))
         .distinct()
         .localCheckpoint(eager=True)  # materialize once, before the loop
     )
-    labels = nodes.select(F.col(node_col).alias("_n"), F.col(node_col).alias("_lbl"))
-    changed = 1
-    for it in range(max_iter):
-        neighbor_min = (
-            labels.join(e, labels["_n"] == e["_src"])
+
+    def one_round(lab: DataFrame) -> DataFrame:
+        return (
+            e.join(lab, e["_src"] == lab["_n"])
             .groupBy("_dst")
-            .agg(F.min("_lbl").alias("_nbl"))
+            .agg(F.min("_lbl").alias("_lbl"))
+            .select(F.col("_dst").alias("_n"), "_lbl")
         )
-        new_labels = labels.join(
-            neighbor_min, labels["_n"] == neighbor_min["_dst"], "left"
-        ).select(
-            "_n",
-            F.least(
-                F.col("_lbl"), F.coalesce(F.col("_nbl"), F.col("_lbl"))
-            ).alias("_lbl"),
-        )
-        if (it + 1) % checkpoint_every == 0:
-            # Materializes AND truncates lineage (one join per round
-            # otherwise nests max_iter plans deep → janino blowup).
-            new_labels = new_labels.localCheckpoint(eager=True)
-        else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("new")
-            .join(labels.alias("old"), "_n")
+
+    labels = spine.select("_n", F.col("_n").alias("_lbl")).localCheckpoint(
+        eager=True
+    )
+
+    def block_changed(new: DataFrame, old: DataFrame) -> int:
+        return (
+            new.alias("new")
+            .join(old.alias("old"), "_n")
             .filter(F.col("new._lbl") != F.col("old._lbl"))
             .limit(1)
-            .count()  # the action that also materializes new_labels
+            .count()
         )
-        labels.unpersist()  # no-op on the round-0 unpersisted spine
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
+
+    if max_iter < 1:
+        # the per-round loop never ran and `changed` stayed truthy —
+        # preserve that degenerate contract exactly
         e.unpersist()
+        spine.unpersist()
         labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in max_iter={max_iter} "
             "rounds (graph diameter exceeds the round budget); raise "
             "max_iter or use connected_components_star for deep graphs"
         )
-    # Checkpoint the result so the edge/labels caches can be released
-    # now — callers consume the output lazily, long after this scope.
-    final = labels.localCheckpoint(eager=True)
+    converged = False
+    rounds_done = 0
+    while rounds_done < max_iter - 1:
+        step = min(checkpoint_every, max_iter - 1 - rounds_done)
+        nxt = labels
+        for _ in range(step):
+            nxt = one_round(nxt)
+        nxt = nxt.localCheckpoint(eager=True)
+        rounds_done += step
+        changed = block_changed(nxt, labels)
+        labels.unpersist()
+        labels = nxt
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        # final round: labels_{max_iter-1} vs labels_{max_iter} is the
+        # exact converged-within-max_iter predicate
+        nxt = one_round(labels).localCheckpoint(eager=True)
+        changed = block_changed(nxt, labels)
+        labels.unpersist()
+        labels = nxt
+        if changed != 0:
+            e.unpersist()
+            spine.unpersist()
+            labels.unpersist()
+            raise RuntimeError(
+                f"connected_components did not converge in max_iter={max_iter} "
+                "rounds (graph diameter exceeds the round budget); raise "
+                "max_iter or use connected_components_star for deep graphs"
+            )
+    # Re-attach to the ORIGINAL node relation (multiplicity and NULL
+    # ids preserved — one output row per input node row, NULL-id rows
+    # keeping their own (NULL) label, exactly like the old left join).
+    final = (
+        nodes.select(F.col(node_col).alias("_n"))
+        .join(labels.select("_n", F.col("_lbl").alias("_cmp")), "_n", "left")
+        .select(
+            "_n",
+            F.coalesce(F.col("_cmp"), F.col("_n")).alias("_lbl"),
+        )
+        .localCheckpoint(eager=True)
+    )
     labels.unpersist()
     e.unpersist()
+    spine.unpersist()
     return final.select(F.col("_n").alias(node_col), F.col("_lbl").alias("component"))
 
 
@@ -2400,36 +2467,79 @@ def _pagerank_local_or_none(
     su, sv = _sym_unique(ea, eb)
     # inv_deg per source over the FULL symmetric edge set (degree is
     # not spine-restricted), via the double→round14→decimal(16,14)
-    # protocol of the plan
+    # protocol of the plan.  The Decimal rounding is a pure function
+    # of the DEGREE VALUE, so it runs once per distinct degree (a
+    # handful) instead of once per node (ADVICE r14 — the driver loop
+    # near the gate ceiling).
     dkeys, dcnt = np.unique(su, return_counts=True)
-    inv14 = np.empty(len(dkeys), dtype=np.int64)
-    for i, dv in enumerate(dcnt):
+    uniq_deg = np.unique(dcnt)
+    deg2inv = {}
+    for dv in uniq_deg:
         x = 1.0 / float(dv)
         r14d = float(Decimal(repr(x)).quantize(q14, ROUND_HALF_UP))
-        inv14[i] = int(
+        deg2inv[int(dv)] = int(
             Decimal(repr(r14d)).quantize(q14, ROUND_HALF_UP).scaleb(14)
         )
+    inv14 = np.fromiter(
+        (deg2inv[int(dv)] for dv in dcnt), dtype=np.int64, count=len(dcnt)
+    )
     # contributions flow src→dst, both endpoints spine members
     m = _np_isin_sorted(su, uniq) & _np_isin_sorted(sv, uniq)
     cs, cd = su[m], sv[m]
     cs_pos = np.searchsorted(uniq, cs)
     cd_pos = np.searchsorted(uniq, cd)
-    cinv = inv14[np.searchsorted(dkeys, cs)]
+    node_inv = np.zeros(len(uniq), dtype=np.int64)
+    if len(dkeys):
+        pos_in_dkeys = np.searchsorted(dkeys, uniq)
+        np.clip(pos_in_dkeys, 0, len(dkeys) - 1, out=pos_in_dkeys)
+        has_deg = dkeys[pos_in_dkeys] == uniq
+        node_inv[has_deg] = inv14[pos_in_dkeys[has_deg]]
 
-    r16 = [int(r_init.scaleb(16))] * len(uniq)
+    # Exact scale-30 accumulation, VECTORIZED in two int64 lanes
+    # (ADVICE r14: the per-edge Python bigint loop was tens of
+    # millions of interpreter ops near the gate ceiling).  Every step
+    # below is exact integer arithmetic — value-identical to the
+    # arbitrary-precision loop it replaces, just decomposed so no
+    # intermediate exceeds int64:
+    #   w = r16·inv14 ≤ 10^16·10^14 = 10^30 splits as
+    #   (a1,a0) = divmod(r16, 10^9), (c1,c0) = divmod(inv14, 10^7);
+    #   w = a1·c1·10^16 + a1·c0·10^9 + a0·c1·10^7 + a0·c0 with every
+    #   product ≤ 10^16 — then re-packed into (w_hi, w_lo) lanes of
+    #   base 10^15.  Per-dst lane sums stay int64-safe: Σw over ALL
+    #   edges is the total rank mass ≤ ~10^30, so Σw_hi ≤ ~10^15 + E;
+    #   w_lo (< 10^15 each) is accumulated in 8000-edge chunks with a
+    #   carry renormalization between chunks.
+    r16 = np.full(len(uniq), int(r_init.scaleb(16)), dtype=np.int64)
+    P15, P14, P13 = 10**15, 10**14, 10**13
     for _ in range(iterations):
-        sums30 = [0] * len(uniq)
-        for j in range(len(cs)):
-            sums30[cd_pos[j]] += r16[cs_pos[j]] * int(cinv[j])
-        new = [0] * len(uniq)
-        for i in range(len(uniq)):
-            s16 = (sums30[i] + 5 * 10**13) // 10**14  # round 30→16
-            total18 = base18 + d2 * s16
-            new[i] = (total18 + 50) // 100  # round 18→16
-        r16 = new
+        a1, a0 = np.divmod(r16, 10**9)
+        c1, c0 = np.divmod(node_inv, 10**7)
+        t3 = a1 * c1  # ·10^16
+        q1, r1 = np.divmod(a0 * c1, 10**8)  # t·10^7 = q·10^15 + r·10^7
+        q2, r2 = np.divmod(a1 * c0, 10**6)  # t·10^9 = q·10^15 + r·10^9
+        lo_acc = a0 * c0 + r1 * 10**7 + r2 * 10**9
+        q3, r3 = np.divmod(lo_acc, P15)
+        w_lo = r3
+        w_hi = t3 * 10 + q1 + q2 + q3
+        sums_hi = np.zeros(len(uniq), dtype=np.int64)
+        sums_lo = np.zeros(len(uniq), dtype=np.int64)
+        CH = 8000
+        for lo in range(0, len(cs), CH):
+            hi = min(lo + CH, len(cs))
+            np.add.at(sums_lo, cd_pos[lo:hi], w_lo[cs_pos[lo:hi]])
+            np.add.at(sums_hi, cd_pos[lo:hi], w_hi[cs_pos[lo:hi]])
+            carry, rem = np.divmod(sums_lo, P15)
+            sums_hi += carry
+            sums_lo = rem
+        # round 30→16: sums30 = hi·10^15 + lo; (sums30 + 5·10^13)//10^14
+        sums_lo += 5 * P13
+        carry, rem = np.divmod(sums_lo, P15)
+        sums_hi += carry
+        s16 = sums_hi * 10 + rem // P14
+        r16 = (base18 + d2 * s16 + 50) // 100  # round 18→16
     vals = [
-        str(Decimal(v).scaleb(-16)) for v in
-        (r16[i] for i in np.searchsorted(uniq, nn))
+        str(Decimal(int(v)).scaleb(-16))
+        for v in r16[np.searchsorted(uniq, nn)]
     ]
     out = pa.table(
         {

@@ -28,6 +28,26 @@ from pyspark.sql import SparkSession
 
 DEFAULT_APP_NAME = "spark-streaming-kafka2elasticsearch-spark"
 
+#: Native thread pools inside each PYTHON WORKER are pinned to one
+#: thread (guide §5 — CPU discipline at the Python boundary).  Spark's
+#: parallelism unit is the task: local[32] already runs 32 concurrent
+#: Python workers, so a numpy/OpenBLAS (or libjpeg/ffmpeg-style
+#: decoder) pool of t threads per worker oversubscribes the box 32·t
+#: ways.  Measured on the r14 driver host: the full bench was FASTER
+#: at 8 cores (338.9 s) than at 32 (394.2 s), with the Arrow-kernel /
+#: pandas-UDF / media-decode queries inverted hardest
+#: (knn_graph_delete_serve scaling 0.25, multimodal decodes
+#: 0.29–0.33, weighted_avg_price_pandas 0.30).  Pinning is the
+#: standard one-process-per-core discipline; values are overridable
+#: by exporting the variable before session build (setdefault only).
+_WORKER_THREAD_ENV: dict[str, str] = {
+    "OMP_NUM_THREADS": "1",
+    "OPENBLAS_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+    "VECLIB_MAXIMUM_THREADS": "1",
+}
+
 #: Conf applied to every session this engine builds.  Each is a public
 #: Spark knob; values chosen for "let Catalyst/AQE decide at runtime".
 BASE_CONF: dict[str, str] = {
@@ -83,8 +103,22 @@ def build_session(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
 
+    # Two delivery paths for the worker thread pins, because each
+    # covers a case the other misses: (1) os.environ before the JVM
+    # launches — forked pyspark.daemon workers inherit the gateway
+    # JVM's environment (covers local mode, where spark.executorEnv
+    # reaches workers through the same executorEnvs map only at
+    # PythonFunction creation); (2) spark.executorEnv.* — the
+    # documented executor-process env for cluster deployments.  Both
+    # are setdefault-style: an operator who exports their own value
+    # wins.
+    for var, val in _WORKER_THREAD_ENV.items():
+        os.environ.setdefault(var, val)
+
     builder = SparkSession.builder.master(master).appName(app_name)
     conf: dict[str, str] = dict(BASE_CONF)
+    for var in _WORKER_THREAD_ENV:
+        conf.setdefault(f"spark.executorEnv.{var}", os.environ[var])
     if enable_s3a:
         conf.update(S3A_CONF)
     if extra_conf:

@@ -55,6 +55,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*")
     ap.add_argument("--tag", default="before")
+    ap.add_argument("--plans-dir", default="/root/repo/plans/r15")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--top", type=int, default=0, help="profile top-N from BENCH_LOCAL")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -78,7 +79,7 @@ def main() -> None:
         ]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = build_session(master=f"local[{cpus}]", app_name="profile")
-    os.makedirs("/root/repo/plans/r14", exist_ok=True)
+    os.makedirs(args.plans_dir, exist_ok=True)
 
     # generic warm-up (mirrors bench.py)
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
@@ -92,7 +93,7 @@ def main() -> None:
         t_build = time.time() - t0
         text = plan_text(df)
         shape = plan_shape(text)
-        with open(f"/root/repo/plans/r14/{name}_{args.tag}.txt", "w") as f:
+        with open(f"{args.plans_dir}/{name}_{args.tag}.txt", "w") as f:
             f.write(text)
         release_cached_state(spark)
         exec_times = []
