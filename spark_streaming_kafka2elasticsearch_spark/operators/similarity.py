@@ -428,6 +428,182 @@ def _fixed_cell_expr(crows, vec_col: str, norm_col: str | None = None) -> Column
     return -best["_nc"]
 
 
+def _cell_assign_arrow_or_none(
+    base: DataFrame,
+    crows,
+    keep: list[str],
+    vec_col: str,
+    n_probe: int = 1,
+    out_col: str = "cell",
+    single: bool = False,
+):
+    """Coarse-quantizer assignment via ONE ``mapInArrow`` kernel — the
+    vectorized twin of projecting :func:`_fixed_cell_expr`
+    (``single=True`` → a ``long`` ``out_col``) or
+    :func:`_fixed_probe_cells_expr` (``single=False`` → an
+    ``array<long>`` ``out_col``, length ``min(n_probe, c)`` — an
+    n_probe=1 probe list is still an ARRAY) over a corpus relation,
+    with the
+    ``keep`` columns passed through untouched (guide §4.2: the c
+    per-centroid ``aggregate`` folds are CodegenFallback and run
+    interpreted per row — the PQ-encode-kernel argument, applied to
+    the coarse quantizer).  Returns the DataFrame or None (kill
+    switch ``SPARK_GRAFT_PROBE_ARROW=0``).
+
+    Bit-equality with the struct expressions, term by term:
+
+    * sims — same IEEE sequence as the Catalyst fold (products then
+      sequential j-order accumulation seeded at 0.0, vectorized across
+      rows); the float→double widening of the raw vector column is
+      the same exact IEEE conversion Catalyst's cast performs; the
+      row norm is recomputed in-kernel with the identical
+      ``acc + v·v`` j-order fold + one correctly-rounded sqrt — the
+      exact value a hoisted ``l2_norm`` column would carry (the PQ
+      encode kernel's A/B-verified argument); centroid norms are the
+      ``literal_l2_norm`` constants the literal tree folds to.
+    * ranking — ``array_max`` / ``reverse(array_sort(...))`` over
+      ``struct(_s, -cid)`` is (sim DESC with NULL last and NaN above
+      +inf, cid ASC); the kernel sorts with an explicit
+      (isnull, notnan, -sim, cid) lexsort so NaN outranks a true
+      +inf instead of tying with it.
+    * degenerate rows — a NULL vector, NULL element, NaN element,
+      zero norm, or length-mismatched vector poisons ALL c sims
+      UNIFORMLY in both engines (every centroid pairing degrades the
+      same way), so the ranking collapses to the cid-ascending
+      tie-break in both; the kernel detects those rows via the Arrow
+      offsets/validity and emits ``sorted(cids)[:n_probe]`` directly.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_PROBE_ARROW", "1") == "0":
+        return None
+    import numpy as np
+
+    cids = np.array([int(r[0]) for r in crows], dtype=np.int64)
+    cmat = np.array(
+        [[float(x) for x in r[1]] for r in crows], dtype=np.float64
+    )
+    cnorm = np.array(
+        [literal_l2_norm([float(x) for x in r[1]]) for r in crows],
+        dtype=np.float64,
+    )
+    cdim = cmat.shape[1]
+    # ascending-cid order is the all-tied fallback ranking
+    cids_asc = np.sort(cids)
+    take = min(n_probe, len(cids))
+
+    # When the vector column is itself carried through, read it in
+    # place instead of shipping a second copy across the boundary.
+    if vec_col in keep:
+        src = base.select(*[F.col(c) for c in keep])
+        vec_idx = keep.index(vec_col)
+    else:
+        src = base.select(
+            *[F.col(c) for c in keep], F.col(vec_col).alias("_vprobe")
+        )
+        vec_idx = len(keep)
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType([src.schema[c] for c in keep])
+    if single:
+        out_schema = out_schema.add(StructField(out_col, LongType()))
+    else:
+        out_schema = out_schema.add(
+            StructField(out_col, ArrayType(LongType(), False), False)
+        )
+    nk = len(keep)
+    b_state = base.sparkSession.sparkContext.broadcast(
+        (cids, np.ascontiguousarray(cmat.T), cnorm, cids_asc)
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        kcids, kcmat_t, kcnorm, kasc = b_state.value
+        c = len(kcids)
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            vcol = batch.column(vec_idx)
+            # per-row validity + length via the list offsets: rows that
+            # are NULL or length-mismatched take the all-tied fallback
+            offs = vcol.offsets.to_numpy(zero_copy_only=False)
+            lens = np.diff(offs)
+            valid = (
+                np.ones(n_rows, dtype=bool)
+                if vcol.null_count == 0
+                else ~vcol.is_null().to_numpy(zero_copy_only=False)
+            )
+            good = valid & (lens == cdim)
+            # .values (the raw child array) stays aligned with the raw
+            # offsets above even for sliced arrays, where .flatten()
+            # would rebase; element-level NULLs surface as NaN, which
+            # poisons a row uniformly exactly like the Catalyst fold's
+            # NULL algebra (see the degenerate-rows contract above).
+            flat = (
+                vcol.values.to_numpy(zero_copy_only=False)
+                .astype(np.float64)  # exact IEEE widening, = the cast
+            )
+            probe_rows = np.empty((n_rows, take), dtype=np.int64)
+            if good.any():
+                gi = np.flatnonzero(good)
+                starts = offs[:-1][gi]
+                idx = starts[:, None] + np.arange(cdim)[None, :]
+                rows = flat[idx]  # (g, cdim), NaN where element-NULL
+                g = len(gi)
+                acc = np.zeros(g, dtype=np.float64)
+                dots = np.zeros((g, c), dtype=np.float64)
+                for j in range(cdim):
+                    col = rows[:, j]
+                    acc = acc + col * col
+                    dots = dots + col[:, None] * kcmat_t[j][None, :]
+                nrow = np.sqrt(acc)
+                denom = nrow[:, None] * kcnorm[None, :]
+                isnull = denom == 0.0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = dots / denom
+                isnan = np.isnan(sims) & ~isnull
+                key = np.where(isnan | isnull, 0.0, sims)
+                order = np.lexsort(
+                    (
+                        np.broadcast_to(kcids[None, :], (g, c)),
+                        -key,
+                        ~isnan,
+                        isnull,
+                    ),
+                    axis=-1,
+                )[:, :take]
+                probe_rows[gi] = kcids[order]
+            if not good.all():
+                probe_rows[~good] = kasc[:take][None, :]
+            out_cols = list(batch.columns[:nk])
+            if single:
+                out_cols.append(
+                    pa.array(probe_rows[:, 0], type=pa.int64())
+                )
+            else:
+                offsets = pa.array(
+                    np.arange(0, (n_rows + 1) * take, take, dtype=np.int32)
+                )
+                out_cols.append(
+                    pa.ListArray.from_arrays(
+                        offsets,
+                        pa.array(probe_rows.ravel(), type=pa.int64()),
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                out_cols, names=[f.name for f in out_schema.fields]
+            )
+
+    return src.mapInArrow(kernel, out_schema)
+
+
 def _fixed_probe_cells_expr(
     crows, vec_col: str, n_probe: int, norm_col: str | None = None
 ) -> Column:
@@ -602,11 +778,20 @@ def knn_graph(
         )
     )
     if scorer is not None:
-        assigned = both.select(
+        # On the id-only path the probe list needs no vector/norm
+        # downstream, so the c interpreted assignment folds also move
+        # into an Arrow kernel (guide §4.2; bit-equality argument on
+        # _cell_assign_arrow_or_none) — the expression projection
+        # stays as the fallback and the above-ceiling path.
+        kern = _cell_assign_arrow_or_none(
+            base, crows, ["_id"], "_vec", n_probe=n_probe, out_col="_probe"
+        )
+        prb = kern if kern is not None else both
+        assigned = prb.select(
             F.col("_id").alias("dst"),
             F.element_at("_probe", 1).alias("cell"),
         )
-        probes = both.select(
+        probes = prb.select(
             F.col("_id").alias("src"),
             F.explode("_probe").alias("cell"),
         )
@@ -708,6 +893,25 @@ def _pair_score_broadcast_bytes() -> int:
     )
 
 
+def _integral_id_cols(df: DataFrame, *cols: str) -> bool:
+    """True iff every named column is a Catalyst integral type.  The
+    kernel gates collect ids with ``np.fromiter(..., dtype=int64)``,
+    which silently TRUNCATES doubles (2.5 → 2) instead of raising —
+    a fractional id space would produce wrong kernel edges where the
+    join path is exact (ADVICE r14).  Checking the schema costs
+    nothing and is exact; non-integral id spaces keep the distributed
+    plan."""
+    from pyspark.sql import types as T
+
+    return all(
+        isinstance(
+            df.schema[c].dataType,
+            (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+        )
+        for c in cols
+    )
+
+
 def _make_pair_topk(base: DataFrame, n: int, dim: int):
     """Factory for the descent-family ``_topk(cand, kk, with_rank)``:
     score an id-pair relation ``(src, dst)`` against ``base``
@@ -791,6 +995,8 @@ def _broadcast_matrix_scorer(base: DataFrame):
     (``_id``, ``_v``, ``_n``), or return None when the collected state
     contains NULLs (vector, element, or norm) — the join+fold path
     must handle those through Catalyst's NULL algebra."""
+    if not _integral_id_cols(base, "_id"):
+        return None
     rows = base.select("_id", "_v", "_n").collect()
     return _scorer_from_rows(base.sparkSession, rows)
 
@@ -804,6 +1010,8 @@ def _bounded_matrix_scorer(base: DataFrame):
     the bounded collect is abandoned (≤ the ceiling in bytes, by
     construction) and the caller keeps the vector-carrying join plan
     (the 100 TB path).  Returns a scorer or None."""
+    if not _integral_id_cols(base, "_id"):
+        return None
     head = base.select("_v").take(1)
     if not head or head[0]["_v"] is None:
         return None
@@ -952,6 +1160,8 @@ def _collect_corpus_state(base: DataFrame, n: int, dim: int):
 
     if n * (dim + 2) * 8 > _pair_score_broadcast_bytes():
         return None
+    if not _integral_id_cols(base, "_id"):
+        return None
     rows = base.select("_id", "_v", "_n", "_bucket").collect()
     if len(rows) != n:
         return None
@@ -1050,9 +1260,15 @@ def _local_topk_pairs(st, s_arr, d_arr, kk, with_rank=False):
         nz = den == 0.0
         isnull[lo:hi] = nz
         np.divide(acc, den, out=sims[lo:hi], where=~nz)
-    key = np.where(np.isnan(sims), np.inf, sims)
+    # Spark's double total order puts NaN ABOVE +inf, so NaN gets its
+    # own sort key (notnan ASC ranks NaN rows first within non-NULL)
+    # instead of being folded to +inf, where it would TIE with a true
+    # +inf sim and break by dst (ADVICE r14).  `key` only needs to be
+    # NaN-free for lexsort to be well-defined.
+    notnan = ~np.isnan(sims)
+    key = np.where(notnan, sims, 0.0)
     key = np.where(isnull, 0.0, key)
-    o = np.lexsort((d_u, -key, isnull, s_u))
+    o = np.lexsort((d_u, -key, notnan, isnull, s_u))
     ss, dd = s_u[o], d_u[o]
     starts = np.r_[0, np.flatnonzero(np.diff(ss)) + 1]
     seg_len = np.diff(np.r_[starts, len(ss)])
@@ -1202,9 +1418,12 @@ def _nn_descent_kernel_or_none(
                 s_u, d_u, sims, isnull = score(s_u, d_u)
                 if len(s_u) == 0:
                     return s_u, d_u
-                key = np.where(np.isnan(sims), np.inf, sims)
+                # NaN strictly above +inf (Spark's double total
+                # order) via its own notnan key — see _local_topk_pairs
+                notnan = ~np.isnan(sims)
+                key = np.where(notnan, sims, 0.0)
                 key = np.where(isnull, 0.0, key)
-                o = np.lexsort((d_u, -key, isnull, s_u))
+                o = np.lexsort((d_u, -key, notnan, isnull, s_u))
                 ss = s_u[o]
                 starts = np.r_[0, np.flatnonzero(np.diff(ss)) + 1]
                 seg_len = np.diff(np.r_[starts, len(ss)])
@@ -1361,9 +1580,10 @@ def _nn_descent_kernel_or_none(
     fs = (packed >> 32).astype(np.int64)
     fd = (packed & 0xFFFFFFFF).astype(np.int64)
     fs, fd, sims, isnull = _score_pairs(fs, fd)
-    key = np.where(np.isnan(sims), np.inf, sims)
+    notnan = ~np.isnan(sims)
+    key = np.where(notnan, sims, 0.0)
     key = np.where(isnull, 0.0, key)
-    o = np.lexsort((fd, -key, isnull, fs))
+    o = np.lexsort((fd, -key, notnan, isnull, fs))
     fs, fd = fs[o], fd[o]
     starts = np.r_[0, np.flatnonzero(np.diff(fs)) + 1]
     seg_len = np.diff(np.r_[starts, len(fs)])
@@ -1688,6 +1908,8 @@ def _maintain_gate_state(base, n, dim, old_edges):
     st = _collect_corpus_state(base, n, dim)
     if st is None:
         return None
+    if not _integral_id_cols(old_edges, "src", "dst", "rank"):
+        return None
     max_e = _pair_score_broadcast_bytes() // 24
     tbl = old_edges.select("src", "dst", "rank").limit(max_e + 1).toArrow()
     if tbl.num_rows > max_e:
@@ -1698,11 +1920,20 @@ def _maintain_gate_state(base, n, dim, old_edges):
         or tbl.column("rank").null_count
     ):
         return None
-    o_src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
-    o_dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-    o_rank = (
-        tbl.column("rank").to_numpy(zero_copy_only=False).astype(np.int32)
-    )
+    try:
+        o_src = tbl.column("src").to_numpy(zero_copy_only=False).astype(
+            np.int64, casting="safe"
+        )
+        o_dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(
+            np.int64, casting="safe"
+        )
+        o_rank = (
+            tbl.column("rank")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int32, casting="same_kind")
+        )
+    except (TypeError, ValueError):
+        return None
     if len(o_src) and (
         min(o_src.min(), o_dst.min()) < 0
         or max(o_src.max(), o_dst.max()) >= (1 << 31)
@@ -1782,6 +2013,8 @@ def _nn_descent_refresh_local_or_none(
     st = _maintain_gate_state(base, n, dim, old_edges)
     if st is None:
         return None
+    if not _integral_id_cols(delta_ids, "_did"):
+        return None
     drows = delta_ids.collect()
     if any(r["_did"] is None for r in drows):
         return None
@@ -1815,6 +2048,15 @@ def _nn_descent_refresh_local_or_none(
 
     # -- 2. touched / orphan / untouched / merge ---------------------
     touched = np.unique(seed_src)
+    # Work-budget guard FIRST (VERDICT r14 item 8): a delta whose
+    # touched subgraph would score more pairs than the budget goes
+    # back to the distributed loop BEFORE paying the driver-side seed
+    # scoring below — the guard needs only |touched|.
+    if (
+        len(touched) * (2 * k_build) ** 2 * max(rounds, 1)
+        > _MAINTAIN_LOCAL_PAIR_BUDGET
+    ):
+        return None
     orphan_mask = ~_isin_sorted(dids, touched)
     if orphan_mask.any():
         orphans = [int(x) for x in dids[orphan_mask][:5]]
@@ -1834,14 +2076,6 @@ def _nn_descent_refresh_local_or_none(
         np.concatenate([o_dst[src_touched], seed_dst]),
         k_build,
     )
-
-    # Work-budget guard: a delta whose touched subgraph would score
-    # more pairs than the budget goes back to the distributed loop.
-    if (
-        len(touched) * (2 * k_build) ** 2 * max(rounds, 1)
-        > _MAINTAIN_LOCAL_PAIR_BUDGET
-    ):
-        return None
 
     # -- 3. rounds over the touched subgraph -------------------------
     for _ in range(rounds):
@@ -2056,6 +2290,8 @@ def _nn_descent_delete_local_or_none(
     st = _maintain_gate_state(base, n, dim, old_edges)
     if st is None:
         return None
+    if not _integral_id_cols(dele, "_del"):
+        return None
     drows = dele.collect()
     if any(r["_del"] is None for r in drows):
         return None
@@ -2074,6 +2310,12 @@ def _nn_descent_delete_local_or_none(
     k_src, k_dst, k_rank = o_src[kept], o_dst[kept], o_rank[kept]
     lost = _isin_sorted(k_dst, dids)
     touched = np.unique(k_src[lost])
+    # Budget guard BEFORE the seed scoring (VERDICT r14 item 8)
+    if (
+        len(touched) * (2 * k_build) ** 2 * max(rounds, 1)
+        > _MAINTAIN_LOCAL_PAIR_BUDGET
+    ):
+        return None
     src_touched = _isin_sorted(k_src, touched)
     unt_src = k_src[~src_touched]
     unt_dst = k_dst[~src_touched]
@@ -2095,12 +2337,6 @@ def _nn_descent_delete_local_or_none(
             "instead"
         )
     g_src, g_dst = _local_topk_pairs(st, c_src, c_dst, k_build)
-
-    if (
-        len(touched) * (2 * k_build) ** 2 * max(rounds, 1)
-        > _MAINTAIN_LOCAL_PAIR_BUDGET
-    ):
-        return None
 
     # -- 3. rounds over the touched subgraph -------------------------
     for _ in range(rounds):
@@ -2430,6 +2666,25 @@ def knn_graph_append(
         )
     )
     if scorer is not None:
+        # id-only path: the probe assignment needs no vector/norm
+        # downstream — run the c interpreted folds as one Arrow kernel
+        # per input relation (guide §4.2), expression fallback intact.
+        def _probe_rel(df: DataFrame, fallback: DataFrame) -> DataFrame:
+            kern = _cell_assign_arrow_or_none(
+                df.select(
+                    F.col(corpus_id).alias("_id"),
+                    F.col(corpus_vec).alias("_vec"),
+                ),
+                crows,
+                ["_id"],
+                "_vec",
+                n_probe=n_probe,
+                out_col="_probe",
+            )
+            return kern if kern is not None else fallback
+
+        old_pr = _probe_rel(corpus_old, old_b)
+        new_pr = _probe_rel(delta, new_b)
 
         def _ids_only(b: DataFrame, what: str) -> DataFrame:
             if what == "assigned":
@@ -2442,11 +2697,11 @@ def knn_graph_append(
                 F.explode("_probe").alias("cell"),
             )
 
-        leg1 = _ids_only(old_b, "probes").join(
-            _ids_only(new_b, "assigned"), "cell"
+        leg1 = _ids_only(old_pr, "probes").join(
+            _ids_only(new_pr, "assigned"), "cell"
         )
-        leg2 = _ids_only(new_b, "probes").join(
-            _ids_only(old_b, "assigned").union(_ids_only(new_b, "assigned")),
+        leg2 = _ids_only(new_pr, "probes").join(
+            _ids_only(old_pr, "assigned").union(_ids_only(new_pr, "assigned")),
             "cell",
         )
         pairs = (
@@ -2588,11 +2843,17 @@ def knn_graph_delete(
         )
     )
     if scorer is not None:
-        assigned = both.select(
+        # id-only path: Arrow kernel for the probe assignment (guide
+        # §4.2), expression projection as fallback.
+        kern = _cell_assign_arrow_or_none(
+            base, crows, ["_id"], "_vec", n_probe=n_probe, out_col="_probe"
+        )
+        prb = kern if kern is not None else both
+        assigned = prb.select(
             F.col("_id").alias("dst"),
             F.element_at("_probe", 1).alias("cell"),
         )
-        probes = both.join(affected, both._id == affected.src).select(
+        probes = prb.join(affected, prb._id == affected.src).select(
             F.col("_id").alias("src"),
             F.explode("_probe").alias("cell"),
         )
@@ -2709,19 +2970,39 @@ def _beam_rounds_kernel_or_none(
         return None
     import numpy as np
 
+    # Schema gates before ANY collect: ids must be integral (the
+    # int64 conversion below would silently truncate doubles —
+    # ADVICE r14), and query_id must already be LongType — the kernel
+    # emits `query_id long`, so any other input dtype would change the
+    # output schema where the join loop preserves it (and a
+    # non-integral query id would cast to NULL and crash int() in the
+    # executor).
+    from pyspark.sql import types as T
+
+    if not _integral_id_cols(base, "node"):
+        return None
+    if not _integral_id_cols(edges, "src", "dst"):
+        return None
+    if not isinstance(q.schema["query_id"].dataType, T.LongType):
+        return None
+
     ceiling = _pair_score_broadcast_bytes()
-    # One bounded collect decides the gate (no separate head job): a
-    # conservative row cap from a floor dim of 8 doubles, re-checked
-    # against the real dim below.
-    max_rows_floor = ceiling // ((8 + 2) * 8)
-    rows = base.select("node", "_v", "_n").limit(max_rows_floor + 1).collect()
-    if len(rows) > max_rows_floor or not rows:
+    # Learn the real dim FIRST (one take(1) probe, the
+    # _bounded_matrix_scorer convention) and compute the row cap from
+    # it: the old floor-dim-8 cap admitted ceiling//80 ROWS regardless
+    # of vector width, so a dim-1024 corpus above the ceiling pulled
+    # ~13x the configured byte budget into the driver on every call
+    # before the re-check could reject it (ADVICE r14 — driver OOM
+    # risk on exactly the fallback path).
+    head = base.select("_v").take(1)
+    if not head or head[0]["_v"] is None:
+        return None
+    dim = len(head[0]["_v"])
+    max_n = ceiling // ((dim + 2) * 8)
+    rows = base.select("node", "_v", "_n").limit(max_n + 1).collect()
+    if len(rows) > max_n or not rows:
         return None
     if any(r["_v"] is None or r["_n"] is None for r in rows):
-        return None
-    dim = len(rows[0]["_v"])
-    max_n = ceiling // ((dim + 2) * 8)
-    if len(rows) > max_n:
         return None
     try:
         ids = np.fromiter(
@@ -2869,10 +3150,14 @@ def _beam_rounds_kernel_or_none(
                 for _ in range(rounds):
                     if len(vis_nodes) == 0:
                         break
-                    # Spark total order: NaN > +inf; NULLS LAST
-                    key = np.where(np.isnan(vis_sims), np.inf, vis_sims)
+                    # Spark total order: NaN strictly > +inf (its own
+                    # notnan key, never folded to inf); NULLS LAST
+                    notnan = ~np.isnan(vis_sims)
+                    key = np.where(notnan, vis_sims, 0.0)
                     key = np.where(vis_null, 0.0, key)
-                    sel = np.lexsort((vis_nodes, -key, vis_null))[:beam]
+                    sel = np.lexsort(
+                        (vis_nodes, -key, notnan, vis_null)
+                    )[:beam]
                     neigh = []
                     for x in vis_nodes[sel]:
                         i = np.searchsorted(kadj_keys, x)
