@@ -511,6 +511,25 @@ def _synth_y4m(media_id: int) -> bytes:
     return y4m_encode(frames, fps=(10, 1))
 
 
+def _fan_out_ids(ids: DataFrame) -> DataFrame:
+    """Spread a (typically tiny) id relation across the session's task
+    slots before a CPU-bound Python synth stage (guide §2.2/§6 — scan
+    parallelism).  The sf-scale documents scan is one sub-128 MB split,
+    so without this every downstream ``mapInPandas`` — the synthesis
+    AND the decode stage that inherits its partitioning — ran as ONE
+    Python task regardless of core count (the r14 scaling block's
+    0.29–0.33 decode inversions at local[32]).  Scale-adaptive, never
+    a constant: it only fans OUT (a source already at
+    ``defaultParallelism`` partitions or more is returned untouched —
+    at 100 TB the scan is already parallel and this is a no-op), and
+    what shuffles is the bare id column, never a media payload."""
+    sc = ids.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if ids.rdd.getNumPartitions() >= target:
+        return ids
+    return ids.repartition(target)
+
+
 def synth_y4m_table(df: DataFrame, id_col: str) -> DataFrame:
     """Real-Y4M media table: one deterministic gradient clip per input
     id, generated Arrow-batched (same ingest shape as synth_png_table)."""
@@ -526,7 +545,9 @@ def synth_y4m_table(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, schema=_MEDIA_TABLE_SCHEMA)
+    return _fan_out_ids(df.select(id_col)).mapInPandas(
+        gen, schema=_MEDIA_TABLE_SCHEMA
+    )
 
 
 def decode_audio_features(
@@ -649,9 +670,9 @@ def synth_png_table(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
-        gen, schema=_MEDIA_TABLE_SCHEMA
-    )
+    return _fan_out_ids(
+        df.select(F.col(id_col).cast("long").alias(id_col))
+    ).mapInPandas(gen, schema=_MEDIA_TABLE_SCHEMA)
 
 
 #: id offset separating variant media rows from their base row in
@@ -726,9 +747,9 @@ def synth_png_pair_table(df: DataFrame, id_col: str) -> DataFrame:
             rows["mime"] = ["image/png"] * len(rows["media_id"])
             yield pd.DataFrame(rows)
 
-    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
-        gen, schema=_MEDIA_TABLE_SCHEMA
-    )
+    return _fan_out_ids(
+        df.select(F.col(id_col).cast("long").alias(id_col))
+    ).mapInPandas(gen, schema=_MEDIA_TABLE_SCHEMA)
 
 
 def synth_wav_table(df: DataFrame, id_col: str, wave_kind: str = "sine") -> DataFrame:
@@ -750,9 +771,9 @@ def synth_wav_table(df: DataFrame, id_col: str, wave_kind: str = "sine") -> Data
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
-        gen, schema=_MEDIA_TABLE_SCHEMA
-    )
+    return _fan_out_ids(
+        df.select(F.col(id_col).cast("long").alias(id_col))
+    ).mapInPandas(gen, schema=_MEDIA_TABLE_SCHEMA)
 
 
 #: Schema of a perceptual-hash fingerprint row.
