@@ -248,8 +248,20 @@ def minhash_signatures_wide(
         collision bound); the 2^32 value space adds a ~|union|/2^32
         min-tie bias — negligible below billions of distinct shingles.
     """
+    from spark_streaming_kafka2elasticsearch_spark.operators.partitioning import (
+        fan_out_small_scan,
+    )
+
+    # The per-shingle hash work below is the CPU-heavy stage and the
+    # sf-scale documents scan is ONE split — fan the narrow doc rows
+    # out across task slots first (scale-adaptive no-op on an
+    # already-parallel scan; see operators/partitioning).
     exploded = shingle_relation(
-        df, id_col, text_col, k_shingle, distinct=False
+        fan_out_small_scan(df.select(id_col, text_col)),
+        id_col,
+        text_col,
+        k_shingle,
+        distinct=False,
     )
     if hash_family == "md5":
         # Stage the md5 halves in their own projection so the single
@@ -767,6 +779,11 @@ def simhash_table(
     Output: (id_col, simhash64)."""
     field = 21  # bits per packed counter; 3 per long
     group = 3
+    # (r15 note: a fan_out_small_scan of the doc rows was A/B-measured
+    # here — interleaved, 3 pairs — and came out a wash: the per-token
+    # md5 + packed-vote stage is too cheap for the extra exchange to
+    # pay, unlike the minhash signature stage.  Left on the one-split
+    # scan deliberately.)
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
     )
