@@ -6144,6 +6144,142 @@ def blocked_cosine_pairs_fast(
     )
 
 
+def _srp_buckets_kernel_or_none(
+    base: DataFrame, tables: int, planes_per_table: int, dim: int
+):
+    """``(_id, table_id, bucket)`` for every table via ONE
+    ``mapInArrow`` kernel — the vectorized twin of
+    :func:`srp_near_dup_pairs`'s posexplode ⋈ planes → two-groupBy
+    dataflow (guide §4.2/§2.4: removes the |n|·dim·planes join-agg
+    exchange and one groupBy entirely).  Bucket assignment needs only
+    the SIGN of each plane dot, and that pipeline already computes the
+    dot as a shuffled ``F.sum`` — order-nondeterministic by design,
+    with the docstring pricing sign flips at the ulp boundary into the
+    recall math — so a numpy summation is squarely inside the
+    operator's own tolerance (and row-local, i.e. MORE deterministic
+    than the shuffle it replaces).  Semantics matched exactly where
+    they are observable:
+
+    * element-NULLs contribute nothing (``F.sum`` skips NULL
+      products) — the kernel zeroes exactly the null positions;
+      genuine NaN values poison the dot to NaN → bit 0 in both
+      (``NaN >= 0`` is false in numpy; Catalyst's ``>=`` on NaN dot
+      is false too).
+    * a NULL vector emits no rows (posexplode of NULL); a
+      length-deviant vector dots over the overlapping component range
+      (the ``_j`` equi-join's semantics) — handled per row.
+    * MSB-first bit packing per table, identical weights.
+
+    Returns the DataFrame or None (``SPARK_GRAFT_SRP_KERNEL=0``).
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SRP_KERNEL", "1") == "0":
+        return None
+    import numpy as np
+
+    if not _integral_id_cols(base, "_id"):
+        return None
+    total_planes = tables * planes_per_table
+    signs = np.array(
+        [_plane_signs(p, dim) for p in range(total_planes)],
+        dtype=np.float64,
+    )  # (P, dim)
+    weights = np.array(
+        [1 << (planes_per_table - 1 - (p % planes_per_table))
+         for p in range(total_planes)],
+        dtype=np.int64,
+    )
+    table_of = np.arange(total_planes, dtype=np.int64) // planes_per_table
+    tbl_ids = np.arange(tables, dtype=np.int64)
+    b_state = base.sparkSession.sparkContext.broadcast(
+        (signs, weights, table_of)
+    )
+    src = base.select(
+        F.col("_id"), F.col("_v").cast("array<double>").alias("_vsrp")
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        ksigns, kweights, ktable_of = b_state.value
+        kdim = ksigns.shape[1]
+        P = ksigns.shape[0]
+        n_tables = int(ktable_of[-1]) + 1 if P else 0
+        signs_t = np.ascontiguousarray(ksigns.T)  # (dim, P)
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            vcol = batch.column(1)
+            offs = vcol.offsets.to_numpy(zero_copy_only=False)
+            lens = np.diff(offs)
+            valid = (
+                np.ones(n_rows, dtype=bool)
+                if vcol.null_count == 0
+                else ~vcol.is_null().to_numpy(zero_copy_only=False)
+            )
+            vals_arr = vcol.values
+            flat = vals_arr.to_numpy(zero_copy_only=False).astype(np.float64)
+            if vals_arr.null_count:
+                nullpos = vals_arr.is_null().to_numpy(zero_copy_only=False)
+                flat = np.where(nullpos, 0.0, flat)
+            good = valid & (lens == kdim)
+            out_id = []
+            out_tb = []
+            out_bk = []
+            if good.any():
+                gi = np.flatnonzero(good)
+                starts = offs[:-1][gi]
+                idx = starts[:, None] + np.arange(kdim)[None, :]
+                rows = flat[idx]  # (g, dim)
+                dots = rows @ signs_t  # (g, P)
+                with np.errstate(invalid="ignore"):
+                    bits = dots >= 0.0  # NaN -> False, like Catalyst
+                contrib = np.where(bits, kweights[None, :], 0)
+                buckets = np.zeros((len(gi), n_tables), dtype=np.int64)
+                for t in range(n_tables):
+                    sel = ktable_of == t
+                    buckets[:, t] = contrib[:, sel].sum(axis=1)
+                out_id.append(np.repeat(ids[gi], n_tables))
+                out_tb.append(np.tile(tbl_ids[:n_tables], len(gi)))
+                out_bk.append(buckets.ravel())
+            # empty arrays posexplode to NOTHING — the vector is absent
+            odd = valid & (lens != kdim) & (lens > 0)
+            if odd.any():
+                for i in np.flatnonzero(odd):
+                    L = int(lens[i])
+                    row = flat[offs[i]: offs[i] + min(L, kdim)]
+                    dots = row @ signs_t[: len(row)]
+                    with np.errstate(invalid="ignore"):
+                        bits = dots >= 0.0
+                    contrib = np.where(bits, kweights, 0)
+                    bks = np.array(
+                        [
+                            contrib[ktable_of == t].sum()
+                            for t in range(n_tables)
+                        ],
+                        dtype=np.int64,
+                    )
+                    out_id.append(np.full(n_tables, ids[i], dtype=np.int64))
+                    out_tb.append(tbl_ids[:n_tables])
+                    out_bk.append(bks)
+            if out_id:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_id), type=pa.int64()),
+                        pa.array(np.concatenate(out_tb), type=pa.int64()),
+                        pa.array(np.concatenate(out_bk), type=pa.int64()),
+                    ],
+                    names=["_id", "table_id", "bucket"],
+                )
+
+    return src.mapInArrow(
+        kernel, schema="_id long, table_id long, bucket long"
+    )
+
+
 def srp_near_dup_pairs(
     df: DataFrame,
     dim: int,
@@ -6223,39 +6359,48 @@ def srp_near_dup_pairs(
     # Bucket assignment only needs the dot's SIGN, so shuffled-sum ulp
     # noise is irrelevant (dominated by the per-plane collision
     # probability the recall math already prices).
-    total_planes = tables * planes_per_table
-    spark = df.sparkSession
-    plane_rows = [
-        (p, j, float(s))
-        for p in range(total_planes)
-        for j, s in enumerate(_plane_signs(p, dim))
-    ]
-    planes = spark.createDataFrame(plane_rows, ["_p", "_j", "_sign"])
-    comps = base.select(
-        "_id", F.posexplode(F.col("_v").cast("array<double>")).alias("_j", "_x")
-    )
-    bits = (
-        comps.join(F.broadcast(planes), "_j")
-        .groupBy("_id", "_p")
-        .agg(F.sum(F.col("_x") * F.col("_sign")).alias("_dot"))
-        .select(
+    kern = _srp_buckets_kernel_or_none(base, tables, planes_per_table, dim)
+    if kern is not None:
+        # One Arrow crossing replaces the |n|·dim·planes join-agg
+        # exchange and both groupBys (guide §4.2/§2.4) — see the
+        # kernel's sign-tolerance argument; the dataflow below stays
+        # as the fallback and the reference semantics.
+        banded = kern.persist()
+    else:
+        total_planes = tables * planes_per_table
+        spark = df.sparkSession
+        plane_rows = [
+            (p, j, float(s))
+            for p in range(total_planes)
+            for j, s in enumerate(_plane_signs(p, dim))
+        ]
+        planes = spark.createDataFrame(plane_rows, ["_p", "_j", "_sign"])
+        comps = base.select(
             "_id",
-            (F.col("_p") / planes_per_table).cast("int").alias("table_id"),
-            # plane index within its table, MSB-first to match srp_bucket
-            (
-                (F.col("_dot") >= 0).cast("long")
-                * F.expr(
-                    f"shiftleft(1L, {planes_per_table} - 1"
-                    f" - int(_p % {planes_per_table}))"
-                )
-            ).alias("_bit"),
+            F.posexplode(F.col("_v").cast("array<double>")).alias("_j", "_x"),
         )
-    )
-    banded = (
-        bits.groupBy("_id", "table_id")
-        .agg(F.sum("_bit").alias("bucket"))
-        .persist()
-    )
+        bits = (
+            comps.join(F.broadcast(planes), "_j")
+            .groupBy("_id", "_p")
+            .agg(F.sum(F.col("_x") * F.col("_sign")).alias("_dot"))
+            .select(
+                "_id",
+                (F.col("_p") / planes_per_table).cast("int").alias("table_id"),
+                # plane index within its table, MSB-first (srp_bucket)
+                (
+                    (F.col("_dot") >= 0).cast("long")
+                    * F.expr(
+                        f"shiftleft(1L, {planes_per_table} - 1"
+                        f" - int(_p % {planes_per_table}))"
+                    )
+                ).alias("_bit"),
+            )
+        )
+        banded = (
+            bits.groupBy("_id", "table_id")
+            .agg(F.sum("_bit").alias("bucket"))
+            .persist()
+        )
 
     ok_buckets = (
         banded.groupBy("table_id", "bucket")
