@@ -664,16 +664,29 @@ def ivf_topk_fixed(
     if not crows:
         raise ValueError("ivf_topk_fixed needs >= 1 centroid")
 
-    # Corpus-side norm hoisted once per row for the k-centroid folds.
-    assigned = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).alias("_nvec"),
-        l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_nn"),
-    ).select(
-        "neighbor_id",
+    # Corpus-side assignment: Arrow kernel (guide §4.2) with the
+    # hoisted-norm expression projection as fallback/reference.
+    assigned = _cell_assign_arrow_or_none(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("_nvec"),
+        ),
+        crows,
+        ["neighbor_id", "_nvec"],
         "_nvec",
-        _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
+        single=True,
     )
+    if assigned is None:
+        # Corpus-side norm hoisted once per row for the k-centroid folds.
+        assigned = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("_nvec"),
+            l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_nn"),
+        ).select(
+            "neighbor_id",
+            "_nvec",
+            _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
+        )
     q_assigned = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("_qvec"),
@@ -3782,15 +3795,32 @@ def ivf_persisted_topk(
 
     spark = corpus.sparkSession
     if rebuild:
-        assigned = corpus.select(
-            F.col(corpus_id).alias("neighbor_id"),
-            F.col(corpus_vec).alias("_nvec"),
-            l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_nn"),
-        ).select(
-            "neighbor_id",
+        # Corpus-side assignment: the c interpreted folds per row run
+        # as one Arrow kernel (guide §4.2, bit-equality argument on
+        # _cell_assign_arrow_or_none); the expression projection stays
+        # as the fallback/reference.  The codebook broadcast is small
+        # BY CONTRACT (the PQ-encode argument) — no size gate needed,
+        # the corpus streams.
+        assigned = _cell_assign_arrow_or_none(
+            corpus.select(
+                F.col(corpus_id).alias("neighbor_id"),
+                F.col(corpus_vec).alias("_nvec"),
+            ),
+            crows,
+            ["neighbor_id", "_nvec"],
             "_nvec",
-            _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
+            single=True,
         )
+        if assigned is None:
+            assigned = corpus.select(
+                F.col(corpus_id).alias("neighbor_id"),
+                F.col(corpus_vec).alias("_nvec"),
+                l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_nn"),
+            ).select(
+                "neighbor_id",
+                "_nvec",
+                _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
+            )
         if batch_id is not None:
             assigned = assigned.withColumn("batch_id", F.lit(int(batch_id)))
             write_table(assigned, path, partition_by=["cell", "batch_id"])
@@ -3883,15 +3913,28 @@ def ivf_persisted_append(
     )
     if not crows:
         raise ValueError("ivf_persisted_append needs >= 1 centroid")
-    assigned = new_corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).alias("_nvec"),
-        l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_nn"),
-    ).select(
-        "neighbor_id",
+    # Arrow-kernel assignment (same contract as the rebuild path in
+    # ivf_persisted_topk) with the expression projection as fallback.
+    assigned = _cell_assign_arrow_or_none(
+        new_corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("_nvec"),
+        ),
+        crows,
+        ["neighbor_id", "_nvec"],
         "_nvec",
-        _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
+        single=True,
     )
+    if assigned is None:
+        assigned = new_corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("_nvec"),
+            l2_norm(F.col(corpus_vec).cast("array<double>")).alias("_nn"),
+        ).select(
+            "neighbor_id",
+            "_nvec",
+            _fixed_cell_expr(crows, "_nvec", "_nn").alias("cell"),
+        )
     if batch_id is not None:
         assigned = assigned.withColumn("batch_id", F.lit(int(batch_id)))
         overwrite_partitions(assigned, path, ["cell", "batch_id"])
@@ -4388,10 +4431,17 @@ def spherical_kmeans_train(
     normed = base.select("_v", l2_norm(F.col("_v")).alias("_nv"))
 
     for _ in range(iters):
-        means = (
-            normed.select(
+        # Assignment via the Arrow kernel (guide §4.2) when available;
+        # the hoisted-norm expression projection is the fallback.
+        assigned_iter = _cell_assign_arrow_or_none(
+            base, crows, ["_v"], "_v", single=True, out_col="_cell"
+        )
+        if assigned_iter is None:
+            assigned_iter = normed.select(
                 "_v", _fixed_cell_expr(crows, "_v", "_nv").alias("_cell")
             )
+        means = (
+            assigned_iter
             .select("_cell", F.posexplode("_v").alias("_i0", "_x"))
             .groupBy("_cell", (F.col("_i0") + 1).alias("i"))
             .agg(
@@ -4463,6 +4513,11 @@ def spherical_kmeans_fit(
     )
 
     def assign() -> DataFrame:
+        kern = _cell_assign_arrow_or_none(
+            base, crows, ["_v"], "_v", single=True, out_col="_cell"
+        )
+        if kern is not None:
+            return kern
         return base.select("_v", l2_norm(F.col("_v")).alias("_nv")).select(
             "_v", _fixed_cell_expr(crows, "_v", "_nv").alias("_cell")
         )
