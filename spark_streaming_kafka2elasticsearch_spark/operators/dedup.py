@@ -2048,9 +2048,16 @@ def substring_window_relation(
     shuffle moves a fixed-width cross-engine digest, never window
     text.  Shared by :func:`exact_substring_dup_spans` and
     :func:`exact_substring_dedup_corpus`."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.partitioning import (
+        fan_out_small_scan,
+    )
+
     t = tokens(F.col(text_col))
+    # per-window md5 of 15-token text is CPU-heavy and the sf-scale
+    # documents scan is one split — fan out first (scale-adaptive
+    # no-op on an already-parallel scan).
     toks = (
-        df.select(F.col(id_col).alias("_id"), t.alias("_toks"))
+        fan_out_small_scan(df.select(F.col(id_col).alias("_id"), t.alias("_toks")))
         .filter(F.size("_toks") >= window)
         .select("_id", "_toks", F.posexplode("_toks").alias("_i", "_tok"))
         .filter(F.col("_i") <= F.size("_toks") - window)
@@ -2108,6 +2115,10 @@ def winnowing_fingerprints(
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     t = tokens(F.col(text_col))
+    # (r15 note: a fan_out_small_scan here was A/B-measured LOSING —
+    # 0.72 -> 0.92 s / 1.52 -> 2.18 s on the two winnowing queries:
+    # the per-document analytic window right after pays the extra
+    # exchange back with interest.  Left on the scan deliberately.)
     toks = (
         df.select(F.col(id_col).alias("_id"), t.alias("_toks"))
         .filter(F.size("_toks") >= k)

@@ -55,8 +55,15 @@ def countmin_sketch(
     cm_count)``.  Shape: explode each item into ``depth`` (row, bucket)
     pairs, then ONE partial-aggregating groupBy — executors ship at
     most depth×width counters per group regardless of input size."""
+    from spark_streaming_kafka2elasticsearch_spark.operators.partitioning import (
+        fan_out_small_scan,
+    )
+
     buckets = _km_buckets(F.col(item_col), depth, width)
-    exploded = df.select(
+    # the per-item md5 + K-M bucket math is CPU-heavy; a one-split
+    # upstream (sf-scale scans) would run it single-threaded — fan out
+    # first (scale-adaptive no-op when already parallel).
+    exploded = fan_out_small_scan(df.select(*group_cols, item_col)).select(
         *group_cols,
         F.posexplode(F.array(*buckets)).alias("cm_row", "cm_bucket"),
     )

@@ -543,6 +543,105 @@ FROM {table} d LEFT JOIN emb ON d.{id_col} = emb.{id_col}
 """
 
 
+def _bpe_train_local_or_none(
+    word_freq: DataFrame,
+    rounds: int,
+    tok_col: str,
+    count_col: str,
+    emit: str,
+):
+    """Gated driver-side twin of :func:`bpe_train`'s merge loop (the
+    connected-components-twin doctrine, guide §2.4): the loop runs
+    over a VOCAB-sized table by construction, and each of its
+    ``rounds`` iterations pays two driver-blocking jobs (argmax
+    checkpoint + merged-encodings checkpoint).  Under the 64 MB
+    collect ceiling the whole loop runs as plain Python string/integer
+    arithmetic with EXACT round semantics:
+
+    * encodings: per-code-point bracket wrapping — Python indexing and
+      Spark ``substring`` both count code points;
+    * census: adjacent-pair counts weighted by word count, words with
+      < 2 symbols contributing nothing;
+    * argmax: ``min((-count, left, right))`` — Python tuple comparison
+      on str equals Spark's struct ordering (UTF-8 binary order is
+      code-point order, which is Python's str order);
+    * merge application: ``str.replace`` is leftmost non-overlapping
+      replace-all, exactly Spark's ``replace``.
+
+    Degenerate inputs fall back to the distributed loop (None): NULL
+    counts, a round with an empty pair census (whose NULL-poisoned
+    merge row the twin does not replicate), or an over-ceiling vocab.
+    Kill switch: ``SPARK_GRAFT_BPE_LOCAL=0``.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_BPE_LOCAL", "1") == "0":
+        return None
+    from spark_streaming_kafka2elasticsearch_spark.operators.similarity import (
+        _pair_score_broadcast_bytes,
+    )
+
+    cap_bytes = _pair_score_broadcast_bytes()
+    # generous per-row estimate: token + count + encoding overhead
+    cap_rows = max(1, cap_bytes // 64)
+    rows = word_freq.select(
+        F.col(tok_col).alias("_tok"), F.col(count_col).alias("_c")
+    ).limit(cap_rows + 1).collect()
+    if len(rows) > cap_rows:
+        return None
+    words = []
+    total_len = 0
+    for r in rows:
+        tok, c = r["_tok"], r["_c"]
+        if tok is None or len(tok) == 0:
+            continue  # the operator's empty-word guard
+        if c is None or not isinstance(c, int):
+            return None
+        total_len += len(tok)
+        words.append([tok, c, "<" + "><".join(tok) + ">"])
+    if total_len * 8 > cap_bytes:
+        return None
+    merges = []
+    for k in range(1, rounds + 1):
+        census: dict = {}
+        for _tok, c, enc in words:
+            syms = enc[1:-1].split("><")
+            if len(syms) < 2:
+                continue
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                census[key] = census.get(key, 0) + c
+        if not census:
+            return None  # NULL-poisoned degenerate round: keep Spark
+        nc, a, b = min(
+            (-cnt, a, b) for (a, b), cnt in census.items()
+        )
+        merges.append((k, a, b, -nc))
+        pat = f"<{a}><{b}>"
+        rep = f"<{a}{b}>"
+        for w in words:
+            w[2] = w[2].replace(pat, rep)
+    spark = word_freq.sparkSession
+    if emit == "vocab":
+        vocab: dict = {}
+        for _tok, c, enc in words:
+            for s in enc[1:-1].split("><"):
+                vocab[s] = vocab.get(s, 0) + c
+        return spark.createDataFrame(
+            [(s, int(c)) for s, c in vocab.items()],
+            "symbol string, corpus_count long",
+        )
+    if emit == "lexicon":
+        return spark.createDataFrame(
+            [(w[0], w[2]) for w in words],
+            "token string, encoding string",
+        )
+    return spark.createDataFrame(
+        [(int(k), a, b, int(c)) for k, a, b, c in merges],
+        "merge_rank int, left_sym string, right_sym string, pair_count long",
+    )
+
+
 def bpe_train(
     word_freq: DataFrame,
     rounds: int = 6,
@@ -592,6 +691,11 @@ def bpe_train(
     census reads round k-1's merged encodings).  Callers needing the
     final encodings can re-apply the returned merges in order.
     """
+    fast = _bpe_train_local_or_none(
+        word_freq, rounds, tok_col, count_col, emit
+    )
+    if fast is not None:
+        return fast
     enc = F.expr(
         f"concat_ws('', transform(sequence(1, length({tok_col})),"
         f" i -> concat('<', substring({tok_col}, i, 1), '>')))"

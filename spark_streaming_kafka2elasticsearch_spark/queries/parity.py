@@ -218,8 +218,14 @@ def orders_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_streaming_kafka2elasticsearch_spark.operators.curate import (
         parse_with_dead_letter,
     )
+    from spark_streaming_kafka2elasticsearch_spark.operators.partitioning import (
+        fan_out_small_scan,
+    )
 
-    orders = load_table(spark, sf_dir, "orders")
+    # JSON render + PERMISSIVE re-parse per row is CPU-heavy and the
+    # sf-scale orders scan is one split — fan out first (scale-adaptive
+    # no-op on an already-parallel scan).
+    orders = fan_out_small_scan(load_table(spark, sf_dir, "orders"))
     okey = F.col("o_orderkey")
     injected = orders.select(
         F.when(okey % 13 == 0, F.lit(None).cast("string"))
