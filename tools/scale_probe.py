@@ -523,6 +523,20 @@ def main() -> None:
         factors = [
             int(x) for x in sys.argv[sys.argv.index("--factors") + 1].split(",")
         ]
+    # --env K=V[,K=V...]: set kill switches before the session builds —
+    # the DISTRIBUTED-leg probe (VERDICT r14 item 3: the driver-side
+    # twins removed the distributed iterative-graph path from bench
+    # coverage; this leg keeps standing scale evidence for it, e.g.
+    #   --env SPARK_GRAFT_CC_LOCAL=0 --suffix _dist
+    # probes the real per-round join loops).  --suffix tags the JSON
+    # rows so twin-path and distributed-path evidence coexist.
+    suffix = ""
+    if "--suffix" in sys.argv:
+        suffix = sys.argv[sys.argv.index("--suffix") + 1]
+    if "--env" in sys.argv:
+        for kv in sys.argv[sys.argv.index("--env") + 1].split(","):
+            k, _, v = kv.partition("=")
+            os.environ[k] = v
     dirs = {1: BASE}
     for f in factors:
         d = os.path.join(OUT, f"x{f}")
@@ -578,6 +592,7 @@ def main() -> None:
         # its x1/x3/x10), not clobber it.
         merged_q = dict(doc.get("queries", {}))
         for q, vals in results.items():
+            q = q + suffix
             row = dict(merged_q.get(q, {}))
             row.update(vals)
             if row.get("x1", -1) > 0 and row.get("x10", -1) > 0:
